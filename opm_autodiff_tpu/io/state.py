@@ -1,0 +1,561 @@
+"""Deck -> EclState: the semantic model built from a parsed deck.
+
+Replaces the slice of opm-common's ``EclipseState``/``Schedule`` that the
+reference's call stacks traverse (SURVEY.md §0.1). All quantities are
+converted to SI here. Grid arrays are stored in ECLIPSE natural order
+(I fastest, then J, then K) as flat numpy arrays of length nx*ny*nz.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import numpy as np
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.io.deck import DEFAULT, Deck, read_deck
+
+MONTHS = {m: i + 1 for i, m in enumerate(
+    ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+     "JLY", "AUG", "SEP", "OCT", "NOV", "DEC"])}
+MONTHS["JUL"] = 7
+
+
+def item(rec: list, idx: int, default=None):
+    """Record item with ECL default semantics."""
+    if idx >= len(rec) or rec[idx] is DEFAULT:
+        return default
+    return rec[idx]
+
+
+# ---------------------------------------------------------------------------
+# Section dataclasses
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Runspec:
+    phases: frozenset  # subset of {"OIL","WATER","GAS"}
+    disgas: bool
+    vapoil: bool
+    unit_system: U.UnitSystem
+    cartdims: tuple[int, int, int]
+    start: datetime.date
+    title: str = ""
+
+
+@dataclasses.dataclass
+class GridSection:
+    # flat natural-order arrays, SI
+    dx: np.ndarray
+    dy: np.ndarray
+    dz: np.ndarray
+    depth: np.ndarray  # cell-center depth (positive downward), m
+    poro: np.ndarray
+    permx: np.ndarray
+    permy: np.ndarray
+    permz: np.ndarray
+    ntg: np.ndarray
+    actnum: np.ndarray  # int
+    multx: np.ndarray
+    multy: np.ndarray
+    multz: np.ndarray
+    multpv: np.ndarray
+
+
+@dataclasses.dataclass
+class PvtwRecord:
+    p_ref: float
+    b_ref: float  # Bw at p_ref
+    comp: float
+    visc: float
+    viscosibility: float
+
+
+@dataclasses.dataclass
+class RockRecord:
+    p_ref: float
+    comp: float
+
+
+@dataclasses.dataclass
+class DensityRecord:
+    oil: float
+    water: float
+    gas: float
+
+
+@dataclasses.dataclass
+class PvtoTable:
+    """Live-oil table: saturated curve + undersaturated branches.
+
+    rs[i]: Rs of branch i (SI m3/m3); each branch: pressures [Pa],
+    Bo, mu_o arrays (first point of the branch is the saturated point).
+    """
+    rs: np.ndarray  # [nb]
+    branches: list  # list of (p[nk], bo[nk], mu[nk]) arrays
+
+
+@dataclasses.dataclass
+class PropsSection:
+    pvtw: PvtwRecord
+    rock: RockRecord
+    density: DensityRecord
+    pvdg: np.ndarray | None  # [n,3]: p, Bg, mu_g  (SI)
+    pvdo: np.ndarray | None  # [n,3]: p, Bo, mu_o
+    pvto: PvtoTable | None
+    swof: np.ndarray | None  # [n,4]: Sw, krw, krow, Pcow
+    sgof: np.ndarray | None  # [n,4]: Sg, krg, krog, Pcog
+    swfn: np.ndarray | None
+    sgfn: np.ndarray | None
+    sof3: np.ndarray | None
+
+
+@dataclasses.dataclass
+class EquilRecord:
+    datum_depth: float
+    datum_pressure: float
+    woc_depth: float
+    woc_pc: float
+    goc_depth: float
+    goc_pc: float
+    rs_method: int  # live-oil init: 0 = const at Pb/datum, >0 use RSVD
+    rv_method: int
+    accuracy: int
+
+
+@dataclasses.dataclass
+class SolutionSection:
+    equil: EquilRecord | None
+    rsvd: np.ndarray | None  # [n,2]: depth, Rs (region 1)
+    pressure: np.ndarray | None  # explicit init
+    swat: np.ndarray | None
+    sgas: np.ndarray | None
+    rs: np.ndarray | None
+
+
+@dataclasses.dataclass
+class Completion:
+    i: int  # 0-based
+    j: int
+    k: int
+    open: bool
+    cf: float | None  # connection trans factor, SI (m^3); None = compute
+    diameter: float
+    kh: float | None
+    skin: float
+    direction: str  # 'X','Y','Z'
+
+
+@dataclasses.dataclass
+class WellConfig:
+    name: str
+    group: str
+    i: int  # 0-based heel location
+    j: int
+    ref_depth: float | None
+    preferred_phase: str
+    is_injector: bool
+    status: str  # OPEN/SHUT/STOP
+    completions: list  # list[Completion]
+    # control
+    control_mode: str  # ORAT/WRAT/GRAT/LRAT/RESV/BHP/THP/RATE
+    oil_rate: float | None = None  # SI m^3/s surface targets (None = absent)
+    water_rate: float | None = None
+    gas_rate: float | None = None
+    liquid_rate: float | None = None
+    resv_rate: float | None = None
+    bhp_limit: float | None = None  # min for producer, max for injector
+    thp_limit: float | None = None
+    inj_phase: str | None = None  # GAS/WATER/OIL
+    inj_rate: float | None = None
+
+
+@dataclasses.dataclass
+class ReportStep:
+    start_days: float  # since simulation start (SI seconds / DAY)
+    end_days: float
+    wells: list  # list[WellConfig] snapshot active during this step
+
+
+@dataclasses.dataclass
+class Schedule:
+    steps: list  # list[ReportStep]
+
+
+@dataclasses.dataclass
+class SummaryConfig:
+    keywords: list  # list of (mnemonic, [names])
+
+
+@dataclasses.dataclass
+class EclState:
+    runspec: Runspec
+    grid: GridSection
+    props: PropsSection
+    regions: dict
+    solution: SolutionSection
+    summary: SummaryConfig
+    schedule: Schedule
+
+    @property
+    def cartdims(self):
+        return self.runspec.cartdims
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+def _grid_array(deck: Deck, name: str, ncells: int, default=None, dtype=float):
+    kws = deck.get(name)
+    if not kws:
+        if default is None:
+            return None
+        return np.full(ncells, default, dtype)
+    vals = [default if v is DEFAULT else v for v in kws[-1].records[0]]
+    arr = np.asarray(vals, dtype)
+    if arr.size < ncells:
+        # ECL allows short arrays for e.g. TOPS (only the top layer)
+        pad = np.full(ncells - arr.size, np.nan if dtype is float else 0, dtype)
+        arr = np.concatenate([arr, pad])
+    return arr[:ncells]
+
+
+def _build_runspec(deck: Deck) -> Runspec:
+    dims = deck.get1("DIMENS")
+    cartdims = tuple(int(x) for x in dims.records[0][:3]) if dims else (1, 1, 1)
+    phases = set()
+    for ph in ("OIL", "WATER", "GAS"):
+        if ph in deck:
+            phases.add(ph)
+    unit = U.METRIC
+    for name in ("FIELD", "METRIC", "LAB"):
+        if name in deck:
+            unit = U.BY_NAME[name]
+    start = datetime.date(1983, 1, 1)
+    kw = deck.get1("START")
+    if kw and kw.records and kw.records[0]:
+        r = kw.records[0]
+        day = int(item(r, 0, 1))
+        mon = MONTHS.get(str(item(r, 1, "JAN")).upper().strip("'\""), 1)
+        year = int(item(r, 2, 1983))
+        start = datetime.date(year, mon, day)
+    return Runspec(
+        phases=frozenset(phases),
+        disgas="DISGAS" in deck,
+        vapoil="VAPOIL" in deck,
+        unit_system=unit,
+        cartdims=cartdims,
+        start=start,
+    )
+
+
+def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
+    nx, ny, nz = rs.cartdims
+    n = nx * ny * nz
+    u = rs.unit_system
+
+    def vec_expand(name_v, name_full, axis):
+        """DXV-style per-slice values expanded to the full grid."""
+        kw = deck.get1(name_v)
+        if kw is None:
+            return _grid_array(deck, name_full, n)
+        v = np.asarray([x for x in kw.records[0] if x is not DEFAULT], float)
+        if axis == 0:
+            return np.tile(v, ny * nz)
+        if axis == 1:
+            return np.tile(np.repeat(v, nx), nz)
+        return np.repeat(v, nx * ny)
+
+    dx = vec_expand("DXV", "DX", 0)
+    dy = vec_expand("DYV", "DY", 1)
+    dz = vec_expand("DZV", "DZ", 2)
+    if dx is None or dy is None or dz is None:
+        raise ValueError("grid geometry requires DX/DY/DZ (or DXV/DYV/DZV)")
+    dx = dx * u.length
+    dy = dy * u.length
+    dz = dz * u.length
+
+    tops = _grid_array(deck, "TOPS", n)
+    if tops is None:
+        raise ValueError("TOPS required (corner-point COORD/ZCORN not yet supported)")
+    tops = tops * u.length
+    # fill deeper layers: top(k) = top(k-1) + dz(k-1)
+    tops3 = tops.reshape(nz, ny, nx)
+    dz3 = dz.reshape(nz, ny, nx)
+    for k in range(1, nz):
+        if np.isnan(tops3[k]).any():
+            tops3[k] = tops3[k - 1] + dz3[k - 1]
+    depth = (tops3 + 0.5 * dz3).reshape(-1)
+
+    poro = _grid_array(deck, "PORO", n, 0.0)
+    permx = _grid_array(deck, "PERMX", n, 0.0) * u.permeability
+    permy_kw = _grid_array(deck, "PERMY", n)
+    permy = permy_kw * u.permeability if permy_kw is not None else permx.copy()
+    permz_kw = _grid_array(deck, "PERMZ", n)
+    permz = permz_kw * u.permeability if permz_kw is not None else permx.copy()
+    ntg = _grid_array(deck, "NTG", n, 1.0)
+    actnum = _grid_array(deck, "ACTNUM", n, 1, dtype=int)
+    multx = _grid_array(deck, "MULTX", n, 1.0)
+    multy = _grid_array(deck, "MULTY", n, 1.0)
+    multz = _grid_array(deck, "MULTZ", n, 1.0)
+    multpv = _grid_array(deck, "MULTPV", n, 1.0)
+    # zero-porosity cells are inactive (reference: MINPV handling is richer)
+    actnum = np.where(poro <= 0.0, 0, actnum)
+    return GridSection(dx, dy, dz, depth, poro, permx, permy, permz, ntg,
+                       actnum, multx, multy, multz, multpv)
+
+
+def _table_2d(kw, ncols: int, scales: list[float]) -> np.ndarray:
+    vals = [v for v in kw.flat() if v is not DEFAULT]
+    arr = np.asarray(vals, float).reshape(-1, ncols)
+    return arr * np.asarray(scales)
+
+
+def _build_pvto(kw, u: U.UnitSystem) -> PvtoTable:
+    rs_list, branches = [], []
+    for rec in kw.records:
+        vals = [v for v in rec if v is not DEFAULT]
+        rs = vals[0] * u.gas_oil_ratio
+        rest = np.asarray(vals[1:], float).reshape(-1, 3)
+        p = rest[:, 0] * u.pressure
+        bo = rest[:, 1] * u.oil_fvf
+        mu = rest[:, 2] * u.viscosity
+        rs_list.append(rs)
+        branches.append((p, bo, mu))
+    return PvtoTable(np.asarray(rs_list), branches)
+
+
+def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
+    u = rs.unit_system
+    pvtw_kw = deck.get1("PVTW")
+    if pvtw_kw and pvtw_kw.records:
+        r = pvtw_kw.records[0]
+        pvtw = PvtwRecord(
+            p_ref=item(r, 0, 1.0) * u.pressure,
+            b_ref=item(r, 1, 1.0) * u.oil_fvf,
+            comp=item(r, 2, 4e-5 / U.BAR * u.pressure) * u.compressibility,
+            visc=item(r, 3, 0.5) * u.viscosity,
+            viscosibility=item(r, 4, 0.0) * u.compressibility,
+        )
+    else:
+        pvtw = PvtwRecord(U.ATM, 1.0, 4e-10, 5e-4, 0.0)
+
+    rock_kw = deck.get1("ROCK")
+    if rock_kw and rock_kw.records:
+        r = rock_kw.records[0]
+        rock = RockRecord(item(r, 0, 1.0) * u.pressure,
+                          item(r, 1, 0.0) * u.compressibility)
+    else:
+        rock = RockRecord(U.ATM, 0.0)
+
+    dens_kw = deck.get1("DENSITY")
+    if dens_kw and dens_kw.records:
+        r = dens_kw.records[0]
+        density = DensityRecord(item(r, 0, 600.0) * u.density,
+                                item(r, 1, 1000.0) * u.density,
+                                item(r, 2, 1.0) * u.density)
+    else:
+        density = DensityRecord(600.0, 1000.0, 1.0)
+
+    def t(name, ncols, scales):
+        kw = deck.get1(name)
+        return _table_2d(kw, ncols, scales) if kw else None
+
+    pvdg = t("PVDG", 3, [u.pressure, u.gas_fvf, u.viscosity])
+    pvdo = t("PVDO", 3, [u.pressure, u.oil_fvf, u.viscosity])
+    swof = t("SWOF", 4, [1.0, 1.0, 1.0, u.pressure])
+    sgof = t("SGOF", 4, [1.0, 1.0, 1.0, u.pressure])
+    swfn = t("SWFN", 3, [1.0, 1.0, u.pressure])
+    sgfn = t("SGFN", 3, [1.0, 1.0, u.pressure])
+    sof3 = t("SOF3", 3, [1.0, 1.0, 1.0])
+    pvto_kw = deck.get1("PVTO")
+    pvto = _build_pvto(pvto_kw, u) if pvto_kw else None
+    return PropsSection(pvtw, rock, density, pvdg, pvdo, pvto, swof, sgof,
+                        swfn, sgfn, sof3)
+
+
+def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
+    u = rs.unit_system
+    equil = None
+    kw = deck.get1("EQUIL")
+    if kw and kw.records:
+        r = kw.records[0]
+        equil = EquilRecord(
+            datum_depth=item(r, 0, 0.0) * u.length,
+            datum_pressure=item(r, 1, 0.0) * u.pressure,
+            woc_depth=item(r, 2, 0.0) * u.length,
+            woc_pc=item(r, 3, 0.0) * u.pressure,
+            goc_depth=item(r, 4, 0.0) * u.length,
+            goc_pc=item(r, 5, 0.0) * u.pressure,
+            rs_method=int(item(r, 6, 0)),
+            rv_method=int(item(r, 7, 0)),
+            accuracy=int(item(r, 8, 0)),
+        )
+    rsvd = None
+    kw = deck.get1("RSVD")
+    if kw and kw.records:
+        vals = np.asarray([v for v in kw.records[0] if v is not DEFAULT],
+                          float).reshape(-1, 2)
+        rsvd = vals * np.asarray([u.length, u.gas_oil_ratio])
+
+    def arr(name, scale=1.0):
+        a = _grid_array(deck, name, ncells)
+        return a * scale if a is not None else None
+
+    return SolutionSection(
+        equil=equil,
+        rsvd=rsvd,
+        pressure=arr("PRESSURE", u.pressure),
+        swat=arr("SWAT"),
+        sgas=arr("SGAS"),
+        rs=arr("RS", u.gas_oil_ratio),
+    )
+
+
+def _build_summary(deck: Deck) -> SummaryConfig:
+    out = []
+    in_summary = False
+    for kw in deck:
+        if kw.name == "SUMMARY":
+            in_summary = True
+            continue
+        if kw.name == "SCHEDULE":
+            in_summary = False
+        if not in_summary:
+            continue
+        names = [str(x) for x in (kw.records[0] if kw.records else [])
+                 if x is not DEFAULT]
+        out.append((kw.name, names))
+    return SummaryConfig(out)
+
+
+def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
+    u = rs.unit_system
+    nx, ny, nz = rs.cartdims
+    wells: dict[str, WellConfig] = {}
+    steps: list[ReportStep] = []
+    t_days = 0.0
+    in_schedule = False
+    current_date = rs.start
+
+    def snapshot():
+        return [dataclasses.replace(
+            w, completions=[dataclasses.replace(c) for c in w.completions])
+            for w in wells.values()]
+
+    def advance(days: float):
+        nonlocal t_days
+        steps.append(ReportStep(t_days, t_days + days, snapshot()))
+        t_days += days
+
+    for kw in deck:
+        if kw.name == "SCHEDULE":
+            in_schedule = True
+            continue
+        if not in_schedule:
+            continue
+        if kw.name == "WELSPECS":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                wells[name] = WellConfig(
+                    name=name,
+                    group=str(item(r, 1, "FIELD")),
+                    i=int(item(r, 2, 1)) - 1,
+                    j=int(item(r, 3, 1)) - 1,
+                    ref_depth=(item(r, 4, None) * u.length
+                               if item(r, 4, None) is not None else None),
+                    preferred_phase=str(item(r, 5, "OIL")),
+                    is_injector=False,
+                    status="SHUT",
+                    completions=[],
+                    control_mode="BHP",
+                )
+        elif kw.name == "COMPDAT":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells[name]
+                i = int(item(r, 1, w.i + 1)) - 1
+                j = int(item(r, 2, w.j + 1)) - 1
+                k1 = int(item(r, 3, 1)) - 1
+                k2 = int(item(r, 4, k1 + 1)) - 1
+                stat = str(item(r, 5, "OPEN")).upper()
+                cf = item(r, 7, None)
+                diam = item(r, 8, 1.0 * U.FOOT / u.length) * u.length
+                kh = item(r, 9, None)
+                skin = item(r, 10, 0.0)
+                direction = str(item(r, 12, "Z")).upper()
+                for k in range(k1, k2 + 1):
+                    w.completions.append(Completion(
+                        i=i, j=j, k=k, open=(stat == "OPEN"),
+                        cf=cf * u.well_index if cf is not None else None,
+                        diameter=diam,
+                        kh=kh * u.permeability * u.length if kh is not None else None,
+                        skin=skin, direction=direction))
+        elif kw.name == "WCONPROD":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells[name]
+                w.is_injector = False
+                w.status = str(item(r, 1, "OPEN")).upper()
+                w.control_mode = str(item(r, 2, "BHP")).upper()
+                w.oil_rate = _opt_rate(item(r, 3, None), u.liquid_rate)
+                w.water_rate = _opt_rate(item(r, 4, None), u.liquid_rate)
+                w.gas_rate = _opt_rate(item(r, 5, None), u.gas_rate)
+                w.liquid_rate = _opt_rate(item(r, 6, None), u.liquid_rate)
+                w.resv_rate = _opt_rate(item(r, 7, None), u.reservoir_rate)
+                bhp = item(r, 8, None)
+                w.bhp_limit = bhp * u.pressure if bhp is not None else U.ATM
+                thp = item(r, 9, None)
+                w.thp_limit = thp * u.pressure if thp is not None else None
+        elif kw.name == "WCONINJE":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells[name]
+                w.is_injector = True
+                w.inj_phase = str(item(r, 1, "GAS")).upper()
+                w.status = str(item(r, 2, "OPEN")).upper()
+                w.control_mode = str(item(r, 3, "RATE")).upper()
+                rate_scale = (u.gas_rate if w.inj_phase == "GAS"
+                              else u.liquid_rate)
+                w.inj_rate = _opt_rate(item(r, 4, None), rate_scale)
+                w.resv_rate = _opt_rate(item(r, 5, None), u.reservoir_rate)
+                bhp = item(r, 6, None)
+                w.bhp_limit = (bhp * u.pressure if bhp is not None
+                               else 6895e4)  # ECL default ~1e4 psia
+        elif kw.name == "TSTEP":
+            for v in kw.records[0]:
+                if v is not DEFAULT:
+                    advance(float(v) * u.time / U.DAY)
+        elif kw.name == "DATES":
+            for r in kw.records:
+                day = int(item(r, 0, 1))
+                mon = MONTHS.get(str(item(r, 1, "JAN")).upper(), 1)
+                year = int(item(r, 2, current_date.year))
+                new_date = datetime.date(year, mon, day)
+                base = rs.start
+                new_days = (new_date - base).days
+                if new_days > t_days:
+                    advance(new_days - t_days)
+                current_date = new_date
+    return Schedule(steps)
+
+
+def _opt_rate(v, scale):
+    return float(v) * scale if v is not None else None
+
+
+def build_state(deck: Deck) -> EclState:
+    rs = _build_runspec(deck)
+    grid = _build_grid(deck, rs)
+    n = len(grid.poro)
+    props = _build_props(deck, rs)
+    solution = _build_solution(deck, rs, n)
+    summary = _build_summary(deck)
+    schedule = _build_schedule(deck, rs, grid)
+    regions = {}
+    return EclState(rs, grid, props, regions, solution, summary, schedule)
+
+
+def load_state(path: str) -> EclState:
+    return build_state(read_deck(path))

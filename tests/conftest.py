@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's answer to "test distributed without a cluster"
+(SURVEY.md §4 tier 2: multi-rank mpirun on one host): JAX's virtual host
+devices stand in for a TPU slice. Must run before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def spe1_deck_path(data_dir) -> str:
+    return str(data_dir / "SPE1CASE1.DATA")

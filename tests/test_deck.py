@@ -1,0 +1,133 @@
+"""Deck tokenizer/parser + state builder tests (SPE1 keyword set)."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.io.deck import DEFAULT, read_deck
+from opm_autodiff_tpu.io.state import build_state
+
+
+@pytest.fixture(scope="module")
+def deck(spe1_deck_path):
+    return read_deck(spe1_deck_path)
+
+
+@pytest.fixture(scope="module")
+def state(deck):
+    return build_state(deck)
+
+
+def test_keywords_present(deck):
+    for name in ["DIMENS", "OIL", "GAS", "WATER", "DISGAS", "FIELD", "DX",
+                 "PORO", "PVTW", "SWOF", "SGOF", "PVDG", "PVTO", "EQUIL",
+                 "WELSPECS", "COMPDAT", "WCONPROD", "WCONINJE", "TSTEP"]:
+        assert name in deck, name
+
+
+def test_repeat_expansion(deck):
+    dx = deck.get1("DX").records[0]
+    assert len(dx) == 300
+    assert all(v == 1000 for v in dx)
+    dz = deck.get1("DZ").records[0]
+    assert dz[0] == 20 and dz[150] == 30 and dz[250] == 50
+
+
+def test_default_items(deck):
+    compdat = deck.get1("COMPDAT").records
+    assert len(compdat) == 2
+    prod = compdat[0]
+    assert prod[0] == "PROD"
+    assert prod[6] is DEFAULT  # 1* sattab
+    assert prod[8] == 0.5  # diameter
+
+
+def test_pvto_records(deck):
+    pvto = deck.get1("PVTO")
+    assert len(pvto.records) == 10
+    # 1.618 branch has undersaturated points: Rs + 2 (p,Bo,mu) triples
+    assert len(pvto.records[-2]) == 1 + 2 * 3
+    assert len(pvto.records[-3]) == 1 + 3 * 3
+    assert len(pvto.records[-1]) == 1 + 1 * 3
+
+
+def test_runspec(state):
+    rs = state.runspec
+    assert rs.cartdims == (10, 10, 3)
+    assert rs.phases == frozenset({"OIL", "WATER", "GAS"})
+    assert rs.disgas and not rs.vapoil
+    assert rs.unit_system.name == "FIELD"
+    assert rs.start == datetime.date(2015, 1, 1)
+
+
+def test_grid_si(state):
+    g = state.grid
+    assert g.dx.shape == (300,)
+    np.testing.assert_allclose(g.dx, 1000 * U.FOOT)
+    np.testing.assert_allclose(g.dz[:100], 20 * U.FOOT)
+    np.testing.assert_allclose(g.dz[200:], 50 * U.FOOT)
+    # depths: layer centers at 8335, 8360, 8400 ft
+    np.testing.assert_allclose(g.depth[:100], 8335 * U.FOOT)
+    np.testing.assert_allclose(g.depth[100:200], 8360 * U.FOOT)
+    np.testing.assert_allclose(g.depth[200:], 8400 * U.FOOT)
+    np.testing.assert_allclose(g.permx[:100], 500 * U.MILLIDARCY)
+    np.testing.assert_allclose(g.permz[200:], 25 * U.MILLIDARCY)
+    assert g.actnum.sum() == 300
+
+
+def test_props_si(state):
+    p = state.props
+    assert p.pvtw.p_ref == pytest.approx(4014.7 * U.PSI)
+    assert p.pvtw.comp == pytest.approx(3.13e-6 / U.PSI)
+    assert p.rock.comp == pytest.approx(3e-6 / U.PSI)
+    assert p.density.oil == pytest.approx(49.1 * U.LB_PER_FT3)
+    # PVDG: Bg in rb/Mscf -> SI
+    assert p.pvdg.shape == (10, 3)
+    assert p.pvdg[0, 0] == pytest.approx(14.7 * U.PSI)
+    assert p.pvdg[0, 1] == pytest.approx(166.666 * U.STB / U.MSCF)
+    # PVTO: 10 branches, monotone Rs
+    assert p.pvto.rs.shape == (10,)
+    assert np.all(np.diff(p.pvto.rs) > 0)
+    assert p.pvto.rs[-3] == pytest.approx(1.270 * U.MSCF / U.STB)
+    p_us, bo_us, mu_us = p.pvto.branches[-3]
+    assert len(p_us) == 3  # saturated point + 2 undersaturated
+    assert bo_us[0] == pytest.approx(1.695 * U.STB / U.STB)
+    assert p.sgof.shape == (15, 4)
+    assert p.swof.shape == (2, 4)
+
+
+def test_solution(state):
+    eq = state.solution.equil
+    assert eq.datum_depth == pytest.approx(8400 * U.FOOT)
+    assert eq.datum_pressure == pytest.approx(4800 * U.PSI)
+    assert eq.goc_depth == pytest.approx(8200 * U.FOOT)
+    assert state.solution.rsvd.shape == (2, 2)
+
+
+def test_schedule(state):
+    sched = state.schedule
+    # 16 + 12 + 33 report steps, ~10 years total
+    assert len(sched.steps) == 61
+    total_days = sched.steps[-1].end_days
+    assert total_days == pytest.approx(280 + 12 * 30.4 + 33 * 91.25)
+    step0 = sched.steps[0]
+    assert step0.end_days - step0.start_days == pytest.approx(1.0)
+    wells = {w.name: w for w in step0.wells}
+    prod, inj = wells["PROD"], wells["INJ"]
+    assert prod.control_mode == "ORAT"
+    assert prod.oil_rate == pytest.approx(20000 * U.STB / U.DAY)
+    assert prod.bhp_limit == pytest.approx(1000 * U.PSI)
+    assert len(prod.completions) == 1
+    assert prod.completions[0].k == 2
+    assert prod.completions[0].diameter == pytest.approx(0.5 * U.FOOT)
+    assert inj.is_injector and inj.inj_phase == "GAS"
+    assert inj.inj_rate == pytest.approx(100000 * U.MSCF / U.DAY)
+    assert inj.bhp_limit == pytest.approx(9014 * U.PSI)
+
+
+def test_summary_config(state):
+    kws = dict(state.summary.keywords)
+    assert "FOPR" in kws
+    assert kws["WBHP"] == ["PROD", "INJ"]
