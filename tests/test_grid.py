@@ -1,0 +1,98 @@
+"""Geometry + transmissibility vs hand calculations on SPE1.
+
+Mirrors the reference's transmissibility checks (SURVEY.md §7 stage 2:
+"Test: trans values vs hand calculations + INIT-file TRANX/Y/Z on SPE1").
+"""
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.grid import build_geometry
+from opm_autodiff_tpu.grid.geometry import peaceman_well_index
+from opm_autodiff_tpu.io.state import load_state
+
+
+@pytest.fixture(scope="module")
+def geo(spe1_deck_path):
+    return build_geometry(load_state(spe1_deck_path))
+
+
+def test_active_mapping(geo):
+    assert geo.num_active == 300
+    assert geo.act_index(0, 0, 0) == 0
+    assert geo.act_index(9, 9, 2) == 299
+    assert geo.ijk(299) == (9, 9, 2)
+
+
+def test_volumes(geo):
+    # layer 1 cell: 1000x1000x20 ft^3
+    v = 1000 * 1000 * 20 * U.FOOT**3
+    assert geo.volume[0] == pytest.approx(v)
+    assert geo.pore_vol[0] == pytest.approx(0.3 * v)
+    # total PV: sum over layers 20+30+50 = 100ft column height
+    pv_tot = 0.3 * 1000 * 1000 * 100 * U.FOOT**3 * 100
+    assert geo.pore_vol.sum() == pytest.approx(pv_tot)
+
+
+def test_face_count(geo):
+    # 10x10x3 all active: X faces 9*10*3, Y faces 10*9*3, Z faces 10*10*2
+    f = geo.faces
+    assert (f.axis == 0).sum() == 270
+    assert (f.axis == 1).sum() == 270
+    assert (f.axis == 2).sum() == 200
+    assert f.num_faces == 740
+
+
+def test_trans_hand_calc(geo):
+    f = geo.faces
+    # X-face in layer 1: k=500mD, A=dy*dz=1000*20 ft^2, d=dx/2=500 ft
+    k = 500 * U.MILLIDARCY
+    a = 1000 * 20 * U.FOOT**2
+    d = 500 * U.FOOT
+    half = k * a / d
+    expect = half / 2  # harmonic mean of equal halves
+    # face between act cells 0 and 1 (i=0->1, j=0, k=0)
+    ix = np.nonzero((f.left == 0) & (f.right == 1))[0]
+    assert len(ix) == 1
+    assert f.trans[ix[0]] == pytest.approx(expect)
+    # Z-face between layer1 (kz=50) and layer2 (kz=50): A=1000*1000 ft^2
+    az = 1000 * 1000 * U.FOOT**2
+    h1 = 50 * U.MILLIDARCY * az / (10 * U.FOOT)   # dz/2 = 10 ft
+    h2 = 50 * U.MILLIDARCY * az / (15 * U.FOOT)   # dz/2 = 15 ft
+    expect_z = 1 / (1 / h1 + 1 / h2)
+    c_top = geo.act_index(0, 0, 0)
+    c_bot = geo.act_index(0, 0, 1)
+    ix = np.nonzero((f.left == c_top) & (f.right == c_bot))[0]
+    assert len(ix) == 1
+    assert f.trans[ix[0]] == pytest.approx(expect_z)
+
+
+def test_inactive_cells_drop_faces(spe1_deck_path, tmp_path):
+    # deactivate a column; faces touching it must vanish
+    text = open(spe1_deck_path).read()
+    actnum = ["1"] * 300
+    # deactivate cell (5,5,1..3) natural idx 5 + 10*5 + 100*k
+    for k in range(3):
+        actnum[5 + 50 + 100 * k] = "0"
+    text = text.replace("PROPS", "ACTNUM\n " + " ".join(actnum) + " /\n\nPROPS", 1)
+    p = tmp_path / "T.DATA"
+    p.write_text(text)
+    geo = build_geometry(load_state(str(p)))
+    assert geo.num_active == 297
+    # each of the 3 cells had 4 lateral faces (12) + 2 internal Z faces
+    assert geo.faces.num_faces == 740 - 14
+
+
+def test_peaceman_wi(geo):
+    # PROD at (10,10,3): k=200mD iso, dx=dy=1000ft, dz=50ft, rw=0.25ft
+    c = geo.act_index(9, 9, 2)
+    wi = peaceman_well_index(geo, c, diameter=0.5 * U.FOOT, skin=0.0)
+    r0 = 0.28 * np.sqrt(2 * (1000 * U.FOOT) ** 2) / 2
+    expect = (2 * np.pi * 200 * U.MILLIDARCY * 50 * U.FOOT
+              / np.log(r0 / (0.25 * U.FOOT)))
+    assert wi == pytest.approx(expect)
+    # sanity in FIELD units: CF in cp*rb/day/psi
+    # 0.00708*k[mD]*h[ft]/ln(r0/rw) = 0.00708*200*50/ln(198/0.25) ~ 10.6
+    cf_field = wi / U.FIELD.well_index
+    assert cf_field == pytest.approx(10.61, rel=1e-2)
