@@ -1,0 +1,170 @@
+"""Black-oil model: primary variables, intensive quantities, accumulation, flux.
+
+Rebuild of opm-models' BlackOilModel equations + EclTransFluxModule
+(reference: ebos/eclfluxmodule.hh:212 ``calculateGradients_``) in scalar
+per-cell / per-face functions designed to be ``vmap``-batched and
+``jacfwd``-differentiated (replacing the ``Evaluation<double, 3>`` forward
+AD type, reference: opm-material; SURVEY.md §2.9#3).
+
+Primary variables per cell (opm-models' variable-switching scheme):
+  u = (po, sw, x3) with a per-cell meaning flag:
+    flag == FLAG_SG: x3 = Sg   (free gas present; Rs = RsSat(po))
+    flag == FLAG_RS: x3 = Rs   (no free gas; Sg = 0, oil undersaturated)
+The flag is *data*, not control flow — all property evaluations are masked
+arithmetic so a single trace covers both states (SURVEY.md §7 hard part 2).
+
+Phase ordering: WATER=0, OIL=1, GAS=2 (matches reference BlackoilPhases).
+Equation ordering matches: R[0]=water, R[1]=oil, R[2]=gas, in surface m^3/s.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.props.fluid import FluidSystem
+
+FLAG_SG = 0  # x3 means Sg
+FLAG_RS = 1  # x3 means Rs
+
+NUM_EQ = 3
+
+
+class PrimaryState(NamedTuple):
+    """Dynamic per-cell state (the Newton unknowns + meaning flags)."""
+
+    u: jnp.ndarray     # [N,3]: po [Pa], sw, x3
+    flag: jnp.ndarray  # [N] int32
+
+
+class CellStatic(NamedTuple):
+    """Per-cell static data (pytree of [N] arrays)."""
+
+    pore_vol_ref: jnp.ndarray
+    depth: jnp.ndarray
+
+
+class FaceStatic(NamedTuple):
+    """Per-face static data ([F] arrays, compressed active indices)."""
+
+    left: jnp.ndarray
+    right: jnp.ndarray
+    trans: jnp.ndarray
+    # gravity potential difference factor: g * (depth_L - depth_R)
+    gdz: jnp.ndarray
+
+
+class Intensive(NamedTuple):
+    """Per-cell quantities needed by flux and accumulation (scalars here;
+    batched via vmap)."""
+
+    p: jnp.ndarray       # [3] phase pressures (water, oil, gas)
+    inv_b: jnp.ndarray   # [3] inverse FVF
+    mob: jnp.ndarray     # [3] kr / mu  [1/(Pa s)]
+    rho: jnp.ndarray     # [3] mass densities at reservoir conditions
+    rs: jnp.ndarray      # dissolved GOR
+    sat: jnp.ndarray     # [3] saturations
+
+
+def intensive(fs: FluidSystem, u, flag) -> Intensive:
+    """Scalar per-cell intensive quantities; differentiable in u."""
+    po, sw, x3 = u[0], u[1], u[2]
+    has_gas = flag == FLAG_SG
+    sg = jnp.where(has_gas, x3, 0.0)
+    so = 1.0 - sw - sg
+    rs = jnp.where(has_gas, fs.rs_sat(po), x3)
+
+    pw = po - fs.sat.pcow(sw)
+    pg = po + fs.sat.pcog(sg)
+
+    inv_bw = fs.water.inv_b(pw)
+    inv_bo = fs.oil_inv_b(po, rs)
+    inv_bg = fs.gas.inv_b(pg)
+
+    mu_w = fs.water.viscosity(pw)
+    mu_o = fs.oil_viscosity(po, rs)
+    mu_g = fs.gas.viscosity(pg)
+
+    krw = fs.sat.krw(sw)
+    kro = fs.sat.kro(sw, sg)
+    krg = fs.sat.krg(sg)
+
+    rho_w = fs.rho_surf[0] * inv_bw
+    rho_o = (fs.rho_surf[1] + rs * fs.rho_surf[2]) * inv_bo
+    rho_g = fs.rho_surf[2] * inv_bg
+
+    return Intensive(
+        p=jnp.stack([pw, po, pg]),
+        inv_b=jnp.stack([inv_bw, inv_bo, inv_bg]),
+        mob=jnp.stack([krw / mu_w, kro / mu_o, krg / mu_g]),
+        rho=jnp.stack([rho_w, rho_o, rho_g]),
+        rs=rs,
+        sat=jnp.stack([sw, so, sg]),
+    )
+
+
+def accumulation(fs: FluidSystem, u, flag, pore_vol_ref):
+    """Per-cell conserved surface volumes [3] (water, oil, gas)."""
+    q = intensive(fs, u, flag)
+    pv = pore_vol_ref * fs.rock.mult(u[0])
+    sw, so, sg = q.sat[0], q.sat[1], q.sat[2]
+    aw = pv * sw * q.inv_b[0]
+    ao = pv * so * q.inv_b[1]
+    ag = pv * (sg * q.inv_b[2] + q.rs * so * q.inv_b[1])
+    return jnp.stack([aw, ao, ag])
+
+
+def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz):
+    """TPFA upwinded phase flux through one face, positive L -> R.
+
+    Semantics follow EclTransFluxModule::calculateGradients_
+    (ebos/eclfluxmodule.hh:212-356): gravity-corrected phase potential
+    difference with arithmetically-averaged density, deterministic upwind
+    (ties resolve to the left cell), flux in *surface* volumes with the
+    dissolved-gas term Rs*F_o added to the gas equation. Threshold-pressure
+    deadband is a later-round feature.
+
+    Returns [3]: water, oil, gas surface-volume fluxes [m^3/s].
+    """
+    qL = intensive(fs, uL, flagL)
+    qR = intensive(fs, uR, flagR)
+
+    # phase potential difference: dPhi_p = (pL - pR) - rho_avg * g * dz
+    # (gdz = g*(depth_L - depth_R); depth positive down)
+    rho_avg = 0.5 * (qL.rho + qR.rho)
+    dphi = (qL.p - qR.p) - rho_avg * gdz  # [3]
+
+    upwind_L = dphi >= 0.0
+
+    mob_up = jnp.where(upwind_L, qL.mob, qR.mob)
+    inv_b_up = jnp.where(upwind_L, qL.inv_b, qR.inv_b)
+    rs_up = jnp.where(upwind_L[1], qL.rs, qR.rs)  # follows the oil phase
+
+    vol_flux = trans * mob_up * dphi          # reservoir-volume flux [3]
+    surf_flux = inv_b_up * vol_flux           # surface-volume flux [3]
+
+    # dissolved gas rides with the oil phase
+    gas_total = surf_flux[2] + rs_up * surf_flux[1]
+    return jnp.stack([surf_flux[0], surf_flux[1], gas_total])
+
+
+def gravity_constant() -> float:
+    return U.GRAVITY
+
+
+def statics_from_geometry(geo) -> tuple[CellStatic, FaceStatic]:
+    """Device-ready static pytrees from host Geometry."""
+    cells = CellStatic(
+        pore_vol_ref=jnp.asarray(geo.pore_vol),
+        depth=jnp.asarray(geo.depth),
+    )
+    f = geo.faces
+    faces = FaceStatic(
+        left=jnp.asarray(f.left),
+        right=jnp.asarray(f.right),
+        trans=jnp.asarray(f.trans),
+        gdz=jnp.asarray(U.GRAVITY * (geo.depth[f.left] - geo.depth[f.right])),
+    )
+    return cells, faces

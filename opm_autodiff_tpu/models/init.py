@@ -1,0 +1,236 @@
+"""Initial state: hydrostatic equilibration (EQUIL) or explicit arrays.
+
+Rebuild of the reference's EclEquilInitializer / equil module
+(ebos/equil/initstateequil.hh:288 ``PressureTable``, :816
+``PhaseSaturations``): per-region ODE integration of phase pressure vs
+depth from the datum and contacts, capillary inversion for saturations,
+RSVD table for the dissolved-gas profile. Host-side numpy (runs once at
+setup) producing device-ready PrimaryState.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.grid.geometry import Geometry
+from opm_autodiff_tpu.io.state import EclState
+from opm_autodiff_tpu.models.blackoil import FLAG_RS, FLAG_SG, PrimaryState
+from opm_autodiff_tpu.props.fluid import FluidSystem
+
+
+def _integrate_pressure(depths, d0, p0, rho_fn, step: float = 0.5):
+    """March dp/dd = rho(p, d) * g along a sorted depth grid from (d0, p0).
+
+    RK2 (midpoint) with ~``step``-meter increments (reference uses RK4 over
+    2000 nodes, initstateequil.hh:80 RK4IVP; midpoint at 0.5 m matches to
+    well below equilibration tolerance).
+    """
+    g = U.GRAVITY
+    depths = np.atleast_1d(np.asarray(depths, float))
+    lo = min(depths.min(), d0)
+    hi = max(depths.max(), d0)
+    n_nodes = min(max(int((hi - lo) / step) + 2, 16), 20_000)
+    span = np.linspace(lo, hi, n_nodes)
+
+    def march(seq, p_start):
+        """Integrate along a sequence of depth nodes starting at seq[0]."""
+        ps = np.empty(len(seq))
+        p = p_start
+        ps[0] = p
+        for i in range(1, len(seq)):
+            dd = seq[i] - seq[i - 1]
+            k1 = rho_fn(p, seq[i - 1]) * g
+            k2 = rho_fn(p + 0.5 * dd * k1, seq[i - 1] + 0.5 * dd) * g
+            p = p + dd * k2
+            ps[i] = p
+        return ps
+
+    # split at the anchor depth and integrate both directions
+    below = span[span >= d0]
+    above = span[span < d0][::-1]
+    p_tab = np.empty(n_nodes)
+    if len(below):
+        p_tab[span >= d0] = march(np.concatenate([[d0], below]), p0)[1:]
+    if len(above):
+        p_tab[span < d0] = march(np.concatenate([[d0], above]), p0)[1:][::-1]
+    return np.interp(depths, span, p_tab)
+
+
+def _invert_pc(pc_target, s_nodes, pc_nodes, increasing: bool):
+    """Invert a monotone capillary table; returns saturation."""
+    s = np.asarray(s_nodes, float)
+    pc = np.asarray(pc_nodes, float)
+    if np.allclose(pc, pc[0]):
+        return None  # degenerate (zero-capillary) table: sharp contact
+    if not increasing:
+        s, pc = s[::-1], pc[::-1]
+    return float(np.interp(pc_target, pc, s))
+
+
+class _HostProps:
+    """Numpy mirrors of the FluidSystem tables — the ODE integration runs
+    thousands of pointwise evaluations on the host; per-op jnp dispatch
+    would dominate, so evaluate with np.interp instead."""
+
+    def __init__(self, fs: FluidSystem):
+        self.rho_surf = np.asarray(fs.rho_surf)
+        o = fs.oil
+        self.live = hasattr(o, "rs_tab")
+        if self.live:
+            self.o_p = np.asarray(o.p_sat)
+            self.o_rs = np.asarray(o.rs_tab)
+            self.o_invb = np.asarray(o.inv_b_sat)
+            self.o_slope = np.asarray(o.slope_inv_b)
+        else:
+            self.o_p = np.asarray(o.p)
+            self.o_invb = np.asarray(o.inv_b_tab)
+        self.g_p = np.asarray(fs.gas.p)
+        self.g_invb = np.asarray(fs.gas.inv_b_tab)
+        w = fs.water
+        self.w_pref = float(w.p_ref)
+        self.w_invb = float(w.inv_b_ref)
+        self.w_comp = float(w.comp)
+
+    @staticmethod
+    def _interp_extrap(x, xp, fp):
+        y = np.interp(x, xp, fp)
+        # linear extrapolation beyond both ends
+        if np.ndim(x) == 0:
+            if x > xp[-1]:
+                y = fp[-1] + (fp[-1] - fp[-2]) / (xp[-1] - xp[-2]) * (x - xp[-1])
+            elif x < xp[0]:
+                y = fp[0] + (fp[1] - fp[0]) / (xp[1] - xp[0]) * (x - xp[0])
+        return y
+
+    def rs_sat(self, p):
+        if not self.live:
+            return 0.0
+        return max(self._interp_extrap(p, self.o_p, self.o_rs), 0.0)
+
+    def oil_inv_b(self, p, rs):
+        if not self.live:
+            return self._interp_extrap(p, self.o_p, self.o_invb)
+        pb = self._interp_extrap(rs, self.o_rs, self.o_p)
+        base = self._interp_extrap(pb, self.o_p, self.o_invb)
+        slope = np.interp(rs, self.o_rs, self.o_slope)
+        return base + slope * max(p - pb, 0.0)
+
+    def oil_density(self, p, rs):
+        return (self.rho_surf[1] + rs * self.rho_surf[2]) * self.oil_inv_b(p, rs)
+
+    def gas_density(self, p):
+        return self.rho_surf[2] * self._interp_extrap(p, self.g_p, self.g_invb)
+
+    def water_density(self, p):
+        x = self.w_comp * (p - self.w_pref)
+        return self.rho_surf[0] * self.w_invb * (1 + x + 0.5 * x * x)
+
+
+def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState:
+    eq = state.solution.equil
+    if eq is None:
+        return explicit_init(state, geo)
+
+    depths = np.asarray(geo.depth)
+    order = np.argsort(depths)
+    d_sorted = depths[order]
+
+    rsvd = state.solution.rsvd
+    hp = _HostProps(fs)
+
+    def rs_at(p, d):
+        rs_sat = hp.rs_sat(p)
+        if rsvd is not None:
+            return min(rs_sat, float(np.interp(d, rsvd[:, 0], rsvd[:, 1])))
+        return rs_sat
+
+    def rho_oil(p, d):
+        return hp.oil_density(p, rs_at(p, d))
+
+    def rho_wat(p, d):
+        return hp.water_density(p)
+
+    def rho_gas(p, d):
+        return hp.gas_density(p)
+
+    # oil pressure from datum
+    po = np.empty_like(d_sorted)
+    po = _integrate_pressure(d_sorted, eq.datum_depth, eq.datum_pressure,
+                             rho_oil)
+
+    # water pressure anchored at WOC: pw(woc) = po(woc) - pc_woc
+    po_at_woc = _integrate_pressure([eq.woc_depth], eq.datum_depth,
+                                    eq.datum_pressure, rho_oil)[0]
+    pw = _integrate_pressure(d_sorted, eq.woc_depth, po_at_woc - eq.woc_pc,
+                             rho_wat)
+
+    # gas pressure anchored at GOC: pg(goc) = po(goc) + pc_goc
+    po_at_goc = _integrate_pressure([eq.goc_depth], eq.datum_depth,
+                                    eq.datum_pressure, rho_oil)[0]
+    pg = _integrate_pressure(d_sorted, eq.goc_depth, po_at_goc + eq.goc_pc,
+                             rho_gas)
+
+    sat = fs.sat
+    sw_nodes = np.asarray(sat.sw)
+    pcow_nodes = np.asarray(sat.pcow_tab)
+    sg_nodes = np.asarray(sat.sg)
+    pcog_nodes = np.asarray(sat.pcog_tab)
+    swco = float(sat.swco)
+    sg_max = float(sg_nodes[-1])
+
+    n = len(d_sorted)
+    sw = np.empty(n)
+    sg = np.empty(n)
+    x3 = np.empty(n)
+    flag = np.empty(n, np.int32)
+    po_out = np.empty(n)
+
+    for i in range(n):
+        d = d_sorted[i]
+        # water saturation from Pcow = po - pw (decreasing in sw)
+        s = _invert_pc(po[i] - pw[i], sw_nodes, pcow_nodes, increasing=False)
+        if s is None:
+            s = 1.0 if d >= eq.woc_depth else swco
+        sw_i = min(max(s, swco), 1.0)
+        # gas saturation from Pcog = pg - po (increasing in sg)
+        s = _invert_pc(pg[i] - po[i], sg_nodes, pcog_nodes, increasing=True)
+        if s is None:
+            s = (1.0 - swco) if d <= eq.goc_depth else 0.0
+        sg_i = min(max(s, 0.0), sg_max, 1.0 - sw_i)
+        if sw_i >= 1.0 - 1e-12:
+            sg_i = 0.0
+        sw[i] = sw_i
+        sg[i] = sg_i
+        po_out[i] = po[i]
+        if sg_i > 0.0:
+            flag[i] = FLAG_SG
+            x3[i] = sg_i
+        else:
+            flag[i] = FLAG_RS
+            x3[i] = rs_at(po[i], d)
+
+    # scatter back to active-cell order
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    u = np.stack([po_out[inv], sw[inv], x3[inv]], axis=1)
+    return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag[inv]))
+
+
+def explicit_init(state: EclState, geo: Geometry) -> PrimaryState:
+    sol = state.solution
+    if sol.pressure is None or sol.swat is None:
+        raise ValueError("need EQUIL or explicit PRESSURE/SWAT[/SGAS/RS]")
+    act = geo.act_to_glob
+    po = np.asarray(sol.pressure)[act]
+    sw = np.asarray(sol.swat)[act]
+    sg = (np.asarray(sol.sgas)[act] if sol.sgas is not None
+          else np.zeros_like(po))
+    rs = (np.asarray(sol.rs)[act] if sol.rs is not None
+          else np.zeros_like(po))
+    flag = np.where(sg > 0.0, FLAG_SG, FLAG_RS).astype(np.int32)
+    x3 = np.where(sg > 0.0, sg, rs)
+    u = np.stack([po, sw, x3], axis=1)
+    return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag))
