@@ -1,16 +1,197 @@
-"""Top-level simulator driver (placeholder — filled in as layers land).
+"""Top-level simulator driver: the report-step loop.
 
-Mirrors the reference's SimulatorFullyImplicitBlackoilEbos::run report-step
-loop (reference: opm/simulators/flow/SimulatorFullyImplicitBlackoilEbos.hpp:147).
+Rebuild of Main/FlowMainEbos/SimulatorFullyImplicitBlackoilEbos
+(reference: opm/simulators/flow/SimulatorFullyImplicitBlackoilEbos.hpp:147
+``run``): parse deck -> build geometry/fluid/wells -> equilibrate ->
+loop report steps with adaptive sub-stepping -> collect summary data.
+
+The per-substep compute (assembly, linear solve, update) is one jitted
+device program; schedule handling, control bookkeeping and output stay on
+the host (tiny data), mirroring the reference's split.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.grid import build_geometry
+from opm_autodiff_tpu.io.state import EclState, load_state
+from opm_autodiff_tpu.io.summary import SummaryWriter
+from opm_autodiff_tpu.models.blackoil import (PrimaryState, accumulation,
+                                              statics_from_geometry)
+from opm_autodiff_tpu.models.init import equilibrate
+from opm_autodiff_tpu.props import FluidSystem
+from opm_autodiff_tpu.solvers.newton import (NewtonParams, NewtonState,
+                                             newton_solve)
+from opm_autodiff_tpu.solvers.timestepper import (SubStepReport,
+                                                  TimeStepParams,
+                                                  run_report_step)
+from opm_autodiff_tpu.utils.report import SimulatorReport
+from opm_autodiff_tpu.wells import build_wellset
+
+
+@dataclasses.dataclass
+class SimulatorOptions:
+    newton: NewtonParams = dataclasses.field(default_factory=NewtonParams)
+    tstep: TimeStepParams = dataclasses.field(default_factory=TimeStepParams)
+    verbose: bool = False
+
 
 class Simulator:
-    def __init__(self, state):
-        self.state = state
+    """Step-by-step controllable simulator (the Python-API shape of the
+    reference's BlackOilSimulator, python/simulators/simulators.cpp:114)."""
+
+    def __init__(self, ecl_state: EclState,
+                 options: SimulatorOptions | None = None):
+        self.state = ecl_state
+        self.opts = options or SimulatorOptions()
+        self.geo = build_geometry(ecl_state)
+        self.fs = FluidSystem.from_state(ecl_state)
+        self.cells, self.faces = statics_from_geometry(self.geo)
+        self.report = SimulatorReport()
+        self.summary = SummaryWriter(ecl_state)
+        self._acc_fn = jax.jit(jax.vmap(accumulation,
+                                        in_axes=(None, 0, 0, 0)))
+        self._step_index = 0
+        self._suggested_dt = self.opts.tstep.initial_dt_days
+        self._init_state()
+
+    # ------------------------------------------------------------------
+    def _init_state(self):
+        ps = equilibrate(self.state, self.geo, self.fs)
+        self.u = ps.u
+        self.flag = ps.flag
+        self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
+                                 self.cells.pore_vol_ref)
+        self.pbh = None
+        self.active_mode = None
+        self.cum = {"FOPT": 0.0, "FGPT": 0.0, "FWPT": 0.0, "FGIT": 0.0,
+                    "FWIT": 0.0}
+
+    # ------------------------------------------------------------------
+    def step(self) -> list:
+        """Run one report step; returns the substep reports."""
+        sched = self.state.schedule
+        if self._step_index >= len(sched.steps):
+            raise IndexError("schedule exhausted")
+        rstep = sched.steps[self._step_index]
+        wells = [w for w in rstep.wells]
+        ws = build_wellset(self.geo, wells)
+
+        # (re)initialize well unknowns at the start of a report step
+        nwells = ws.num_wells
+        if self.pbh is None or len(self.pbh) != nwells:
+            p_perf0 = self.u[ws.cell[:, 0], 0]
+            offset = jnp.where(ws.is_injector, +1e5, -1e5)
+            self.pbh = p_perf0 + offset
+            self.active_mode = ws.ctrl_mode
+
+        t0 = time.perf_counter()
+
+        committed = {"st": NewtonState(self.u, self.flag, self.pbh,
+                                       self.active_mode),
+                     "acc0": self.acc0, "q": None}
+
+        def solve_fn(dt_seconds):
+            st0 = committed["st"]
+            st, rep, q_tot = newton_solve(
+                self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
+                committed["acc0"], dt_seconds, verbose=self.opts.verbose)
+
+            def commit():
+                committed["st"] = st
+                committed["acc0"] = self._acc_fn(
+                    self.fs, st.u, st.flag, self.cells.pore_vol_ref)
+                committed["q"] = q_tot
+                self._collect_summary(st, ws, q_tot, dt_seconds)
+
+            return rep.converged, rep.iterations, rep.linear_iterations, commit
+
+        step_days = rstep.end_days - rstep.start_days
+        reports, self._suggested_dt = run_report_step(
+            step_days, self._suggested_dt, solve_fn, self.opts.tstep)
+
+        st = committed["st"]
+        self.u, self.flag = st.u, st.flag
+        self.pbh, self.active_mode = st.pbh, st.active_mode
+        self.acc0 = committed["acc0"]
+
+        self.report.add_step(
+            wall_time=time.perf_counter() - t0,
+            newton_iterations=sum(r.newton_iterations for r in reports),
+            linear_iterations=sum(r.linear_iterations for r in reports),
+            substeps=len(reports))
+        self.summary.end_report_step(rstep.end_days, self._field_state(ws))
+        self._step_index += 1
+        return reports
+
+    def run(self) -> SimulatorReport:
+        nsteps = len(self.state.schedule.steps)
+        while self._step_index < nsteps:
+            reports = self.step()
+            if self.opts.verbose:
+                r = self.summary.rows[-1]
+                print(f"step {self._step_index}/{nsteps} "
+                      f"t={r['TIME']:.1f}d FOPR={r.get('FOPR', 0):.1f} "
+                      f"FPR={r.get('FPR', 0):.1f} "
+                      f"substeps={len(reports)}")
+        return self.report
+
+    # ------------------------------------------------------------------
+    def _collect_summary(self, st: NewtonState, ws, q_tot, dt_seconds):
+        """Accumulate cumulative volumes from converged substep rates."""
+        q = np.asarray(q_tot)  # [W,3] into cells; negative = production
+        prod = np.maximum(-q, 0.0).sum(axis=0)  # [3]
+        inj = np.maximum(q, 0.0).sum(axis=0)
+        dt = dt_seconds
+        self.cum["FWPT"] += prod[0] * dt
+        self.cum["FOPT"] += prod[1] * dt
+        self.cum["FGPT"] += prod[2] * dt
+        self.cum["FWIT"] += inj[0] * dt
+        self.cum["FGIT"] += inj[2] * dt
+        self._last_q = q
+
+    def _field_state(self, ws):
+        """Field + well quantities for the summary at report time."""
+        u = np.asarray(self.u)
+        pv = np.asarray(self.cells.pore_vol_ref)
+        fpr = float((u[:, 0] * pv).sum() / pv.sum())
+        q = getattr(self, "_last_q", None)
+        out = {
+            "FPR": fpr,
+            "FOPT": self.cum["FOPT"],
+            "FGPT": self.cum["FGPT"],
+            "FWPT": self.cum["FWPT"],
+            "FGIT": self.cum["FGIT"],
+            "FWIT": self.cum["FWIT"],
+        }
+        if q is not None:
+            prod = np.maximum(-q, 0.0)
+            out["FWPR"] = prod[:, 0].sum()
+            out["FOPR"] = prod[:, 1].sum()
+            out["FGPR"] = prod[:, 2].sum()
+            fgor = out["FGPR"] / max(out["FOPR"], 1e-30)
+            out["FGOR"] = fgor
+            names = [w.name for w in
+                     self.state.schedule.steps[self._step_index].wells]
+            pbh = np.asarray(self.pbh)
+            for iw, name in enumerate(names):
+                out[f"WBHP:{name}"] = float(pbh[iw])
+                out[f"WOPR:{name}"] = float(prod[iw, 1])
+                out[f"WGPR:{name}"] = float(prod[iw, 2])
+                out[f"WWPR:{name}"] = float(prod[iw, 0])
+                out[f"WGIR:{name}"] = float(max(q[iw, 2], 0.0))
+                out[f"WWIR:{name}"] = float(max(q[iw, 0], 0.0))
+        return out
 
 
-def run_deck(path: str):
-    raise NotImplementedError("end-to-end driver lands after the solver stack")
+def run_deck(path: str, options: SimulatorOptions | None = None) -> Simulator:
+    sim = Simulator(load_state(path), options)
+    sim.run()
+    return sim

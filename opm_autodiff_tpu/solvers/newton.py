@@ -1,0 +1,285 @@
+"""Newton nonlinear solver: assemble -> converge-check -> solve -> update.
+
+Rebuild of NonlinearSolverEbos::step + BlackoilModelEbos::nonlinearIteration
+(reference: opm/simulators/flow/NonlinearSolverEbos.hpp:180,
+BlackoilModelEbos.hpp:274) and opm-models' BlackOilNewtonMethod update
+chopping ("Appleyard") + primary-variable switching, as one jitted device
+mega-step driven by a host loop. Failure surfaces as status flags instead
+of exceptions (SURVEY.md §5 failure handling).
+
+Tolerances/defaults mirror BlackoilModelParametersEbos.hpp:178-196 and
+NonlinearSolverEbos.hpp:67-73.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
+from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_SG, PrimaryState,
+                                              accumulation, intensive)
+from opm_autodiff_tpu.solvers.linear import solve_linear
+from opm_autodiff_tpu.wells import standard as wells_mod
+from opm_autodiff_tpu.wells.standard import (CTRL_BHP, WellResult, WellSet,
+                                             well_contributions)
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonParams:
+    # reference: NonlinearSolverEbos.hpp:67-73
+    max_iter: int = 20
+    min_iter: int = 1
+    # reference: BlackoilModelParametersEbos.hpp
+    tol_mb: float = 1e-6          # :180 ToleranceMb
+    tol_cnv: float = 1e-2         # :185 ToleranceCnv
+    tol_cnv_relaxed: float = 1.0  # :190 ToleranceCnvRelaxed
+    relaxed_pv_fraction: float = 0.03  # :175 RelaxedMaxPvFraction
+    tol_wells: float = 1e-4       # :195 ToleranceWells
+    max_residual_allowed: float = 1e7  # :170
+    # opm-models BlackOilNewtonMethod chop limits
+    ds_max: float = 0.2
+    dp_max_rel: float = 0.3
+    drs_max_rel: float = 0.2
+    # linear solver (FlowLinearSolverParameters.hpp:144,153)
+    linear_tol: float = 1e-2
+    linear_maxiter: int = 200
+
+
+class NewtonState(NamedTuple):
+    """Dynamic state carried across Newton iterations (device pytree)."""
+
+    u: jnp.ndarray          # [N,3]
+    flag: jnp.ndarray       # [N]
+    pbh: jnp.ndarray        # [W]
+    active_mode: jnp.ndarray  # [W]
+
+
+class IterationInfo(NamedTuple):
+    cnv: jnp.ndarray          # [3] per-phase max CNV
+    mb: jnp.ndarray           # [3] per-phase mass-balance error
+    well_err: jnp.ndarray     # max scaled well residual
+    relaxed_ok: jnp.ndarray   # bool: CNV passes with PV-fraction relaxation
+    converged: jnp.ndarray    # bool
+    failed: jnp.ndarray       # bool (NaN / too-large residual)
+    linear_iters: jnp.ndarray
+    linear_ok: jnp.ndarray
+
+
+def _convergence(params: NewtonParams, fs, cells, residual, u, flag, dt,
+                 wr: WellResult, ws: WellSet, active_mode):
+    """CNV / MB metrics (BlackoilModelEbos::getReservoirConvergence
+    formulas, reference BlackoilModelEbos.hpp:628-904)."""
+    pv = cells.pore_vol_ref
+    pv_sum = pv.sum()
+    # B factors (1/b) per cell/phase from current intensive state
+    q = jax.vmap(intensive, in_axes=(None, 0, 0))(fs, u, flag)
+    big_b = 1.0 / q.inv_b  # [N,3] (vmapped Intensive stacks to [N,3])
+
+    r_scaled = big_b * residual  # surface-rate residual * B [m^3/s reservoir]
+    cnv_cell = jnp.abs(r_scaled) * dt / pv[:, None]  # [N,3]
+    cnv = cnv_cell.max(axis=0)  # [3]
+    mb = jnp.abs(r_scaled.sum(axis=0)) * dt / pv_sum  # [3]
+
+    # relaxed CNV: PV fraction of cells violating the strict tolerance
+    # (reference: computeCnvErrorPv :733 + relaxed logic :791)
+    viol = (cnv_cell > params.tol_cnv).any(axis=1)
+    pv_frac_viol = jnp.where(viol, pv, 0.0).sum() / pv_sum
+    relaxed_ok = jnp.logical_and(pv_frac_viol < params.relaxed_pv_fraction,
+                                 (cnv < params.tol_cnv_relaxed).all())
+
+    # well convergence: rate equations scaled by target, bhp by magnitude
+    rate_scale = jnp.where(
+        ws.is_injector, jnp.where(jnp.isfinite(ws.inj_rate), ws.inj_rate, 1.0),
+        jnp.select([ws.ctrl_mode == wells_mod.CTRL_ORAT,
+                    ws.ctrl_mode == wells_mod.CTRL_WRAT,
+                    ws.ctrl_mode == wells_mod.CTRL_GRAT,
+                    ws.ctrl_mode == wells_mod.CTRL_LRAT],
+                   [ws.orat, ws.wrat, ws.grat, ws.lrat], default=1.0))
+    rate_scale = jnp.where(jnp.isfinite(rate_scale) & (rate_scale > 0),
+                           rate_scale, 1.0)
+    is_bhp_eq = active_mode == CTRL_BHP
+    scale = jnp.where(is_bhp_eq, jnp.maximum(jnp.abs(ws.bhp_target), 1e5),
+                      rate_scale)
+    well_err = jnp.where(ws.open_mask,
+                         jnp.abs(wr.res_well) / scale, 0.0).max()
+
+    cnv_ok = jnp.logical_or((cnv < params.tol_cnv).all(), relaxed_ok)
+    mb_ok = (mb < params.tol_mb).all()
+    wells_ok = well_err < params.tol_wells
+    converged = cnv_ok & mb_ok & wells_ok
+
+    max_res = jnp.abs(r_scaled).max()
+    failed = jnp.logical_or(~jnp.isfinite(max_res),
+                            max_res > params.max_residual_allowed * pv_sum)
+    return cnv, mb, well_err, relaxed_ok, converged, failed
+
+
+def _chop_and_update(params: NewtonParams, fs, u, flag, dx):
+    """Appleyard-chopped update + primary-variable switching
+    (opm-models BlackOilNewtonMethod::update_ semantics)."""
+    po, sw, x3 = u[:, 0], u[:, 1], u[:, 2]
+    dpo, dsw, dx3 = dx[:, 0], dx[:, 1], dx[:, 2]
+
+    dp_lim = jnp.maximum(params.dp_max_rel * jnp.abs(po), 1e5)
+    dpo = jnp.clip(dpo, -dp_lim, dp_lim)
+    dsw = jnp.clip(dsw, -params.ds_max, params.ds_max)
+
+    is_sg = flag == FLAG_SG
+    x3_lim = jnp.where(is_sg, params.ds_max,
+                       jnp.maximum(params.drs_max_rel * jnp.abs(x3), 1.0))
+    dx3 = jnp.clip(dx3, -x3_lim, x3_lim)
+
+    po_new = jnp.clip(po + dpo, 1e4, 2e9)
+    sw_new = jnp.clip(sw + dsw, 0.0, 1.0)
+    x3_new = x3 + dx3
+
+    # --- variable switching ---
+    rs_sat_new = fs.rs_sat(po_new)
+    # SG cell whose Sg went negative: gas dissolves -> switch to RS
+    to_rs = is_sg & (x3_new < 0.0)
+    # RS cell whose Rs exceeds saturation: free gas appears -> switch to SG
+    to_sg = (~is_sg) & (x3_new > rs_sat_new)
+
+    flag_new = jnp.where(to_rs, FLAG_RS, jnp.where(to_sg, FLAG_SG, flag))
+    x3_new = jnp.where(to_rs, rs_sat_new,
+                       jnp.where(to_sg, 0.0,
+                                 jnp.where(is_sg,
+                                           jnp.clip(x3_new, 0.0, 1.0 - sw_new),
+                                           jnp.maximum(x3_new, 0.0))))
+    # keep saturations feasible: for SG cells cap sg <= 1 - sw
+    u_new = jnp.stack([po_new, sw_new, x3_new], axis=1)
+    return u_new, flag_new
+
+
+def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
+    """Control switching (reference: WellInterface_impl.hpp:155
+    updateWellControl): rate-constrained wells falling below/above their
+    BHP limit switch to BHP control; BHP-constrained wells exceeding the
+    schedule rate target switch back."""
+    prod = -q_tot  # [W,3] positive production
+    sched = ws.ctrl_mode
+
+    # producer: on rate control and pbh below limit -> BHP
+    prod_to_bhp = (~ws.is_injector) & (active_mode != CTRL_BHP) & \
+        (pbh < ws.bhp_limit)
+    # producer on BHP: schedule-rate exceeded -> back to schedule mode
+    sched_rate = jnp.select(
+        [sched == wells_mod.CTRL_ORAT, sched == wells_mod.CTRL_WRAT,
+         sched == wells_mod.CTRL_GRAT, sched == wells_mod.CTRL_LRAT],
+        [prod[:, 1] - ws.orat, prod[:, 0] - ws.wrat, prod[:, 2] - ws.grat,
+         prod[:, 0] + prod[:, 1] - ws.lrat],
+        default=jnp.full_like(pbh, -1.0))
+    prod_to_rate = (~ws.is_injector) & (active_mode == CTRL_BHP) & \
+        (sched != CTRL_BHP) & (sched_rate > 0.0)
+
+    inj_rate_now = q_tot.sum(axis=1)
+    inj_to_bhp = ws.is_injector & (active_mode != CTRL_BHP) & \
+        (pbh > ws.bhp_limit)
+    inj_to_rate = ws.is_injector & (active_mode == CTRL_BHP) & \
+        (sched != CTRL_BHP) & (inj_rate_now > ws.inj_rate)
+
+    new_mode = jnp.where(prod_to_bhp | inj_to_bhp, CTRL_BHP, active_mode)
+    new_mode = jnp.where(prod_to_rate | inj_to_rate, sched, new_mode)
+    return new_mode
+
+
+@partial(jax.jit, static_argnames=("params",))
+def newton_iteration(params: NewtonParams, fs, cells, faces,
+                     st: NewtonState, ws: WellSet, acc0, dt):
+    """One full Newton iteration. Returns (new_state, info, q_tot)."""
+    u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
+
+    # --- well assembly + control update (reference assembles wells first:
+    # BlackoilWellModel::assemble, BlackoilModelEbos.hpp:418) ---
+    wr = well_contributions(fs, u, flag, pbh, ws, mode)
+    q_tot = wr.q_perf.sum(axis=1)
+    mode = update_well_controls(ws, mode, pbh, q_tot)
+    wr = well_contributions(fs, u, flag, pbh, ws, mode)
+    q_tot = wr.q_perf.sum(axis=1)
+
+    # --- reservoir assembly ---
+    sys = assemble_system(fs, cells, faces, PrimaryState(u, flag), acc0, dt)
+    residual = wells_mod.apply_to_residual(sys.residual, wr, ws)
+    diag = wells_mod.apply_to_diag(sys.diag, wr, ws)
+    sys = sys._replace(residual=residual, diag=diag)
+
+    # --- convergence ---
+    cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
+        params, fs, cells, residual, u, flag, dt, wr, ws, mode)
+
+    # --- linear solve with well Schur complement fused in ---
+    rhs = -residual + wells_mod.schur_rhs(residual, wr, ws)
+    lin = solve_linear(sys, rhs,
+                       extra_matvec=partial(wells_mod.schur_matvec, wr, ws),
+                       tol=params.linear_tol, maxiter=params.linear_maxiter)
+    dx = lin.x
+    dpbh = wells_mod.recover_pbh_update(wr, ws, dx)
+
+    # --- chopped update + switching ---
+    u_new, flag_new = _chop_and_update(params, fs, u, flag, dx)
+    dpbh = jnp.clip(dpbh, -5e6, 5e6)  # DbhpMaxRel-style damping
+    pbh_new = jnp.clip(pbh + dpbh, 1e5, 2e9)
+
+    info = IterationInfo(cnv=cnv, mb=mb, well_err=well_err,
+                         relaxed_ok=relaxed_ok, converged=converged,
+                         failed=failed, linear_iters=lin.iterations,
+                         linear_ok=lin.converged)
+    new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
+                         active_mode=mode)
+    return new_st, info, q_tot
+
+
+@dataclasses.dataclass
+class NewtonReport:
+    converged: bool
+    iterations: int
+    linear_iterations: int
+    failed: bool
+    cnv: np.ndarray = None
+    mb: np.ndarray = None
+    well_err: float = 0.0
+
+
+def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
+                 ws: WellSet, acc0, dt, verbose: bool = False):
+    """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
+
+    Returns (final_state, report, q_tot). The state BEFORE the final
+    update is returned on convergence (the converged check applies to the
+    assembled residual of the incoming state, matching the reference where
+    convergence is evaluated pre-update each iteration).
+    """
+    total_lin = 0
+    last_q = None
+    for it in range(params.max_iter + 1):
+        new_st, info, q_tot = newton_iteration(params, fs, cells, faces, st,
+                                               ws, acc0, jnp.asarray(dt))
+        failed = bool(info.failed)
+        conv = bool(info.converged) and it >= params.min_iter
+        total_lin += int(info.linear_iters)
+        last_q = q_tot
+        if verbose:
+            print(f"  newton {it}: cnv={np.asarray(info.cnv)} "
+                  f"mb={np.asarray(info.mb)} well={float(info.well_err):.2e} "
+                  f"lin={int(info.linear_iters)}")
+        if failed:
+            return st, NewtonReport(False, it, total_lin, True,
+                                    np.asarray(info.cnv),
+                                    np.asarray(info.mb),
+                                    float(info.well_err)), last_q
+        if conv:
+            # carry over any control-mode change from the last assembly
+            st = st._replace(active_mode=new_st.active_mode)
+            return st, NewtonReport(True, it, total_lin, False,
+                                    np.asarray(info.cnv), np.asarray(info.mb),
+                                    float(info.well_err)), last_q
+        st = new_st
+    return st, NewtonReport(False, params.max_iter, total_lin, False,
+                            np.asarray(info.cnv), np.asarray(info.mb),
+                            float(info.well_err)), last_q

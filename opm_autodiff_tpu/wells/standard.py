@@ -1,0 +1,359 @@
+"""Batched Peaceman wells with a single BHP unknown per well.
+
+Round-1 well model: the reference ships this exact model as its research
+well (ebos/eclpeacemanwell.hh:77 ``EclPeacemanWell`` — bottom-hole
+pressure as the only well DOF, Peaceman inflow per perforation) alongside
+the 4-DOF StandardWell (opm/simulators/wells/StandardWell.hpp:126); the
+rebuild starts from the 1-DOF model and adds the rate/fraction DOFs in a
+later stage (SURVEY.md §7 stage 8).
+
+TPU design: all wells batched into padded [W, P] arrays; per-perforation
+AD via vmapped jacfwd; the well system's B/C/D blocks (reference:
+StandardWellGeneric.hpp:56 duneB_/duneC_/invDuneD_) are dense tiny arrays,
+and the Schur complement y -= C D^-1 B x fuses into the Krylov operator
+(reference: WellOperators.hpp:99).
+
+Sign convention: q > 0 means surface volume flowing INTO the cell
+(injection); the cell residual is R_c = acc + div - q.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.grid.geometry import Geometry, peaceman_well_index
+from opm_autodiff_tpu.models.blackoil import intensive
+from opm_autodiff_tpu.props.fluid import FluidSystem
+
+# control modes (per well, int)
+CTRL_BHP, CTRL_ORAT, CTRL_WRAT, CTRL_GRAT, CTRL_LRAT, CTRL_RATE = range(6)
+
+_PHASE_IDX = {"WATER": 0, "WAT": 0, "OIL": 1, "GAS": 2}
+_MODE_IDX = {"BHP": CTRL_BHP, "ORAT": CTRL_ORAT, "WRAT": CTRL_WRAT,
+             "GRAT": CTRL_GRAT, "LRAT": CTRL_LRAT, "RATE": CTRL_RATE,
+             "RESV": CTRL_RATE}
+
+
+class WellSet(NamedTuple):
+    """Padded static + control data for all wells (device pytree)."""
+
+    cell: jnp.ndarray        # [W,P] int32 perf cell (0 where padded)
+    wi: jnp.ndarray          # [W,P] connection trans factor (0 padded)
+    perf_depth: jnp.ndarray  # [W,P]
+    perf_mask: jnp.ndarray   # [W,P] bool
+    ref_depth: jnp.ndarray   # [W]
+    is_injector: jnp.ndarray  # [W] bool
+    inj_phase: jnp.ndarray   # [W] int32 (phase index)
+    ctrl_mode: jnp.ndarray   # [W] int32
+    # targets (SI rates; inf where absent)
+    orat: jnp.ndarray        # [W] oil rate target (producer, positive)
+    wrat: jnp.ndarray
+    grat: jnp.ndarray
+    lrat: jnp.ndarray
+    inj_rate: jnp.ndarray    # [W]
+    bhp_target: jnp.ndarray  # [W] bhp when on BHP control (= the limit)
+    bhp_limit: jnp.ndarray   # [W] min (producer) / max (injector)
+    open_mask: jnp.ndarray   # [W] bool
+
+    @property
+    def num_wells(self) -> int:
+        return self.cell.shape[0]
+
+    @property
+    def max_perfs(self) -> int:
+        return self.cell.shape[1]
+
+
+class WellResult(NamedTuple):
+    """Everything the Newton iteration needs from the well model."""
+
+    q_perf: jnp.ndarray     # [W,P,3] surface rates into cells
+    dq_du: jnp.ndarray      # [W,P,3,3] d q / d u_cell
+    dq_dpbh: jnp.ndarray    # [W,P,3]
+    res_well: jnp.ndarray   # [W] well (control) equation residual
+    b_blk: jnp.ndarray      # [W,P,3]  d res_well / d u_cell(perf)
+    d_diag: jnp.ndarray     # [W]      d res_well / d pbh
+    rho_conn: jnp.ndarray   # [W,P] connection mixture density used
+
+
+def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None
+                  ) -> WellSet:
+    """Host-side construction from schedule WellConfig list (padded)."""
+    nw = max(len(wells), 1)
+    np_max = max_perfs or max((len(w.completions) for w in wells), default=1)
+    np_max = max(np_max, 1)
+
+    cell = np.zeros((nw, np_max), np.int32)
+    wi = np.zeros((nw, np_max))
+    pdepth = np.zeros((nw, np_max))
+    pmask = np.zeros((nw, np_max), bool)
+    ref_depth = np.zeros(nw)
+    is_inj = np.zeros(nw, bool)
+    inj_phase = np.zeros(nw, np.int32)
+    mode = np.zeros(nw, np.int32)
+    inf = np.inf
+    orat = np.full(nw, inf)
+    wrat = np.full(nw, inf)
+    grat = np.full(nw, inf)
+    lrat = np.full(nw, inf)
+    inj_rate = np.full(nw, inf)
+    bhp_t = np.zeros(nw)
+    bhp_l = np.zeros(nw)
+    open_m = np.zeros(nw, bool)
+
+    for iw, w in enumerate(wells):
+        comps = [c for c in w.completions if c.open]
+        for ip, c in enumerate(comps[:np_max]):
+            ci = geo.act_index(c.i, c.j, c.k)
+            if ci < 0:
+                continue
+            cell[iw, ip] = ci
+            wi[iw, ip] = c.cf if c.cf is not None else peaceman_well_index(
+                geo, ci, c.diameter, c.skin, c.direction, c.kh)
+            pdepth[iw, ip] = geo.depth[ci]
+            pmask[iw, ip] = True
+        ref_depth[iw] = (w.ref_depth if w.ref_depth is not None
+                         else (pdepth[iw, pmask[iw]].min()
+                               if pmask[iw].any() else 0.0))
+        is_inj[iw] = w.is_injector
+        open_m[iw] = (w.status == "OPEN") and pmask[iw].any()
+        if w.is_injector:
+            inj_phase[iw] = _PHASE_IDX.get(w.inj_phase or "GAS", 2)
+            mode[iw] = _MODE_IDX.get(w.control_mode, CTRL_RATE)
+            if w.inj_rate is not None:
+                inj_rate[iw] = w.inj_rate
+            bhp_l[iw] = w.bhp_limit if w.bhp_limit is not None else 6.9e8
+        else:
+            mode[iw] = _MODE_IDX.get(w.control_mode, CTRL_BHP)
+            if w.oil_rate is not None:
+                orat[iw] = w.oil_rate
+            if w.water_rate is not None:
+                wrat[iw] = w.water_rate
+            if w.gas_rate is not None:
+                grat[iw] = w.gas_rate
+            if w.liquid_rate is not None:
+                lrat[iw] = w.liquid_rate
+            bhp_l[iw] = w.bhp_limit if w.bhp_limit is not None else U.ATM
+        bhp_t[iw] = bhp_l[iw]
+
+    return WellSet(
+        cell=jnp.asarray(cell), wi=jnp.asarray(wi),
+        perf_depth=jnp.asarray(pdepth), perf_mask=jnp.asarray(pmask),
+        ref_depth=jnp.asarray(ref_depth), is_injector=jnp.asarray(is_inj),
+        inj_phase=jnp.asarray(inj_phase), ctrl_mode=jnp.asarray(mode),
+        orat=jnp.asarray(orat), wrat=jnp.asarray(wrat),
+        grat=jnp.asarray(grat), lrat=jnp.asarray(lrat),
+        inj_rate=jnp.asarray(inj_rate), bhp_target=jnp.asarray(bhp_t),
+        bhp_limit=jnp.asarray(bhp_l), open_mask=jnp.asarray(open_m),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-perforation inflow (scalar; vmapped over perfs and wells)
+# ---------------------------------------------------------------------------
+
+def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
+                dz, is_injector, inj_phase):
+    """Surface-volume rates [3] INTO the cell at one perforation.
+
+    Reference semantics: StandardWell_impl.hpp:297 calculateSinglePerf —
+    producing perfs use cell mobilities per phase; injecting perfs use the
+    cell's total mobility on the injected surface stream; hydrostatic
+    connection pressure correction from an explicitly-computed (lagged)
+    connection density.
+    """
+    q = intensive(fs, u_cell, flag_cell)
+    p_conn = pbh + rho_conn * U.GRAVITY * dz
+
+    # one drawdown per phase using phase pressures in the cell
+    dp = p_conn - q.p  # [3]; > 0 -> injection into cell
+
+    # producing part (dp < 0): per-phase Darcy with cell mobility
+    q_prod = wi * q.mob * q.inv_b * dp  # [3] (negative when producing)
+    # dissolved gas produced with oil
+    q_prod = q_prod.at[2].add(q.rs * q_prod[1])
+
+    # injecting part (dp > 0): total mobility, injected phase only
+    total_mob = q.mob[0] + q.mob[1] + q.mob[2]
+    inj_inv_b = q.inv_b[inj_phase]
+    q_inj_scalar = wi * total_mob * inj_inv_b * dp[inj_phase]
+    q_inj = jnp.zeros(3).at[inj_phase].set(q_inj_scalar)
+
+    # Producers: always the per-phase formula (its per-phase signs handle
+    # injection crossflow automatically). Injectors: injection formula when
+    # dp > 0, else the perf is shut (no production crossflow in round 1).
+    q_inj = jnp.where(dp[inj_phase] > 0.0, q_inj, jnp.zeros(3))
+    return jnp.where(is_injector, q_inj, q_prod)
+
+
+def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
+                        is_injector, inj_phase):
+    """Explicit (lagged, non-differentiated) connection mixture density.
+
+    Reference: StandardWell computeConnectionDensities — explicit update
+    per Newton iteration from the previous iteration's state.
+    """
+    q = intensive(fs, u_cell, flag_cell)
+    # producer: mobility-weighted cell fluid density; injector: phase density
+    mob_sum = q.mob[0] + q.mob[1] + q.mob[2]
+    w = q.mob / jnp.maximum(mob_sum, 1e-30)
+    rho_mix = jnp.sum(w * q.rho)
+    rho_inj = q.rho[inj_phase]
+    return jnp.where(is_injector, rho_inj, rho_mix)
+
+
+def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
+                       ws: WellSet,
+                       active_mode: jnp.ndarray | None = None) -> WellResult:
+    """Assemble all well quantities for one Newton iteration.
+
+    Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
+    Shapes: u [N,3], flag [N], pbh [W]. ``active_mode`` is the *current*
+    control (dynamic — control switching changes it between iterations,
+    reference BlackoilWellModel_impl.hpp:1239 updateWellControls);
+    defaults to the schedule mode.
+    """
+    if active_mode is None:
+        active_mode = ws.ctrl_mode
+    u_perf = u[ws.cell]          # [W,P,3]
+    flag_perf = flag[ws.cell]    # [W,P]
+    dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
+
+    # explicit connection densities (lagged; no gradient)
+    rho_conn = jax.vmap(jax.vmap(
+        _connection_density, in_axes=(None, 0, 0, None, None, None)),
+        in_axes=(None, 0, 0, 0, 0, 0))(
+        fs, jax.lax.stop_gradient(u_perf), flag_perf,
+        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase)
+
+    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask):
+        def f(args):
+            uu, pp = args
+            qv = _perf_rates(fs, uu, flag_c, pp, rho_c, wi_c, dz_c, inj,
+                             phase)
+            qv = jnp.where(mask, qv, jnp.zeros(3))
+            return qv, qv
+
+        jacs, val = jax.jacfwd(f, has_aux=True)((u_c, pb))
+        dq_du, dq_dpbh = jacs
+        return val, dq_du, dq_dpbh
+
+    q_perf, dq_du, dq_dpbh = jax.vmap(jax.vmap(
+        one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
+        ws.is_injector, ws.inj_phase, ws.perf_mask)
+
+    # ---- well control equations (per well, differentiable in u, pbh) ----
+    def control_residual(q_tot, pb, mode, ws_row):
+        (orat, wrat, grat, lrat, inj_rate, bhp_t, is_inj) = ws_row
+        prod = -q_tot  # positive production rates
+        r_rate_prod = jnp.select(
+            [mode == CTRL_ORAT, mode == CTRL_WRAT, mode == CTRL_GRAT,
+             mode == CTRL_LRAT],
+            [prod[1] - orat, prod[0] - wrat, prod[2] - grat,
+             prod[0] + prod[1] - lrat],
+            default=pb - bhp_t)
+        r_inj = jnp.where(mode == CTRL_RATE,
+                          q_tot[0] + q_tot[1] + q_tot[2] - inj_rate,
+                          pb - bhp_t)
+        r = jnp.where(is_inj, r_inj,
+                      jnp.where(mode == CTRL_BHP, pb - bhp_t, r_rate_prod))
+        return r
+
+    # residual value and derivatives via the chain rule:
+    # R_w = g(sum_p q(u_p, pbh), pbh)
+    q_tot = q_perf.sum(axis=1)  # [W,3]
+
+    def rw_fn(q_tot_w, pb, mode, orat, wrat, grat, lrat, inj_rate, bhp_t,
+              is_inj):
+        return control_residual(q_tot_w, pb, mode,
+                                (orat, wrat, grat, lrat, inj_rate, bhp_t,
+                                 is_inj))
+
+    res_well = jax.vmap(rw_fn)(q_tot, pbh, active_mode, ws.orat, ws.wrat,
+                               ws.grat, ws.lrat, ws.inj_rate, ws.bhp_target,
+                               ws.is_injector)
+
+    # dg/dq_tot: [W,3]; dg/dpbh direct: [W]
+    dg_dq = jax.vmap(jax.grad(rw_fn, argnums=0))(
+        q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
+        ws.inj_rate, ws.bhp_target, ws.is_injector)
+    dg_dpb = jax.vmap(jax.grad(rw_fn, argnums=1))(
+        q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
+        ws.inj_rate, ws.bhp_target, ws.is_injector)
+
+    # B[w,p,:] = dg/dq . dq/du ; D[w] = dg/dpbh + dg/dq . dq/dpbh
+    b_blk = jnp.einsum("wi,wpij->wpj", dg_dq, dq_du)
+    d_diag = dg_dpb + jnp.einsum("wi,wpi->w", dg_dq, dq_dpbh)
+
+    # closed wells contribute nothing; pin their pbh to the limit
+    open_ = ws.open_mask
+    zero3 = jnp.zeros_like(q_perf)
+    q_perf = jnp.where(open_[:, None, None], q_perf, zero3)
+    dq_du = jnp.where(open_[:, None, None, None], dq_du,
+                      jnp.zeros_like(dq_du))
+    dq_dpbh = jnp.where(open_[:, None, None], dq_dpbh,
+                        jnp.zeros_like(dq_dpbh))
+    res_well = jnp.where(open_, res_well, pbh - ws.bhp_target)
+    b_blk = jnp.where(open_[:, None, None], b_blk, jnp.zeros_like(b_blk))
+    d_diag = jnp.where(open_, d_diag, jnp.ones_like(d_diag))
+
+    return WellResult(q_perf=q_perf, dq_du=dq_du, dq_dpbh=dq_dpbh,
+                      res_well=res_well, b_blk=b_blk, d_diag=d_diag,
+                      rho_conn=rho_conn)
+
+
+# ---------------------------------------------------------------------------
+# Coupling into the reservoir system
+# ---------------------------------------------------------------------------
+
+def apply_to_residual(residual, wr: WellResult, ws: WellSet):
+    """R_c -= q at perforated cells."""
+    flat_cells = ws.cell.reshape(-1)
+    flat_q = wr.q_perf.reshape(-1, 3)
+    return residual.at[flat_cells].add(-flat_q)
+
+
+def apply_to_diag(diag, wr: WellResult, ws: WellSet):
+    """A_cc -= dq/du at perforated cells."""
+    flat_cells = ws.cell.reshape(-1)
+    flat_j = wr.dq_du.reshape(-1, 3, 3)
+    return diag.at[flat_cells].add(-flat_j)
+
+
+def schur_matvec(wr: WellResult, ws: WellSet, x):
+    """y = -C D^-1 B x  (the well Schur complement on cell vectors).
+
+    C[w,p,:] = dR_c/dpbh = -dq_dpbh. Fused into the Krylov operator
+    (reference: WellOperators.hpp:99; StandardWell_impl.hpp:1273 apply).
+    """
+    x_perf = x[ws.cell]  # [W,P,3]
+    bx = jnp.einsum("wpj,wpj->w", wr.b_blk, x_perf)
+    coef = bx / wr.d_diag  # [W]
+    contrib = (-wr.dq_dpbh) * coef[:, None, None]  # C * D^-1 (B x)
+    y = jnp.zeros_like(x)
+    y = y.at[ws.cell.reshape(-1)].add(-contrib.reshape(-1, 3))
+    return y
+
+
+def schur_rhs(residual, wr: WellResult, ws: WellSet):
+    """b = -(r_c - C D^-1 r_w); returns the correction to add to -r_c."""
+    coef = wr.res_well / wr.d_diag  # [W]
+    contrib = (-wr.dq_dpbh) * coef[:, None, None]
+    corr = jnp.zeros_like(residual)
+    corr = corr.at[ws.cell.reshape(-1)].add(contrib.reshape(-1, 3))
+    return corr  # add to rhs: b = -residual + corr
+
+
+def recover_pbh_update(wr: WellResult, ws: WellSet, dx):
+    """dpbh = -D^-1 (r_w + B dx)."""
+    dx_perf = dx[ws.cell]
+    bdx = jnp.einsum("wpj,wpj->w", wr.b_blk, dx_perf)
+    return -(wr.res_well + bdx) / wr.d_diag

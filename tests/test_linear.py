@@ -1,0 +1,99 @@
+"""Linear solver tests on synthetic block systems (SURVEY.md §4: solve
+small systems like the reference's test_flexiblesolver on matr33)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.models.assembler import BsrSystem, bsr_matvec
+from opm_autodiff_tpu.solvers.linear import bicgstab, solve_linear
+
+
+def _chain_system(n=40, seed=0, coupling=0.3):
+    """1D chain of 3x3 blocks: diagonally-dominant random system."""
+    rng = np.random.default_rng(seed)
+    left = np.arange(n - 1, dtype=np.int32)
+    right = left + 1
+    off_lr = coupling * rng.standard_normal((n - 1, 3, 3))
+    off_rl = coupling * rng.standard_normal((n - 1, 3, 3))
+    diag = rng.standard_normal((n, 3, 3))
+    diag += np.einsum("ij,kl->ikl", np.zeros((1, 1)), np.zeros((1, 1))).sum() \
+        if False else 0
+    for i in range(n):
+        diag[i] += np.eye(3) * (3.0 + np.abs(off_lr).sum() / n
+                                + np.abs(off_rl).sum() / n)
+    r = rng.standard_normal((n, 3))
+    return BsrSystem(residual=jnp.asarray(r), diag=jnp.asarray(diag),
+                     off_lr=jnp.asarray(off_lr), off_rl=jnp.asarray(off_rl),
+                     left=jnp.asarray(left), right=jnp.asarray(right))
+
+
+def _to_dense(sys):
+    n = sys.num_cells
+    a = np.zeros((n * 3, n * 3))
+    d = np.asarray(sys.diag)
+    for i in range(n):
+        a[3 * i:3 * i + 3, 3 * i:3 * i + 3] = d[i]
+    ol = np.asarray(sys.off_lr)
+    orl = np.asarray(sys.off_rl)
+    for f, (l, r) in enumerate(zip(np.asarray(sys.left),
+                                   np.asarray(sys.right))):
+        a[3 * l:3 * l + 3, 3 * r:3 * r + 3] += ol[f]
+        a[3 * r:3 * r + 3, 3 * l:3 * l + 3] += orl[f]
+    return a
+
+
+def test_matvec_matches_dense():
+    sys = _chain_system()
+    a = _to_dense(sys)
+    x = np.random.default_rng(1).standard_normal((sys.num_cells, 3))
+    y = np.asarray(bsr_matvec(sys, jnp.asarray(x)))
+    np.testing.assert_allclose(y.reshape(-1), a @ x.reshape(-1), rtol=1e-12)
+
+
+def test_bicgstab_solves():
+    sys = _chain_system()
+    a = _to_dense(sys)
+    res = solve_linear(sys, tol=1e-10, maxiter=500)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(a, -np.asarray(sys.residual).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.x).reshape(-1), x_ref,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_bicgstab_reduction_target():
+    sys = _chain_system(n=100, coupling=0.6, seed=3)
+    res = solve_linear(sys, tol=1e-2, maxiter=200)
+    assert bool(res.converged)
+    assert float(res.rel_residual) <= 1e-2
+    assert int(res.iterations) < 60
+
+
+def test_extra_matvec():
+    """Rank-1 modification through extra_matvec changes the solution."""
+    sys = _chain_system(n=10)
+    v = jnp.ones((10, 3)) * 0.01
+
+    def extra(x):
+        return v * jnp.sum(v * x)
+
+    a = _to_dense(sys) + 0.01 ** 2 * np.outer(np.ones(30), np.ones(30))
+    res = solve_linear(sys, extra_matvec=extra, tol=1e-12, maxiter=500)
+    x_ref = np.linalg.solve(a, -np.asarray(sys.residual).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.x).reshape(-1), x_ref,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_breakdown_reported():
+    """Singular system must report non-convergence, not NaN-loop."""
+    n = 4
+    diag = np.zeros((n, 3, 3))
+    sys = BsrSystem(residual=jnp.asarray(np.ones((n, 3))),
+                    diag=jnp.asarray(diag + np.eye(3) * 0.0),
+                    off_lr=jnp.zeros((0, 3, 3)), off_rl=jnp.zeros((0, 3, 3)),
+                    left=jnp.zeros(0, jnp.int32),
+                    right=jnp.zeros(0, jnp.int32))
+    # fully singular: block-jacobi inverse produces inf/nan; solver must not
+    # report success
+    res = solve_linear(sys, tol=1e-8, maxiter=20)
+    assert not bool(res.converged)

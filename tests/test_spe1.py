@@ -1,0 +1,86 @@
+"""SPE1 end-to-end acceptance test.
+
+The rebuild's analog of the reference's regression tier (SURVEY.md §4
+tier 4): with no opm-tests reference data available in this environment,
+assertions target the *published* SPE1 (Odeh 1981) solution features that
+all comparison simulators reproduce: early constant-rate plateau at
+Rs GOR, pressure buildup to a mid-life peak, gas breakthrough with GOR
+rising severalfold, late-life switch of the producer to its 1000 psia
+BHP floor, and field material balance.
+"""
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+from opm_autodiff_tpu.wells.standard import CTRL_BHP
+
+
+@pytest.fixture(scope="module")
+def sim_full(spe1_deck_path):
+    sim = Simulator(load_state(spe1_deck_path), SimulatorOptions())
+    sim.run()
+    return sim
+
+
+def test_early_plateau(sim_full):
+    rows = sim_full.summary.rows
+    r0 = rows[0]
+    assert r0["FOPR"] == pytest.approx(20000, rel=1e-6)
+    assert r0["FGOR"] == pytest.approx(1.27, rel=1e-3)
+    assert r0["WGIR:INJ"] == pytest.approx(100000, rel=1e-6)
+
+
+def test_pressure_buildup_then_decline(sim_full):
+    fpr = sim_full.summary.series("FPR")
+    t = sim_full.summary.series("TIME")
+    ipeak = int(np.argmax(fpr))
+    # peak pressure mid-life, well above initial, then declining
+    assert 800 < t[ipeak] < 2200
+    assert fpr[ipeak] > 6000
+    assert fpr[-1] < 4500
+
+
+def test_gas_breakthrough(sim_full):
+    gor = sim_full.summary.series("FGOR")
+    t = sim_full.summary.series("TIME")
+    # GOR stays near Rs for the first ~2 years then rises severalfold
+    early = gor[t < 700]
+    np.testing.assert_array_less(early, 1.5)
+    assert gor[-1] > 10.0
+
+
+def test_producer_hits_bhp_floor(sim_full):
+    bhp = sim_full.summary.series("WBHP:PROD")
+    assert bhp[-1] == pytest.approx(1000, rel=1e-4)
+    opr = sim_full.summary.series("FOPR")
+    assert opr[-1] < 15000  # rate decline under BHP control
+
+
+def test_material_balance(sim_full):
+    """Injected - produced == accumulated (surface gas volumes)."""
+    import jax
+
+    from opm_autodiff_tpu.models.blackoil import accumulation
+
+    sim = sim_full
+    acc_now = np.asarray(sim.acc0)  # committed at end of run
+    # recompute initial accumulation
+    from opm_autodiff_tpu.models.init import equilibrate
+    init = equilibrate(sim.state, sim.geo, sim.fs)
+    acc_init = np.asarray(jax.vmap(accumulation, in_axes=(None, 0, 0, 0))(
+        sim.fs, init.u, init.flag, sim.cells.pore_vol_ref))
+    dgas = (acc_now - acc_init)[:, 2].sum()  # m^3 surface gas gained
+    net_inj = (sim.cum["FGIT"] - sim.cum["FGPT"])  # SI m^3
+    assert dgas == pytest.approx(net_inj, rel=2e-3)
+    doil = (acc_now - acc_init)[:, 1].sum()
+    assert -doil == pytest.approx(sim.cum["FOPT"], rel=2e-3)
+
+
+def test_newton_efficiency(sim_full):
+    rep = sim_full.report
+    # healthy convergence: a handful of Newtons per substep
+    assert rep.total_newton_iterations / rep.total_substeps < 8
+    assert rep.total_substeps < 140
