@@ -40,9 +40,33 @@ def _dot(a, b):
 
 
 def invert_blocks(diag: jnp.ndarray) -> jnp.ndarray:
-    """Batched 3x3 (or kxk) block inversion. The reference keeps explicit
-    D^-1 too (MatrixBlock stable in-place inversion; StandardWell invDuneD_)."""
-    return jnp.linalg.inv(diag)
+    """Batched 3x3 block inversion via the cofactor (adjugate) formula.
+
+    The reference keeps explicit D^-1 too (MatrixBlock stable in-place
+    inversion; StandardWell invDuneD_). Closed-form instead of
+    ``jnp.linalg.inv``: XLA's TPU LuDecomposition only supports f32, and
+    the cofactor form is branch-free and fuses into surrounding code.
+    """
+    a = diag
+    if a.shape[-1] != 3:
+        return jnp.linalg.inv(a)
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
 
 
 def block_jacobi_apply(inv_diag: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:

@@ -189,10 +189,10 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
     return new_mode
 
 
-@partial(jax.jit, static_argnames=("params",))
-def newton_iteration(params: NewtonParams, fs, cells, faces,
-                     st: NewtonState, ws: WellSet, acc0, dt):
-    """One full Newton iteration. Returns (new_state, info, q_tot)."""
+def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
+                          st: NewtonState, ws: WellSet, acc0, dt):
+    """One full Newton iteration (unjitted core; see ``newton_iteration``).
+    Returns (new_state, info, q_tot)."""
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
 
     # --- well assembly + control update (reference assembles wells first:
@@ -233,6 +233,10 @@ def newton_iteration(params: NewtonParams, fs, cells, faces,
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
                          active_mode=mode)
     return new_st, info, q_tot
+
+
+newton_iteration = jax.jit(newton_iteration_impl,
+                           static_argnames=("params",))
 
 
 @dataclasses.dataclass
