@@ -129,15 +129,70 @@ def bicgstab(matvec: Callable, precond: Callable, b: jnp.ndarray,
 
 def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                  extra_matvec: Callable | None = None,
-                 tol: float = 1e-2, maxiter: int = 200) -> LinearSolveResult:
+                 tol: float = 1e-2, maxiter: int = 200,
+                 dtype=None, precond: str = "jacobi",
+                 cpr_inner_iters: int = 12,
+                 method: str | None = None) -> LinearSolveResult:
     """Solve J dx = b (default b = -residual) with block-Jacobi BiCGStab.
 
     ``extra_matvec(x)`` adds terms to J@x — the well Schur complement
     rides here (reference: WellOperators.hpp:99 WellModelMatrixAdapter
     fuses y -= C^T D^-1 B x into the operator).
+
+    Mixed precision: the Krylov iteration runs in ``dtype`` (f32 by
+    default — native TPU speed; f64 is software-emulated on TPU). The
+    default 1e-2 reduction target (FlowLinearSolverParameters.hpp:144)
+    is far above f32 roundoff; the f64 Newton loop outside corrects any
+    residual error. The reference contemplated the same trade
+    (BlackoilModelEbos.hpp:330). To scale the system for f32 range, rows
+    are equilibrated by the inf-norm of their diagonal block first.
     """
     if b is None:
         b = -sys.residual
+    f64 = sys.residual.dtype
+    if method is None:
+        # CPR's inner Krylov is a nonlinear operator: use the flexible
+        # outer solver with it (see solvers/fgmres.py)
+        method = "fgmres" if precond == "cpr" else "bicgstab"
+    if dtype is None:
+        # f32 roundoff ~1e-7; pick it automatically for loose reductions
+        dtype = jnp.float32 if tol >= 1e-5 else f64
+
+    if dtype != f64:
+        # Row + column equilibration so both matrix entries AND the
+        # solution components are O(1) in f32: the raw unknowns span ~1e10
+        # (dp ~ 1e5 Pa vs dSw ~ 1e-3), which f32 cannot carry in one
+        # vector. Solve (R A C) y = R b, then dx = C y.
+        row = 1.0 / jnp.maximum(jnp.abs(sys.diag).max(axis=2), 1e-300)  # [N,3]
+        dscaled = sys.diag * row[:, :, None]
+        col = 1.0 / jnp.maximum(jnp.abs(dscaled).max(axis=1), 1e-300)  # [N,3]
+        scaled = BsrSystem(
+            residual=sys.residual,  # unused below
+            diag=(dscaled * col[:, None, :]).astype(dtype),
+            off_lr=(sys.off_lr * row[sys.left][:, :, None]
+                    * col[sys.right][:, None, :]).astype(dtype),
+            off_rl=(sys.off_rl * row[sys.right][:, :, None]
+                    * col[sys.left][:, None, :]).astype(dtype),
+            left=sys.left, right=sys.right)
+        b_s = (b * row).astype(dtype)
+        row32 = row.astype(dtype)
+        col64 = col
+
+        def matvec(y):
+            z = bsr_matvec(scaled, y)
+            if extra_matvec is not None:
+                x = (y.astype(f64) * col64)
+                z = z + (extra_matvec(x) * row32.astype(f64)).astype(dtype)
+            return z
+
+        inv_diag = invert_blocks(scaled.diag)
+        prec = _make_precond(precond, scaled, inv_diag, cpr_inner_iters)
+        res = _run(method, matvec, prec, b_s, tol, maxiter)
+        return LinearSolveResult(x=res.x.astype(f64) * col64,
+                                 iterations=res.iterations,
+                                 rel_residual=res.rel_residual.astype(f64),
+                                 converged=res.converged)
+
     inv_diag = invert_blocks(sys.diag)
 
     def matvec(x):
@@ -146,5 +201,28 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
             y = y + extra_matvec(x)
         return y
 
-    return bicgstab(matvec, partial(block_jacobi_apply, inv_diag), b,
-                    tol=tol, maxiter=maxiter)
+    prec = _make_precond(precond, sys, inv_diag, cpr_inner_iters)
+    return _run(method, matvec, prec, b, tol, maxiter)
+
+
+def _run(method: str, matvec, prec, b, tol, maxiter):
+    if method == "fgmres":
+        from opm_autodiff_tpu.solvers.fgmres import fgmres
+
+        restart = 15
+        return fgmres(matvec, prec, b, tol=tol,
+                      max_cycles=max(maxiter // restart, 1), restart=restart)
+    if method == "bicgstab":
+        return bicgstab(matvec, prec, b, tol=tol, maxiter=maxiter)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _make_precond(name: str, sys: BsrSystem, inv_diag, cpr_inner_iters: int):
+    if name == "cpr":
+        from opm_autodiff_tpu.solvers.cpr import build_cpr, cpr_apply
+
+        cpr = build_cpr(sys, inv_diag)
+        return lambda r: cpr_apply(cpr, sys, r, inner_iters=cpr_inner_iters)
+    if name == "jacobi":
+        return partial(block_jacobi_apply, inv_diag)
+    raise ValueError(f"unknown preconditioner {name!r}")

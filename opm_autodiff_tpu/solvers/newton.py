@@ -49,6 +49,7 @@ class NewtonParams:
     # linear solver (FlowLinearSolverParameters.hpp:144,153)
     linear_tol: float = 1e-2
     linear_maxiter: int = 200
+    linear_precond: str = "jacobi"  # "jacobi" | "cpr" (--linear-solver)
 
 
 class NewtonState(NamedTuple):
@@ -71,15 +72,14 @@ class IterationInfo(NamedTuple):
     linear_ok: jnp.ndarray
 
 
-def _convergence(params: NewtonParams, fs, cells, residual, u, flag, dt,
+def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
                  wr: WellResult, ws: WellSet, active_mode):
     """CNV / MB metrics (BlackoilModelEbos::getReservoirConvergence
-    formulas, reference BlackoilModelEbos.hpp:628-904)."""
+    formulas, reference BlackoilModelEbos.hpp:628-904). ``inv_b`` [N,3]
+    comes from the single per-iteration intensive evaluation."""
     pv = cells.pore_vol_ref
     pv_sum = pv.sum()
-    # B factors (1/b) per cell/phase from current intensive state
-    q = jax.vmap(intensive, in_axes=(None, 0, 0))(fs, u, flag)
-    big_b = 1.0 / q.inv_b  # [N,3] (vmapped Intensive stacks to [N,3])
+    big_b = 1.0 / inv_b  # [N,3]
 
     r_scaled = big_b * residual  # surface-rate residual * B [m^3/s reservoir]
     cnv_cell = jnp.abs(r_scaled) * dt / pv[:, None]  # [N,3]
@@ -195,6 +195,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     Returns (new_state, info, q_tot)."""
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
 
+    # single per-iteration intensive evaluation, shared by the
+    # convergence metrics (assembly re-derives it under jacfwd)
+    q_all = jax.vmap(intensive, in_axes=(None, 0, 0))(fs, u, flag)
+
     # --- well assembly + control update (reference assembles wells first:
     # BlackoilWellModel::assemble, BlackoilModelEbos.hpp:418) ---
     wr = well_contributions(fs, u, flag, pbh, ws, mode)
@@ -211,15 +215,23 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # --- convergence ---
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
-        params, fs, cells, residual, u, flag, dt, wr, ws, mode)
+        params, fs, cells, residual, q_all.inv_b, dt, wr, ws, mode)
 
     # --- linear solve with well Schur complement fused in ---
     rhs = -residual + wells_mod.schur_rhs(residual, wr, ws)
     lin = solve_linear(sys, rhs,
                        extra_matvec=partial(wells_mod.schur_matvec, wr, ws),
-                       tol=params.linear_tol, maxiter=params.linear_maxiter)
+                       tol=params.linear_tol, maxiter=params.linear_maxiter,
+                       precond=params.linear_precond)
     dx = lin.x
+    # a diverged/NaN linear solve is a hard iteration failure (the
+    # reference throws LinearSolverProblem and the timestepper chops;
+    # SURVEY.md §5): zero the update and raise the failed flag
+    dx_ok = jnp.all(jnp.isfinite(dx))
+    failed = jnp.logical_or(failed, ~dx_ok)
+    dx = jnp.where(dx_ok, dx, jnp.zeros_like(dx))
     dpbh = wells_mod.recover_pbh_update(wr, ws, dx)
+    dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
 
     # --- chopped update + switching ---
     u_new, flag_new = _chop_and_update(params, fs, u, flag, dx)

@@ -186,9 +186,13 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
     q_inj = jnp.zeros(3).at[inj_phase].set(q_inj_scalar)
 
     # Producers: always the per-phase formula (its per-phase signs handle
-    # injection crossflow automatically). Injectors: injection formula when
-    # dp > 0, else the perf is shut (no production crossflow in round 1).
-    q_inj = jnp.where(dp[inj_phase] > 0.0, q_inj, jnp.zeros(3))
+    # injection crossflow automatically). Injectors: the injection formula
+    # holds for either drawdown sign — a momentary reversal "un-injects"
+    # the injected phase. A hard shut-off (where(dp>0, q, 0)) would zero
+    # dq/dpbh on the shut side and make the well's D block singular,
+    # killing the Schur complement; the reference instead models real
+    # crossflow (StandardWell_impl.hpp calculateSinglePerf), which the
+    # 4-DOF well model will bring in a later stage.
     return jnp.where(is_injector, q_inj, q_prod)
 
 
@@ -292,6 +296,13 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     # B[w,p,:] = dg/dq . dq/du ; D[w] = dg/dpbh + dg/dq . dq/dpbh
     b_blk = jnp.einsum("wi,wpij->wpj", dg_dq, dq_du)
     d_diag = dg_dpb + jnp.einsum("wi,wpi->w", dg_dq, dq_dpbh)
+
+    # singular well equation (all perfs degenerate): pin pbh instead of
+    # letting D^-1 poison the Schur complement
+    d_bad = jnp.abs(d_diag) < 1e-300
+    res_well = jnp.where(d_bad, 0.0, res_well)
+    b_blk = jnp.where(d_bad[:, None, None], 0.0, b_blk)
+    d_diag = jnp.where(d_bad, 1.0, d_diag)
 
     # closed wells contribute nothing; pin their pbh to the limit
     open_ = ws.open_mask

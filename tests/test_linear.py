@@ -97,3 +97,15 @@ def test_breakdown_reported():
     # report success
     res = solve_linear(sys, tol=1e-8, maxiter=20)
     assert not bool(res.converged)
+
+
+def test_cpr_fgmres_path():
+    """CPR + FGMRES (the scalable path for stiff systems) solves too."""
+    sys = _chain_system(n=60, coupling=0.5, seed=7)
+    res = solve_linear(sys, tol=1e-3, maxiter=150, precond="cpr",
+                       method="fgmres")
+    assert bool(res.converged)
+    a = _to_dense(sys)
+    x_ref = np.linalg.solve(a, -np.asarray(sys.residual).reshape(-1))
+    err = np.abs(np.asarray(res.x).reshape(-1) - x_ref).max()
+    assert err < 1e-2 * np.abs(x_ref).max()
