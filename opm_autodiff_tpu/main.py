@@ -1,0 +1,110 @@
+"""CLI driver: ``python -m opm_autodiff_tpu.main CASE.DATA [options]``.
+
+Rebuild of the `flow` binary's CLI (reference: flow/flow.cpp:26,
+Opm::Main::runDynamic, opm/simulators/flow/Main.hpp:155): parse the deck,
+print the banner, run the schedule, write summary output next to the
+deck (CASE.csv / CASE.npz) and the .INFOSTEP performance table
+(FlowMainEbos.hpp:593).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="opm_autodiff_tpu",
+        description="TPU-native fully-implicit black-oil simulator")
+    p.add_argument("deck", help="ECLIPSE .DATA input deck")
+    p.add_argument("--output-dir", default=None,
+                   help="directory for output files (default: deck's)")
+    p.add_argument("--linear-solver", default="jacobi",
+                   choices=["jacobi", "cpr"],
+                   help="preconditioner (reference --linear-solver)")
+    p.add_argument("--tolerance-cnv", type=float, default=1e-2)
+    p.add_argument("--tolerance-mb", type=float, default=1e-6)
+    p.add_argument("--newton-max-iterations", type=int, default=20)
+    p.add_argument("--initial-time-step-in-days", type=float, default=1.0)
+    p.add_argument("--solver-restart-factor", type=float, default=0.33)
+    p.add_argument("--time-step-control", default="iterationcount",
+                   choices=["pid", "iterationcount"])
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu for testing)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    from opm_autodiff_tpu import __version__
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+    from opm_autodiff_tpu.solvers.newton import NewtonParams
+    from opm_autodiff_tpu.solvers.timestepper import TimeStepParams
+
+    if not args.quiet:
+        print(f"opm_autodiff_tpu {__version__} — TPU-native black-oil "
+              f"simulator (capabilities of OPM Flow)")
+        print(f"reading deck: {args.deck}")
+
+    state = load_state(args.deck)
+    opts = SimulatorOptions(
+        newton=NewtonParams(
+            max_iter=args.newton_max_iterations,
+            tol_cnv=args.tolerance_cnv,
+            tol_mb=args.tolerance_mb,
+            linear_precond=args.linear_solver,
+        ),
+        tstep=TimeStepParams(
+            initial_dt_days=args.initial_time_step_in_days,
+            restart_factor=args.solver_restart_factor,
+            control=args.time_step_control,
+        ),
+        verbose=0 if args.quiet else 1,
+    )
+    sim = Simulator(state, opts)
+    t0 = time.perf_counter()
+    sim.run()
+    wall = time.perf_counter() - t0
+
+    base = os.path.splitext(os.path.basename(args.deck))[0]
+    outdir = args.output_dir or os.path.dirname(os.path.abspath(args.deck))
+    os.makedirs(outdir, exist_ok=True)
+    sim.summary.to_csv(os.path.join(outdir, base + ".csv"))
+    sim.summary.to_npz(os.path.join(outdir, base + ".npz"))
+    write_infostep(os.path.join(outdir, base + ".INFOSTEP"), sim)
+    if not args.quiet:
+        rep = sim.report
+        print(f"done in {wall:.1f}s: {rep.summary_line()}")
+        print(f"summary written to {os.path.join(outdir, base + '.csv')}")
+    return 0
+
+
+def write_infostep(path: str, sim) -> None:
+    """Per-report-step performance table (reference .INFOSTEP file,
+    SimulatorReport printing, FlowMainEbos.hpp:576-599)."""
+    with open(path, "w") as f:
+        f.write("# step  substeps  newton_its  linear_its  wall_s\n")
+        for i, s in enumerate(sim.report.steps):
+            f.write(f"{i:6d} {s.substeps:9d} {s.newton_iterations:11d} "
+                    f"{s.linear_iterations:11d} {s.wall_time:8.3f}\n")
+        r = sim.report
+        f.write(f"# total substeps={r.total_substeps} "
+                f"newton={r.total_newton_iterations} "
+                f"linear={r.total_linear_iterations} "
+                f"wall={r.total_wall_time:.2f}s\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,14 +4,21 @@ Rebuild of AdaptiveTimeSteppingEbos (reference:
 opm/simulators/timestepping/AdaptiveTimeSteppingEbos.hpp:357 ``step``):
 run the Newton solver on a trial dt; on failure chop dt by
 ``restart_factor`` (default 0.33, :522) up to ``max_restarts``; on success
-grow dt with an iteration-count policy (TimeStepControl.hpp:35
-SimpleIterationCount; PID control later round). Failures are status codes
-from the Newton layer, not exceptions.
+grow dt with the configured policy (reference TimeStepControl.hpp:35-133):
+
+  * "iterationcount" — SimpleIterationCountTimeStepControl: scale by
+    target/actual Newton iterations;
+  * "pid" (default, like the reference's PID+IterationCount) — classic
+    PID on the relative solution change e_n with gains kP/kI/kD, capped
+    by the iteration-count factor.
+
+Failures are status codes from the Newton layer, not exceptions.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 
 
 @dataclasses.dataclass(frozen=True)
@@ -25,6 +32,12 @@ class TimeStepParams:
     min_dt_days: float = 1e-3
     max_dt_days: float = 365.0
     initial_dt_days: float = 1.0
+    control: str = "iterationcount"  # "iterationcount" | "pid"
+    # PIDTimeStepControl defaults (reference TimeStepControl.cpp)
+    pid_tolerance: float = 3e-2
+    pid_kp: float = 0.075
+    pid_ki: float = 0.175
+    pid_kd: float = 0.01
 
 
 @dataclasses.dataclass
@@ -36,36 +49,60 @@ class SubStepReport:
     restarts: int
 
 
+class _PidState:
+    def __init__(self):
+        self.errors = [None, None, None]  # e_{n-2}, e_{n-1}, e_n
+
+    def push(self, e: float):
+        self.errors = [self.errors[1], self.errors[2], max(e, 1e-12)]
+
+    def factor(self, p: TimeStepParams) -> float:
+        e2, e1, e0 = self.errors
+        if e0 is None:
+            return p.growth_factor
+        f = (p.pid_tolerance / e0) ** p.pid_ki
+        if e1 is not None:
+            f *= (e1 / e0) ** p.pid_kp
+            if e2 is not None:
+                f *= ((e1 * e1) / (e0 * e2)) ** p.pid_kd
+        return f
+
+
 def run_report_step(step_days: float, suggested_dt_days: float, solve_fn,
-                    params: TimeStepParams):
+                    params: TimeStepParams, pid_state: _PidState | None = None):
     """Advance one report step of length ``step_days``.
 
     ``solve_fn(dt_seconds)`` runs a Newton solve from the current committed
-    state and returns (converged: bool, iterations: int, commit: callable).
-    ``commit()`` advances the committed state. Returns (reports, next_dt).
+    state and returns (converged, iterations, linear_iterations, commit)
+    where ``commit()`` advances the committed state and returns the
+    relative solution change of the accepted substep (for PID control).
+    Returns (reports, next_dt).
     """
     t = 0.0
     dt = min(suggested_dt_days, step_days, params.max_dt_days)
     reports = []
-    restarts_total = 0
+    pid = pid_state or _PidState()
     while t < step_days - 1e-9:
         dt = min(dt, step_days - t)
         restarts = 0
         while True:
             ok, iters, lin_iters, commit = solve_fn(dt * 86400.0)
             if ok:
-                commit()
+                rel_change = commit() or 1e-12
                 reports.append(SubStepReport(t + dt, dt, iters, lin_iters,
                                              restarts))
                 t += dt
-                # growth policy
-                factor = params.target_iterations / max(iters, 1)
+                iter_factor = params.target_iterations / max(iters, 1)
+                if params.control == "pid":
+                    pid.push(rel_change)
+                    factor = min(pid.factor(params), iter_factor)
+                else:
+                    factor = iter_factor
                 factor = min(max(factor, params.restart_factor),
                              params.growth_factor)
                 dt = min(dt * factor, params.max_dt_days)
                 break
             restarts += 1
-            restarts_total += 1
             if restarts > params.max_restarts or dt <= params.min_dt_days:
                 raise RuntimeError(
                     f"substep failed after {restarts} restarts at "

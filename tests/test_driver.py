@@ -1,0 +1,89 @@
+"""CLI, PID control, restart round-trip, and Python-API parity tests.
+
+Restart regression mirrors the reference's run-restart-regressionTest.sh
+(SURVEY.md §4): run whole; run half + restart + second half; compare.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+
+def test_cli_runs(tmp_path, spe1_deck_path):
+    """Drive the CLI on a short deck (3 report steps)."""
+    text = open(spe1_deck_path).read()
+    short = text.replace("TSTEP\n 1 2 3 4 5 10 10 15 25 25 30 30 30 30 30 30 /",
+                         "TSTEP\n 1 2 3 /")
+    # drop the long schedule blocks
+    short = short.split("TSTEP\n 12*30.4 /")[0] + "\nEND\n"
+    deck = tmp_path / "SHORT.DATA"
+    deck.write_text(short)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    out = subprocess.run(
+        [sys.executable, "-m", "opm_autodiff_tpu.main", str(deck),
+         "--platform", "cpu", "--quiet"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "SHORT.csv").exists()
+    assert (tmp_path / "SHORT.npz").exists()
+    assert (tmp_path / "SHORT.INFOSTEP").exists()
+    csv = (tmp_path / "SHORT.csv").read_text().splitlines()
+    assert csv[0].startswith("TIME")
+    assert len(csv) == 4  # header + 3 report steps
+
+
+def test_restart_roundtrip(tmp_path, spe1_deck_path):
+    """whole-run == half-run + save + load + second-half (bitwise on state)."""
+    opts = SimulatorOptions()
+    full = Simulator(load_state(spe1_deck_path), opts)
+    for _ in range(10):
+        full.step()
+
+    half = Simulator(load_state(spe1_deck_path), opts)
+    for _ in range(5):
+        half.step()
+    ckpt = str(tmp_path / "restart.npz")
+    half.save_restart(ckpt)
+
+    resumed = Simulator(load_state(spe1_deck_path), opts)
+    resumed.load_restart(ckpt)
+    assert resumed._step_index == 5
+    for _ in range(5):
+        resumed.step()
+
+    np.testing.assert_allclose(np.asarray(resumed.u), np.asarray(full.u),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(resumed.flag),
+                                  np.asarray(full.flag))
+    # loaded cum already includes the first half
+    assert resumed.cum["FOPT"] == pytest.approx(full.cum["FOPT"], rel=1e-10)
+    assert resumed.cum["FGIT"] == pytest.approx(full.cum["FGIT"], rel=1e-10)
+
+
+def test_python_api_parity(spe1_deck_path):
+    sim = Simulator(load_state(spe1_deck_path))
+    assert sim.step_init() == 0
+    poro = sim.get_porosity()
+    np.testing.assert_allclose(poro, 0.3)
+    vols = sim.get_cell_volumes()
+    assert vols.shape == (300,)
+    p = sim.get_dof_pressure()
+    assert p.shape == (300,)
+    sats = sim.get_saturations()
+    np.testing.assert_allclose(sats["SWAT"], 0.12)
+    np.testing.assert_allclose(sats["SOIL"] + sats["SWAT"] + sats["SGAS"],
+                               1.0)
+    # porosity round-trip rebuilds pore volumes
+    sim.set_porosity(poro * 0.5)
+    assert float(np.asarray(sim.cells.pore_vol_ref).sum()) == pytest.approx(
+        0.5 * 0.3 * vols.sum(), rel=1e-12)
+    sim.step()  # still runs
+    assert sim.step_cleanup() == 0
