@@ -35,6 +35,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu for testing)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--enable-ecl-output", default="true",
+                   choices=["true", "false"],
+                   help="write EGRID/INIT/UNRST/SMSPEC/UNSMRY binaries")
     return p
 
 
@@ -74,15 +77,47 @@ def main(argv=None) -> int:
         verbose=0 if args.quiet else 1,
     )
     sim = Simulator(state, opts)
-    t0 = time.perf_counter()
-    sim.run()
-    wall = time.perf_counter() - t0
-
     base = os.path.splitext(os.path.basename(args.deck))[0]
     outdir = args.output_dir or os.path.dirname(os.path.abspath(args.deck))
     os.makedirs(outdir, exist_ok=True)
+
+    ecl_out = args.enable_ecl_output == "true"
+    unit_name = state.runspec.unit_system.name
+    unrst = None
+    if ecl_out:
+        from opm_autodiff_tpu.io import eclbinary as eb
+
+        eb.write_egrid(os.path.join(outdir, base + ".EGRID"), sim.geo,
+                       unit_name)
+        eb.write_init(os.path.join(outdir, base + ".INIT"), sim.geo, state,
+                      unit_name)
+        unrst = eb.EclFileWriter(os.path.join(outdir, base + ".UNRST"))
+
+    t0 = time.perf_counter()
+    nsteps = len(state.schedule.steps)
+    while sim._step_index < nsteps:
+        reports = sim.step()
+        if unrst is not None:
+            from opm_autodiff_tpu.io import eclbinary as eb
+
+            eb.write_unrst_step(unrst, sim._step_index, sim, unit_name)
+        if not args.quiet:
+            r = sim.summary.rows[-1]
+            print(f"step {sim._step_index}/{nsteps} t={r['TIME']:.1f}d "
+                  f"FOPR={r.get('FOPR', 0):.1f} FPR={r.get('FPR', 0):.1f} "
+                  f"substeps={len(reports)}")
+    wall = time.perf_counter() - t0
+    if unrst is not None:
+        unrst.close()
+
     sim.summary.to_csv(os.path.join(outdir, base + ".csv"))
     sim.summary.to_npz(os.path.join(outdir, base + ".npz"))
+    if ecl_out:
+        from opm_autodiff_tpu.io import eclbinary as eb
+
+        eb.write_summary_files(os.path.join(outdir, base),
+                               sim.summary.rows, state.cartdims,
+                               state.runspec.start, unit_name)
     write_infostep(os.path.join(outdir, base + ".INFOSTEP"), sim)
     if not args.quiet:
         rep = sim.report
