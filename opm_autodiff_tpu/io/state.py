@@ -196,6 +196,7 @@ class EclState:
     solution: SolutionSection
     summary: SummaryConfig
     schedule: Schedule
+    aquifers: dict = dataclasses.field(default_factory=dict)
 
     @property
     def cartdims(self):
@@ -554,7 +555,13 @@ def build_state(deck: Deck) -> EclState:
     summary = _build_summary(deck)
     schedule = _build_schedule(deck, rs, grid)
     regions = {}
-    return EclState(rs, grid, props, regions, solution, summary, schedule)
+    aquifers = {}
+    for name in ("AQUCT", "AQUFETP", "AQUANCON"):
+        kws = deck.get(name)
+        if kws:
+            aquifers[name] = [r for kw in kws for r in kw.records]
+    return EclState(rs, grid, props, regions, solution, summary, schedule,
+                    aquifers=aquifers)
 
 
 def load_state(path: str) -> EclState:

@@ -24,6 +24,7 @@ _RATE_KIND = {
     "OIT": "liquid_volume", "WIT": "liquid_volume", "GIT": "gas_volume",
     "BHP": "pressure", "THP": "pressure", "PR": "pressure",
     "GOR": "gas_oil_ratio",
+    "AQR": "liquid_rate", "AQT": "liquid_volume",
 }
 
 

@@ -32,6 +32,7 @@ from opm_autodiff_tpu.solvers.newton import (NewtonParams, NewtonState,
 from opm_autodiff_tpu.solvers.timestepper import (SubStepReport,
                                                   TimeStepParams, _PidState,
                                                   run_report_step)
+from opm_autodiff_tpu.models.aquifer import build_from_state as build_aquifers
 from opm_autodiff_tpu.utils.report import SimulatorReport
 from opm_autodiff_tpu.wells import build_wellset
 
@@ -61,6 +62,7 @@ class Simulator:
         self._step_index = 0
         self._suggested_dt = self.opts.tstep.initial_dt_days
         self._pid = _PidState()
+        self.aquifers = build_aquifers(ecl_state, self.geo, self.fs)
         self._init_state()
 
     # ------------------------------------------------------------------
@@ -73,7 +75,7 @@ class Simulator:
         self.pbh = None
         self.active_mode = None
         self.cum = {"FOPT": 0.0, "FGPT": 0.0, "FWPT": 0.0, "FGIT": 0.0,
-                    "FWIT": 0.0}
+                    "FWIT": 0.0, "FAQT": 0.0}
 
     # ------------------------------------------------------------------
     def step(self) -> list:
@@ -101,10 +103,12 @@ class Simulator:
 
         def solve_fn(dt_seconds):
             st0 = committed["st"]
-            st, rep, q_tot = newton_solve(
+            aq_dev = (self.aquifers.device_coefficients(dt_seconds)
+                      if self.aquifers is not None else None)
+            st, rep, q_tot, q_aq = newton_solve(
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
-                verbose=int(self.opts.verbose) >= 2)
+                verbose=int(self.opts.verbose) >= 2, aq=aq_dev)
 
             def commit():
                 p_old = committed["st"].u[:, 0]
@@ -112,6 +116,11 @@ class Simulator:
                 committed["acc0"] = self._acc_fn(
                     self.fs, st.u, st.flag, self.cells.pore_vol_ref)
                 committed["q"] = q_tot
+                if self.aquifers is not None and q_aq is not None:
+                    self.aquifers.commit(np.asarray(q_aq), dt_seconds)
+                    self.cum["FAQT"] += float(np.asarray(q_aq).sum()) \
+                        * dt_seconds
+                    self._last_q_aq = float(np.asarray(q_aq).sum())
                 self._collect_summary(st, ws, q_tot, dt_seconds)
                 # relative pressure change feeds the PID dt controller
                 p_new = st.u[:, 0]
@@ -180,6 +189,9 @@ class Simulator:
             "FGIT": self.cum["FGIT"],
             "FWIT": self.cum["FWIT"],
         }
+        if self.aquifers is not None:
+            out["FAQT"] = self.cum["FAQT"]
+            out["FAQR"] = getattr(self, "_last_q_aq", 0.0)
         if q is not None:
             prod = np.maximum(-q, 0.0)
             out["FWPR"] = prod[:, 0].sum()

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
+from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
 from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_SG, PrimaryState,
                                               accumulation, intensive)
 from opm_autodiff_tpu.solvers.linear import solve_linear
@@ -190,9 +191,12 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
 
 
 def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
-                          st: NewtonState, ws: WellSet, acc0, dt):
+                          st: NewtonState, ws: WellSet, acc0, dt,
+                          aq: AquiferDevice | None = None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
-    Returns (new_state, info, q_tot)."""
+    Returns (new_state, info, q_tot, q_aquifer)."""
+    if aq is None:
+        aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
 
     # single per-iteration intensive evaluation, shared by the
@@ -211,6 +215,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     sys = assemble_system(fs, cells, faces, PrimaryState(u, flag), acc0, dt)
     residual = wells_mod.apply_to_residual(sys.residual, wr, ws)
     diag = wells_mod.apply_to_diag(sys.diag, wr, ws)
+    # --- aquifer water sources: q = a1 - a2 * p_datum; implicit in p
+    # (reference BlackoilAquiferModel::addToSource) ---
+    rho_w_g = fs.rho_surf[0] * 9.80665
+    q_aq = aquifer_rates(aq, u, rho_w_g)
+    residual = residual.at[aq.cell, 0].add(-q_aq)
+    diag = diag.at[aq.cell, 0, 0].add(aq.a2)
     sys = sys._replace(residual=residual, diag=diag)
 
     # --- convergence ---
@@ -244,7 +254,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                          linear_ok=lin.converged)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
                          active_mode=mode)
-    return new_st, info, q_tot
+    return new_st, info, q_tot, q_aq
 
 
 newton_iteration = jax.jit(newton_iteration_impl,
@@ -263,7 +273,8 @@ class NewtonReport:
 
 
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
-                 ws: WellSet, acc0, dt, verbose: bool = False):
+                 ws: WellSet, acc0, dt, verbose: bool = False,
+                 aq: AquiferDevice | None = None):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -273,9 +284,13 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     """
     total_lin = 0
     last_q = None
+    last_q_aq = None
+    if aq is None:
+        aq = empty_device()
     for it in range(params.max_iter + 1):
-        new_st, info, q_tot = newton_iteration(params, fs, cells, faces, st,
-                                               ws, acc0, jnp.asarray(dt))
+        new_st, info, q_tot, q_aq = newton_iteration(
+            params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq)
+        last_q_aq = q_aq
         failed = bool(info.failed)
         conv = bool(info.converged) and it >= params.min_iter
         total_lin += int(info.linear_iters)
@@ -288,14 +303,14 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             return st, NewtonReport(False, it, total_lin, True,
                                     np.asarray(info.cnv),
                                     np.asarray(info.mb),
-                                    float(info.well_err)), last_q
+                                    float(info.well_err)), last_q, last_q_aq
         if conv:
             # carry over any control-mode change from the last assembly
             st = st._replace(active_mode=new_st.active_mode)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
-                                    float(info.well_err)), last_q
+                                    float(info.well_err)), last_q, last_q_aq
         st = new_st
     return st, NewtonReport(False, params.max_iter, total_lin, False,
                             np.asarray(info.cnv), np.asarray(info.mb),
-                            float(info.well_err)), last_q
+                            float(info.well_err)), last_q, last_q_aq
