@@ -46,7 +46,7 @@ def main():
     def step(u, flag, pbh, mode, acc0):
         st = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode)
         new_st, info, _q, _qa = newton_iteration_impl(
-            params, fs, cells, faces, st, ws, acc0, dt)
+            params, fs, cells, faces, st, ws, acc0, dt)  # _q = (tot, perf)
         return new_st.u, new_st.flag, new_st.pbh, new_st.active_mode
 
     jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3))

@@ -104,6 +104,7 @@ RECORDS_KEYWORDS = {
     "GRUPNET", "NODEPROP", "BRANPROP", "EQUALS", "COPY", "ADD", "MULTIPLY",
     "MULTIREG", "BOX", "FAULTS", "MULTFLT", "PINCH", "NNC", "EDITNNC",
     "AQUCT", "AQUFETP", "AQUANCON", "AQUFLUX", "ROCK", "ROCKTAB",
+    "TRACER", "WTRACER",
     "DENSITY", "GRAVITY", "PVTW", "PVCDO", "EQUIL", "RPTRST", "TUNING",
     "WLIFTOPT", "GLIFTOPT", "MESSAGES", "DATES", "THPRES", "WRFTPLT",
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",
@@ -315,6 +316,8 @@ def read_deck(path: str) -> Deck:
                 mode = DATA
             elif name in TABLES_KEYWORDS:
                 mode = TABLES
+            elif name.startswith("TBLKF"):
+                mode = DATA  # per-tracer initial concentration arrays
             elif section == "SUMMARY":
                 mode = SPECIAL  # summary vector keyword
             else:

@@ -197,6 +197,7 @@ class EclState:
     summary: SummaryConfig
     schedule: Schedule
     aquifers: dict = dataclasses.field(default_factory=dict)
+    tracers: dict = dataclasses.field(default_factory=dict)
 
     @property
     def cartdims(self):
@@ -560,8 +561,16 @@ def build_state(deck: Deck) -> EclState:
         kws = deck.get(name)
         if kws:
             aquifers[name] = [r for kw in kws for r in kw.records]
+    tracers = {}
+    for name in ("TRACER", "WTRACER"):
+        kws = deck.get(name)
+        if kws:
+            tracers[name] = [r for kw in kws for r in kw.records]
+    for kw in deck:
+        if kw.name.startswith("TBLKF"):
+            tracers[kw.name] = [v for v in kw.records[0] if v is not DEFAULT]
     return EclState(rs, grid, props, regions, solution, summary, schedule,
-                    aquifers=aquifers)
+                    aquifers=aquifers, tracers=tracers)
 
 
 def load_state(path: str) -> EclState:

@@ -33,6 +33,7 @@ from opm_autodiff_tpu.solvers.timestepper import (SubStepReport,
                                                   TimeStepParams, _PidState,
                                                   run_report_step)
 from opm_autodiff_tpu.models.aquifer import build_from_state as build_aquifers
+from opm_autodiff_tpu.models.tracer import TracerModel
 from opm_autodiff_tpu.utils.report import SimulatorReport
 from opm_autodiff_tpu.wells import build_wellset
 
@@ -63,7 +64,10 @@ class Simulator:
         self._suggested_dt = self.opts.tstep.initial_dt_days
         self._pid = _PidState()
         self.aquifers = build_aquifers(ecl_state, self.geo, self.fs)
+        self.tracers = TracerModel(ecl_state, self.geo, self.fs,
+                                   self.cells, self.faces)
         self._init_state()
+        self.tracers.initialize(self.u, self.flag)
 
     # ------------------------------------------------------------------
     def _init_state(self):
@@ -105,7 +109,7 @@ class Simulator:
             st0 = committed["st"]
             aq_dev = (self.aquifers.device_coefficients(dt_seconds)
                       if self.aquifers is not None else None)
-            st, rep, q_tot, q_aq = newton_solve(
+            st, rep, (q_tot, q_perf), q_aq = newton_solve(
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev)
@@ -121,6 +125,10 @@ class Simulator:
                     self.cum["FAQT"] += float(np.asarray(q_aq).sum()) \
                         * dt_seconds
                     self._last_q_aq = float(np.asarray(q_aq).sum())
+                if self.tracers.active:
+                    wnames = [w.name for w in wells]
+                    self.tracers.advance(st.u, st.flag, dt_seconds,
+                                         q_perf, ws, wnames)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
                 # relative pressure change feeds the PID dt controller
                 p_new = st.u[:, 0]

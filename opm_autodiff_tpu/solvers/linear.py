@@ -96,26 +96,32 @@ def bicgstab(matvec: Callable, precond: Callable, b: jnp.ndarray,
         rnorm = jnp.sqrt(jnp.real(_dot(r, r)))
         return jnp.logical_and(jnp.logical_and(rnorm > target, k < maxiter), ok)
 
+    def safediv(a, b):
+        good = jnp.abs(b) > eps_breakdown
+        return jnp.where(good, a / jnp.where(good, b, 1.0), 0.0), good
+
     def body(carry):
         (x, r, rhat, p, v, rho, alpha, omega, k, ok) = carry
         rho_new = _dot(rhat, r)
-        beta = (rho_new / rho) * (alpha / omega)
+        f1, _ = safediv(rho_new, rho)
+        f2, _ = safediv(alpha, omega)
+        beta = f1 * f2
         p = r + beta * (p - omega * v)
         phat = precond(p)
         v = matvec(phat)
         denom = _dot(rhat, v)
-        alpha = rho_new / denom
+        alpha, alpha_ok = safediv(rho_new, denom)
         s = r - alpha * v
         shat = precond(s)
         t = matvec(shat)
         tt = _dot(t, t)
-        omega_new = _dot(t, s) / jnp.where(jnp.abs(tt) > 0, tt, 1.0)
+        # t ~ 0 means s ~ 0 (converged within the step): omega = 0 keeps
+        # the s-update only and the residual check exits next iteration
+        omega_new, _ = safediv(_dot(t, s), tt)
         x = x + alpha * phat + omega_new * shat
         r = s - omega_new * t
-        ok = jnp.logical_and(
-            jnp.abs(rho_new) > eps_breakdown,
-            jnp.logical_and(jnp.abs(denom) > eps_breakdown,
-                            jnp.abs(omega_new) > eps_breakdown))
+        ok = jnp.logical_and(jnp.abs(rho_new) > eps_breakdown, alpha_ok)
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(r)))
         return (x, r, rhat, p, v, rho_new, alpha, omega_new, k + 1, ok)
 
     one = jnp.asarray(1.0, b.dtype)

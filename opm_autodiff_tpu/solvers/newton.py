@@ -254,7 +254,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                          linear_ok=lin.converged)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
                          active_mode=mode)
-    return new_st, info, q_tot, q_aq
+    return new_st, info, (q_tot, wr.q_perf), q_aq
 
 
 newton_iteration = jax.jit(newton_iteration_impl,
@@ -284,13 +284,15 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     """
     total_lin = 0
     last_q = None
+    last_q_perf = None
     last_q_aq = None
     if aq is None:
         aq = empty_device()
     for it in range(params.max_iter + 1):
-        new_st, info, q_tot, q_aq = newton_iteration(
+        new_st, info, (q_tot, q_perf), q_aq = newton_iteration(
             params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq)
         last_q_aq = q_aq
+        last_q_perf = q_perf
         failed = bool(info.failed)
         conv = bool(info.converged) and it >= params.min_iter
         total_lin += int(info.linear_iters)
@@ -303,14 +305,17 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             return st, NewtonReport(False, it, total_lin, True,
                                     np.asarray(info.cnv),
                                     np.asarray(info.mb),
-                                    float(info.well_err)), last_q, last_q_aq
+                                    float(info.well_err)), \
+                (last_q, last_q_perf), last_q_aq
         if conv:
             # carry over any control-mode change from the last assembly
             st = st._replace(active_mode=new_st.active_mode)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
-                                    float(info.well_err)), last_q, last_q_aq
+                                    float(info.well_err)), \
+                (last_q, last_q_perf), last_q_aq
         st = new_st
     return st, NewtonReport(False, params.max_iter, total_lin, False,
                             np.asarray(info.cnv), np.asarray(info.mb),
-                            float(info.well_err)), last_q, last_q_aq
+                            float(info.well_err)), \
+        (last_q, last_q_perf), last_q_aq
