@@ -168,6 +168,9 @@ class WellConfig:
     thp_limit: float | None = None
     inj_phase: str | None = None  # GAS/WATER/OIL
     inj_rate: float | None = None
+    # WECON economic limits
+    econ_min_oil: float | None = None
+    econ_max_wct: float | None = None
 
 
 @dataclasses.dataclass
@@ -175,6 +178,7 @@ class ReportStep:
     start_days: float  # since simulation start (SI seconds / DAY)
     end_days: float
     wells: list  # list[WellConfig] snapshot active during this step
+    groups: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -441,14 +445,25 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     in_schedule = False
     current_date = rs.start
 
+    group_tree: dict = {}
+    group_prod: dict = {}
+    group_inj: dict = {}
+
     def snapshot():
         return [dataclasses.replace(
             w, completions=[dataclasses.replace(c) for c in w.completions])
             for w in wells.values()]
 
+    def group_snapshot():
+        import copy
+        return {"tree": dict(group_tree),
+                "prod": copy.deepcopy(group_prod),
+                "inj": copy.deepcopy(group_inj)}
+
     def advance(days: float):
         nonlocal t_days
-        steps.append(ReportStep(t_days, t_days + days, snapshot()))
+        steps.append(ReportStep(t_days, t_days + days, snapshot(),
+                                group_snapshot()))
         t_days += days
 
     for kw in deck:
@@ -525,6 +540,61 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                 bhp = item(r, 6, None)
                 w.bhp_limit = (bhp * u.pressure if bhp is not None
                                else 6895e4)  # ECL default ~1e4 psia
+        elif kw.name == "GRUPTREE":
+            for r in kw.records:
+                child = str(item(r, 0, ""))
+                parent = str(item(r, 1, "FIELD"))
+                group_tree[child] = parent
+        elif kw.name == "GCONPROD":
+            for r in kw.records:
+                g = str(item(r, 0, ""))
+                group_prod[g] = {
+                    "mode": str(item(r, 1, "NONE")).upper(),
+                    "orat": _opt_rate(item(r, 2, None), u.liquid_rate),
+                    "wrat": _opt_rate(item(r, 3, None), u.liquid_rate),
+                    "grat": _opt_rate(item(r, 4, None), u.gas_rate),
+                    "lrat": _opt_rate(item(r, 5, None), u.liquid_rate),
+                }
+        elif kw.name == "GCONINJE":
+            for r in kw.records:
+                g = str(item(r, 0, ""))
+                group_inj.setdefault(g, {})[
+                    str(item(r, 1, "GAS")).upper()] = {
+                    "mode": str(item(r, 2, "RATE")).upper(),
+                    "rate": _opt_rate(
+                        item(r, 3, None),
+                        u.gas_rate if str(item(r, 1, "GAS")).upper() == "GAS"
+                        else u.liquid_rate),
+                }
+        elif kw.name == "WECON":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells.get(name)
+                if w is not None:
+                    w.econ_min_oil = _opt_rate(item(r, 1, None),
+                                               u.liquid_rate)
+                    w.econ_max_wct = item(r, 2, None)
+        elif kw.name == "WELTARG":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells.get(name)
+                if w is None:
+                    continue
+                quantity = str(item(r, 1, "ORAT")).upper()
+                val = item(r, 2, 0.0)
+                if quantity == "ORAT":
+                    w.oil_rate = val * u.liquid_rate
+                elif quantity == "WRAT":
+                    w.water_rate = val * u.liquid_rate
+                elif quantity == "GRAT":
+                    w.gas_rate = val * u.gas_rate
+                elif quantity == "LRAT":
+                    w.liquid_rate = val * u.liquid_rate
+                elif quantity == "BHP":
+                    w.bhp_limit = val * u.pressure
+                elif quantity == "RATE":
+                    w.inj_rate = val * (u.gas_rate if w.inj_phase == "GAS"
+                                        else u.liquid_rate)
         elif kw.name == "TSTEP":
             for v in kw.records[0]:
                 if v is not DEFAULT:

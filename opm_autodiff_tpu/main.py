@@ -43,10 +43,18 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA compilation cache: report-step shapes repeat across
+    # runs, so warm starts skip the 20-40s first-compile cost
+    cache = os.environ.get("OPM_TPU_CACHE",
+                           os.path.expanduser("~/.cache/opm_autodiff_tpu"))
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import dataclasses
 

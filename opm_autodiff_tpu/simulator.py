@@ -36,6 +36,8 @@ from opm_autodiff_tpu.models.aquifer import build_from_state as build_aquifers
 from opm_autodiff_tpu.models.tracer import TracerModel
 from opm_autodiff_tpu.utils.report import SimulatorReport
 from opm_autodiff_tpu.wells import build_wellset
+from opm_autodiff_tpu.wells.groups import (GroupManager, apply_assignments,
+                                           apply_econ_limits)
 
 
 @dataclasses.dataclass
@@ -66,6 +68,7 @@ class Simulator:
         self.aquifers = build_aquifers(ecl_state, self.geo, self.fs)
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.faces)
+        self._shut_wells: set = set()
         self._init_state()
         self.tracers.initialize(self.u, self.flag)
 
@@ -89,7 +92,15 @@ class Simulator:
             raise IndexError("schedule exhausted")
         rstep = sched.steps[self._step_index]
         wells = [w for w in rstep.wells]
-        ws = build_wellset(self.geo, wells)
+        for w in wells:
+            if w.name in self._shut_wells:
+                w.status = "SHUT"
+        ws_base = build_wellset(self.geo, wells)
+        gmgr = GroupManager(rstep.groups, wells)
+        ws = ws_base
+        if gmgr.active:
+            lr = getattr(self, "_last_q", None)
+            ws = apply_assignments(ws_base, gmgr.effective_controls(lr))
 
         # (re)initialize well unknowns at the start of a report step
         nwells = ws.num_wells
@@ -103,10 +114,11 @@ class Simulator:
 
         committed = {"st": NewtonState(self.u, self.flag, self.pbh,
                                        self.active_mode),
-                     "acc0": self.acc0, "q": None}
+                     "acc0": self.acc0, "q": None, "ws": ws}
 
         def solve_fn(dt_seconds):
             st0 = committed["st"]
+            ws = committed["ws"]
             aq_dev = (self.aquifers.device_coefficients(dt_seconds)
                       if self.aquifers is not None else None)
             st, rep, (q_tot, q_perf), q_aq = newton_solve(
@@ -130,6 +142,10 @@ class Simulator:
                     self.tracers.advance(st.u, st.flag, dt_seconds,
                                          q_perf, ws, wnames)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
+                # re-apportion group targets with the fresh rates
+                if gmgr.active:
+                    committed["ws"] = apply_assignments(
+                        ws_base, gmgr.effective_controls(self._last_q))
                 # relative pressure change feeds the PID dt controller
                 p_new = st.u[:, 0]
                 num = float(jnp.linalg.norm(p_new - p_old))
@@ -153,6 +169,9 @@ class Simulator:
             newton_iterations=sum(r.newton_iterations for r in reports),
             linear_iterations=sum(r.linear_iterations for r in reports),
             substeps=len(reports))
+        # WECON economic limits at the report-step boundary
+        newly_shut = apply_econ_limits(wells, getattr(self, "_last_q", None))
+        self._shut_wells.update(newly_shut)
         self.summary.end_report_step(rstep.end_days, self._field_state(ws))
         self._step_index += 1
         return reports

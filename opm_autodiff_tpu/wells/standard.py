@@ -125,7 +125,9 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None
         open_m[iw] = (w.status == "OPEN") and pmask[iw].any()
         if w.is_injector:
             inj_phase[iw] = _PHASE_IDX.get(w.inj_phase or "GAS", 2)
-            mode[iw] = _MODE_IDX.get(w.control_mode, CTRL_RATE)
+            # unknown modes (e.g. GRUP before the group manager assigns a
+            # share) fall back to BHP, never to RATE with an inf target
+            mode[iw] = _MODE_IDX.get(w.control_mode, CTRL_BHP)
             if w.inj_rate is not None:
                 inj_rate[iw] = w.inj_rate
             bhp_l[iw] = w.bhp_limit if w.bhp_limit is not None else 6.9e8

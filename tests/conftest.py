@@ -19,6 +19,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite's cost is dominated by XLA
+# recompiles of the same Newton/solver kernels across test processes
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pathlib
 
 import pytest
