@@ -104,7 +104,7 @@ RECORDS_KEYWORDS = {
     "GRUPNET", "NODEPROP", "BRANPROP", "EQUALS", "COPY", "ADD", "MULTIPLY",
     "MULTIREG", "BOX", "FAULTS", "MULTFLT", "PINCH", "NNC", "EDITNNC",
     "AQUCT", "AQUFETP", "AQUANCON", "AQUFLUX", "ROCK", "ROCKTAB",
-    "TRACER", "WTRACER",
+    "TRACER", "WTRACER", "VFPPROD", "VFPINJ",
     "DENSITY", "GRAVITY", "PVTW", "PVCDO", "EQUIL", "RPTRST", "TUNING",
     "WLIFTOPT", "GLIFTOPT", "MESSAGES", "DATES", "THPRES", "WRFTPLT",
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",

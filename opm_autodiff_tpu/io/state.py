@@ -171,6 +171,7 @@ class WellConfig:
     # WECON economic limits
     econ_min_oil: float | None = None
     econ_max_wct: float | None = None
+    vfp_table: int | None = None  # VFPPROD table number (THP control)
 
 
 @dataclasses.dataclass
@@ -202,6 +203,7 @@ class EclState:
     schedule: Schedule
     aquifers: dict = dataclasses.field(default_factory=dict)
     tracers: dict = dataclasses.field(default_factory=dict)
+    vfp_prod_records: list = dataclasses.field(default_factory=list)
 
     @property
     def cartdims(self):
@@ -525,6 +527,8 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                 w.bhp_limit = bhp * u.pressure if bhp is not None else U.ATM
                 thp = item(r, 9, None)
                 w.thp_limit = thp * u.pressure if thp is not None else None
+                vfp = item(r, 10, None)
+                w.vfp_table = int(vfp) if vfp else None
         elif kw.name == "WCONINJE":
             for r in kw.records:
                 name = str(item(r, 0, ""))
@@ -639,8 +643,10 @@ def build_state(deck: Deck) -> EclState:
     for kw in deck:
         if kw.name.startswith("TBLKF"):
             tracers[kw.name] = [v for v in kw.records[0] if v is not DEFAULT]
+    vfp_prod = [kw.records for kw in deck.get("VFPPROD")]
     return EclState(rs, grid, props, regions, solution, summary, schedule,
-                    aquifers=aquifers, tracers=tracers)
+                    aquifers=aquifers, tracers=tracers,
+                    vfp_prod_records=vfp_prod)
 
 
 def load_state(path: str) -> EclState:

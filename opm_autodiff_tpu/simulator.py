@@ -38,6 +38,7 @@ from opm_autodiff_tpu.utils.report import SimulatorReport
 from opm_autodiff_tpu.wells import build_wellset
 from opm_autodiff_tpu.wells.groups import (GroupManager, apply_assignments,
                                            apply_econ_limits)
+from opm_autodiff_tpu.wells.vfp import VfpBank, VfpTables
 
 
 @dataclasses.dataclass
@@ -66,6 +67,15 @@ class Simulator:
         self._suggested_dt = self.opts.tstep.initial_dt_days
         self._pid = _PidState()
         self.aquifers = build_aquifers(ecl_state, self.geo, self.fs)
+        self.vfp = VfpTables(ecl_state)
+        if self.vfp.prod:
+            nums = sorted(self.vfp.prod)
+            self._vfp_numbering = {n: i for i, n in enumerate(nums)}
+            self.vfp_bank = VfpBank.from_tables(
+                [self.vfp.prod[n] for n in nums])
+        else:
+            self._vfp_numbering = {}
+            self.vfp_bank = None
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.faces)
         self._shut_wells: set = set()
@@ -95,7 +105,8 @@ class Simulator:
         for w in wells:
             if w.name in self._shut_wells:
                 w.status = "SHUT"
-        ws_base = build_wellset(self.geo, wells)
+        ws_base = build_wellset(self.geo, wells,
+                                vfp_numbering=self._vfp_numbering)
         gmgr = GroupManager(rstep.groups, wells)
         ws = ws_base
         if gmgr.active:
@@ -124,7 +135,8 @@ class Simulator:
             st, rep, (q_tot, q_perf), q_aq = newton_solve(
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
-                verbose=int(self.opts.verbose) >= 2, aq=aq_dev)
+                verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
+                vfp_bank=self.vfp_bank)
 
             def commit():
                 p_old = committed["st"].u[:, 0]

@@ -104,7 +104,8 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
                    [ws.orat, ws.wrat, ws.grat, ws.lrat], default=1.0))
     rate_scale = jnp.where(jnp.isfinite(rate_scale) & (rate_scale > 0),
                            rate_scale, 1.0)
-    is_bhp_eq = active_mode == CTRL_BHP
+    from opm_autodiff_tpu.wells.standard import CTRL_THP
+    is_bhp_eq = (active_mode == CTRL_BHP) | (active_mode == CTRL_THP)
     scale = jnp.where(is_bhp_eq, jnp.maximum(jnp.abs(ws.bhp_target), 1e5),
                       rate_scale)
     well_err = jnp.where(ws.open_mask,
@@ -192,7 +193,8 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
 
 def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
-                          aq: AquiferDevice | None = None):
+                          aq: AquiferDevice | None = None,
+                          vfp_bank=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
@@ -205,10 +207,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # --- well assembly + control update (reference assembles wells first:
     # BlackoilWellModel::assemble, BlackoilModelEbos.hpp:418) ---
-    wr = well_contributions(fs, u, flag, pbh, ws, mode)
+    wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank)
     q_tot = wr.q_perf.sum(axis=1)
     mode = update_well_controls(ws, mode, pbh, q_tot)
-    wr = well_contributions(fs, u, flag, pbh, ws, mode)
+    wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank)
     q_tot = wr.q_perf.sum(axis=1)
 
     # --- reservoir assembly ---
@@ -274,7 +276,7 @@ class NewtonReport:
 
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
-                 aq: AquiferDevice | None = None):
+                 aq: AquiferDevice | None = None, vfp_bank=None):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -290,7 +292,8 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
         aq = empty_device()
     for it in range(params.max_iter + 1):
         new_st, info, (q_tot, q_perf), q_aq = newton_iteration(
-            params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq)
+            params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
+            vfp_bank)
         last_q_aq = q_aq
         last_q_perf = q_perf
         failed = bool(info.failed)

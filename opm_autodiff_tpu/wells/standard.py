@@ -32,12 +32,13 @@ from opm_autodiff_tpu.models.blackoil import intensive
 from opm_autodiff_tpu.props.fluid import FluidSystem
 
 # control modes (per well, int)
-CTRL_BHP, CTRL_ORAT, CTRL_WRAT, CTRL_GRAT, CTRL_LRAT, CTRL_RATE = range(6)
+(CTRL_BHP, CTRL_ORAT, CTRL_WRAT, CTRL_GRAT, CTRL_LRAT, CTRL_RATE,
+ CTRL_THP) = range(7)
 
 _PHASE_IDX = {"WATER": 0, "WAT": 0, "OIL": 1, "GAS": 2}
 _MODE_IDX = {"BHP": CTRL_BHP, "ORAT": CTRL_ORAT, "WRAT": CTRL_WRAT,
              "GRAT": CTRL_GRAT, "LRAT": CTRL_LRAT, "RATE": CTRL_RATE,
-             "RESV": CTRL_RATE}
+             "RESV": CTRL_RATE, "THP": CTRL_THP}
 
 
 class WellSet(NamedTuple):
@@ -60,6 +61,8 @@ class WellSet(NamedTuple):
     bhp_target: jnp.ndarray  # [W] bhp when on BHP control (= the limit)
     bhp_limit: jnp.ndarray   # [W] min (producer) / max (injector)
     open_mask: jnp.ndarray   # [W] bool
+    thp_target: jnp.ndarray  # [W] THP target (0 if none)
+    vfp_idx: jnp.ndarray     # [W] index into the VFP bank (-1 = none)
 
     @property
     def num_wells(self) -> int:
@@ -82,8 +85,8 @@ class WellResult(NamedTuple):
     rho_conn: jnp.ndarray   # [W,P] connection mixture density used
 
 
-def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None
-                  ) -> WellSet:
+def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
+                  vfp_numbering: dict | None = None) -> WellSet:
     """Host-side construction from schedule WellConfig list (padded)."""
     nw = max(len(wells), 1)
     np_max = max_perfs or max((len(w.completions) for w in wells), default=1)
@@ -106,6 +109,8 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None
     bhp_t = np.zeros(nw)
     bhp_l = np.zeros(nw)
     open_m = np.zeros(nw, bool)
+    thp_t = np.zeros(nw)
+    vfp_i = np.full(nw, -1, np.int32)
 
     for iw, w in enumerate(wells):
         comps = [c for c in w.completions if c.open]
@@ -143,6 +148,10 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None
                 lrat[iw] = w.liquid_rate
             bhp_l[iw] = w.bhp_limit if w.bhp_limit is not None else U.ATM
         bhp_t[iw] = bhp_l[iw]
+        if getattr(w, "thp_limit", None):
+            thp_t[iw] = w.thp_limit
+        if getattr(w, "vfp_table", None) is not None and vfp_numbering:
+            vfp_i[iw] = vfp_numbering.get(w.vfp_table, -1)
 
     return WellSet(
         cell=jnp.asarray(cell), wi=jnp.asarray(wi),
@@ -153,6 +162,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None
         grat=jnp.asarray(grat), lrat=jnp.asarray(lrat),
         inj_rate=jnp.asarray(inj_rate), bhp_target=jnp.asarray(bhp_t),
         bhp_limit=jnp.asarray(bhp_l), open_mask=jnp.asarray(open_m),
+        thp_target=jnp.asarray(thp_t), vfp_idx=jnp.asarray(vfp_i),
     )
 
 
@@ -216,7 +226,8 @@ def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
 
 def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                        ws: WellSet,
-                       active_mode: jnp.ndarray | None = None) -> WellResult:
+                       active_mode: jnp.ndarray | None = None,
+                       vfp_bank=None) -> WellResult:
     """Assemble all well quantities for one Newton iteration.
 
     Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
@@ -258,7 +269,8 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
 
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
-        (orat, wrat, grat, lrat, inj_rate, bhp_t, is_inj) = ws_row
+        (orat, wrat, grat, lrat, inj_rate, bhp_t, is_inj, thp_t,
+         vfp_i) = ws_row
         prod = -q_tot  # positive production rates
         r_rate_prod = jnp.select(
             [mode == CTRL_ORAT, mode == CTRL_WRAT, mode == CTRL_GRAT,
@@ -266,6 +278,12 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
             [prod[1] - orat, prod[0] - wrat, prod[2] - grat,
              prod[0] + prod[1] - lrat],
             default=pb - bhp_t)
+        if vfp_bank is not None:
+            from opm_autodiff_tpu.wells.vfp import bank_bhp
+
+            bhp_vfp = bank_bhp(vfp_bank, vfp_i, thp_t, prod)
+            r_rate_prod = jnp.where(mode == CTRL_THP, pb - bhp_vfp,
+                                    r_rate_prod)
         r_inj = jnp.where(mode == CTRL_RATE,
                           q_tot[0] + q_tot[1] + q_tot[2] - inj_rate,
                           pb - bhp_t)
@@ -278,22 +296,19 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     q_tot = q_perf.sum(axis=1)  # [W,3]
 
     def rw_fn(q_tot_w, pb, mode, orat, wrat, grat, lrat, inj_rate, bhp_t,
-              is_inj):
+              is_inj, thp_t, vfp_i):
         return control_residual(q_tot_w, pb, mode,
                                 (orat, wrat, grat, lrat, inj_rate, bhp_t,
-                                 is_inj))
+                                 is_inj, thp_t, vfp_i))
 
-    res_well = jax.vmap(rw_fn)(q_tot, pbh, active_mode, ws.orat, ws.wrat,
-                               ws.grat, ws.lrat, ws.inj_rate, ws.bhp_target,
-                               ws.is_injector)
+    rw_args = (q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
+               ws.inj_rate, ws.bhp_target, ws.is_injector, ws.thp_target,
+               ws.vfp_idx)
+    res_well = jax.vmap(rw_fn)(*rw_args)
 
     # dg/dq_tot: [W,3]; dg/dpbh direct: [W]
-    dg_dq = jax.vmap(jax.grad(rw_fn, argnums=0))(
-        q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
-        ws.inj_rate, ws.bhp_target, ws.is_injector)
-    dg_dpb = jax.vmap(jax.grad(rw_fn, argnums=1))(
-        q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
-        ws.inj_rate, ws.bhp_target, ws.is_injector)
+    dg_dq = jax.vmap(jax.grad(rw_fn, argnums=0))(*rw_args)
+    dg_dpb = jax.vmap(jax.grad(rw_fn, argnums=1))(*rw_args)
 
     # B[w,p,:] = dg/dq . dq/du ; D[w] = dg/dpbh + dg/dq . dq/dpbh
     b_blk = jnp.einsum("wi,wpij->wpj", dg_dq, dq_du)
