@@ -1,0 +1,293 @@
+"""Corner-point (COORD/ZCORN) geometry and transmissibility.
+
+Rebuild of the slice of opm-grid's CpGrid + EclTransmissibility that the
+framework needs (reference: ebos/ecltransmissibility.cc:146 update,
+:360 harmonic mean, :772 computeFaceProperties): pillar-interpolated cell
+corners, exact hexahedron volumes/centroids via tetrahedral
+decomposition, and NEWTRAN-style half-transmissibilities
+T_h = k * (A . c)/(c . c) with mutual-face z-overlap handling for
+stair-case faults (per-pillar 1-D overlap of the two cell faces — the
+same approximation simple corner-point processors use; full polygon
+clipping arrives with NNC support).
+
+All host-side vectorized numpy producing the same ``Geometry`` container
+as the cartesian path, so everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from opm_autodiff_tpu.grid.geometry import FaceList, Geometry
+from opm_autodiff_tpu.io.state import EclState
+
+
+def _corner_arrays(nx, ny, nz, coord, zcorn):
+    """Per-cell corner coordinates c[n, dk, dj, di, 3] (natural order)."""
+    coord = coord.reshape(ny + 1, nx + 1, 6)
+    zc = zcorn.reshape(nz, 2, ny, 2, nx, 2)  # [k, dk, j, dj, i, di]
+
+    # pillar line params for each (j+dj, i+di) pillar of each cell corner
+    corners = np.empty((nz, ny, nx, 2, 2, 2, 3))
+    for dj in range(2):
+        for di in range(2):
+            # pillar at (j+dj, i+di) for all (j,i): index arrays
+            p = coord[np.arange(ny)[:, None] + dj,
+                      np.arange(nx)[None, :] + di]  # [ny, nx, 6]
+            x1, y1, z1 = p[..., 0], p[..., 1], p[..., 2]
+            x2, y2, z2 = p[..., 3], p[..., 4], p[..., 5]
+            dz = z2 - z1
+            safe = np.abs(dz) > 1e-12
+            for dk in range(2):
+                z = zc[:, dk, :, dj, :, di]  # [nz, ny, nx]
+                t = np.where(safe[None], (z - z1[None]) /
+                             np.where(safe[None], dz[None], 1.0), 0.0)
+                corners[:, :, :, dk, dj, di, 0] = x1[None] + t * (x2 - x1)[None]
+                corners[:, :, :, dk, dj, di, 1] = y1[None] + t * (y2 - y1)[None]
+                corners[:, :, :, dk, dj, di, 2] = z
+    return corners.reshape(nz * ny * nx, 2, 2, 2, 3)
+
+
+def _hex_volume_centroid(c):
+    """Volumes + centroids of hexahedra c[n, dk, dj, di, 3].
+
+    Decompose each cell into 24 tetrahedra: cell center + face center +
+    face edge pairs. Robust for non-planar faces (GRDECL cells).
+    """
+    n = c.shape[0]
+    center = c.reshape(n, 8, 3).mean(axis=1)
+
+    # six faces as corner quads (consistent outward-ish orientation not
+    # required since we sum absolute tet volumes via signed sum from the
+    # cell center — signed tet volumes sum to the exact volume)
+    quads = [
+        # (dk, dj, di) corner selections, ordered around each quad
+        ((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0)),  # top (dk=0)
+        ((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)),  # bottom
+        ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0)),  # i- side
+        ((0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)),  # i+ side
+        ((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)),  # j- side
+        ((0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0)),  # j+ side
+    ]
+    vol = np.zeros(n)
+    cmom = np.zeros((n, 3))
+    for quad in quads:
+        pts = [c[:, dk, dj, di, :] for (dk, dj, di) in quad]
+        fc = sum(pts) / 4.0
+        for a, b in zip(pts, pts[1:] + pts[:1]):
+            # tet (center, fc, a, b)
+            v1 = fc - center
+            v2 = a - center
+            v3 = b - center
+            tv = np.einsum("ni,ni->n", v1, np.cross(v2, v3)) / 6.0
+            tc = (center + fc + a + b) / 4.0
+            vol += tv
+            cmom += tv[:, None] * tc
+    vol_abs = np.abs(vol)
+    safe = vol_abs > 1e-30
+    centroid = np.where(safe[:, None], cmom / np.where(vol[:, None] != 0,
+                                                       vol[:, None], 1.0),
+                        center)
+    return vol_abs, centroid
+
+
+def _quad_area_centroid(p0, p1, p2, p3):
+    """Area vectors + centroids of (possibly non-planar) quads [n,3]."""
+    # split into two triangles (p0,p1,p2), (p0,p2,p3)
+    a1 = 0.5 * np.cross(p1 - p0, p2 - p0)
+    a2 = 0.5 * np.cross(p2 - p0, p3 - p0)
+    area = a1 + a2
+    w1 = np.linalg.norm(a1, axis=-1, keepdims=True)
+    w2 = np.linalg.norm(a2, axis=-1, keepdims=True)
+    c1 = (p0 + p1 + p2) / 3.0
+    c2 = (p0 + p2 + p3) / 3.0
+    wsum = np.maximum(w1 + w2, 1e-300)
+    centroid = (w1 * c1 + w2 * c2) / wsum
+    return area, centroid
+
+
+def _half_trans(perm, area_vec, cell_centroid, face_centroid):
+    """NEWTRAN half-transmissibility: k * |A . c| / (c . c)."""
+    c = face_centroid - cell_centroid
+    cc = np.einsum("ni,ni->n", c, c)
+    ac = np.einsum("ni,ni->n", area_vec, c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = perm * np.abs(ac) / np.where(cc > 0, cc, 1.0)
+    return np.where(cc > 0, t, 0.0)
+
+
+def build_cornerpoint_geometry(state: EclState) -> Geometry:
+    g = state.grid
+    nx, ny, nz = state.cartdims
+    n = nx * ny * nz
+    coord = np.asarray(g.coord)
+    zcorn = np.asarray(g.zcorn)
+
+    corners = _corner_arrays(nx, ny, nz, coord, zcorn)
+    volume_g, centroid_g = _hex_volume_centroid(corners)
+
+    act_mask = (g.actnum > 0) & (volume_g > 1e-12)
+    glob_to_act = np.full(n, -1, np.int32)
+    act_to_glob = np.nonzero(act_mask)[0].astype(np.int32)
+    glob_to_act[act_to_glob] = np.arange(len(act_to_glob), dtype=np.int32)
+
+    def compress(a):
+        return np.ascontiguousarray(np.asarray(a)[act_to_glob])
+
+    volume = volume_g[act_to_glob]
+    centroid = centroid_g[act_to_glob]
+    depth = centroid[:, 2]
+    ntg = compress(g.ntg)
+    pore_vol = volume * compress(g.poro) * ntg * compress(g.multpv)
+    permx, permy, permz = compress(g.permx), compress(g.permy), compress(g.permz)
+
+    corners3 = corners.reshape(nz, ny, nx, 2, 2, 2, 3)
+    cent3 = centroid_g.reshape(nz, ny, nx, 3)
+    perm_by_axis = [np.asarray(g.permx).reshape(nz, ny, nx),
+                    np.asarray(g.permy).reshape(nz, ny, nx),
+                    np.asarray(g.permz).reshape(nz, ny, nx)]
+    ntg3 = np.asarray(g.ntg).reshape(nz, ny, nx)
+    act3 = act_mask.reshape(nz, ny, nx)
+    mult = [np.asarray(g.multx).reshape(nz, ny, nx),
+            np.asarray(g.multy).reshape(nz, ny, nx),
+            np.asarray(g.multz).reshape(nz, ny, nx)]
+    gid3 = np.arange(n).reshape(nz, ny, nx)
+
+    lefts, rights, transs, axes = [], [], [], []
+
+    def add(axis, gl, gr, t):
+        keep = t > 0
+        lefts.append(glob_to_act[gl[keep]])
+        rights.append(glob_to_act[gr[keep]])
+        transs.append(t[keep])
+        axes.append(np.full(keep.sum(), axis, np.int8))
+
+    # ---- X faces: cells (k,j,i) | (k,j,i+1) --------------------------------
+    if nx > 1:
+        L = corners3[:, :, :-1]   # left cell corners
+        R = corners3[:, :, 1:]
+        both = act3[:, :, :-1] & act3[:, :, 1:]
+        # mutual face on the two shared pillars (j, i+1) and (j+1, i+1):
+        # per pillar, z-overlap of [Ltop, Lbot] and [Rtop, Rbot]
+        shape = L.shape[:3]
+        f = {}
+        for dj in (0, 1):
+            lt = L[:, :, :, 0, dj, 1]   # [.., 3] top corner on that pillar
+            lb = L[:, :, :, 1, dj, 1]
+            rt = R[:, :, :, 0, dj, 0]
+            rb = R[:, :, :, 1, dj, 0]
+            ztop = np.maximum(lt[..., 2], rt[..., 2])
+            zbot = np.minimum(lb[..., 2], rb[..., 2])
+            zbot = np.maximum(zbot, ztop)  # empty overlap -> zero height
+
+            def interp_on(seg_t, seg_b, z):
+                dz = seg_b[..., 2] - seg_t[..., 2]
+                safe = np.abs(dz) > 1e-12
+                t = np.where(safe, (z - seg_t[..., 2]) /
+                             np.where(safe, dz, 1.0), 0.0)
+                return seg_t + t[..., None] * (seg_b - seg_t)
+
+            f[(dj, 0)] = interp_on(lt, lb, ztop)
+            f[(dj, 1)] = interp_on(lt, lb, zbot)
+        area, fcent = _quad_area_centroid(f[(0, 0)], f[(1, 0)],
+                                          f[(1, 1)], f[(0, 1)])
+        pl = perm_by_axis[0][:, :, :-1].reshape(-1)
+        pr = perm_by_axis[0][:, :, 1:].reshape(-1)
+        area_flat = area.reshape(-1, 3)
+        hl = _half_trans(pl, area_flat,
+                         cent3[:, :, :-1].reshape(-1, 3),
+                         fcent.reshape(-1, 3)) * ntg3[:, :, :-1].reshape(-1)
+        hr = _half_trans(pr, area_flat,
+                         cent3[:, :, 1:].reshape(-1, 3),
+                         fcent.reshape(-1, 3)) * ntg3[:, :, 1:].reshape(-1)
+        with np.errstate(divide="ignore"):
+            t = np.where((hl > 0) & (hr > 0),
+                         hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
+        t *= mult[0][:, :, :-1].reshape(-1)
+        t = np.where(both.reshape(-1), t, 0.0)
+        add(0, gid3[:, :, :-1].reshape(-1), gid3[:, :, 1:].reshape(-1), t)
+
+    # ---- Y faces: cells (k,j,i) | (k,j+1,i) --------------------------------
+    if ny > 1:
+        L = corners3[:, :-1]
+        R = corners3[:, 1:]
+        both = act3[:, :-1] & act3[:, 1:]
+        f = {}
+        for di in (0, 1):
+            lt = L[:, :, :, 0, 1, di]
+            lb = L[:, :, :, 1, 1, di]
+            rt = R[:, :, :, 0, 0, di]
+            rb = R[:, :, :, 1, 0, di]
+            ztop = np.maximum(lt[..., 2], rt[..., 2])
+            zbot = np.minimum(lb[..., 2], rb[..., 2])
+            zbot = np.maximum(zbot, ztop)
+
+            def interp_on(seg_t, seg_b, z):
+                dz = seg_b[..., 2] - seg_t[..., 2]
+                safe = np.abs(dz) > 1e-12
+                t = np.where(safe, (z - seg_t[..., 2]) /
+                             np.where(safe, dz, 1.0), 0.0)
+                return seg_t + t[..., None] * (seg_b - seg_t)
+
+            f[(di, 0)] = interp_on(lt, lb, ztop)
+            f[(di, 1)] = interp_on(lt, lb, zbot)
+        area, fcent = _quad_area_centroid(f[(0, 0)], f[(1, 0)],
+                                          f[(1, 1)], f[(0, 1)])
+        pl = perm_by_axis[1][:, :-1].reshape(-1)
+        pr = perm_by_axis[1][:, 1:].reshape(-1)
+        hl = _half_trans(pl, area.reshape(-1, 3),
+                         cent3[:, :-1].reshape(-1, 3),
+                         fcent.reshape(-1, 3)) * ntg3[:, :-1].reshape(-1)
+        hr = _half_trans(pr, area.reshape(-1, 3),
+                         cent3[:, 1:].reshape(-1, 3),
+                         fcent.reshape(-1, 3)) * ntg3[:, 1:].reshape(-1)
+        with np.errstate(divide="ignore"):
+            t = np.where((hl > 0) & (hr > 0),
+                         hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
+        t *= mult[1][:, :-1].reshape(-1)
+        t = np.where(both.reshape(-1), t, 0.0)
+        add(1, gid3[:, :-1].reshape(-1), gid3[:, 1:].reshape(-1), t)
+
+    # ---- Z faces: cells (k,j,i) | (k+1,j,i) --------------------------------
+    if nz > 1:
+        U_ = corners3[:-1]
+        D_ = corners3[1:]
+        both = act3[:-1] & act3[1:]
+        # shared face: bottom of the upper cell (matches top of lower for
+        # conforming columns; gaps handled by using the midpoint quad)
+        p = [(0.5 * (U_[:, :, :, 1, dj, di] + D_[:, :, :, 0, dj, di]))
+             for (dj, di) in ((0, 0), (0, 1), (1, 1), (1, 0))]
+        area, fcent = _quad_area_centroid(*p)
+        pl = perm_by_axis[2][:-1].reshape(-1)
+        pr = perm_by_axis[2][1:].reshape(-1)
+        hl = _half_trans(pl, area.reshape(-1, 3),
+                         cent3[:-1].reshape(-1, 3), fcent.reshape(-1, 3))
+        hr = _half_trans(pr, area.reshape(-1, 3),
+                         cent3[1:].reshape(-1, 3), fcent.reshape(-1, 3))
+        with np.errstate(divide="ignore"):
+            t = np.where((hl > 0) & (hr > 0),
+                         hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
+        t *= mult[2][:-1].reshape(-1)
+        t = np.where(both.reshape(-1), t, 0.0)
+        add(2, gid3[:-1].reshape(-1), gid3[1:].reshape(-1), t)
+
+    faces = FaceList(
+        left=np.concatenate(lefts).astype(np.int32),
+        right=np.concatenate(rights).astype(np.int32),
+        trans=np.concatenate(transs),
+        axis=np.concatenate(axes),
+    )
+
+    # effective dx/dy/dz for Peaceman and output: from corner spans
+    c8 = corners[act_to_glob].reshape(-1, 8, 3)
+    dx = c8[:, :, 0].max(axis=1) - c8[:, :, 0].min(axis=1)
+    dy = c8[:, :, 1].max(axis=1) - c8[:, :, 1].min(axis=1)
+    dz = c8[:, :, 2].max(axis=1) - c8[:, :, 2].min(axis=1)
+
+    return Geometry(
+        cartdims=(nx, ny, nz), num_active=len(act_to_glob),
+        glob_to_act=glob_to_act, act_to_glob=act_to_glob,
+        volume=volume, pore_vol=pore_vol, depth=depth,
+        dx=dx, dy=dy, dz=dz, permx=permx, permy=permy, permz=permz,
+        poro=compress(g.poro), ntg=ntg, faces=faces,
+    )

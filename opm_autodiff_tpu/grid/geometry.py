@@ -81,6 +81,11 @@ def _half_trans(perm, area, dist):
 
 def build_geometry(state: EclState) -> Geometry:
     g: GridSection = state.grid
+    if g.coord is not None and g.zcorn is not None:
+        from opm_autodiff_tpu.grid.cornerpoint import (
+            build_cornerpoint_geometry)
+
+        return build_cornerpoint_geometry(state)
     nx, ny, nz = state.cartdims
     n = nx * ny * nz
 

@@ -60,6 +60,9 @@ class GridSection:
     multy: np.ndarray
     multz: np.ndarray
     multpv: np.ndarray
+    # corner-point geometry (None for cartesian DX/DY/DZ decks), SI
+    coord: np.ndarray | None = None
+    zcorn: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -275,26 +278,53 @@ def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
             return np.tile(np.repeat(v, nx), nz)
         return np.repeat(v, nx * ny)
 
-    dx = vec_expand("DXV", "DX", 0)
-    dy = vec_expand("DYV", "DY", 1)
-    dz = vec_expand("DZV", "DZ", 2)
-    if dx is None or dy is None or dz is None:
-        raise ValueError("grid geometry requires DX/DY/DZ (or DXV/DYV/DZV)")
-    dx = dx * u.length
-    dy = dy * u.length
-    dz = dz * u.length
+    coord_kw = deck.get1("COORD")
+    zcorn_kw = deck.get1("ZCORN")
+    coord = zcorn = None
+    if coord_kw is not None and zcorn_kw is not None:
+        coord = np.asarray([v for v in coord_kw.records[0]
+                            if v is not DEFAULT], float) * u.length
+        zcorn = np.asarray([v for v in zcorn_kw.records[0]
+                            if v is not DEFAULT], float) * u.length
+        if coord.size != (nx + 1) * (ny + 1) * 6:
+            raise ValueError("COORD size mismatch")
+        if zcorn.size != 8 * n:
+            raise ValueError("ZCORN size mismatch")
+        # nominal dx/dy/dz/depth from corner spans (refined by the
+        # corner-point geometry builder; placeholders keep the section
+        # uniform for output modules)
+        zc = zcorn.reshape(nz, 2, ny, 2, nx, 2)
+        dz = (zc[:, 1].mean(axis=(1, 3)) - zc[:, 0].mean(axis=(1, 3)))
+        dz = np.abs(dz).reshape(-1)
+        depth = 0.5 * (zc[:, 1].mean(axis=(1, 3))
+                       + zc[:, 0].mean(axis=(1, 3))).reshape(-1)
+        cr = coord.reshape(ny + 1, nx + 1, 6)
+        dxs = np.diff(cr[:-1, :, 0], axis=1).mean()
+        dys = np.diff(cr[:, :-1, 1], axis=0).mean()
+        dx = np.full(n, max(dxs, 1e-3))
+        dy = np.full(n, max(dys, 1e-3))
+    else:
+        dx = vec_expand("DXV", "DX", 0)
+        dy = vec_expand("DYV", "DY", 1)
+        dz = vec_expand("DZV", "DZ", 2)
+        if dx is None or dy is None or dz is None:
+            raise ValueError(
+                "grid geometry requires DX/DY/DZ or COORD/ZCORN")
+        dx = dx * u.length
+        dy = dy * u.length
+        dz = dz * u.length
 
-    tops = _grid_array(deck, "TOPS", n)
-    if tops is None:
-        raise ValueError("TOPS required (corner-point COORD/ZCORN not yet supported)")
-    tops = tops * u.length
-    # fill deeper layers: top(k) = top(k-1) + dz(k-1)
-    tops3 = tops.reshape(nz, ny, nx)
-    dz3 = dz.reshape(nz, ny, nx)
-    for k in range(1, nz):
-        if np.isnan(tops3[k]).any():
-            tops3[k] = tops3[k - 1] + dz3[k - 1]
-    depth = (tops3 + 0.5 * dz3).reshape(-1)
+        tops = _grid_array(deck, "TOPS", n)
+        if tops is None:
+            raise ValueError("TOPS required for cartesian geometry")
+        tops = tops * u.length
+        # fill deeper layers: top(k) = top(k-1) + dz(k-1)
+        tops3 = tops.reshape(nz, ny, nx)
+        dz3 = dz.reshape(nz, ny, nx)
+        for k in range(1, nz):
+            if np.isnan(tops3[k]).any():
+                tops3[k] = tops3[k - 1] + dz3[k - 1]
+        depth = (tops3 + 0.5 * dz3).reshape(-1)
 
     poro = _grid_array(deck, "PORO", n, 0.0)
     permx = _grid_array(deck, "PERMX", n, 0.0) * u.permeability
@@ -311,7 +341,8 @@ def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
     # zero-porosity cells are inactive (reference: MINPV handling is richer)
     actnum = np.where(poro <= 0.0, 0, actnum)
     return GridSection(dx, dy, dz, depth, poro, permx, permy, permz, ntg,
-                       actnum, multx, multy, multz, multpv)
+                       actnum, multx, multy, multz, multpv,
+                       coord=coord, zcorn=zcorn)
 
 
 def _table_2d(kw, ncols: int, scales: list[float]) -> np.ndarray:
