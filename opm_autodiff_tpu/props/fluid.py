@@ -73,20 +73,33 @@ class FluidSystem(NamedTuple):
 
     @staticmethod
     def from_state(state: EclState) -> "FluidSystem":
+        """Build the fluid system; absent phases get inert stub tables
+        (zero mobility, unit FVF) so the 3-equation layout is uniform —
+        the model pins the inactive equations (the reference instead
+        compiles per-phase-set variants, flow/flow_ebos_*.cpp; here one
+        trace with static masks covers all of them)."""
+        import numpy as np
+
         props = state.props
+        phases = state.runspec.phases
         if props.pvto is not None:
             oil = LiveOilPvt.from_table(props.pvto)
         elif props.pvdo is not None:
             oil = DeadOilPvt.from_table(props.pvdo)
         else:
             raise NotImplementedError("need PVTO or PVDO")
-        if props.pvdg is None:
+        if props.pvdg is not None:
+            gas = DryGasPvt.from_table(props.pvdg)
+        elif "GAS" not in phases:
+            gas = DryGasPvt.from_table(np.asarray(
+                [[1e5, 1.0, 1e-3], [1e9, 1.0, 1e-3]]))
+        else:
             raise NotImplementedError("need PVDG (wet gas PVTG later)")
         return FluidSystem(
             water=water_pvt_from_props(props),
             oil=oil,
-            gas=DryGasPvt.from_table(props.pvdg),
-            sat=SatFunc.from_props(props),
+            gas=gas,
+            sat=SatFunc.from_props(props, phases),
             rock=RockParams(jnp.asarray(props.rock.p_ref),
                             jnp.asarray(props.rock.comp)),
             rho_surf=jnp.asarray([props.density.water, props.density.oil,

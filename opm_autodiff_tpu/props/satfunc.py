@@ -73,12 +73,20 @@ class SatFunc(NamedTuple):
         return jnp.where(den > 1e-12, mixed, self.krow(self.swco))
 
     @staticmethod
-    def from_props(props: PropsSection) -> "SatFunc":
-        if props.swof is None or props.sgof is None:
+    def from_props(props: PropsSection, phases=None) -> "SatFunc":
+        phases = phases or frozenset({"OIL", "WATER", "GAS"})
+        swof = props.swof
+        sgof = props.sgof
+        if swof is None and "WATER" not in phases:
+            # inert water: immobile, zero capillary pressure
+            swof = np.asarray([[0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+        if sgof is None and "GAS" not in phases:
+            sgof = np.asarray([[0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+        if swof is None or sgof is None:
             raise NotImplementedError(
                 "only SWOF/SGOF family supported in this round")
-        swof = np.asarray(props.swof)
-        sgof = np.asarray(props.sgof)
+        swof = np.asarray(swof)
+        sgof = np.asarray(sgof)
         return SatFunc(
             sw=jnp.asarray(swof[:, 0]),
             krw_tab=jnp.asarray(swof[:, 1]),

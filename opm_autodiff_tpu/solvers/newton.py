@@ -51,6 +51,11 @@ class NewtonParams:
     linear_tol: float = 1e-2
     linear_maxiter: int = 200
     linear_precond: str = "jacobi"  # "jacobi" | "cpr" (--linear-solver)
+    # active phases (static): inactive phases get their equation pinned
+    # to the identity (the reference compiles per-phase-set variants,
+    # flow/flow_ebos_{gasoil,oilwater,...}.cpp; one masked trace here)
+    has_water: bool = True
+    has_gas: bool = True
 
 
 class NewtonState(NamedTuple):
@@ -123,6 +128,7 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
 
 
 def _chop_and_update(params: NewtonParams, fs, u, flag, dx):
+    # (inactive-phase pinning means dx for those variables is ~0)
     """Appleyard-chopped update + primary-variable switching
     (opm-models BlackOilNewtonMethod::update_ semantics)."""
     po, sw, x3 = u[:, 0], u[:, 1], u[:, 2]
@@ -141,12 +147,13 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx):
     sw_new = jnp.clip(sw + dsw, 0.0, 1.0)
     x3_new = x3 + dx3
 
-    # --- variable switching ---
+    # --- variable switching (disabled without a gas phase) ---
     rs_sat_new = fs.rs_sat(po_new)
+    gas_on = params.has_gas
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
-    to_rs = is_sg & (x3_new < 0.0)
+    to_rs = is_sg & (x3_new < 0.0) & gas_on
     # RS cell whose Rs exceeds saturation: free gas appears -> switch to SG
-    to_sg = (~is_sg) & (x3_new > rs_sat_new)
+    to_sg = (~is_sg) & (x3_new > rs_sat_new) & gas_on
 
     flag_new = jnp.where(to_rs, FLAG_RS, jnp.where(to_sg, FLAG_SG, flag))
     x3_new = jnp.where(to_rs, rs_sat_new,
@@ -223,7 +230,21 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     q_aq = aquifer_rates(aq, u, rho_w_g)
     residual = residual.at[aq.cell, 0].add(-q_aq)
     diag = diag.at[aq.cell, 0, 0].add(aq.a2)
-    sys = sys._replace(residual=residual, diag=diag)
+
+    # --- inactive-phase equation pinning (two-phase variants) ---
+    off_lr, off_rl = sys.off_lr, sys.off_rl
+    for active, eq in ((params.has_water, 0), (params.has_gas, 2)):
+        if active:
+            continue
+        # equation `eq` becomes the identity on its primary variable
+        # (sw for water, x3 for gas) so the variable stays frozen
+        residual = residual.at[:, eq].set(u[:, 1 if eq == 0 else 2] * 0.0)
+        diag = diag.at[:, eq, :].set(0.0)
+        diag = diag.at[:, eq, 1 if eq == 0 else 2].set(1.0)
+        off_lr = off_lr.at[:, eq, :].set(0.0)
+        off_rl = off_rl.at[:, eq, :].set(0.0)
+    sys = sys._replace(residual=residual, diag=diag, off_lr=off_lr,
+                       off_rl=off_rl)
 
     # --- convergence ---
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
