@@ -154,12 +154,26 @@ def gravity_constant() -> float:
     return U.GRAVITY
 
 
-def statics_from_geometry(geo) -> tuple[CellStatic, FaceStatic]:
-    """Device-ready static pytrees from host Geometry."""
+def statics_from_geometry(geo, structured: str = "auto"
+                          ) -> tuple[CellStatic, "FaceStatic"]:
+    """Device-ready static pytrees from host Geometry.
+
+    ``structured='auto'`` returns the banded StructuredTopology when the
+    grid is fully-active cartesian (the TPU fast path: no gathers);
+    'never' forces the general face list; 'always' asserts it.
+    """
     cells = CellStatic(
         pore_vol_ref=jnp.asarray(geo.pore_vol),
         depth=jnp.asarray(geo.depth),
     )
+    if structured != "never":
+        from opm_autodiff_tpu.models.structured import (
+            structured_ok, topology_from_geometry)
+
+        if structured_ok(geo):
+            return cells, topology_from_geometry(geo)
+        if structured == "always":
+            raise ValueError("grid is not fully-active cartesian")
     f = geo.faces
     faces = FaceStatic(
         left=jnp.asarray(f.left),

@@ -1,0 +1,216 @@
+"""Structured-grid fast path: banded assembly and SpMV, no gathers.
+
+The face-list (BSR) path uses gather/scatter for flux accumulation and
+SpMV — on TPU those lower to slow dynamic-(update-)slice sequences. For
+cartesian grids the topology is regular: every face connects index-
+adjacent cells along one of three axes. This module stores the Jacobian
+as **banded blocks** (diag [N,3,3] plus two directed bands per axis) and
+implements assembly + matvec with static slicing only — everything maps
+onto contiguous VPU-friendly memory movement that XLA fuses.
+
+The reference's analogous specialization is the structured-grid
+assumption baked into its GPU backends' reorderings (bda/, SURVEY.md
+§2.7); here the whole hot loop becomes shift-and-multiply.
+
+Cells are kept on the FULL cartesian grid (inactive cells pinned to
+identity equations) — dense padded arrays beat compressed gathers on
+TPU. Requires an all-cells Geometry (``structured_ok``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_autodiff_tpu import units as U
+from opm_autodiff_tpu.grid.geometry import Geometry
+from opm_autodiff_tpu.models.blackoil import (CellStatic, PrimaryState,
+                                              accumulation, face_flux)
+from opm_autodiff_tpu.props.fluid import FluidSystem
+
+
+class StructuredTopology(NamedTuple):
+    """Per-axis face transmissibilities/gravity on the full grid.
+
+    Shapes (nz, ny, nx-1) / (nz, ny-1, nx) / (nz-1, ny, nx); the flat
+    cell ordering everywhere else stays natural (i fastest).
+    """
+
+    trans_x: jnp.ndarray
+    trans_y: jnp.ndarray
+    trans_z: jnp.ndarray
+    gdz_x: jnp.ndarray
+    gdz_y: jnp.ndarray
+    gdz_z: jnp.ndarray
+    active: jnp.ndarray  # [N] bool
+
+    @property
+    def dims(self):
+        nz, ny, nxm = self.trans_x.shape
+        return (nxm + 1, ny, nz)
+
+
+class StructuredSystem(NamedTuple):
+    residual: jnp.ndarray  # [N,3]
+    diag: jnp.ndarray      # [N,3,3]
+    # directed off-diagonal bands: lr = row left cell, col right cell
+    x_lr: jnp.ndarray      # [nz, ny, nx-1, 3, 3]
+    x_rl: jnp.ndarray
+    y_lr: jnp.ndarray
+    y_rl: jnp.ndarray
+    z_lr: jnp.ndarray
+    z_rl: jnp.ndarray
+
+    @property
+    def num_cells(self) -> int:
+        return self.residual.shape[0]
+
+
+def structured_ok(geo: Geometry) -> bool:
+    nx, ny, nz = geo.cartdims
+    return geo.num_active == nx * ny * nz
+
+
+def topology_from_geometry(geo: Geometry) -> StructuredTopology:
+    """Build per-axis banded trans/gravity arrays from the face list."""
+    assert structured_ok(geo), "structured path requires all-active grids"
+    nx, ny, nz = geo.cartdims
+    f = geo.faces
+    depth = np.asarray(geo.depth)
+
+    def band(axis, shape, stride):
+        t = np.zeros(shape)
+        g = np.zeros(shape)
+        sel = np.asarray(f.axis) == axis
+        left = np.asarray(f.left)[sel]
+        tr = np.asarray(f.trans)[sel]
+        right = np.asarray(f.right)[sel]
+        # position of the face = position of its left cell in the band
+        k = left // (nx * ny)
+        j = (left // nx) % ny
+        i = left % nx
+        tt = t.reshape(-1)
+        gg = g.reshape(-1)
+        if axis == 0:
+            idx = (k * ny + j) * (nx - 1) + i
+        elif axis == 1:
+            idx = (k * (ny - 1) + j) * nx + i
+        else:
+            idx = (k * ny + j) * nx + i
+        tt[idx] = tr
+        gg[idx] = U.GRAVITY * (depth[left] - depth[right])
+        return t, g
+
+    tx, gx = band(0, (nz, ny, nx - 1), 1)
+    ty, gy = band(1, (nz, ny - 1, nx), nx)
+    tz, gz = band(2, (nz - 1, ny, nx), nx * ny)
+    return StructuredTopology(
+        trans_x=jnp.asarray(tx), trans_y=jnp.asarray(ty),
+        trans_z=jnp.asarray(tz), gdz_x=jnp.asarray(gx),
+        gdz_y=jnp.asarray(gy), gdz_z=jnp.asarray(gz),
+        active=jnp.asarray(np.ones(nx * ny * nz, bool)))
+
+
+def _axis_pairs(u3, axis):
+    """(uL, uR) slabs for faces along a grid axis of u3 [nz,ny,nx,...]."""
+    if axis == 0:
+        return u3[:, :, :-1], u3[:, :, 1:]
+    if axis == 1:
+        return u3[:, :-1, :], u3[:, 1:, :]
+    return u3[:-1], u3[1:]
+
+
+def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz):
+    def one(uL_, uR_, fL, fR, t, g):
+        def f(u6):
+            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g)
+            return fl, fl
+
+        jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL_, uR_]))
+        return val, jac[:, :3], jac[:, 3:]
+
+    shape = uL.shape[:-1]
+    flat = lambda a, tail: a.reshape((-1,) + tail)  # noqa: E731
+    val, jl, jr = jax.vmap(one)(flat(uL, (3,)), flat(uR, (3,)),
+                                flagL.reshape(-1), flagR.reshape(-1),
+                                trans.reshape(-1), gdz.reshape(-1))
+    return (val.reshape(shape + (3,)), jl.reshape(shape + (3, 3)),
+            jr.reshape(shape + (3, 3)))
+
+
+def assemble_structured(fs: FluidSystem, cells: CellStatic,
+                        topo: StructuredTopology, state: PrimaryState,
+                        acc0, dt) -> StructuredSystem:
+    nx, ny, nz = topo.dims
+    u, flag = state.u, state.flag
+    u3 = u.reshape(nz, ny, nx, 3)
+    flag3 = flag.reshape(nz, ny, nx)
+
+    def acc_one(uu, ff, pv):
+        def f(x):
+            a = accumulation(fs, x, ff, pv)
+            return a, a
+
+        jac, val = jax.jacfwd(f, has_aux=True)(uu)
+        return val, jac
+
+    acc, acc_jac = jax.vmap(acc_one)(u, flag, cells.pore_vol_ref)
+    residual = (acc - acc0) / dt
+    diag = acc_jac / dt
+    res3 = residual.reshape(nz, ny, nx, 3)
+    diag3 = diag.reshape(nz, ny, nx, 3, 3)
+
+    bands = {}
+    for axis, (trans, gdz) in enumerate(
+            ((topo.trans_x, topo.gdz_x), (topo.trans_y, topo.gdz_y),
+             (topo.trans_z, topo.gdz_z))):
+        uL, uR = _axis_pairs(u3, axis)
+        fL, fR = _axis_pairs(flag3, axis)
+        flux, jl, jr = _flux_val_jac_slab(fs, uL, uR, fL, fR, trans, gdz)
+
+        if axis == 0:
+            res3 = res3.at[:, :, :-1].add(flux)
+            res3 = res3.at[:, :, 1:].add(-flux)
+            diag3 = diag3.at[:, :, :-1].add(jl)
+            diag3 = diag3.at[:, :, 1:].add(-jr)
+        elif axis == 1:
+            res3 = res3.at[:, :-1, :].add(flux)
+            res3 = res3.at[:, 1:, :].add(-flux)
+            diag3 = diag3.at[:, :-1, :].add(jl)
+            diag3 = diag3.at[:, 1:, :].add(-jr)
+        else:
+            res3 = res3.at[:-1].add(flux)
+            res3 = res3.at[1:].add(-flux)
+            diag3 = diag3.at[:-1].add(jl)
+            diag3 = diag3.at[1:].add(-jr)
+        bands[axis] = (jr, -jl)  # (row-L col-R, row-R col-L)
+
+    return StructuredSystem(
+        residual=res3.reshape(-1, 3), diag=diag3.reshape(-1, 3, 3),
+        x_lr=bands[0][0], x_rl=bands[0][1],
+        y_lr=bands[1][0], y_rl=bands[1][1],
+        z_lr=bands[2][0], z_rl=bands[2][1])
+
+
+def structured_matvec(sys: StructuredSystem, x: jnp.ndarray) -> jnp.ndarray:
+    """y = J @ x with static-slice band updates only."""
+    n = sys.num_cells
+    nz, ny, nxm = sys.x_lr.shape[:3]
+    nx = nxm + 1
+    x3 = x.reshape(nz, ny, nx, 3)
+    y = jnp.einsum("nij,nj->ni", sys.diag, x).reshape(nz, ny, nx, 3)
+
+    y = y.at[:, :, :-1].add(jnp.einsum("...ij,...j->...i", sys.x_lr,
+                                       x3[:, :, 1:]))
+    y = y.at[:, :, 1:].add(jnp.einsum("...ij,...j->...i", sys.x_rl,
+                                      x3[:, :, :-1]))
+    y = y.at[:, :-1, :].add(jnp.einsum("...ij,...j->...i", sys.y_lr,
+                                       x3[:, 1:, :]))
+    y = y.at[:, 1:, :].add(jnp.einsum("...ij,...j->...i", sys.y_rl,
+                                      x3[:, :-1, :]))
+    y = y.at[:-1].add(jnp.einsum("...ij,...j->...i", sys.z_lr, x3[1:]))
+    y = y.at[1:].add(jnp.einsum("...ij,...j->...i", sys.z_rl, x3[:-1]))
+    return y.reshape(n, 3)

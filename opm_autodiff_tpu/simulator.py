@@ -63,6 +63,9 @@ class Simulator:
         self.geo = build_geometry(ecl_state)
         self.fs = FluidSystem.from_state(ecl_state)
         self.cells, self.faces = statics_from_geometry(self.geo)
+        # tracers need the explicit face list even on the banded path
+        _, self.facelist = statics_from_geometry(self.geo,
+                                                 structured="never")
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
         self._acc_fn = jax.jit(jax.vmap(accumulation,
@@ -81,7 +84,7 @@ class Simulator:
             self._vfp_numbering = {}
             self.vfp_bank = None
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
-                                   self.cells, self.faces)
+                                   self.cells, self.facelist)
         self._shut_wells: set = set()
         self._init_state()
         self.tracers.initialize(self.u, self.flag)

@@ -28,6 +28,48 @@ import jax.numpy as jnp
 from opm_autodiff_tpu.models.assembler import BsrSystem, bsr_matvec
 
 
+def system_matvec(sys, x):
+    """J @ x for either sparse layout (BSR face-list or banded)."""
+    from opm_autodiff_tpu.models.structured import (StructuredSystem,
+                                                    structured_matvec)
+
+    if isinstance(sys, StructuredSystem):
+        return structured_matvec(sys, x)
+    return bsr_matvec(sys, x)
+
+
+def _scale_system(sys, row, col, dtype):
+    """Row/column-equilibrated cast of either system layout."""
+    from opm_autodiff_tpu.models.structured import StructuredSystem
+
+    dscaled = (sys.diag * row[:, :, None] * col[:, None, :]).astype(dtype)
+    if isinstance(sys, StructuredSystem):
+        nz, ny, nxm = sys.x_lr.shape[:3]
+        nx = nxm + 1
+        r3 = row.reshape(nz, ny, nx, 3)
+        c3 = col.reshape(nz, ny, nx, 3)
+
+        def sc(band, rsl, csl):
+            return (band * rsl[..., :, None] * csl[..., None, :]).astype(dtype)
+
+        return sys._replace(
+            diag=dscaled,
+            x_lr=sc(sys.x_lr, r3[:, :, :-1], c3[:, :, 1:]),
+            x_rl=sc(sys.x_rl, r3[:, :, 1:], c3[:, :, :-1]),
+            y_lr=sc(sys.y_lr, r3[:, :-1, :], c3[:, 1:, :]),
+            y_rl=sc(sys.y_rl, r3[:, 1:, :], c3[:, :-1, :]),
+            z_lr=sc(sys.z_lr, r3[:-1], c3[1:]),
+            z_rl=sc(sys.z_rl, r3[1:], c3[:-1]))
+    return BsrSystem(
+        residual=sys.residual,
+        diag=dscaled,
+        off_lr=(sys.off_lr * row[sys.left][:, :, None]
+                * col[sys.right][:, None, :]).astype(dtype),
+        off_rl=(sys.off_rl * row[sys.right][:, :, None]
+                * col[sys.left][:, None, :]).astype(dtype),
+        left=sys.left, right=sys.right)
+
+
 class LinearSolveResult(NamedTuple):
     x: jnp.ndarray          # [N,3]
     iterations: jnp.ndarray  # int
@@ -172,20 +214,13 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         row = 1.0 / jnp.maximum(jnp.abs(sys.diag).max(axis=2), 1e-300)  # [N,3]
         dscaled = sys.diag * row[:, :, None]
         col = 1.0 / jnp.maximum(jnp.abs(dscaled).max(axis=1), 1e-300)  # [N,3]
-        scaled = BsrSystem(
-            residual=sys.residual,  # unused below
-            diag=(dscaled * col[:, None, :]).astype(dtype),
-            off_lr=(sys.off_lr * row[sys.left][:, :, None]
-                    * col[sys.right][:, None, :]).astype(dtype),
-            off_rl=(sys.off_rl * row[sys.right][:, :, None]
-                    * col[sys.left][:, None, :]).astype(dtype),
-            left=sys.left, right=sys.right)
+        scaled = _scale_system(sys, row, col, dtype)
         b_s = (b * row).astype(dtype)
         row32 = row.astype(dtype)
         col64 = col
 
         def matvec(y):
-            z = bsr_matvec(scaled, y)
+            z = system_matvec(scaled, y)
             if extra_matvec is not None:
                 x = (y.astype(f64) * col64)
                 z = z + (extra_matvec(x) * row32.astype(f64)).astype(dtype)
@@ -202,7 +237,7 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
     inv_diag = invert_blocks(sys.diag)
 
     def matvec(x):
-        y = bsr_matvec(sys, x)
+        y = system_matvec(sys, x)
         if extra_matvec is not None:
             y = y + extra_matvec(x)
         return y
@@ -223,8 +258,14 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
     raise ValueError(f"unknown method {method!r}")
 
 
-def _make_precond(name: str, sys: BsrSystem, inv_diag, cpr_inner_iters: int):
+def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
+    from opm_autodiff_tpu.models.structured import StructuredSystem
+
     if name == "cpr":
+        if isinstance(sys, StructuredSystem):
+            raise NotImplementedError(
+                "CPR on the banded layout lands with the structured "
+                "pressure solver; use precond='jacobi'")
         from opm_autodiff_tpu.solvers.cpr import build_cpr, cpr_apply
 
         cpr = build_cpr(sys, inv_diag)

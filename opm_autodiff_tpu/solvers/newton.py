@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
+from opm_autodiff_tpu.models.structured import (StructuredTopology,
+                                                assemble_structured)
 from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
 from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_SG, PrimaryState,
                                               accumulation, intensive)
@@ -220,8 +222,13 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank)
     q_tot = wr.q_perf.sum(axis=1)
 
-    # --- reservoir assembly ---
-    sys = assemble_system(fs, cells, faces, PrimaryState(u, flag), acc0, dt)
+    # --- reservoir assembly (banded fast path for structured grids) ---
+    if isinstance(faces, StructuredTopology):
+        sys = assemble_structured(fs, cells, faces, PrimaryState(u, flag),
+                                  acc0, dt)
+    else:
+        sys = assemble_system(fs, cells, faces, PrimaryState(u, flag),
+                              acc0, dt)
     residual = wells_mod.apply_to_residual(sys.residual, wr, ws)
     diag = wells_mod.apply_to_diag(sys.diag, wr, ws)
     # --- aquifer water sources: q = a1 - a2 * p_datum; implicit in p
@@ -232,19 +239,23 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     diag = diag.at[aq.cell, 0, 0].add(aq.a2)
 
     # --- inactive-phase equation pinning (two-phase variants) ---
-    off_lr, off_rl = sys.off_lr, sys.off_rl
-    for active, eq in ((params.has_water, 0), (params.has_gas, 2)):
-        if active:
-            continue
-        # equation `eq` becomes the identity on its primary variable
-        # (sw for water, x3 for gas) so the variable stays frozen
-        residual = residual.at[:, eq].set(u[:, 1 if eq == 0 else 2] * 0.0)
-        diag = diag.at[:, eq, :].set(0.0)
-        diag = diag.at[:, eq, 1 if eq == 0 else 2].set(1.0)
-        off_lr = off_lr.at[:, eq, :].set(0.0)
-        off_rl = off_rl.at[:, eq, :].set(0.0)
-    sys = sys._replace(residual=residual, diag=diag, off_lr=off_lr,
-                       off_rl=off_rl)
+    if not (params.has_water and params.has_gas):
+        updates = {}
+        for active, eq in ((params.has_water, 0), (params.has_gas, 2)):
+            if active:
+                continue
+            # equation `eq` becomes the identity on its primary variable
+            # (sw for water, x3 for gas) so the variable stays frozen
+            residual = residual.at[:, eq].set(0.0)
+            diag = diag.at[:, eq, :].set(0.0)
+            diag = diag.at[:, eq, 1 if eq == 0 else 2].set(1.0)
+            for name in ("off_lr", "off_rl", "x_lr", "x_rl", "y_lr",
+                         "y_rl", "z_lr", "z_rl"):
+                if hasattr(sys, name):
+                    band = updates.get(name, getattr(sys, name))
+                    updates[name] = band.at[..., eq, :].set(0.0)
+        sys = sys._replace(**updates)
+    sys = sys._replace(residual=residual, diag=diag)
 
     # --- convergence ---
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(

@@ -25,7 +25,10 @@ def setup(spe1_deck_path):
     state = load_state(spe1_deck_path)
     geo = build_geometry(state)
     fs = FluidSystem.from_state(state)
-    cells, faces = statics_from_geometry(geo)
+    # these tests exercise the general face-list (BSR) path explicitly;
+    # the structured banded path is validated against it in
+    # tests/test_structured.py
+    cells, faces = statics_from_geometry(geo, structured="never")
     init = equilibrate(state, geo, fs)
     return state, geo, fs, cells, faces, init
 

@@ -1,0 +1,72 @@
+"""Structured (banded) fast path vs the general face-list path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.grid import build_geometry
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
+from opm_autodiff_tpu.models.blackoil import (PrimaryState, accumulation,
+                                              statics_from_geometry)
+from opm_autodiff_tpu.models.init import equilibrate
+from opm_autodiff_tpu.models.structured import (StructuredTopology,
+                                                assemble_structured,
+                                                structured_matvec,
+                                                structured_ok)
+from opm_autodiff_tpu.props import FluidSystem
+
+
+@pytest.fixture(scope="module")
+def setup(spe1_deck_path):
+    state = load_state(spe1_deck_path)
+    geo = build_geometry(state)
+    fs = FluidSystem.from_state(state)
+    cells, topo = statics_from_geometry(geo)
+    _, facelist = statics_from_geometry(geo, structured="never")
+    init = equilibrate(state, geo, fs)
+    acc0 = jax.vmap(accumulation, in_axes=(None, 0, 0, 0))(
+        fs, init.u, init.flag, cells.pore_vol_ref) * 1.01
+    return geo, fs, cells, topo, facelist, init, acc0
+
+
+def test_auto_selects_structured(setup):
+    geo, fs, cells, topo, facelist, init, acc0 = setup
+    assert structured_ok(geo)
+    assert isinstance(topo, StructuredTopology)
+
+
+def test_assembly_equivalence(setup):
+    geo, fs, cells, topo, facelist, init, acc0 = setup
+    rng = np.random.default_rng(0)
+    u = np.asarray(init.u).copy()
+    u[:, 0] *= 1 + 0.03 * rng.standard_normal(len(u))
+    u[:, 1] = 0.2 + 0.4 * rng.random(len(u))
+    ps = PrimaryState(jnp.asarray(u), init.flag)
+    dt = 86400.0
+    sys_b = assemble_system(fs, cells, facelist, ps, acc0, dt)
+    sys_s = assemble_structured(fs, cells, topo, ps, acc0, dt)
+    np.testing.assert_allclose(np.asarray(sys_s.residual),
+                               np.asarray(sys_b.residual), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sys_s.diag),
+                               np.asarray(sys_b.diag), rtol=1e-12)
+    x = jnp.asarray(rng.standard_normal((len(u), 3)))
+    yb = np.asarray(bsr_matvec(sys_b, x))
+    ys = np.asarray(structured_matvec(sys_s, x))
+    np.testing.assert_allclose(ys, yb, rtol=1e-11,
+                               atol=1e-9 * np.abs(yb).max())
+
+
+def test_inactive_grid_falls_back(tmp_path, spe1_deck_path):
+    text = open(spe1_deck_path).read()
+    actnum = ["1"] * 300
+    actnum[55] = "0"
+    text = text.replace("PROPS",
+                        "ACTNUM\n " + " ".join(actnum) + " /\n\nPROPS", 1)
+    p = tmp_path / "A.DATA"
+    p.write_text(text)
+    geo = build_geometry(load_state(str(p)))
+    assert not structured_ok(geo)
+    cells, faces = statics_from_geometry(geo)
+    assert not isinstance(faces, StructuredTopology)
