@@ -1,0 +1,83 @@
+"""Distributed execution: spatial domain decomposition over a device mesh.
+
+The reference's only distributed strategy is MPI spatial domain
+decomposition with 1-cell halos (Zoltan partitioning + Dune overlap
+communication, SURVEY.md §2.9#1, eclgenericcpgridvanguard.cc:76). The
+TPU-native equivalent: shard the cell arrays over a 1-D
+``jax.sharding.Mesh`` and jit the full Newton step with those shardings.
+
+With the structured (banded) layout the decomposition is a Z-slab split:
+cell arrays ordered k-major shard evenly along the mesh, and every
+neighbor access in the banded assembly/SpMV is a *static shift along z* —
+exactly the pattern GSPMD lowers to nearest-neighbor collective-permute
+halo exchanges over ICI (the same communication shape as the reference's
+MPI halo swap, without any serialization layer; SURVEY.md §5
+"Distributed communication backend").
+
+Krylov dot products become ``psum`` automatically; wells stay replicated
+(the reference likewise pins wells to one rank by default).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "z") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(axis,))
+
+
+def cell_sharding(mesh: Mesh, ndim_extra: int = 0) -> NamedSharding:
+    """Sharding for a [N, ...] cell array: N split over the mesh axis.
+
+    With k-major cell ordering and an (nz % n_devices == 0) grid this is
+    a Z-slab decomposition.
+    """
+    axis = mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis, *([None] * ndim_extra)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_problem(mesh: Mesh, cells, topo, u, flag, acc0):
+    """Place the per-cell state/statics on the mesh (Z-slab decomposition).
+
+    ``topo`` may be a StructuredTopology (bands shard along their leading
+    z dimension) or a FaceStatic list (left replicated — GSPMD then moves
+    data per gather, correct but slower; prefer structured grids for
+    multi-chip runs).
+    """
+    from opm_autodiff_tpu.models.structured import StructuredTopology
+
+    s1 = cell_sharding(mesh)
+    s2 = cell_sharding(mesh, 1)
+    r = replicated(mesh)
+
+    cells_sh = jax.tree.map(lambda a: jax.device_put(a, s1), cells)
+    u_sh = jax.device_put(u, s2)
+    flag_sh = jax.device_put(flag, s1)
+    acc0_sh = jax.device_put(acc0, s2)
+
+    if isinstance(topo, StructuredTopology):
+        axis = mesh.axis_names[0]
+
+        def put_band(a):
+            # bands are (nz[-1], ny, nx[-1], ...) — shard the z dim when it
+            # divides evenly, else replicate (the z bands have nz-1 planes)
+            nshards = mesh.devices.size
+            if a.ndim >= 1 and a.shape[0] % nshards == 0:
+                spec = P(axis, *([None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+            return jax.device_put(a, r)
+
+        topo_sh = jax.tree.map(put_band, topo)
+    else:
+        topo_sh = jax.tree.map(lambda a: jax.device_put(a, r), topo)
+    return cells_sh, topo_sh, u_sh, flag_sh, acc0_sh
