@@ -30,7 +30,8 @@ from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_SG, PrimaryState,
 from opm_autodiff_tpu.solvers.linear import solve_linear
 from opm_autodiff_tpu.wells import standard as wells_mod
 from opm_autodiff_tpu.wells.standard import (CTRL_BHP, WellResult, WellSet,
-                                             well_contributions)
+                                             well_contributions,
+                                             well_rates_only)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,11 +215,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # convergence metrics (assembly re-derives it under jacfwd)
     q_all = jax.vmap(intensive, in_axes=(None, 0, 0))(fs, u, flag)
 
-    # --- well assembly + control update (reference assembles wells first:
-    # BlackoilWellModel::assemble, BlackoilModelEbos.hpp:418) ---
-    wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank)
-    q_tot = wr.q_perf.sum(axis=1)
-    mode = update_well_controls(ws, mode, pbh, q_tot)
+    # --- control update from a cheap rates-only pass, then ONE full
+    # well assembly (reference: updateWellControls before assembleWellEq,
+    # BlackoilWellModel_impl.hpp:828-834) ---
+    q_quick = well_rates_only(fs, u, flag, pbh, ws)
+    mode = update_well_controls(ws, mode, pbh, q_quick)
     wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank)
     q_tot = wr.q_perf.sum(axis=1)
 

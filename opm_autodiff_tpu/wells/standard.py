@@ -224,6 +224,29 @@ def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
     return jnp.where(is_injector, rho_inj, rho_mix)
 
 
+def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
+                    ws: WellSet) -> jnp.ndarray:
+    """Total surface rates [W,3] without Jacobians (for control checks)."""
+    u_perf = u[ws.cell]
+    flag_perf = flag[ws.cell]
+    dz = ws.perf_depth - ws.ref_depth[:, None]
+    rho_conn = jax.vmap(jax.vmap(
+        _connection_density, in_axes=(None, 0, 0, None, None, None)),
+        in_axes=(None, 0, 0, 0, 0, 0))(
+        fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase)
+
+    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask):
+        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase)
+        return jnp.where(mask, q, jnp.zeros(3))
+
+    q = jax.vmap(jax.vmap(one, in_axes=(0, 0, None, 0, 0, 0, None, None, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
+        ws.is_injector, ws.inj_phase, ws.perf_mask)
+    q = jnp.where(ws.open_mask[:, None, None], q, 0.0)
+    return q.sum(axis=1)
+
+
 def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                        ws: WellSet,
                        active_mode: jnp.ndarray | None = None,
