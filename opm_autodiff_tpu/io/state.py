@@ -217,7 +217,8 @@ class EclState:
 # Builders
 # ---------------------------------------------------------------------------
 
-def _grid_array(deck: Deck, name: str, ncells: int, default=None, dtype=float):
+def _grid_array_plain(deck: Deck, name: str, ncells: int, default=None,
+                      dtype=float):
     kws = deck.get(name)
     if not kws:
         if default is None:
@@ -230,6 +231,10 @@ def _grid_array(deck: Deck, name: str, ncells: int, default=None, dtype=float):
         pad = np.full(ncells - arr.size, np.nan if dtype is float else 0, dtype)
         arr = np.concatenate([arr, pad])
     return arr[:ncells]
+
+
+# callers outside the grid section (solution arrays etc.) use the plain form
+_grid_array = _grid_array_plain
 
 
 def _build_runspec(deck: Deck) -> Runspec:
@@ -261,10 +266,99 @@ def _build_runspec(deck: Deck) -> Runspec:
     )
 
 
+def _apply_box_operations(deck: Deck, cartdims) -> dict:
+    """Process BOX/ENDBOX + EQUALS/COPY/ADD/MULTIPLY in deck order.
+
+    Returns {array_name: np.ndarray} overlays in deck units (reference:
+    opm-common's GridSection box operations; heavily used by SPE9/Norne
+    decks). Plain array keywords already in the deck seed the values;
+    operations then modify them in order.
+    """
+    nx, ny, nz = cartdims
+    n = nx * ny * nz
+    arrays: dict[str, np.ndarray] = {}
+    full_box = (0, nx - 1, 0, ny - 1, 0, nz - 1)
+    box = full_box
+
+    def sel(b):
+        i1, i2, j1, j2, k1, k2 = b
+        m = np.zeros((nz, ny, nx), bool)
+        m[k1:k2 + 1, j1:j2 + 1, i1:i2 + 1] = True
+        return m.reshape(-1)
+
+    def get(name):
+        if name not in arrays:
+            kws = deck.get(name)
+            if kws:
+                vals = [np.nan if v is DEFAULT else v
+                        for v in kws[-1].records[0]]
+                a = np.full(n, np.nan)
+                a[:min(len(vals), n)] = vals[:n]
+                arrays[name] = a
+            else:
+                arrays[name] = np.full(n, np.nan)
+        return arrays[name]
+
+    def rec_box(r, start):
+        vals = [item(r, start + i, None) for i in range(6)]
+        if all(v is None for v in vals):
+            return box
+        i1 = int(item(r, start + 0, box[0] + 1)) - 1
+        i2 = int(item(r, start + 1, box[1] + 1)) - 1
+        j1 = int(item(r, start + 2, box[2] + 1)) - 1
+        j2 = int(item(r, start + 3, box[3] + 1)) - 1
+        k1 = int(item(r, start + 4, box[4] + 1)) - 1
+        k2 = int(item(r, start + 5, box[5] + 1)) - 1
+        return (i1, i2, j1, j2, k1, k2)
+
+    for kw in deck:
+        if kw.name == "BOX" and kw.records:
+            r = kw.records[0]
+            box = (int(item(r, 0, 1)) - 1, int(item(r, 1, nx)) - 1,
+                   int(item(r, 2, 1)) - 1, int(item(r, 3, ny)) - 1,
+                   int(item(r, 4, 1)) - 1, int(item(r, 5, nz)) - 1)
+        elif kw.name == "ENDBOX":
+            box = full_box
+        elif kw.name == "EQUALS":
+            for r in kw.records:
+                name = str(item(r, 0, "")).upper()
+                val = float(item(r, 1, 0.0))
+                get(name)[sel(rec_box(r, 2))] = val
+        elif kw.name == "COPY":
+            for r in kw.records:
+                src = str(item(r, 0, "")).upper()
+                dst = str(item(r, 1, "")).upper()
+                m = sel(rec_box(r, 2))
+                get(dst)[m] = get(src)[m]
+        elif kw.name == "ADD":
+            for r in kw.records:
+                name = str(item(r, 0, "")).upper()
+                val = float(item(r, 1, 0.0))
+                get(name)[sel(rec_box(r, 2))] += val
+        elif kw.name == "MULTIPLY":
+            for r in kw.records:
+                name = str(item(r, 0, "")).upper()
+                val = float(item(r, 1, 0.0))
+                get(name)[sel(rec_box(r, 2))] *= val
+    return arrays
+
+
 def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
     nx, ny, nz = rs.cartdims
     n = nx * ny * nz
     u = rs.unit_system
+    overlays = _apply_box_operations(deck, rs.cartdims)
+
+    def _grid_array(deck_, name, ncells, default=None, dtype=float):
+        ov = overlays.get(name)
+        base = _grid_array_plain(deck_, name, ncells, default, dtype)
+        if ov is None or np.all(np.isnan(ov)):
+            return base
+        if base is None:
+            base = np.full(ncells, np.nan if default is None else default,
+                           dtype)
+        out = np.where(np.isnan(ov), base, ov)
+        return out.astype(dtype) if dtype is not float else out
 
     def vec_expand(name_v, name_full, axis):
         """DXV-style per-slice values expanded to the full grid."""
