@@ -134,6 +134,7 @@ class SolutionSection:
     swat: np.ndarray | None
     sgas: np.ndarray | None
     rs: np.ndarray | None
+    restart: tuple | None = None  # (basename, report_step)
 
 
 @dataclasses.dataclass
@@ -536,6 +537,12 @@ def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
         a = _grid_array(deck, name, ncells)
         return a * scale if a is not None else None
 
+    restart = None
+    kw = deck.get1("RESTART")
+    if kw and kw.records and kw.records[0]:
+        r = kw.records[0]
+        restart = (str(item(r, 0, "")), int(item(r, 1, 0)))
+
     return SolutionSection(
         equil=equil,
         rsvd=rsvd,
@@ -543,6 +550,7 @@ def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
         swat=arr("SWAT"),
         sgas=arr("SGAS"),
         rs=arr("RS", u.gas_oil_ratio),
+        restart=restart,
     )
 
 
@@ -775,4 +783,8 @@ def build_state(deck: Deck) -> EclState:
 
 
 def load_state(path: str) -> EclState:
-    return build_state(read_deck(path))
+    import os
+
+    st = build_state(read_deck(path))
+    st.deck_dir = os.path.dirname(os.path.abspath(path))
+    return st

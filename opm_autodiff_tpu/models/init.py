@@ -219,6 +219,47 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
     return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag[inv]))
 
 
+def restart_init(state: EclState, geo: Geometry, deck_dir: str
+                 ) -> tuple[PrimaryState, int]:
+    """Resume from a .UNRST written by this framework (or ECLIPSE layout).
+
+    Reference: RESTART keyword -> loadParallelRestart
+    (eclwriter.hh:301-330); solution arrays are read at the requested
+    SEQNUM, wells re-initialize from cell pressures.
+    """
+    import os
+
+    from opm_autodiff_tpu import units as U
+    from opm_autodiff_tpu.io.eclbinary import read_ecl_file
+
+    base, step = state.solution.restart
+    path = os.path.join(deck_dir, base + ".UNRST")
+    kws = read_ecl_file(path)
+    u = state.runspec.unit_system
+
+    blocks = {}
+    current = None
+    for name, _t, data in kws:
+        if name == "SEQNUM":
+            current = int(data[0])
+            blocks[current] = {}
+        elif current is not None:
+            blocks[current][name] = data
+    if step not in blocks:
+        raise ValueError(f"SEQNUM {step} not in {path} "
+                         f"(have {sorted(blocks)})")
+    b = blocks[step]
+    po = np.asarray(b["PRESSURE"], float) * u.pressure
+    sw = np.asarray(b["SWAT"], float)
+    sg = np.asarray(b["SGAS"], float)
+    rs = np.asarray(b.get("RS", np.zeros_like(po)), float) * u.gas_oil_ratio
+    flag = np.where(sg > 0.0, FLAG_SG, FLAG_RS).astype(np.int32)
+    # RS==0 rows in the file mean "free gas present"; keep saturated Rs
+    x3 = np.where(sg > 0.0, sg, rs)
+    uu = np.stack([po, sw, x3], axis=1)
+    return PrimaryState(u=jnp.asarray(uu), flag=jnp.asarray(flag)), step
+
+
 def explicit_init(state: EclState, geo: Geometry) -> PrimaryState:
     sol = state.solution
     if sol.pressure is None or sol.swat is None:

@@ -56,6 +56,7 @@ class Simulator:
                  options: SimulatorOptions | None = None):
         self.state = ecl_state
         self.opts = options or SimulatorOptions()
+        self._deck_dir = getattr(ecl_state, "deck_dir", ".")
         phases = ecl_state.runspec.phases
         self.opts.newton = dataclasses.replace(
             self.opts.newton,
@@ -91,7 +92,17 @@ class Simulator:
 
     # ------------------------------------------------------------------
     def _init_state(self):
-        ps = equilibrate(self.state, self.geo, self.fs)
+        restart = self.state.solution.restart
+        if restart is not None:
+            import os
+
+            from opm_autodiff_tpu.models.init import restart_init
+
+            ps, step = restart_init(self.state, self.geo,
+                                    self._deck_dir)
+            self._step_index = step
+        else:
+            ps = equilibrate(self.state, self.geo, self.fs)
         self.u = ps.u
         self.flag = ps.flag
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
