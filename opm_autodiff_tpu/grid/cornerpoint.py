@@ -284,10 +284,14 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
     dy = c8[:, :, 1].max(axis=1) - c8[:, :, 1].min(axis=1)
     dz = c8[:, :, 2].max(axis=1) - c8[:, :, 2].min(axis=1)
 
+    satnum = state.regions.get("SATNUM")
+    satnum_c = (np.maximum(satnum[act_to_glob] - 1, 0).astype(np.int32)
+                if satnum is not None
+                else np.zeros(len(act_to_glob), np.int32))
     return Geometry(
         cartdims=(nx, ny, nz), num_active=len(act_to_glob),
         glob_to_act=glob_to_act, act_to_glob=act_to_glob,
         volume=volume, pore_vol=pore_vol, depth=depth,
         dx=dx, dy=dy, dz=dz, permx=permx, permy=permy, permz=permz,
-        poro=compress(g.poro), ntg=ntg, faces=faces,
+        poro=compress(g.poro), ntg=ntg, faces=faces, satnum=satnum_c,
     )

@@ -63,6 +63,7 @@ class Geometry:
     poro: np.ndarray
     ntg: np.ndarray
     faces: FaceList
+    satnum: np.ndarray | None = None  # [na] zero-based SATNUM region
 
     def ijk(self, act_index: int) -> tuple[int, int, int]:
         nx, ny, _ = self.cartdims
@@ -153,12 +154,15 @@ def build_geometry(state: EclState) -> Geometry:
         axis=np.concatenate(axes),
     )
 
+    satnum = state.regions.get("SATNUM")
+    satnum_c = (np.maximum(satnum[act_to_glob] - 1, 0).astype(np.int32)
+                if satnum is not None else np.zeros(na, np.int32))
     return Geometry(
         cartdims=(nx, ny, nz), num_active=na,
         glob_to_act=glob_to_act, act_to_glob=act_to_glob,
         volume=volume, pore_vol=pore_vol, depth=depth,
         dx=dx, dy=dy, dz=dz, permx=permx, permy=permy, permz=permz,
-        poro=compress(g.poro), ntg=ntg, faces=faces,
+        poro=compress(g.poro), ntg=ntg, faces=faces, satnum=satnum_c,
     )
 
 

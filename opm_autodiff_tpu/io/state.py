@@ -106,11 +106,14 @@ class PropsSection:
     pvdg: np.ndarray | None  # [n,3]: p, Bg, mu_g  (SI)
     pvdo: np.ndarray | None  # [n,3]: p, Bo, mu_o
     pvto: PvtoTable | None
-    swof: np.ndarray | None  # [n,4]: Sw, krw, krow, Pcow
-    sgof: np.ndarray | None  # [n,4]: Sg, krg, krog, Pcog
+    swof: np.ndarray | None  # [n,4]: Sw, krw, krow, Pcow (region 1)
+    sgof: np.ndarray | None  # [n,4]: Sg, krg, krog, Pcog (region 1)
     swfn: np.ndarray | None
     sgfn: np.ndarray | None
     sof3: np.ndarray | None
+    # per-SATNUM-region tables (list of [n,4]; entry 0 == swof/sgof)
+    swof_regions: list = dataclasses.field(default_factory=list)
+    sgof_regions: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -446,6 +449,18 @@ def _table_2d(kw, ncols: int, scales: list[float]) -> np.ndarray:
     return arr * np.asarray(scales)
 
 
+def _table_2d_regions(kw, ncols: int, scales: list[float]) -> list:
+    """One table per record (per SATNUM region)."""
+    out = []
+    for rec in kw.records:
+        vals = [v for v in rec if v is not DEFAULT]
+        if not vals:
+            continue
+        out.append(np.asarray(vals, float).reshape(-1, ncols)
+                   * np.asarray(scales))
+    return out
+
+
 def _build_pvto(kw, u: U.UnitSystem) -> PvtoTable:
     rs_list, branches = [], []
     for rec in kw.records:
@@ -498,15 +513,23 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
 
     pvdg = t("PVDG", 3, [u.pressure, u.gas_fvf, u.viscosity])
     pvdo = t("PVDO", 3, [u.pressure, u.oil_fvf, u.viscosity])
-    swof = t("SWOF", 4, [1.0, 1.0, 1.0, u.pressure])
-    sgof = t("SGOF", 4, [1.0, 1.0, 1.0, u.pressure])
+    swof_kw = deck.get1("SWOF")
+    sgof_kw = deck.get1("SGOF")
+    swof_regions = (_table_2d_regions(swof_kw, 4, [1.0, 1.0, 1.0, u.pressure])
+                    if swof_kw else [])
+    sgof_regions = (_table_2d_regions(sgof_kw, 4, [1.0, 1.0, 1.0, u.pressure])
+                    if sgof_kw else [])
+    swof = swof_regions[0] if swof_regions else None
+    sgof = sgof_regions[0] if sgof_regions else None
     swfn = t("SWFN", 3, [1.0, 1.0, u.pressure])
     sgfn = t("SGFN", 3, [1.0, 1.0, u.pressure])
     sof3 = t("SOF3", 3, [1.0, 1.0, 1.0])
     pvto_kw = deck.get1("PVTO")
     pvto = _build_pvto(pvto_kw, u) if pvto_kw else None
     return PropsSection(pvtw, rock, density, pvdg, pvdo, pvto, swof, sgof,
-                        swfn, sgfn, sof3)
+                        swfn, sgfn, sof3,
+                        swof_regions=swof_regions,
+                        sgof_regions=sgof_regions)
 
 
 def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
@@ -762,7 +785,12 @@ def build_state(deck: Deck) -> EclState:
     solution = _build_solution(deck, rs, n)
     summary = _build_summary(deck)
     schedule = _build_schedule(deck, rs, grid)
+    n = len(grid.poro)
     regions = {}
+    for name in ("SATNUM", "PVTNUM", "EQLNUM", "FIPNUM"):
+        arr = _grid_array(deck, name, n, dtype=int)
+        if arr is not None:
+            regions[name] = arr
     aquifers = {}
     for name in ("AQUCT", "AQUFETP", "AQUANCON"):
         kws = deck.get(name)

@@ -52,18 +52,20 @@ def bsr_matvec(sys: BsrSystem, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref):
+def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, satnum):
     def f(uu):
-        a = accumulation(fs, uu, flag, pv_ref)
+        a = accumulation(fs, uu, flag, pv_ref, satnum)
         return a, a
 
     jac, val = jax.jacfwd(f, has_aux=True)(u)
     return val, jac
 
 
-def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz):
+def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
+                  satL, satR):
     def f(u6):
-        fl = face_flux(fs, u6[:3], u6[3:], flagL, flagR, trans, gdz)
+        fl = face_flux(fs, u6[:3], u6[3:], flagL, flagR, trans, gdz,
+                       satL, satR)
         return fl, fl
 
     jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
@@ -80,8 +82,8 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     """
     u, flag = state.u, state.flag
 
-    acc, acc_jac = jax.vmap(_acc_val_jac, in_axes=(None, 0, 0, 0))(
-        fs, u, flag, cells.pore_vol_ref)
+    acc, acc_jac = jax.vmap(_acc_val_jac, in_axes=(None, 0, 0, 0, 0))(
+        fs, u, flag, cells.pore_vol_ref, cells.satnum)
 
     residual = (acc - acc0) / dt
     diag = acc_jac / dt
@@ -91,9 +93,11 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     flagL = flag[faces.left]
     flagR = flag[faces.right]
 
+    satL = cells.satnum[faces.left]
+    satR = cells.satnum[faces.right]
     flux, jac_l, jac_r = jax.vmap(_flux_val_jac,
-                                  in_axes=(None, 0, 0, 0, 0, 0, 0))(
-        fs, uL, uR, flagL, flagR, faces.trans, faces.gdz)
+                                  in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
+        fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, satL, satR)
 
     # R_L += flux ; R_R -= flux
     residual = residual.at[faces.left].add(flux)

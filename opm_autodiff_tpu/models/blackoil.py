@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.props.fluid import FluidSystem
@@ -44,6 +45,7 @@ class CellStatic(NamedTuple):
 
     pore_vol_ref: jnp.ndarray
     depth: jnp.ndarray
+    satnum: jnp.ndarray  # [N] int32, zero-based SATNUM region
 
 
 class FaceStatic(NamedTuple):
@@ -68,7 +70,7 @@ class Intensive(NamedTuple):
     sat: jnp.ndarray     # [3] saturations
 
 
-def intensive(fs: FluidSystem, u, flag) -> Intensive:
+def intensive(fs: FluidSystem, u, flag, satnum=0) -> Intensive:
     """Scalar per-cell intensive quantities; differentiable in u."""
     po, sw, x3 = u[0], u[1], u[2]
     has_gas = flag == FLAG_SG
@@ -76,8 +78,8 @@ def intensive(fs: FluidSystem, u, flag) -> Intensive:
     so = 1.0 - sw - sg
     rs = jnp.where(has_gas, fs.rs_sat(po), x3)
 
-    pw = po - fs.sat.pcow(sw)
-    pg = po + fs.sat.pcog(sg)
+    pw = po - fs.sat.pcow(sw, satnum)
+    pg = po + fs.sat.pcog(sg, satnum)
 
     inv_bw = fs.water.inv_b(pw)
     inv_bo = fs.oil_inv_b(po, rs)
@@ -87,9 +89,9 @@ def intensive(fs: FluidSystem, u, flag) -> Intensive:
     mu_o = fs.oil_viscosity(po, rs)
     mu_g = fs.gas.viscosity(pg)
 
-    krw = fs.sat.krw(sw)
-    kro = fs.sat.kro(sw, sg)
-    krg = fs.sat.krg(sg)
+    krw = fs.sat.krw(sw, satnum)
+    kro = fs.sat.kro(sw, sg, satnum)
+    krg = fs.sat.krg(sg, satnum)
 
     rho_w = fs.rho_surf[0] * inv_bw
     rho_o = (fs.rho_surf[1] + rs * fs.rho_surf[2]) * inv_bo
@@ -105,9 +107,9 @@ def intensive(fs: FluidSystem, u, flag) -> Intensive:
     )
 
 
-def accumulation(fs: FluidSystem, u, flag, pore_vol_ref):
+def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, satnum=0):
     """Per-cell conserved surface volumes [3] (water, oil, gas)."""
-    q = intensive(fs, u, flag)
+    q = intensive(fs, u, flag, satnum)
     pv = pore_vol_ref * fs.rock.mult(u[0])
     sw, so, sg = q.sat[0], q.sat[1], q.sat[2]
     aw = pv * sw * q.inv_b[0]
@@ -116,7 +118,8 @@ def accumulation(fs: FluidSystem, u, flag, pore_vol_ref):
     return jnp.stack([aw, ao, ag])
 
 
-def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz):
+def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
+              satnumL=0, satnumR=0):
     """TPFA upwinded phase flux through one face, positive L -> R.
 
     Semantics follow EclTransFluxModule::calculateGradients_
@@ -128,8 +131,8 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz):
 
     Returns [3]: water, oil, gas surface-volume fluxes [m^3/s].
     """
-    qL = intensive(fs, uL, flagL)
-    qR = intensive(fs, uR, flagR)
+    qL = intensive(fs, uL, flagL, satnumL)
+    qR = intensive(fs, uR, flagR, satnumR)
 
     # phase potential difference: dPhi_p = (pL - pR) - rho_avg * g * dz
     # (gdz = g*(depth_L - depth_R); depth positive down)
@@ -162,9 +165,13 @@ def statics_from_geometry(geo, structured: str = "auto"
     grid is fully-active cartesian (the TPU fast path: no gathers);
     'never' forces the general face list; 'always' asserts it.
     """
+    satnum = getattr(geo, "satnum", None)
+    if satnum is None:
+        satnum = np.zeros(geo.num_active, np.int32)
     cells = CellStatic(
         pore_vol_ref=jnp.asarray(geo.pore_vol),
         depth=jnp.asarray(geo.depth),
+        satnum=jnp.asarray(satnum, jnp.int32),
     )
     if structured != "never":
         from opm_autodiff_tpu.models.structured import (

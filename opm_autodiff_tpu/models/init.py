@@ -174,12 +174,15 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
                              rho_gas)
 
     sat = fs.sat
-    sw_nodes = np.asarray(sat.sw)
-    pcow_nodes = np.asarray(sat.pcow_tab)
-    sg_nodes = np.asarray(sat.sg)
-    pcog_nodes = np.asarray(sat.pcog_tab)
-    swco = float(sat.swco)
-    sg_max = float(sg_nodes[-1])
+    # banked per-region tables [R, n]; per-cell SATNUM selects the row
+    sw_bank = np.asarray(sat.sw)
+    pcow_bank = np.asarray(sat.pcow_tab)
+    sg_bank = np.asarray(sat.sg)
+    pcog_bank = np.asarray(sat.pcog_tab)
+    swco_bank = np.asarray(sat.swco)
+    regs = (np.asarray(geo.satnum) if getattr(geo, "satnum", None) is not None
+            else np.zeros(len(d_sorted), np.int32))
+    regs_sorted = regs[order]
 
     n = len(d_sorted)
     sw = np.empty(n)
@@ -190,6 +193,16 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
 
     for i in range(n):
         d = d_sorted[i]
+        r = int(regs_sorted[i])
+        sw_nodes = sw_bank[r]
+        real = np.isfinite(sw_nodes)
+        sw_nodes = sw_nodes[real]
+        pcow_nodes = pcow_bank[r][real]
+        sg_real = np.isfinite(sg_bank[r])
+        sg_nodes = sg_bank[r][sg_real]
+        pcog_nodes = pcog_bank[r][sg_real]
+        swco = float(swco_bank[r])
+        sg_max = float(sg_nodes[-1])
         # water saturation from Pcow = po - pw (decreasing in sw)
         s = _invert_pc(po[i] - pw[i], sw_nodes, pcow_nodes, increasing=False)
         if s is None:

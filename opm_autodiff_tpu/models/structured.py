@@ -123,10 +123,10 @@ def _axis_pairs(u3, axis):
     return u3[:-1], u3[1:]
 
 
-def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz):
-    def one(uL_, uR_, fL, fR, t, g):
+def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, satL, satR):
+    def one(uL_, uR_, fL, fR, t, g, sL, sR):
         def f(u6):
-            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g)
+            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g, sL, sR)
             return fl, fl
 
         jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL_, uR_]))
@@ -136,7 +136,8 @@ def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz):
     flat = lambda a, tail: a.reshape((-1,) + tail)  # noqa: E731
     val, jl, jr = jax.vmap(one)(flat(uL, (3,)), flat(uR, (3,)),
                                 flagL.reshape(-1), flagR.reshape(-1),
-                                trans.reshape(-1), gdz.reshape(-1))
+                                trans.reshape(-1), gdz.reshape(-1),
+                                satL.reshape(-1), satR.reshape(-1))
     return (val.reshape(shape + (3,)), jl.reshape(shape + (3, 3)),
             jr.reshape(shape + (3, 3)))
 
@@ -148,16 +149,18 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
     u, flag = state.u, state.flag
     u3 = u.reshape(nz, ny, nx, 3)
     flag3 = flag.reshape(nz, ny, nx)
+    sat3 = cells.satnum.reshape(nz, ny, nx)
 
-    def acc_one(uu, ff, pv):
+    def acc_one(uu, ff, pv, sn):
         def f(x):
-            a = accumulation(fs, x, ff, pv)
+            a = accumulation(fs, x, ff, pv, sn)
             return a, a
 
         jac, val = jax.jacfwd(f, has_aux=True)(uu)
         return val, jac
 
-    acc, acc_jac = jax.vmap(acc_one)(u, flag, cells.pore_vol_ref)
+    acc, acc_jac = jax.vmap(acc_one)(u, flag, cells.pore_vol_ref,
+                                     cells.satnum)
     residual = (acc - acc0) / dt
     diag = acc_jac / dt
     res3 = residual.reshape(nz, ny, nx, 3)
@@ -169,7 +172,9 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
              (topo.trans_z, topo.gdz_z))):
         uL, uR = _axis_pairs(u3, axis)
         fL, fR = _axis_pairs(flag3, axis)
-        flux, jl, jr = _flux_val_jac_slab(fs, uL, uR, fL, fR, trans, gdz)
+        sL, sR = _axis_pairs(sat3, axis)
+        flux, jl, jr = _flux_val_jac_slab(fs, uL, uR, fL, fR, trans, gdz,
+                                          sL, sR)
 
         if axis == 0:
             res3 = res3.at[:, :, :-1].add(flux)

@@ -337,7 +337,8 @@ class Simulator:
         from opm_autodiff_tpu.models.blackoil import CellStatic
         self.cells = CellStatic(
             pore_vol_ref=jnp.asarray(self.geo.pore_vol),
-            depth=self.cells.depth)
+            depth=self.cells.depth,
+            satnum=self.cells.satnum)
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
                                  self.cells.pore_vol_ref)
 

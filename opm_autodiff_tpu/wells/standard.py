@@ -171,7 +171,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
-                dz, is_injector, inj_phase):
+                dz, is_injector, inj_phase, satnum=0):
     """Surface-volume rates [3] INTO the cell at one perforation.
 
     Reference semantics: StandardWell_impl.hpp:297 calculateSinglePerf —
@@ -180,7 +180,7 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
     connection pressure correction from an explicitly-computed (lagged)
     connection density.
     """
-    q = intensive(fs, u_cell, flag_cell)
+    q = intensive(fs, u_cell, flag_cell, satnum)
     p_conn = pbh + rho_conn * U.GRAVITY * dz
 
     # one drawdown per phase using phase pressures in the cell
@@ -209,13 +209,13 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
 
 
 def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
-                        is_injector, inj_phase):
+                        is_injector, inj_phase, satnum=0):
     """Explicit (lagged, non-differentiated) connection mixture density.
 
     Reference: StandardWell computeConnectionDensities — explicit update
     per Newton iteration from the previous iteration's state.
     """
-    q = intensive(fs, u_cell, flag_cell)
+    q = intensive(fs, u_cell, flag_cell, satnum)
     # producer: mobility-weighted cell fluid density; injector: phase density
     mob_sum = q.mob[0] + q.mob[1] + q.mob[2]
     w = q.mob / jnp.maximum(mob_sum, 1e-30)
@@ -225,24 +225,27 @@ def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
 
 
 def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
-                    ws: WellSet) -> jnp.ndarray:
+                    ws: WellSet, satnum=None) -> jnp.ndarray:
     """Total surface rates [W,3] without Jacobians (for control checks)."""
     u_perf = u[ws.cell]
     flag_perf = flag[ws.cell]
+    sat_perf = (satnum[ws.cell] if satnum is not None
+                else jnp.zeros_like(ws.cell))
     dz = ws.perf_depth - ws.ref_depth[:, None]
     rho_conn = jax.vmap(jax.vmap(
-        _connection_density, in_axes=(None, 0, 0, None, None, None)),
-        in_axes=(None, 0, 0, 0, 0, 0))(
-        fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase)
+        _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
+        in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase, sat_perf)
 
-    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask):
-        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase)
+    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, sn):
+        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, sn)
         return jnp.where(mask, q, jnp.zeros(3))
 
-    q = jax.vmap(jax.vmap(one, in_axes=(0, 0, None, 0, 0, 0, None, None, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+    q = jax.vmap(jax.vmap(one,
+                          in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, sat_perf)
     q = jnp.where(ws.open_mask[:, None, None], q, 0.0)
     return q.sum(axis=1)
 
@@ -250,7 +253,7 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
 def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                        ws: WellSet,
                        active_mode: jnp.ndarray | None = None,
-                       vfp_bank=None) -> WellResult:
+                       vfp_bank=None, satnum=None) -> WellResult:
     """Assemble all well quantities for one Newton iteration.
 
     Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
@@ -263,20 +266,22 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         active_mode = ws.ctrl_mode
     u_perf = u[ws.cell]          # [W,P,3]
     flag_perf = flag[ws.cell]    # [W,P]
+    sat_perf = (satnum[ws.cell] if satnum is not None
+                else jnp.zeros_like(ws.cell))
     dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
 
     # explicit connection densities (lagged; no gradient)
     rho_conn = jax.vmap(jax.vmap(
-        _connection_density, in_axes=(None, 0, 0, None, None, None)),
-        in_axes=(None, 0, 0, 0, 0, 0))(
+        _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
+        in_axes=(None, 0, 0, 0, 0, 0, 0))(
         fs, jax.lax.stop_gradient(u_perf), flag_perf,
-        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase)
+        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, sat_perf)
 
-    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask):
+    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, sn):
         def f(args):
             uu, pp = args
             qv = _perf_rates(fs, uu, flag_c, pp, rho_c, wi_c, dz_c, inj,
-                             phase)
+                             phase, sn)
             qv = jnp.where(mask, qv, jnp.zeros(3))
             return qv, qv
 
@@ -285,10 +290,10 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         return val, dq_du, dq_dpbh
 
     q_perf, dq_du, dq_dpbh = jax.vmap(jax.vmap(
-        one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, sat_perf)
 
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
