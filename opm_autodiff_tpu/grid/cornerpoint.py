@@ -277,6 +277,10 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         trans=np.concatenate(transs),
         axis=np.concatenate(axes),
     )
+    from opm_autodiff_tpu.grid.geometry import append_nnc, compute_face_thpres
+
+    faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    compute_face_thpres(faces, state, act_to_glob)
 
     # effective dx/dy/dz for Peaceman and output: from corner spans
     c8 = corners[act_to_glob].reshape(-1, 8, 3)

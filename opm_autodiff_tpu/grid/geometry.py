@@ -36,7 +36,8 @@ class FaceList:
     left: np.ndarray   # [nf] int32, cell on the negative side
     right: np.ndarray  # [nf] int32, cell on the positive side
     trans: np.ndarray  # [nf] f64, SI (m^3)
-    axis: np.ndarray   # [nf] int8: 0=X, 1=Y, 2=Z (NNC=3 later)
+    axis: np.ndarray   # [nf] int8: 0=X, 1=Y, 2=Z, 3=NNC
+    thpres: np.ndarray | None = None  # [nf] threshold pressure (Pa)
 
     @property
     def num_faces(self) -> int:
@@ -153,6 +154,8 @@ def build_geometry(state: EclState) -> Geometry:
         trans=np.concatenate(transs),
         axis=np.concatenate(axes),
     )
+    faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    compute_face_thpres(faces, state, act_to_glob)
 
     satnum = state.regions.get("SATNUM")
     satnum_c = (np.maximum(satnum[act_to_glob] - 1, 0).astype(np.int32)
@@ -163,6 +166,60 @@ def build_geometry(state: EclState) -> Geometry:
         volume=volume, pore_vol=pore_vol, depth=depth,
         dx=dx, dy=dy, dz=dz, permx=permx, permy=permy, permz=permz,
         poro=compress(g.poro), ntg=ntg, faces=faces, satnum=satnum_c,
+    )
+
+
+def compute_face_thpres(faces: FaceList, state, geo_act_to_glob) -> None:
+    """Fill faces.thpres from THPRES records + EQLNUM regions
+    (reference: eclthresholdpressure.hh; explicit values only — the
+    defaulted-from-equilibration variant lands with multi-region EQUIL)."""
+    nf = len(faces.left)
+    faces.thpres = np.zeros(nf)
+    thpres = getattr(state, "thpres", None)
+    eqlnum = state.regions.get("EQLNUM")
+    if not thpres or eqlnum is None:
+        return
+    eql_act = eqlnum[geo_act_to_glob]
+    table = {}
+    for r1, r2, dp in thpres:
+        if dp is None:
+            dp = 0.0
+        table[(r1, r2)] = dp
+        table.setdefault((r2, r1), dp)
+    rl = eql_act[faces.left]
+    rr = eql_act[faces.right]
+    for (r1, r2), dp in table.items():
+        sel = (rl == r1) & (rr == r2)
+        faces.thpres[sel] = dp
+
+
+def append_nnc(faces: FaceList, state, glob_to_act, nxy) -> FaceList:
+    """Append explicit NNC keyword connections as axis-3 faces
+    (reference: ecltransmissibility.cc:487 NNC application)."""
+    if not getattr(state, "nnc", None):
+        return faces
+    nx, ny = nxy
+    lefts, rights, transs = [], [], []
+    for (i1, j1, k1), (i2, j2, k2), t in state.nnc:
+        a = glob_to_act[i1 + nx * (j1 + ny * k1)]
+        b = glob_to_act[i2 + nx * (j2 + ny * k2)]
+        if a < 0 or b < 0 or t <= 0:
+            continue
+        lefts.append(a)
+        rights.append(b)
+        transs.append(t)
+    if not lefts:
+        return faces
+    import numpy as _np
+
+    return FaceList(
+        left=_np.concatenate([faces.left,
+                              _np.asarray(lefts, _np.int32)]),
+        right=_np.concatenate([faces.right,
+                               _np.asarray(rights, _np.int32)]),
+        trans=_np.concatenate([faces.trans, _np.asarray(transs)]),
+        axis=_np.concatenate([faces.axis,
+                              _np.full(len(lefts), 3, _np.int8)]),
     )
 
 

@@ -211,6 +211,8 @@ class EclState:
     aquifers: dict = dataclasses.field(default_factory=dict)
     tracers: dict = dataclasses.field(default_factory=dict)
     vfp_prod_records: list = dataclasses.field(default_factory=list)
+    nnc: list = dataclasses.field(default_factory=list)  # (ijk1, ijk2, trans SI)
+    thpres: list = dataclasses.field(default_factory=list)  # (r1, r2, dp SI)
 
     @property
     def cartdims(self):
@@ -805,9 +807,24 @@ def build_state(deck: Deck) -> EclState:
         if kw.name.startswith("TBLKF"):
             tracers[kw.name] = [v for v in kw.records[0] if v is not DEFAULT]
     vfp_prod = [kw.records for kw in deck.get("VFPPROD")]
+    u = rs.unit_system
+    nnc = []
+    for kw in deck.get("NNC"):
+        for r in kw.records:
+            nnc.append(((int(item(r, 0, 1)) - 1, int(item(r, 1, 1)) - 1,
+                         int(item(r, 2, 1)) - 1),
+                        (int(item(r, 3, 1)) - 1, int(item(r, 4, 1)) - 1,
+                         int(item(r, 5, 1)) - 1),
+                        float(item(r, 6, 0.0)) * u.transmissibility))
+    thpres = []
+    for kw in deck.get("THPRES"):
+        for r in kw.records:
+            thpres.append((int(item(r, 0, 1)), int(item(r, 1, 1)),
+                           item(r, 2, None) and
+                           float(item(r, 2, 0.0)) * u.pressure))
     return EclState(rs, grid, props, regions, solution, summary, schedule,
                     aquifers=aquifers, tracers=tracers,
-                    vfp_prod_records=vfp_prod)
+                    vfp_prod_records=vfp_prod, nnc=nnc, thpres=thpres)
 
 
 def load_state(path: str) -> EclState:

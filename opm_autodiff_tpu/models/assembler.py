@@ -62,10 +62,10 @@ def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, satnum):
 
 
 def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-                  satL, satR):
+                  satL, satR, thp):
     def f(u6):
         fl = face_flux(fs, u6[:3], u6[3:], flagL, flagR, trans, gdz,
-                       satL, satR)
+                       satL, satR, thp)
         return fl, fl
 
     jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
@@ -95,9 +95,10 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
 
     satL = cells.satnum[faces.left]
     satR = cells.satnum[faces.right]
-    flux, jac_l, jac_r = jax.vmap(_flux_val_jac,
-                                  in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
-        fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, satL, satR)
+    flux, jac_l, jac_r = jax.vmap(
+        _flux_val_jac, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, satL, satR,
+        faces.thpres)
 
     # R_L += flux ; R_R -= flux
     residual = residual.at[faces.left].add(flux)

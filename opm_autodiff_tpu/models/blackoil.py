@@ -56,6 +56,7 @@ class FaceStatic(NamedTuple):
     trans: jnp.ndarray
     # gravity potential difference factor: g * (depth_L - depth_R)
     gdz: jnp.ndarray
+    thpres: jnp.ndarray  # [F] threshold pressure deadband (Pa)
 
 
 class Intensive(NamedTuple):
@@ -119,7 +120,7 @@ def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, satnum=0):
 
 
 def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-              satnumL=0, satnumR=0):
+              satnumL=0, satnumR=0, thpres=0.0):
     """TPFA upwinded phase flux through one face, positive L -> R.
 
     Semantics follow EclTransFluxModule::calculateGradients_
@@ -138,6 +139,14 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
     # (gdz = g*(depth_L - depth_R); depth positive down)
     rho_avg = 0.5 * (qL.rho + qR.rho)
     dphi = (qL.p - qR.p) - rho_avg * gdz  # [3]
+    # THPRES deadband (eclfluxmodule.hh:327-337): flow requires the
+    # potential difference to exceed the region-pair threshold; the
+    # effective driving force is reduced by it. Kept an exact identity
+    # (value AND derivative) where no threshold applies.
+    dphi = jnp.where(thpres > 0.0,
+                     jnp.sign(dphi) * jnp.maximum(jnp.abs(dphi) - thpres,
+                                                  0.0),
+                     dphi)
 
     upwind_L = dphi >= 0.0
 
@@ -182,10 +191,13 @@ def statics_from_geometry(geo, structured: str = "auto"
         if structured == "always":
             raise ValueError("grid is not fully-active cartesian")
     f = geo.faces
+    thp = (f.thpres if getattr(f, "thpres", None) is not None
+           else np.zeros(len(f.left)))
     faces = FaceStatic(
         left=jnp.asarray(f.left),
         right=jnp.asarray(f.right),
         trans=jnp.asarray(f.trans),
         gdz=jnp.asarray(U.GRAVITY * (geo.depth[f.left] - geo.depth[f.right])),
+        thpres=jnp.asarray(thp),
     )
     return cells, faces

@@ -71,7 +71,11 @@ class StructuredSystem(NamedTuple):
 
 def structured_ok(geo: Geometry) -> bool:
     nx, ny, nz = geo.cartdims
-    return geo.num_active == nx * ny * nz
+    has_nnc = bool((np.asarray(geo.faces.axis) == 3).any())
+    thp = getattr(geo.faces, "thpres", None)
+    has_thpres = thp is not None and bool((np.asarray(thp) != 0).any())
+    return (geo.num_active == nx * ny * nz and not has_nnc
+            and not has_thpres)
 
 
 def topology_from_geometry(geo: Geometry) -> StructuredTopology:

@@ -219,8 +219,17 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         row32 = row.astype(dtype)
         col64 = col
 
+        from opm_autodiff_tpu.models.structured import StructuredSystem
+        from opm_autodiff_tpu.ops import pallas_spmv
+
+        if isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
+            prep = pallas_spmv.prepare_banded(scaled)
+            base_mv = partial(pallas_spmv.banded_spmv_pallas, prep)
+        else:
+            base_mv = partial(system_matvec, scaled)
+
         def matvec(y):
-            z = system_matvec(scaled, y)
+            z = base_mv(y)
             if extra_matvec is not None:
                 x = (y.astype(f64) * col64)
                 z = z + (extra_matvec(x) * row32.astype(f64)).astype(dtype)
