@@ -73,10 +73,12 @@ def _pressure_matvec(c: CprData, x):
 def _pressure_inner_solve(c: CprData, b, iters: int):
     """Fixed-iteration Jacobi-preconditioned BiCGStab on the scalar
     pressure system (stands in for the reference's single AMG V-cycle)."""
-    inv_d = 1.0 / jnp.where(jnp.abs(c.p_diag) > 0, c.p_diag, 1.0)
+    return _pressure_inner_solve_generic(lambda x: _pressure_matvec(c, x),
+                                         c.p_diag, b, iters)
 
-    def mv(x):
-        return _pressure_matvec(c, x)
+
+def _pressure_inner_solve_generic(mv, diag, b, iters: int):
+    inv_d = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
 
     def prec(x):
         return inv_d * x
@@ -113,6 +115,75 @@ def _pressure_inner_solve(c: CprData, b, iters: int):
     (x, *_ ) = jax.lax.fori_loop(0, iters, body,
                                  (x, r, p, v, rho, alpha, omega))
     return x
+
+
+class CprBandedData(NamedTuple):
+    """Scalar pressure system in banded form (structured grids):
+    same two-stage CPR but every inner op is a static slice."""
+
+    weights: jnp.ndarray   # [N,3]
+    p_diag: jnp.ndarray    # [nz, ny, nx]
+    px_lr: jnp.ndarray     # [nz, ny, nx-1]
+    px_rl: jnp.ndarray
+    py_lr: jnp.ndarray     # [nz, ny-1, nx]
+    py_rl: jnp.ndarray
+    pz_lr: jnp.ndarray     # [nz-1, ny, nx]
+    pz_rl: jnp.ndarray
+    inv_diag: jnp.ndarray  # [N,3,3] block-Jacobi of the full system
+
+
+def build_cpr_banded(sys, inv_diag, pressure_var: int = 0) -> CprBandedData:
+    """Quasi-IMPES CPR on the StructuredSystem banded layout."""
+    w = _solve_transpose_3x3(sys.diag, pressure_var)  # [N,3]
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    nz, ny, nxm = sys.x_lr.shape[:3]
+    nx = nxm + 1
+    w3 = w.reshape(nz, ny, nx, 3)
+    p_diag = jnp.einsum("ni,ni->n", w,
+                        sys.diag[:, :, pressure_var]).reshape(nz, ny, nx)
+
+    def contract(band, w_row):
+        # band [..., 3, 3] row-weighted: w_row . band[..., :, p]
+        return jnp.einsum("...i,...i->...", w_row,
+                          band[..., :, pressure_var])
+
+    return CprBandedData(
+        weights=w,
+        p_diag=p_diag,
+        px_lr=contract(sys.x_lr, w3[:, :, :-1]),
+        px_rl=contract(sys.x_rl, w3[:, :, 1:]),
+        py_lr=contract(sys.y_lr, w3[:, :-1, :]),
+        py_rl=contract(sys.y_rl, w3[:, 1:, :]),
+        pz_lr=contract(sys.z_lr, w3[:-1]),
+        pz_rl=contract(sys.z_rl, w3[1:]),
+        inv_diag=inv_diag,
+    )
+
+
+def _pressure_matvec_banded(c: CprBandedData, x3):
+    y = c.p_diag * x3
+    y = y.at[:, :, :-1].add(c.px_lr * x3[:, :, 1:])
+    y = y.at[:, :, 1:].add(c.px_rl * x3[:, :, :-1])
+    y = y.at[:, :-1, :].add(c.py_lr * x3[:, 1:, :])
+    y = y.at[:, 1:, :].add(c.py_rl * x3[:, :-1, :])
+    y = y.at[:-1].add(c.pz_lr * x3[1:])
+    y = y.at[1:].add(c.pz_rl * x3[:-1])
+    return y
+
+
+def cpr_banded_apply(c: CprBandedData, sys, r, inner_iters: int = 12,
+                     pressure_var: int = 0):
+    """Two-stage apply on the banded layout."""
+    from opm_autodiff_tpu.models.structured import structured_matvec
+
+    nz, ny, nx = c.p_diag.shape
+    r_p = jnp.einsum("ni,ni->n", c.weights, r).reshape(nz, ny, nx)
+    dp = _pressure_inner_solve_generic(
+        lambda v: _pressure_matvec_banded(c, v), c.p_diag, r_p, inner_iters)
+    x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp.reshape(-1))
+    r2 = r - structured_matvec(sys, x1)
+    x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    return x1 + x2
 
 
 def cpr_apply(c: CprData, sys: BsrSystem, r, inner_iters: int = 12,

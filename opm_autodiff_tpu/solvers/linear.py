@@ -272,9 +272,12 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
 
     if name == "cpr":
         if isinstance(sys, StructuredSystem):
-            raise NotImplementedError(
-                "CPR on the banded layout lands with the structured "
-                "pressure solver; use precond='jacobi'")
+            from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,
+                                                      cpr_banded_apply)
+
+            cprb = build_cpr_banded(sys, inv_diag)
+            return lambda r: cpr_banded_apply(cprb, sys, r,
+                                              inner_iters=cpr_inner_iters)
         from opm_autodiff_tpu.solvers.cpr import build_cpr, cpr_apply
 
         cpr = build_cpr(sys, inv_diag)
