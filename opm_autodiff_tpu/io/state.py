@@ -179,6 +179,7 @@ class WellConfig:
     econ_min_oil: float | None = None
     econ_max_wct: float | None = None
     vfp_table: int | None = None  # VFPPROD table number (THP control)
+    wtest_interval: float | None = None  # days between WTEST retests
 
 
 @dataclasses.dataclass
@@ -728,6 +729,19 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                         u.gas_rate if str(item(r, 1, "GAS")).upper() == "GAS"
                         else u.liquid_rate),
                 }
+        elif kw.name == "WELOPEN":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells.get(name)
+                if w is not None:
+                    w.status = str(item(r, 1, "OPEN")).upper()
+        elif kw.name == "WTEST":
+            for r in kw.records:
+                name = str(item(r, 0, ""))
+                w = wells.get(name)
+                if w is not None:
+                    iv = item(r, 1, 0.0)
+                    w.wtest_interval = float(iv) * u.time / U.DAY if iv else None
         elif kw.name == "WECON":
             for r in kw.records:
                 name = str(item(r, 0, ""))

@@ -86,7 +86,7 @@ class Simulator:
             self.vfp_bank = None
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.facelist)
-        self._shut_wells: set = set()
+        self._shut_wells: dict = {}  # name -> shut time (days)
         self._init_state()
         self.tracers.initialize(self.u, self.flag)
 
@@ -120,6 +120,13 @@ class Simulator:
             raise IndexError("schedule exhausted")
         rstep = sched.steps[self._step_index]
         wells = [w for w in rstep.wells]
+        # WTEST: retest economically-shut wells after their interval
+        # (reference: BlackoilWellModel WTEST handling, _impl.hpp:374)
+        for name, shut_t in list(self._shut_wells.items()):
+            w = next((x for x in wells if x.name == name), None)
+            if (w is not None and w.wtest_interval
+                    and rstep.start_days - shut_t >= w.wtest_interval):
+                del self._shut_wells[name]
         for w in wells:
             if w.name in self._shut_wells:
                 w.status = "SHUT"
@@ -201,7 +208,8 @@ class Simulator:
             substeps=len(reports))
         # WECON economic limits at the report-step boundary
         newly_shut = apply_econ_limits(wells, getattr(self, "_last_q", None))
-        self._shut_wells.update(newly_shut)
+        for name in newly_shut:
+            self._shut_wells[name] = rstep.end_days
         self.summary.end_report_step(rstep.end_days, self._field_state(ws))
         self._step_index += 1
         return reports

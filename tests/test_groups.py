@@ -93,3 +93,35 @@ def test_parse_group_keywords(tmp_path):
     wells = {w.name: w for w in state.schedule.steps[0].wells}
     assert wells["PROD"].control_mode == "GRUP"
     assert wells["PROD"].group == "PLAT"
+
+
+def test_welopen_and_wtest(tmp_path):
+    """WELOPEN shuts a well mid-schedule; WTEST re-opens a WECON-shut
+    well after its retest interval."""
+    from opm_autodiff_tpu.utils.synthetic import spe1_deck_text
+
+    text = spe1_deck_text(6, 6, 3, tstep_days="5 10")
+    # shut the injector after the first two steps, then more steps
+    text = text.replace(
+        "TSTEP\n 5 10 /",
+        "TSTEP\n 5 10 /\nWELOPEN\n 'INJ' 'SHUT' /\n/\nTSTEP\n 10 20 /")
+    p = tmp_path / "WO.DATA"
+    p.write_text(text)
+    state = load_state(str(p))
+    w_by_step = [({w.name: w.status for w in s.wells})
+                 for s in state.schedule.steps]
+    assert w_by_step[0]["INJ"] == "OPEN"
+    assert w_by_step[2]["INJ"] == "SHUT"
+    sim = Simulator(state, SimulatorOptions())
+    sim.run()
+    rows = sim.summary.rows
+    assert rows[0]["WGIR:INJ"] > 0
+    assert rows[-1]["WGIR:INJ"] == 0.0
+
+    # WTEST parsing lands on the well config
+    text2 = text.replace("WCONINJE\n", "WTEST\n 'PROD' 30 'E' /\n/\nWCONINJE\n", 1)
+    p2 = tmp_path / "WT.DATA"
+    p2.write_text(text2)
+    st2 = load_state(str(p2))
+    prod = next(w for w in st2.schedule.steps[0].wells if w.name == "PROD")
+    assert prod.wtest_interval == pytest.approx(30.0)
