@@ -292,10 +292,19 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
     satnum_c = (np.maximum(satnum[act_to_glob] - 1, 0).astype(np.int32)
                 if satnum is not None
                 else np.zeros(len(act_to_glob), np.int32))
+    pvtnum = state.regions.get("PVTNUM")
+    pvtnum_c = (np.maximum(pvtnum[act_to_glob] - 1, 0).astype(np.int32)
+                if pvtnum is not None
+                else np.zeros(len(act_to_glob), np.int32))
+    fipnum = state.regions.get("FIPNUM")
+    fipnum_c = (np.maximum(fipnum[act_to_glob] - 1, 0).astype(np.int32)
+                if fipnum is not None
+                else np.zeros(len(act_to_glob), np.int32))
     return Geometry(
         cartdims=(nx, ny, nz), num_active=len(act_to_glob),
         glob_to_act=glob_to_act, act_to_glob=act_to_glob,
         volume=volume, pore_vol=pore_vol, depth=depth,
         dx=dx, dy=dy, dz=dz, permx=permx, permy=permy, permz=permz,
         poro=compress(g.poro), ntg=ntg, faces=faces, satnum=satnum_c,
+        pvtnum=pvtnum_c, fipnum=fipnum_c,
     )

@@ -346,8 +346,14 @@ def read_deck(path: str) -> Deck:
                 rec = stream.read_record()
                 if rec is None:
                     break
-                if not rec:  # empty record '/' terminates the keyword
-                    break
+                if not rec:
+                    if mode == TABLES:
+                        # empty record separates per-region sub-tables
+                        # (e.g. PVTO: NTPVT tables each closed by '/');
+                        # keep the marker — parsers split on it
+                        recs.append([])
+                        continue
+                    break  # empty record '/' terminates the keyword
                 recs.append(rec)
             keywords.append(DeckKeyword(name, recs, loc))
         elif mode == SPECIAL:

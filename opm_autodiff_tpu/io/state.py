@@ -114,6 +114,13 @@ class PropsSection:
     # per-SATNUM-region tables (list of [n,4]; entry 0 == swof/sgof)
     swof_regions: list = dataclasses.field(default_factory=list)
     sgof_regions: list = dataclasses.field(default_factory=list)
+    # per-PVTNUM-region tables/records (entry 0 == the scalar fields)
+    pvtw_regions: list = dataclasses.field(default_factory=list)
+    rock_regions: list = dataclasses.field(default_factory=list)
+    density_regions: list = dataclasses.field(default_factory=list)
+    pvdg_regions: list = dataclasses.field(default_factory=list)
+    pvdo_regions: list = dataclasses.field(default_factory=list)
+    pvto_regions: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -154,6 +161,35 @@ class Completion:
 
 
 @dataclasses.dataclass
+class Segment:
+    """One wellbore segment (WELSEGS; ECL numbering: segment 1 = top).
+
+    length/depth are ABSOLUTE (from wellhead / datum) after parsing —
+    'INC' decks are converted by chaining along outlets.
+    """
+    number: int
+    branch: int
+    outlet: int  # outlet segment number (0 for the top segment)
+    length: float  # measured depth along tubing to the segment node, m
+    depth: float   # true vertical depth of the segment node, m
+    diam: float
+    rough: float
+    area: float
+    volume: float
+
+
+@dataclasses.dataclass
+class CompSeg:
+    """COMPSEGS record: maps a completion to a branch length interval."""
+    i: int  # 0-based
+    j: int
+    k: int
+    branch: int
+    start: float  # distance along the branch, m
+    end: float
+
+
+@dataclasses.dataclass
 class WellConfig:
     name: str
     group: str
@@ -180,6 +216,10 @@ class WellConfig:
     econ_max_wct: float | None = None
     vfp_table: int | None = None  # VFPPROD table number (THP control)
     wtest_interval: float | None = None  # days between WTEST retests
+    # multisegment well description (None => standard well)
+    segments: list | None = None   # list[Segment]
+    compsegs: list | None = None   # list[CompSeg]
+    pd_model: str = "HF-"          # pressure-drop components (WELSEGS item 6)
 
 
 @dataclasses.dataclass
@@ -464,10 +504,21 @@ def _table_2d_regions(kw, ncols: int, scales: list[float]) -> list:
     return out
 
 
-def _build_pvto(kw, u: U.UnitSystem) -> PvtoTable:
+def _build_pvto_regions(kw, u: U.UnitSystem) -> list:
+    """PVTO tables, one per PVTNUM region (regions separated by empty
+    records — the lone '/' closing each region's table)."""
+    tables = []
     rs_list, branches = [], []
     for rec in kw.records:
         vals = [v for v in rec if v is not DEFAULT]
+        if not vals:  # region separator
+            if rs_list:
+                tables.append(PvtoTable(np.asarray(rs_list), branches))
+                rs_list, branches = [], []
+            elif tables:
+                # fully-defaulted region table: copy the previous one
+                tables.append(tables[-1])
+            continue
         rs = vals[0] * u.gas_oil_ratio
         rest = np.asarray(vals[1:], float).reshape(-1, 3)
         p = rest[:, 0] * u.pressure
@@ -475,47 +526,61 @@ def _build_pvto(kw, u: U.UnitSystem) -> PvtoTable:
         mu = rest[:, 2] * u.viscosity
         rs_list.append(rs)
         branches.append((p, bo, mu))
-    return PvtoTable(np.asarray(rs_list), branches)
+    if rs_list:
+        tables.append(PvtoTable(np.asarray(rs_list), branches))
+    return tables
 
 
 def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     u = rs.unit_system
-    pvtw_kw = deck.get1("PVTW")
-    if pvtw_kw and pvtw_kw.records:
-        r = pvtw_kw.records[0]
-        pvtw = PvtwRecord(
+
+    def one_pvtw(r):
+        return PvtwRecord(
             p_ref=item(r, 0, 1.0) * u.pressure,
             b_ref=item(r, 1, 1.0) * u.oil_fvf,
             comp=item(r, 2, 4e-5 / U.BAR * u.pressure) * u.compressibility,
             visc=item(r, 3, 0.5) * u.viscosity,
             viscosibility=item(r, 4, 0.0) * u.compressibility,
         )
+
+    pvtw_kw = deck.get1("PVTW")
+    if pvtw_kw and pvtw_kw.records:
+        pvtw_regions = [one_pvtw(r) for r in pvtw_kw.records if r]
     else:
-        pvtw = PvtwRecord(U.ATM, 1.0, 4e-10, 5e-4, 0.0)
+        pvtw_regions = [PvtwRecord(U.ATM, 1.0, 4e-10, 5e-4, 0.0)]
+    pvtw = pvtw_regions[0]
 
     rock_kw = deck.get1("ROCK")
     if rock_kw and rock_kw.records:
-        r = rock_kw.records[0]
-        rock = RockRecord(item(r, 0, 1.0) * u.pressure,
-                          item(r, 1, 0.0) * u.compressibility)
+        rock_regions = [RockRecord(item(r, 0, 1.0) * u.pressure,
+                                   item(r, 1, 0.0) * u.compressibility)
+                        for r in rock_kw.records if r]
     else:
-        rock = RockRecord(U.ATM, 0.0)
+        rock_regions = [RockRecord(U.ATM, 0.0)]
+    rock = rock_regions[0]
 
     dens_kw = deck.get1("DENSITY")
     if dens_kw and dens_kw.records:
-        r = dens_kw.records[0]
-        density = DensityRecord(item(r, 0, 600.0) * u.density,
-                                item(r, 1, 1000.0) * u.density,
-                                item(r, 2, 1.0) * u.density)
+        density_regions = [DensityRecord(item(r, 0, 600.0) * u.density,
+                                         item(r, 1, 1000.0) * u.density,
+                                         item(r, 2, 1.0) * u.density)
+                           for r in dens_kw.records if r]
     else:
-        density = DensityRecord(600.0, 1000.0, 1.0)
+        density_regions = [DensityRecord(600.0, 1000.0, 1.0)]
+    density = density_regions[0]
 
     def t(name, ncols, scales):
         kw = deck.get1(name)
         return _table_2d(kw, ncols, scales) if kw else None
 
-    pvdg = t("PVDG", 3, [u.pressure, u.gas_fvf, u.viscosity])
-    pvdo = t("PVDO", 3, [u.pressure, u.oil_fvf, u.viscosity])
+    def t_regions(name, ncols, scales):
+        kw = deck.get1(name)
+        return _table_2d_regions(kw, ncols, scales) if kw else []
+
+    pvdg_regions = t_regions("PVDG", 3, [u.pressure, u.gas_fvf, u.viscosity])
+    pvdo_regions = t_regions("PVDO", 3, [u.pressure, u.oil_fvf, u.viscosity])
+    pvdg = pvdg_regions[0] if pvdg_regions else None
+    pvdo = pvdo_regions[0] if pvdo_regions else None
     swof_kw = deck.get1("SWOF")
     sgof_kw = deck.get1("SGOF")
     swof_regions = (_table_2d_regions(swof_kw, 4, [1.0, 1.0, 1.0, u.pressure])
@@ -528,11 +593,18 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     sgfn = t("SGFN", 3, [1.0, 1.0, u.pressure])
     sof3 = t("SOF3", 3, [1.0, 1.0, 1.0])
     pvto_kw = deck.get1("PVTO")
-    pvto = _build_pvto(pvto_kw, u) if pvto_kw else None
+    pvto_regions = _build_pvto_regions(pvto_kw, u) if pvto_kw else []
+    pvto = pvto_regions[0] if pvto_regions else None
     return PropsSection(pvtw, rock, density, pvdg, pvdo, pvto, swof, sgof,
                         swfn, sgfn, sof3,
                         swof_regions=swof_regions,
-                        sgof_regions=sgof_regions)
+                        sgof_regions=sgof_regions,
+                        pvtw_regions=pvtw_regions,
+                        rock_regions=rock_regions,
+                        density_regions=density_regions,
+                        pvdg_regions=pvdg_regions,
+                        pvdo_regions=pvdo_regions,
+                        pvto_regions=pvto_regions)
 
 
 def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
@@ -670,6 +742,94 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                         diameter=diam,
                         kh=kh * u.permeability * u.length if kh is not None else None,
                         skin=skin, direction=direction))
+        elif kw.name == "WELSEGS":
+            # reference: WellSegments from opm-common, consumed by
+            # MultisegmentWell (opm/simulators/wells/MultisegmentWell.hpp:35)
+            recs = kw.records
+            hdr = recs[0]
+            name = str(item(hdr, 0, ""))
+            w = wells[name]
+            top_depth = item(hdr, 1, 0.0) * u.length
+            top_len = item(hdr, 2, 0.0) * u.length
+            wb_vol = item(hdr, 3, None)
+            ltype = str(item(hdr, 4, "INC")).upper()
+            w.pd_model = str(item(hdr, 5, "HF-")).upper()
+            vol_scale = u.length ** 3
+            segs = {1: Segment(1, 1, 0, top_len, top_depth, 0.1, 1e-5,
+                               np.pi * 0.1 ** 2 / 4,
+                               (wb_vol * vol_scale if wb_vol is not None
+                                else 1e-3))}
+            for r in recs[1:]:
+                s1 = int(item(r, 0, 0))
+                s2 = int(item(r, 1, s1))
+                branch = int(item(r, 2, 1))
+                outlet = int(item(r, 3, 1))
+                ln = item(r, 4, 0.0) * u.length
+                dp = item(r, 5, 0.0) * u.length
+                diam = item(r, 6, 0.1 / u.length) * u.length
+                rough = item(r, 7, 1e-5 / u.length) * u.length
+                area = item(r, 8, None)
+                vol = item(r, 9, None)
+                nseg = s2 - s1 + 1
+                for idx, sn in enumerate(range(s1, s2 + 1)):
+                    out = outlet if sn == s1 else sn - 1
+                    if ltype == "ABS":
+                        # given length/depth apply to the LAST segment of
+                        # the range; intermediates interpolate from the
+                        # range's outlet node
+                        ref = segs.get(outlet)
+                        base_l = ref.length if ref else 0.0
+                        base_d = ref.depth if ref else 0.0
+                        f = (idx + 1) / nseg
+                        sl = base_l + f * (ln - base_l)
+                        sd = base_d + f * (dp - base_d)
+                    else:
+                        sl, sd = ln, dp  # incremental; chained below
+                    a = (area * u.length ** 2 if area is not None
+                         else np.pi * diam ** 2 / 4)
+                    segs[sn] = Segment(sn, branch, out, sl, sd, diam,
+                                       rough, a,
+                                       vol * vol_scale if vol is not None
+                                       else 0.0)
+            if ltype == "INC":
+                # chain incremental length/depth along outlets to absolute
+                done = {1}
+                pending = [s for s in segs if s != 1]
+                while pending:
+                    rest = []
+                    for sn in pending:
+                        s = segs[sn]
+                        if s.outlet in done:
+                            o = segs[s.outlet]
+                            s.length += o.length
+                            s.depth += o.depth
+                            done.add(sn)
+                        else:
+                            rest.append(sn)
+                    if len(rest) == len(pending):
+                        raise ValueError(f"WELSEGS {name}: segment outlet "
+                                         "cycle or missing outlet")
+                    pending = rest
+            for s in segs.values():
+                if s.volume == 0.0:
+                    o = segs.get(s.outlet)
+                    dl = abs(s.length - o.length) if o else 1.0
+                    s.volume = max(s.area * max(dl, 1e-3), 1e-4)
+            w.segments = [segs[k2] for k2 in sorted(segs)]
+        elif kw.name == "COMPSEGS":
+            recs = kw.records
+            name = str(item(recs[0], 0, ""))
+            w = wells[name]
+            w.compsegs = []
+            for r in recs[1:]:
+                w.compsegs.append(CompSeg(
+                    i=int(item(r, 0, 1)) - 1,
+                    j=int(item(r, 1, 1)) - 1,
+                    k=int(item(r, 2, 1)) - 1,
+                    branch=int(item(r, 3, 1)),
+                    start=item(r, 4, 0.0) * u.length,
+                    end=item(r, 5, 0.0) * u.length,
+                ))
         elif kw.name == "WCONPROD":
             for r in kw.records:
                 name = str(item(r, 0, ""))
@@ -717,6 +877,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                     "wrat": _opt_rate(item(r, 3, None), u.liquid_rate),
                     "grat": _opt_rate(item(r, 4, None), u.gas_rate),
                     "lrat": _opt_rate(item(r, 5, None), u.liquid_rate),
+                    "resv": _opt_rate(item(r, 6, None), u.reservoir_rate),
                 }
         elif kw.name == "GCONINJE":
             for r in kw.records:

@@ -257,6 +257,6 @@ def build_from_state(state, geo, fs) -> AquiferManager | None:
                                alpha=alphas, depth=np.asarray(depths))
     import jax.numpy as jnp_  # noqa: F401
 
-    rho_w = float(fs.rho_surf[0])
-    mu_w = float(fs.water.mu_ref)
+    rho_w = float(fs.rho_surf[0][0])
+    mu_w = float(fs.water.mu_ref[0])
     return AquiferManager(aquifers, conns, rho_w, mu_w)

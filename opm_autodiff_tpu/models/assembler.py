@@ -52,9 +52,9 @@ def bsr_matvec(sys: BsrSystem, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, satnum):
+def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, regs):
     def f(uu):
-        a = accumulation(fs, uu, flag, pv_ref, satnum)
+        a = accumulation(fs, uu, flag, pv_ref, regs)
         return a, a
 
     jac, val = jax.jacfwd(f, has_aux=True)(u)
@@ -62,10 +62,10 @@ def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, satnum):
 
 
 def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-                  satL, satR, thp):
+                  regsL, regsR, thp):
     def f(u6):
         fl = face_flux(fs, u6[:3], u6[3:], flagL, flagR, trans, gdz,
-                       satL, satR, thp)
+                       regsL, regsR, thp)
         return fl, fl
 
     jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
@@ -83,7 +83,7 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     u, flag = state.u, state.flag
 
     acc, acc_jac = jax.vmap(_acc_val_jac, in_axes=(None, 0, 0, 0, 0))(
-        fs, u, flag, cells.pore_vol_ref, cells.satnum)
+        fs, u, flag, cells.pore_vol_ref, cells.regs)
 
     residual = (acc - acc0) / dt
     diag = acc_jac / dt
@@ -93,11 +93,11 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     flagL = flag[faces.left]
     flagR = flag[faces.right]
 
-    satL = cells.satnum[faces.left]
-    satR = cells.satnum[faces.right]
+    regsL = cells.regs[faces.left]
+    regsR = cells.regs[faces.right]
     flux, jac_l, jac_r = jax.vmap(
         _flux_val_jac, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
-        fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, satL, satR,
+        fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, regsL, regsR,
         faces.thpres)
 
     # R_L += flux ; R_R -= flux

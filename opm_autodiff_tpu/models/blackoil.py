@@ -45,7 +45,8 @@ class CellStatic(NamedTuple):
 
     pore_vol_ref: jnp.ndarray
     depth: jnp.ndarray
-    satnum: jnp.ndarray  # [N] int32, zero-based SATNUM region
+    # [N,2] int32 zero-based property regions: col 0 = SATNUM, col 1 = PVTNUM
+    regs: jnp.ndarray
 
 
 class FaceStatic(NamedTuple):
@@ -71,32 +72,40 @@ class Intensive(NamedTuple):
     sat: jnp.ndarray     # [3] saturations
 
 
-def intensive(fs: FluidSystem, u, flag, satnum=0) -> Intensive:
-    """Scalar per-cell intensive quantities; differentiable in u."""
+REG0 = (0, 0)  # default region pair (satnum, pvtnum) — static zeros
+
+
+def intensive(fs: FluidSystem, u, flag, regs=REG0) -> Intensive:
+    """Scalar per-cell intensive quantities; differentiable in u.
+
+    ``regs`` is the (satnum, pvtnum) pair — a length-2 int vector or the
+    static default REG0."""
+    sr, pr = regs[0], regs[1]
     po, sw, x3 = u[0], u[1], u[2]
     has_gas = flag == FLAG_SG
     sg = jnp.where(has_gas, x3, 0.0)
     so = 1.0 - sw - sg
-    rs = jnp.where(has_gas, fs.rs_sat(po), x3)
+    rs = jnp.where(has_gas, fs.rs_sat(po, pr), x3)
 
-    pw = po - fs.sat.pcow(sw, satnum)
-    pg = po + fs.sat.pcog(sg, satnum)
+    pw = po - fs.sat.pcow(sw, sr)
+    pg = po + fs.sat.pcog(sg, sr)
 
-    inv_bw = fs.water.inv_b(pw)
-    inv_bo = fs.oil_inv_b(po, rs)
-    inv_bg = fs.gas.inv_b(pg)
+    inv_bw = fs.water.inv_b(pw, pr)
+    inv_bo = fs.oil_inv_b(po, rs, pr)
+    inv_bg = fs.gas.inv_b(pg, pr)
 
-    mu_w = fs.water.viscosity(pw)
-    mu_o = fs.oil_viscosity(po, rs)
-    mu_g = fs.gas.viscosity(pg)
+    mu_w = fs.water.viscosity(pw, pr)
+    mu_o = fs.oil_viscosity(po, rs, pr)
+    mu_g = fs.gas.viscosity(pg, pr)
 
-    krw = fs.sat.krw(sw, satnum)
-    kro = fs.sat.kro(sw, sg, satnum)
-    krg = fs.sat.krg(sg, satnum)
+    krw = fs.sat.krw(sw, sr)
+    kro = fs.sat.kro(sw, sg, sr)
+    krg = fs.sat.krg(sg, sr)
 
-    rho_w = fs.rho_surf[0] * inv_bw
-    rho_o = (fs.rho_surf[1] + rs * fs.rho_surf[2]) * inv_bo
-    rho_g = fs.rho_surf[2] * inv_bg
+    rho = fs.rho_ref(pr)
+    rho_w = rho[0] * inv_bw
+    rho_o = (rho[1] + rs * rho[2]) * inv_bo
+    rho_g = rho[2] * inv_bg
 
     return Intensive(
         p=jnp.stack([pw, po, pg]),
@@ -108,10 +117,10 @@ def intensive(fs: FluidSystem, u, flag, satnum=0) -> Intensive:
     )
 
 
-def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, satnum=0):
+def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, regs=REG0):
     """Per-cell conserved surface volumes [3] (water, oil, gas)."""
-    q = intensive(fs, u, flag, satnum)
-    pv = pore_vol_ref * fs.rock.mult(u[0])
+    q = intensive(fs, u, flag, regs)
+    pv = pore_vol_ref * fs.rock.mult(u[0], regs[1])
     sw, so, sg = q.sat[0], q.sat[1], q.sat[2]
     aw = pv * sw * q.inv_b[0]
     ao = pv * so * q.inv_b[1]
@@ -120,7 +129,7 @@ def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, satnum=0):
 
 
 def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-              satnumL=0, satnumR=0, thpres=0.0):
+              regsL=REG0, regsR=REG0, thpres=0.0):
     """TPFA upwinded phase flux through one face, positive L -> R.
 
     Semantics follow EclTransFluxModule::calculateGradients_
@@ -132,8 +141,8 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
 
     Returns [3]: water, oil, gas surface-volume fluxes [m^3/s].
     """
-    qL = intensive(fs, uL, flagL, satnumL)
-    qR = intensive(fs, uR, flagR, satnumR)
+    qL = intensive(fs, uL, flagL, regsL)
+    qR = intensive(fs, uR, flagR, regsR)
 
     # phase potential difference: dPhi_p = (pL - pR) - rho_avg * g * dz
     # (gdz = g*(depth_L - depth_R); depth positive down)
@@ -177,10 +186,13 @@ def statics_from_geometry(geo, structured: str = "auto"
     satnum = getattr(geo, "satnum", None)
     if satnum is None:
         satnum = np.zeros(geo.num_active, np.int32)
+    pvtnum = getattr(geo, "pvtnum", None)
+    if pvtnum is None:
+        pvtnum = np.zeros(geo.num_active, np.int32)
     cells = CellStatic(
         pore_vol_ref=jnp.asarray(geo.pore_vol),
         depth=jnp.asarray(geo.depth),
-        satnum=jnp.asarray(satnum, jnp.int32),
+        regs=jnp.asarray(np.stack([satnum, pvtnum], axis=1), jnp.int32),
     )
     if structured != "never":
         from opm_autodiff_tpu.models.structured import (

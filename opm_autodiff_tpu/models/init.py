@@ -75,24 +75,28 @@ class _HostProps:
     thousands of pointwise evaluations on the host; per-op jnp dispatch
     would dominate, so evaluate with np.interp instead."""
 
-    def __init__(self, fs: FluidSystem):
-        self.rho_surf = np.asarray(fs.rho_surf)
+    def __init__(self, fs: FluidSystem, reg: int = 0):
+        # PVT banks are [R, ...] per PVTNUM region; the hydrostatic
+        # integration uses one region's tables (the reference integrates
+        # per EQLNUM region with that region's PVT — `reg` hooks in here)
+        r = min(reg, fs.num_pvt_regions - 1)
+        self.rho_surf = np.asarray(fs.rho_surf[r])
         o = fs.oil
         self.live = hasattr(o, "rs_tab")
         if self.live:
-            self.o_p = np.asarray(o.p_sat)
-            self.o_rs = np.asarray(o.rs_tab)
-            self.o_invb = np.asarray(o.inv_b_sat)
-            self.o_slope = np.asarray(o.slope_inv_b)
+            self.o_p = np.asarray(o.p_sat[r])
+            self.o_rs = np.asarray(o.rs_tab[r])
+            self.o_invb = np.asarray(o.inv_b_sat[r])
+            self.o_slope = np.asarray(o.slope_inv_b[r])
         else:
-            self.o_p = np.asarray(o.p)
-            self.o_invb = np.asarray(o.inv_b_tab)
-        self.g_p = np.asarray(fs.gas.p)
-        self.g_invb = np.asarray(fs.gas.inv_b_tab)
+            self.o_p = np.asarray(o.p[r])
+            self.o_invb = np.asarray(o.inv_b_tab[r])
+        self.g_p = np.asarray(fs.gas.p[r])
+        self.g_invb = np.asarray(fs.gas.inv_b_tab[r])
         w = fs.water
-        self.w_pref = float(w.p_ref)
-        self.w_invb = float(w.inv_b_ref)
-        self.w_comp = float(w.comp)
+        self.w_pref = float(w.p_ref[r])
+        self.w_invb = float(w.inv_b_ref[r])
+        self.w_comp = float(w.comp[r])
 
     @staticmethod
     def _interp_extrap(x, xp, fp):

@@ -127,10 +127,10 @@ def _axis_pairs(u3, axis):
     return u3[:-1], u3[1:]
 
 
-def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, satL, satR):
-    def one(uL_, uR_, fL, fR, t, g, sL, sR):
+def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR):
+    def one(uL_, uR_, fL, fR, t, g, rL, rR):
         def f(u6):
-            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g, sL, sR)
+            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g, rL, rR)
             return fl, fl
 
         jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL_, uR_]))
@@ -141,7 +141,7 @@ def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, satL, satR):
     val, jl, jr = jax.vmap(one)(flat(uL, (3,)), flat(uR, (3,)),
                                 flagL.reshape(-1), flagR.reshape(-1),
                                 trans.reshape(-1), gdz.reshape(-1),
-                                satL.reshape(-1), satR.reshape(-1))
+                                flat(regsL, (2,)), flat(regsR, (2,)))
     return (val.reshape(shape + (3,)), jl.reshape(shape + (3, 3)),
             jr.reshape(shape + (3, 3)))
 
@@ -153,18 +153,18 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
     u, flag = state.u, state.flag
     u3 = u.reshape(nz, ny, nx, 3)
     flag3 = flag.reshape(nz, ny, nx)
-    sat3 = cells.satnum.reshape(nz, ny, nx)
+    regs3 = cells.regs.reshape(nz, ny, nx, 2)
 
-    def acc_one(uu, ff, pv, sn):
+    def acc_one(uu, ff, pv, rg):
         def f(x):
-            a = accumulation(fs, x, ff, pv, sn)
+            a = accumulation(fs, x, ff, pv, rg)
             return a, a
 
         jac, val = jax.jacfwd(f, has_aux=True)(uu)
         return val, jac
 
     acc, acc_jac = jax.vmap(acc_one)(u, flag, cells.pore_vol_ref,
-                                     cells.satnum)
+                                     cells.regs)
     residual = (acc - acc0) / dt
     diag = acc_jac / dt
     res3 = residual.reshape(nz, ny, nx, 3)
@@ -176,9 +176,9 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
              (topo.trans_z, topo.gdz_z))):
         uL, uR = _axis_pairs(u3, axis)
         fL, fR = _axis_pairs(flag3, axis)
-        sL, sR = _axis_pairs(sat3, axis)
+        rL, rR = _axis_pairs(regs3, axis)
         flux, jl, jr = _flux_val_jac_slab(fs, uL, uR, fL, fR, trans, gdz,
-                                          sL, sR)
+                                          rL, rR)
 
         if axis == 0:
             res3 = res3.at[:, :, :-1].add(flux)

@@ -77,7 +77,7 @@ class TracerModel:
         gas storage and the transport system is singular.
         """
         q = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(
-            self.fs, u, flag, self.cells.satnum)
+            self.fs, u, flag, self.cells.regs)
         pv = self.cells.pore_vol_ref
         m = pv[:, None] * q.sat * q.inv_b  # [N,3] phase surface volumes
         gas_total = m[:, 2] + pv * q.rs * q.sat[:, 1] * q.inv_b[:, 1]
@@ -93,10 +93,10 @@ class TracerModel:
         if not self.active:
             return
         f = self.faces
-        sn = self.cells.satnum
+        rg = self.cells.regs
         flux = jax.vmap(face_flux, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
             self.fs, u[f.left], u[f.right], flag[f.left], flag[f.right],
-            f.trans, f.gdz, sn[f.left], sn[f.right])  # [F,3], positive L->R
+            f.trans, f.gdz, rg[f.left], rg[f.right])  # [F,3], positive L->R
         m_new_all = self._phase_masses(u, flag)
         q = np.asarray(q_perf)  # [W,P,3] into cells
 

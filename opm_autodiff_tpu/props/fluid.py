@@ -4,29 +4,37 @@ The TPU analog of opm-material's ``BlackOilFluidSystem``: a single pytree
 handed to every jitted kernel. Phase indexing convention throughout the
 framework (matches the reference's water/oil/gas ordering in
 BlackoilPhases): 0 = WATER, 1 = OIL, 2 = GAS.
+
+PVT multi-region (PVTNUM) support: every table/record is banked per
+region ([R, ...] leading axis) and every property method takes a region
+index ``reg`` (default 0). With one region the row select is static (no
+gather under jit).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from opm_autodiff_tpu.io.state import EclState
 from opm_autodiff_tpu.props.pvt import (DeadOilPvt, DryGasPvt, LiveOilPvt,
-                                        WaterPvt, water_pvt_from_props)
+                                        WaterPvt, row, water_pvt_from_props)
 from opm_autodiff_tpu.props.satfunc import SatFunc
 
 WATER, OIL, GAS = 0, 1, 2
 
 
 class RockParams(NamedTuple):
+    """ROCK compressibility per PVTNUM region ([R] arrays)."""
+
     p_ref: jnp.ndarray
     comp: jnp.ndarray
 
-    def mult(self, p):
+    def mult(self, p, reg=0):
         """Pore-volume multiplier (ECL ROCK second-order expansion)."""
-        x = self.comp * (p - self.p_ref)
+        x = row(self.comp, reg) * (p - row(self.p_ref, reg))
         return 1.0 + x + 0.5 * x * x
 
 
@@ -36,8 +44,16 @@ class FluidSystem(NamedTuple):
     gas: DryGasPvt
     sat: SatFunc
     rock: RockParams
-    # surface densities [WATER, OIL, GAS] kg/m^3
+    # surface densities [R, (WATER, OIL, GAS)] kg/m^3 per PVTNUM region
     rho_surf: jnp.ndarray
+
+    @property
+    def num_pvt_regions(self) -> int:
+        return self.rho_surf.shape[0]
+
+    def rho_ref(self, reg=0):
+        """Surface densities [3] for one PVT region."""
+        return row(self.rho_surf, reg)
 
     # --- oil properties dispatch (live vs dead). The *type* of self.oil
     # is static pytree structure, so this branch resolves at trace time.
@@ -45,31 +61,32 @@ class FluidSystem(NamedTuple):
     def live_oil(self) -> bool:
         return isinstance(self.oil, LiveOilPvt)
 
-    def oil_inv_b(self, p, rs):
+    def oil_inv_b(self, p, rs, reg=0):
         if self.live_oil:
-            return self.oil.inv_b(p, rs)
-        return self.oil.inv_b(p)
+            return self.oil.inv_b(p, rs, reg)
+        return self.oil.inv_b(p, reg)
 
-    def oil_viscosity(self, p, rs):
+    def oil_viscosity(self, p, rs, reg=0):
         if self.live_oil:
-            return self.oil.viscosity(p, rs)
-        return self.oil.viscosity(p)
+            return self.oil.viscosity(p, rs, reg)
+        return self.oil.viscosity(p, reg)
 
-    def rs_sat(self, p):
+    def rs_sat(self, p, reg=0):
         if self.live_oil:
-            return self.oil.rs_sat(p)
+            return self.oil.rs_sat(p, reg)
         return jnp.zeros_like(p)
 
     # --- phase mass densities at reservoir conditions ---
-    def water_density(self, p):
-        return self.rho_surf[WATER] * self.water.inv_b(p)
+    def water_density(self, p, reg=0):
+        return self.rho_ref(reg)[WATER] * self.water.inv_b(p, reg)
 
-    def oil_density(self, p, rs):
+    def oil_density(self, p, rs, reg=0):
         # live oil carries dissolved gas mass
-        return (self.rho_surf[OIL] + rs * self.rho_surf[GAS]) * self.oil_inv_b(p, rs)
+        rho = self.rho_ref(reg)
+        return (rho[OIL] + rs * rho[GAS]) * self.oil_inv_b(p, rs, reg)
 
-    def gas_density(self, p):
-        return self.rho_surf[GAS] * self.gas.inv_b(p)
+    def gas_density(self, p, reg=0):
+        return self.rho_ref(reg)[GAS] * self.gas.inv_b(p, reg)
 
     @staticmethod
     def from_state(state: EclState) -> "FluidSystem":
@@ -82,26 +99,53 @@ class FluidSystem(NamedTuple):
 
         props = state.props
         phases = state.runspec.phases
-        if props.pvto is not None:
-            oil = LiveOilPvt.from_table(props.pvto)
-        elif props.pvdo is not None:
-            oil = DeadOilPvt.from_table(props.pvdo)
+
+        # normalize all PVT banks to the same region count (NTPVT):
+        # a missing region table recycles the previous one (ECL defaulting)
+        def recycle(lst, n):
+            lst = list(lst)
+            while lst and len(lst) < n:
+                lst.append(lst[-1])
+            return lst
+
+        oil_tabs = props.pvto_regions or (
+            [props.pvto] if props.pvto is not None else [])
+        dead_tabs = props.pvdo_regions or (
+            [props.pvdo] if props.pvdo is not None else [])
+        gas_tabs = props.pvdg_regions or (
+            [props.pvdg] if props.pvdg is not None else [])
+        pvtws = props.pvtw_regions or [props.pvtw]
+        rocks = props.rock_regions or [props.rock]
+        denss = props.density_regions or [props.density]
+        ntpvt = max(len(oil_tabs), len(dead_tabs), len(gas_tabs),
+                    len(pvtws), len(rocks), len(denss))
+        oil_tabs = recycle(oil_tabs, ntpvt)
+        dead_tabs = recycle(dead_tabs, ntpvt)
+        gas_tabs = recycle(gas_tabs, ntpvt)
+        pvtws = recycle(pvtws, ntpvt)
+        rocks = recycle(rocks, ntpvt)
+        denss = recycle(denss, ntpvt)
+
+        if oil_tabs:
+            oil = LiveOilPvt.from_tables(oil_tabs)
+        elif dead_tabs:
+            oil = DeadOilPvt.from_tables(dead_tabs)
         else:
             raise NotImplementedError("need PVTO or PVDO")
-        if props.pvdg is not None:
-            gas = DryGasPvt.from_table(props.pvdg)
+        if gas_tabs:
+            gas = DryGasPvt.from_tables(gas_tabs)
         elif "GAS" not in phases:
-            gas = DryGasPvt.from_table(np.asarray(
-                [[1e5, 1.0, 1e-3], [1e9, 1.0, 1e-3]]))
+            gas = DryGasPvt.from_tables([np.asarray(
+                [[1e5, 1.0, 1e-3], [1e9, 1.0, 1e-3]])] * ntpvt)
         else:
             raise NotImplementedError("need PVDG (wet gas PVTG later)")
+        props = dataclasses.replace(props, pvtw_regions=pvtws)
         return FluidSystem(
             water=water_pvt_from_props(props),
             oil=oil,
             gas=gas,
             sat=SatFunc.from_props(props, phases),
-            rock=RockParams(jnp.asarray(props.rock.p_ref),
-                            jnp.asarray(props.rock.comp)),
-            rho_surf=jnp.asarray([props.density.water, props.density.oil,
-                                  props.density.gas]),
+            rock=RockParams(jnp.asarray([r.p_ref for r in rocks]),
+                            jnp.asarray([r.comp for r in rocks])),
+            rho_surf=jnp.asarray([[d.water, d.oil, d.gas] for d in denss]),
         )

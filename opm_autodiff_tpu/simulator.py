@@ -36,6 +36,8 @@ from opm_autodiff_tpu.models.aquifer import build_from_state as build_aquifers
 from opm_autodiff_tpu.models.tracer import TracerModel
 from opm_autodiff_tpu.utils.report import SimulatorReport
 from opm_autodiff_tpu.wells import build_wellset
+from opm_autodiff_tpu.wells.multisegment import (build_mswset,
+                                                 init_msw_state)
 from opm_autodiff_tpu.wells.groups import (GroupManager, apply_assignments,
                                            apply_econ_limits)
 from opm_autodiff_tpu.wells.vfp import VfpBank, VfpTables
@@ -70,7 +72,7 @@ class Simulator:
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
         self._acc_fn = jax.jit(jax.vmap(accumulation,
-                                        in_axes=(None, 0, 0, 0)))
+                                        in_axes=(None, 0, 0, 0, 0)))
         self._step_index = 0
         self._suggested_dt = self.opts.tstep.initial_dt_days
         self._pid = _PidState()
@@ -87,6 +89,7 @@ class Simulator:
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.facelist)
         self._shut_wells: dict = {}  # name -> shut time (days)
+        self.msw_x = None  # multisegment well unknowns [M,S,4]
         self._init_state()
         self.tracers.initialize(self.u, self.flag)
 
@@ -106,7 +109,7 @@ class Simulator:
         self.u = ps.u
         self.flag = ps.flag
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
-                                 self.cells.pore_vol_ref)
+                                 self.cells.pore_vol_ref, self.cells.regs)
         self.pbh = None
         self.active_mode = None
         self.cum = {"FOPT": 0.0, "FGPT": 0.0, "FWPT": 0.0, "FGIT": 0.0,
@@ -130,9 +133,18 @@ class Simulator:
         for w in wells:
             if w.name in self._shut_wells:
                 w.status = "SHUT"
-        ws_base = build_wellset(self.geo, wells,
+        # wells with WELSEGS run through the multisegment model
+        # (reference default UseMultisegmentWell=true,
+        # BlackoilModelParametersEbos.hpp:208)
+        std_wells = [w for w in wells if not getattr(w, "segments", None)]
+        msw_wells = [w for w in wells if getattr(w, "segments", None)]
+        self._std_well_names = [w.name for w in std_wells]
+        self._msw_well_names = [w.name for w in msw_wells]
+        msw = build_mswset(self.geo, wells)
+        ws_base = build_wellset(self.geo, std_wells,
                                 vfp_numbering=self._vfp_numbering)
-        gmgr = GroupManager(rstep.groups, wells)
+        ws_base = self._refresh_voidage(ws_base)
+        gmgr = GroupManager(rstep.groups, std_wells)
         ws = ws_base
         if gmgr.active:
             lr = getattr(self, "_last_q", None)
@@ -145,11 +157,15 @@ class Simulator:
             offset = jnp.where(ws.is_injector, +1e5, -1e5)
             self.pbh = p_perf0 + offset
             self.active_mode = ws.ctrl_mode
+        if msw is not None and (
+                self.msw_x is None
+                or self.msw_x.shape[:2] != msw.seg_mask.shape):
+            self.msw_x = init_msw_state(msw, self.u)
 
         t0 = time.perf_counter()
 
         committed = {"st": NewtonState(self.u, self.flag, self.pbh,
-                                       self.active_mode),
+                                       self.active_mode, self.msw_x),
                      "acc0": self.acc0, "q": None, "ws": ws}
 
         def solve_fn(dt_seconds):
@@ -157,17 +173,18 @@ class Simulator:
             ws = committed["ws"]
             aq_dev = (self.aquifers.device_coefficients(dt_seconds)
                       if self.aquifers is not None else None)
-            st, rep, (q_tot, q_perf), q_aq = newton_solve(
+            st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve(
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
-                vfp_bank=self.vfp_bank)
+                vfp_bank=self.vfp_bank, msw=msw)
 
             def commit():
                 p_old = committed["st"].u[:, 0]
                 committed["st"] = st
                 committed["acc0"] = self._acc_fn(
-                    self.fs, st.u, st.flag, self.cells.pore_vol_ref)
+                    self.fs, st.u, st.flag, self.cells.pore_vol_ref,
+                    self.cells.regs)
                 committed["q"] = q_tot
                 if self.aquifers is not None and q_aq is not None:
                     self.aquifers.commit(np.asarray(q_aq), dt_seconds)
@@ -175,9 +192,11 @@ class Simulator:
                         * dt_seconds
                     self._last_q_aq = float(np.asarray(q_aq).sum())
                 if self.tracers.active:
-                    wnames = [w.name for w in wells]
+                    wnames = [w.name for w in std_wells]
                     self.tracers.advance(st.u, st.flag, dt_seconds,
                                          q_perf, ws, wnames)
+                self._last_q_msw = (np.asarray(q_msw)
+                                    if q_msw is not None else None)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
                 # re-apportion group targets with the fresh rates
                 if gmgr.active:
@@ -199,6 +218,7 @@ class Simulator:
         st = committed["st"]
         self.u, self.flag = st.u, st.flag
         self.pbh, self.active_mode = st.pbh, st.active_mode
+        self.msw_x = st.msw_x
         self.acc0 = committed["acc0"]
 
         self.report.add_step(
@@ -207,7 +227,8 @@ class Simulator:
             linear_iterations=sum(r.linear_iterations for r in reports),
             substeps=len(reports))
         # WECON economic limits at the report-step boundary
-        newly_shut = apply_econ_limits(wells, getattr(self, "_last_q", None))
+        newly_shut = apply_econ_limits(std_wells,
+                                       getattr(self, "_last_q", None))
         for name in newly_shut:
             self._shut_wells[name] = rstep.end_days
         self.summary.end_report_step(rstep.end_days, self._field_state(ws))
@@ -227,11 +248,41 @@ class Simulator:
         return self.report
 
     # ------------------------------------------------------------------
+    def _refresh_voidage(self, ws):
+        """Lagged RESV voidage coefficients from the current state
+        (reference: RateConverter defineState/calcCoeff at step start,
+        RateConverter.hpp:433,592)."""
+        if not bool(np.isfinite(np.asarray(ws.resv_rate)).any()):
+            return ws
+        from opm_autodiff_tpu.models.blackoil import FLAG_SG
+        from opm_autodiff_tpu.wells.rate_converter import (
+            well_voidage_coefficients)
+
+        u = np.asarray(self.u)
+        flag = np.asarray(self.flag)
+        sg = np.where(flag == FLAG_SG, u[:, 2], 0.0)
+        so = 1.0 - u[:, 1] - sg
+        po = jnp.asarray(u[:, 0])
+        if self.fs.num_pvt_regions == 1:
+            rssat = self.fs.rs_sat(po)
+        else:
+            rssat = jax.vmap(self.fs.rs_sat)(po, self.cells.regs[:, 1])
+        rs_cells = np.where(flag == FLAG_SG, np.asarray(rssat), u[:, 2])
+        fip = (self.geo.fipnum if self.geo.fipnum is not None
+               else np.zeros(len(u), np.int32))
+        vc = well_voidage_coefficients(
+            self.fs, u, flag, self.geo.pore_vol, fip,
+            np.asarray(ws.cell[:, 0]), rs_cells, so, sg)
+        return ws._replace(voidage_coeff=jnp.asarray(vc))
+
+    # ------------------------------------------------------------------
     def _collect_summary(self, st: NewtonState, ws, q_tot, dt_seconds):
         """Accumulate cumulative volumes from converged substep rates."""
         q = np.asarray(q_tot)  # [W,3] into cells; negative = production
-        prod = np.maximum(-q, 0.0).sum(axis=0)  # [3]
-        inj = np.maximum(q, 0.0).sum(axis=0)
+        qm = getattr(self, "_last_q_msw", None)
+        q_all = np.concatenate([q, qm]) if qm is not None else q
+        prod = np.maximum(-q_all, 0.0).sum(axis=0)  # [3]
+        inj = np.maximum(q_all, 0.0).sum(axis=0)
         dt = dt_seconds
         self.cum["FWPT"] += prod[0] * dt
         self.cum["FOPT"] += prod[1] * dt
@@ -258,14 +309,19 @@ class Simulator:
             out["FAQT"] = self.cum["FAQT"]
             out["FAQR"] = getattr(self, "_last_q_aq", 0.0)
         if q is not None:
-            prod = np.maximum(-q, 0.0)
-            out["FWPR"] = prod[:, 0].sum()
-            out["FOPR"] = prod[:, 1].sum()
-            out["FGPR"] = prod[:, 2].sum()
+            qm = getattr(self, "_last_q_msw", None)
+            q_all = np.concatenate([q, qm]) if qm is not None else q
+            prod_all = np.maximum(-q_all, 0.0)
+            out["FWPR"] = prod_all[:, 0].sum()
+            out["FOPR"] = prod_all[:, 1].sum()
+            out["FGPR"] = prod_all[:, 2].sum()
             fgor = out["FGPR"] / max(out["FOPR"], 1e-30)
             out["FGOR"] = fgor
-            names = [w.name for w in
-                     self.state.schedule.steps[self._step_index].wells]
+            prod = np.maximum(-q, 0.0)
+            names = getattr(self, "_std_well_names", None)
+            if names is None:
+                names = [w.name for w in
+                         self.state.schedule.steps[self._step_index].wells]
             pbh = np.asarray(self.pbh)
             for iw, name in enumerate(names):
                 out[f"WBHP:{name}"] = float(pbh[iw])
@@ -274,6 +330,16 @@ class Simulator:
                 out[f"WWPR:{name}"] = float(prod[iw, 0])
                 out[f"WGIR:{name}"] = float(max(q[iw, 2], 0.0))
                 out[f"WWIR:{name}"] = float(max(q[iw, 0], 0.0))
+            if qm is not None and self.msw_x is not None:
+                prod_m = np.maximum(-qm, 0.0)
+                xw = np.asarray(self.msw_x)
+                for im, name in enumerate(self._msw_well_names):
+                    out[f"WBHP:{name}"] = float(xw[im, 0, 3])
+                    out[f"WOPR:{name}"] = float(prod_m[im, 1])
+                    out[f"WGPR:{name}"] = float(prod_m[im, 2])
+                    out[f"WWPR:{name}"] = float(prod_m[im, 0])
+                    out[f"WGIR:{name}"] = float(max(qm[im, 2], 0.0))
+                    out[f"WWIR:{name}"] = float(max(qm[im, 0], 0.0))
         return out
 
 
@@ -299,6 +365,8 @@ class Simulator:
             cum_vals=np.asarray(list(self.cum.values())),
             pid_errors=np.asarray([np.nan if e is None else e
                                    for e in self._pid.errors]),
+            msw_x=(np.asarray(self.msw_x) if self.msw_x is not None
+                   else np.zeros(0)),
         )
 
     def load_restart(self, path: str) -> None:
@@ -316,6 +384,8 @@ class Simulator:
         if "pid_errors" in d:
             self._pid.errors = [None if np.isnan(e) else float(e)
                                 for e in d["pid_errors"]]
+        if "msw_x" in d and d["msw_x"].size:
+            self.msw_x = jnp.asarray(d["msw_x"])
 
     # ------------------------------------------------------------------
     # Python-API parity with the reference's pybind11 BlackOilSimulator
@@ -346,9 +416,9 @@ class Simulator:
         self.cells = CellStatic(
             pore_vol_ref=jnp.asarray(self.geo.pore_vol),
             depth=self.cells.depth,
-            satnum=self.cells.satnum)
+            regs=self.cells.regs)
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
-                                 self.cells.pore_vol_ref)
+                                 self.cells.pore_vol_ref, self.cells.regs)
 
     def get_cell_volumes(self) -> np.ndarray:
         return np.asarray(self.geo.volume)

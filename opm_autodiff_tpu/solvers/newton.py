@@ -28,6 +28,7 @@ from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_
 from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_SG, PrimaryState,
                                               accumulation, intensive)
 from opm_autodiff_tpu.solvers.linear import solve_linear
+from opm_autodiff_tpu.wells import multisegment as msw_mod
 from opm_autodiff_tpu.wells import standard as wells_mod
 from opm_autodiff_tpu.wells.standard import (CTRL_BHP, WellResult, WellSet,
                                              well_contributions,
@@ -68,6 +69,8 @@ class NewtonState(NamedTuple):
     flag: jnp.ndarray       # [N]
     pbh: jnp.ndarray        # [W]
     active_mode: jnp.ndarray  # [W]
+    # multisegment wells: [M,S,4] segment unknowns (None when no MSW)
+    msw_x: jnp.ndarray | None = None
 
 
 class IterationInfo(NamedTuple):
@@ -108,8 +111,10 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
         jnp.select([ws.ctrl_mode == wells_mod.CTRL_ORAT,
                     ws.ctrl_mode == wells_mod.CTRL_WRAT,
                     ws.ctrl_mode == wells_mod.CTRL_GRAT,
-                    ws.ctrl_mode == wells_mod.CTRL_LRAT],
-                   [ws.orat, ws.wrat, ws.grat, ws.lrat], default=1.0))
+                    ws.ctrl_mode == wells_mod.CTRL_LRAT,
+                    ws.ctrl_mode == wells_mod.CTRL_RESV],
+                   [ws.orat, ws.wrat, ws.grat, ws.lrat, ws.resv_rate],
+                   default=1.0))
     rate_scale = jnp.where(jnp.isfinite(rate_scale) & (rate_scale > 0),
                            rate_scale, 1.0)
     from opm_autodiff_tpu.wells.standard import CTRL_THP
@@ -130,7 +135,7 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
     return cnv, mb, well_err, relaxed_ok, converged, failed
 
 
-def _chop_and_update(params: NewtonParams, fs, u, flag, dx):
+def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None):
     # (inactive-phase pinning means dx for those variables is ~0)
     """Appleyard-chopped update + primary-variable switching
     (opm-models BlackOilNewtonMethod::update_ semantics)."""
@@ -151,7 +156,10 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx):
     x3_new = x3 + dx3
 
     # --- variable switching (disabled without a gas phase) ---
-    rs_sat_new = fs.rs_sat(po_new)
+    if fs.num_pvt_regions == 1 or pvtnum is None:
+        rs_sat_new = fs.rs_sat(po_new)
+    else:
+        rs_sat_new = jax.vmap(fs.rs_sat)(po_new, pvtnum)
     gas_on = params.has_gas
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
     to_rs = is_sg & (x3_new < 0.0) & gas_on
@@ -181,20 +189,26 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
     prod_to_bhp = (~ws.is_injector) & (active_mode != CTRL_BHP) & \
         (pbh < ws.bhp_limit)
     # producer on BHP: schedule-rate exceeded -> back to schedule mode
+    resv_prod = jnp.einsum("wi,wi->w", ws.voidage_coeff, prod)
     sched_rate = jnp.select(
         [sched == wells_mod.CTRL_ORAT, sched == wells_mod.CTRL_WRAT,
-         sched == wells_mod.CTRL_GRAT, sched == wells_mod.CTRL_LRAT],
+         sched == wells_mod.CTRL_GRAT, sched == wells_mod.CTRL_LRAT,
+         sched == wells_mod.CTRL_RESV],
         [prod[:, 1] - ws.orat, prod[:, 0] - ws.wrat, prod[:, 2] - ws.grat,
-         prod[:, 0] + prod[:, 1] - ws.lrat],
+         prod[:, 0] + prod[:, 1] - ws.lrat, resv_prod - ws.resv_rate],
         default=jnp.full_like(pbh, -1.0))
     prod_to_rate = (~ws.is_injector) & (active_mode == CTRL_BHP) & \
         (sched != CTRL_BHP) & (sched_rate > 0.0)
 
     inj_rate_now = q_tot.sum(axis=1)
+    inj_resv_now = jnp.einsum("wi,wi->w", ws.voidage_coeff, q_tot)
+    inj_target_exceeded = jnp.where(
+        sched == wells_mod.CTRL_RESV, inj_resv_now > ws.resv_rate,
+        inj_rate_now > ws.inj_rate)
     inj_to_bhp = ws.is_injector & (active_mode != CTRL_BHP) & \
         (pbh > ws.bhp_limit)
     inj_to_rate = ws.is_injector & (active_mode == CTRL_BHP) & \
-        (sched != CTRL_BHP) & (inj_rate_now > ws.inj_rate)
+        (sched != CTRL_BHP) & inj_target_exceeded
 
     new_mode = jnp.where(prod_to_bhp | inj_to_bhp, CTRL_BHP, active_mode)
     new_mode = jnp.where(prod_to_rate | inj_to_rate, sched, new_mode)
@@ -204,7 +218,7 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
 def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
                           aq: AquiferDevice | None = None,
-                          vfp_bank=None):
+                          vfp_bank=None, msw=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
@@ -214,15 +228,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # single per-iteration intensive evaluation, shared by the
     # convergence metrics (assembly re-derives it under jacfwd)
     q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(fs, u, flag,
-                                                         cells.satnum)
+                                                         cells.regs)
 
     # --- control update from a cheap rates-only pass, then ONE full
     # well assembly (reference: updateWellControls before assembleWellEq,
     # BlackoilWellModel_impl.hpp:828-834) ---
-    q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.satnum)
+    q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.regs)
     mode = update_well_controls(ws, mode, pbh, q_quick)
     wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank,
-                            cells.satnum)
+                            cells.regs)
     q_tot = wr.q_perf.sum(axis=1)
 
     # --- reservoir assembly (banded fast path for structured grids) ---
@@ -234,9 +248,17 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                               acc0, dt)
     residual = wells_mod.apply_to_residual(sys.residual, wr, ws)
     diag = wells_mod.apply_to_diag(sys.diag, wr, ws)
+    # --- multisegment wells (reference: MultisegmentWell assemble +
+    # Schur via duneB_/C_/D_, MultisegmentWellEval.hpp:272) ---
+    mr = None
+    if msw is not None:
+        mr = msw_mod.msw_contributions(fs, u, flag, st.msw_x, msw,
+                                       regs=cells.regs)
+        residual = msw_mod.apply_to_residual(residual, mr, msw)
+        diag = msw_mod.apply_to_diag(diag, mr, msw)
     # --- aquifer water sources: q = a1 - a2 * p_datum; implicit in p
     # (reference BlackoilAquiferModel::addToSource) ---
-    rho_w_g = fs.rho_surf[0] * 9.80665
+    rho_w_g = fs.rho_ref(0)[0] * 9.80665
     q_aq = aquifer_rates(aq, u, rho_w_g)
     residual = residual.at[aq.cell, 0].add(-q_aq)
     diag = diag.at[aq.cell, 0, 0].add(aq.a2)
@@ -263,11 +285,35 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # --- convergence ---
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
         params, fs, cells, residual, q_all.inv_b, dt, wr, ws, mode)
+    if msw is not None:
+        msw_scale = jnp.where(
+            msw.is_injector,
+            jnp.where(jnp.isfinite(msw.inj_rate), msw.inj_rate, 1e-3),
+            jnp.select([msw.ctrl_mode == wells_mod.CTRL_ORAT,
+                        msw.ctrl_mode == wells_mod.CTRL_WRAT,
+                        msw.ctrl_mode == wells_mod.CTRL_GRAT,
+                        msw.ctrl_mode == wells_mod.CTRL_LRAT],
+                       [msw.orat, msw.wrat, msw.grat, msw.lrat],
+                       default=1e-3))
+        msw_scale = jnp.where(jnp.isfinite(msw_scale) & (msw_scale > 0),
+                              msw_scale, 1e-3)
+        msw_err = msw_mod.msw_convergence(mr, msw, msw_scale)
+        well_err = jnp.maximum(well_err, msw_err)
+        converged = converged & (msw_err < params.tol_wells * 10)
+        failed = failed | ~jnp.isfinite(msw_err)
 
     # --- linear solve with well Schur complement fused in ---
     rhs = -residual + wells_mod.schur_rhs(residual, wr, ws)
+    if msw is not None:
+        rhs = rhs + msw_mod.schur_rhs(mr, msw, residual)
+
+        def extra_mv(x):
+            return (wells_mod.schur_matvec(wr, ws, x)
+                    + msw_mod.schur_matvec(mr, msw, x))
+    else:
+        extra_mv = partial(wells_mod.schur_matvec, wr, ws)
     lin = solve_linear(sys, rhs,
-                       extra_matvec=partial(wells_mod.schur_matvec, wr, ws),
+                       extra_matvec=extra_mv,
                        tol=params.linear_tol, maxiter=params.linear_maxiter,
                        precond=params.linear_precond)
     dx = lin.x
@@ -281,17 +327,26 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
 
     # --- chopped update + switching ---
-    u_new, flag_new = _chop_and_update(params, fs, u, flag, dx)
+    u_new, flag_new = _chop_and_update(params, fs, u, flag, dx,
+                                       cells.regs[:, 1])
     dpbh = jnp.clip(dpbh, -5e6, 5e6)  # DbhpMaxRel-style damping
     pbh_new = jnp.clip(pbh + dpbh, 1e5, 2e9)
+
+    msw_x_new = st.msw_x
+    q_msw = None
+    if msw is not None:
+        dxw = msw_mod.recover_update(mr, msw, dx)
+        dxw = jnp.where(jnp.isfinite(dxw), dxw, 0.0)
+        msw_x_new = msw_mod.chop_msw_update(st.msw_x, dxw, msw)
+        q_msw = mr.q_perf_cell.sum(axis=1)  # [M,3] into cells
 
     info = IterationInfo(cnv=cnv, mb=mb, well_err=well_err,
                          relaxed_ok=relaxed_ok, converged=converged,
                          failed=failed, linear_iters=lin.iterations,
                          linear_ok=lin.converged)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
-                         active_mode=mode)
-    return new_st, info, (q_tot, wr.q_perf), q_aq
+                         active_mode=mode, msw_x=msw_x_new)
+    return new_st, info, (q_tot, wr.q_perf, q_msw), q_aq
 
 
 newton_iteration = jax.jit(newton_iteration_impl,
@@ -311,7 +366,7 @@ class NewtonReport:
 
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
-                 aq: AquiferDevice | None = None, vfp_bank=None):
+                 aq: AquiferDevice | None = None, vfp_bank=None, msw=None):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -323,14 +378,16 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     last_q = None
     last_q_perf = None
     last_q_aq = None
+    last_q_msw = None
     if aq is None:
         aq = empty_device()
     for it in range(params.max_iter + 1):
-        new_st, info, (q_tot, q_perf), q_aq = newton_iteration(
+        new_st, info, (q_tot, q_perf, q_msw), q_aq = newton_iteration(
             params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
-            vfp_bank)
+            vfp_bank, msw)
         last_q_aq = q_aq
         last_q_perf = q_perf
+        last_q_msw = q_msw
         failed = bool(info.failed)
         conv = bool(info.converged) and it >= params.min_iter
         total_lin += int(info.linear_iters)
@@ -344,16 +401,16 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                                     np.asarray(info.cnv),
                                     np.asarray(info.mb),
                                     float(info.well_err)), \
-                (last_q, last_q_perf), last_q_aq
+                (last_q, last_q_perf, last_q_msw), last_q_aq
         if conv:
             # carry over any control-mode change from the last assembly
             st = st._replace(active_mode=new_st.active_mode)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
                                     float(info.well_err)), \
-                (last_q, last_q_perf), last_q_aq
+                (last_q, last_q_perf, last_q_msw), last_q_aq
         st = new_st
     return st, NewtonReport(False, params.max_iter, total_lin, False,
                             np.asarray(info.cnv), np.asarray(info.mb),
                             float(info.well_err)), \
-        (last_q, last_q_perf), last_q_aq
+        (last_q, last_q_perf, last_q_msw), last_q_aq

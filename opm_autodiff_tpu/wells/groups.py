@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-_PHASE_COL = {"ORAT": 1, "WRAT": 0, "GRAT": 2, "LRAT": None}
+_PHASE_COL = {"ORAT": 1, "WRAT": 0, "GRAT": 2, "LRAT": None, "RESV": None}
 
 
 class GroupManager:
@@ -68,7 +68,8 @@ class GroupManager:
             if mode in ("NONE", "FLD"):
                 continue
             target = {"ORAT": gc.get("orat"), "WRAT": gc.get("wrat"),
-                      "GRAT": gc.get("grat"), "LRAT": gc.get("lrat")}.get(mode)
+                      "GRAT": gc.get("grat"), "LRAT": gc.get("lrat"),
+                      "RESV": gc.get("resv")}.get(mode)
             if target is None:
                 continue
             members = self._members(gname, injector=False)
@@ -136,7 +137,7 @@ def apply_assignments(ws, assigns: dict):
 
     from opm_autodiff_tpu.wells.standard import (CTRL_GRAT, CTRL_LRAT,
                                                  CTRL_ORAT, CTRL_RATE,
-                                                 CTRL_WRAT)
+                                                 CTRL_RESV, CTRL_WRAT)
     if not assigns:
         return ws
     mode = np.asarray(ws.ctrl_mode).copy()
@@ -145,8 +146,9 @@ def apply_assignments(ws, assigns: dict):
     grat = np.asarray(ws.grat).copy()
     lrat = np.asarray(ws.lrat).copy()
     inj_rate = np.asarray(ws.inj_rate).copy()
+    resv = np.asarray(ws.resv_rate).copy()
     midx = {"ORAT": CTRL_ORAT, "WRAT": CTRL_WRAT, "GRAT": CTRL_GRAT,
-            "LRAT": CTRL_LRAT, "RATE": CTRL_RATE}
+            "LRAT": CTRL_LRAT, "RATE": CTRL_RATE, "RESV": CTRL_RESV}
     for iw, (m, target) in assigns.items():
         mode[iw] = midx[m]
         if m == "ORAT":
@@ -159,6 +161,9 @@ def apply_assignments(ws, assigns: dict):
             lrat[iw] = target
         elif m == "RATE":
             inj_rate[iw] = target
+        elif m == "RESV":
+            resv[iw] = target
     return ws._replace(ctrl_mode=jnp.asarray(mode), orat=jnp.asarray(orat),
                        wrat=jnp.asarray(wrat), grat=jnp.asarray(grat),
-                       lrat=jnp.asarray(lrat), inj_rate=jnp.asarray(inj_rate))
+                       lrat=jnp.asarray(lrat), inj_rate=jnp.asarray(inj_rate),
+                       resv_rate=jnp.asarray(resv))

@@ -33,12 +33,12 @@ from opm_autodiff_tpu.props.fluid import FluidSystem
 
 # control modes (per well, int)
 (CTRL_BHP, CTRL_ORAT, CTRL_WRAT, CTRL_GRAT, CTRL_LRAT, CTRL_RATE,
- CTRL_THP) = range(7)
+ CTRL_THP, CTRL_RESV) = range(8)
 
 _PHASE_IDX = {"WATER": 0, "WAT": 0, "OIL": 1, "GAS": 2}
 _MODE_IDX = {"BHP": CTRL_BHP, "ORAT": CTRL_ORAT, "WRAT": CTRL_WRAT,
              "GRAT": CTRL_GRAT, "LRAT": CTRL_LRAT, "RATE": CTRL_RATE,
-             "RESV": CTRL_RATE, "THP": CTRL_THP}
+             "RESV": CTRL_RESV, "THP": CTRL_THP}
 
 
 class WellSet(NamedTuple):
@@ -63,6 +63,9 @@ class WellSet(NamedTuple):
     open_mask: jnp.ndarray   # [W] bool
     thp_target: jnp.ndarray  # [W] THP target (0 if none)
     vfp_idx: jnp.ndarray     # [W] index into the VFP bank (-1 = none)
+    # RESV controls (reference: RateConverter.hpp:406 voidage coefficients)
+    resv_rate: jnp.ndarray       # [W] reservoir-volume rate target
+    voidage_coeff: jnp.ndarray   # [W,3] surface-rate -> res-volume coeffs
 
     @property
     def num_wells(self) -> int:
@@ -111,6 +114,10 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
     open_m = np.zeros(nw, bool)
     thp_t = np.zeros(nw)
     vfp_i = np.full(nw, -1, np.int32)
+    resv = np.full(nw, inf)
+    # lagged voidage coefficients; the simulator refreshes these per
+    # substep from FIPNUM-region average PVT (wells/rate_converter.py)
+    voidage = np.ones((nw, 3))
 
     for iw, w in enumerate(wells):
         comps = [c for c in w.completions if c.open]
@@ -148,6 +155,8 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
                 lrat[iw] = w.liquid_rate
             bhp_l[iw] = w.bhp_limit if w.bhp_limit is not None else U.ATM
         bhp_t[iw] = bhp_l[iw]
+        if getattr(w, "resv_rate", None) is not None:
+            resv[iw] = w.resv_rate
         if getattr(w, "thp_limit", None):
             thp_t[iw] = w.thp_limit
         if getattr(w, "vfp_table", None) is not None and vfp_numbering:
@@ -163,6 +172,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
         inj_rate=jnp.asarray(inj_rate), bhp_target=jnp.asarray(bhp_t),
         bhp_limit=jnp.asarray(bhp_l), open_mask=jnp.asarray(open_m),
         thp_target=jnp.asarray(thp_t), vfp_idx=jnp.asarray(vfp_i),
+        resv_rate=jnp.asarray(resv), voidage_coeff=jnp.asarray(voidage),
     )
 
 
@@ -171,7 +181,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
-                dz, is_injector, inj_phase, satnum=0):
+                dz, is_injector, inj_phase, regs=(0, 0)):
     """Surface-volume rates [3] INTO the cell at one perforation.
 
     Reference semantics: StandardWell_impl.hpp:297 calculateSinglePerf —
@@ -180,7 +190,7 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
     connection pressure correction from an explicitly-computed (lagged)
     connection density.
     """
-    q = intensive(fs, u_cell, flag_cell, satnum)
+    q = intensive(fs, u_cell, flag_cell, regs)
     p_conn = pbh + rho_conn * U.GRAVITY * dz
 
     # one drawdown per phase using phase pressures in the cell
@@ -209,13 +219,13 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
 
 
 def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
-                        is_injector, inj_phase, satnum=0):
+                        is_injector, inj_phase, regs=(0, 0)):
     """Explicit (lagged, non-differentiated) connection mixture density.
 
     Reference: StandardWell computeConnectionDensities — explicit update
     per Newton iteration from the previous iteration's state.
     """
-    q = intensive(fs, u_cell, flag_cell, satnum)
+    q = intensive(fs, u_cell, flag_cell, regs)
     # producer: mobility-weighted cell fluid density; injector: phase density
     mob_sum = q.mob[0] + q.mob[1] + q.mob[2]
     w = q.mob / jnp.maximum(mob_sum, 1e-30)
@@ -225,27 +235,27 @@ def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
 
 
 def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
-                    ws: WellSet, satnum=None) -> jnp.ndarray:
+                    ws: WellSet, regs=None) -> jnp.ndarray:
     """Total surface rates [W,3] without Jacobians (for control checks)."""
     u_perf = u[ws.cell]
     flag_perf = flag[ws.cell]
-    sat_perf = (satnum[ws.cell] if satnum is not None
-                else jnp.zeros_like(ws.cell))
+    reg_perf = (regs[ws.cell] if regs is not None
+                else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
     dz = ws.perf_depth - ws.ref_depth[:, None]
     rho_conn = jax.vmap(jax.vmap(
         _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
         in_axes=(None, 0, 0, 0, 0, 0, 0))(
-        fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase, sat_perf)
+        fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase, reg_perf)
 
-    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, sn):
-        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, sn)
+    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, rg):
+        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, rg)
         return jnp.where(mask, q, jnp.zeros(3))
 
     q = jax.vmap(jax.vmap(one,
                           in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0)),
                  in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask, sat_perf)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf)
     q = jnp.where(ws.open_mask[:, None, None], q, 0.0)
     return q.sum(axis=1)
 
@@ -253,7 +263,7 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
 def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                        ws: WellSet,
                        active_mode: jnp.ndarray | None = None,
-                       vfp_bank=None, satnum=None) -> WellResult:
+                       vfp_bank=None, regs=None) -> WellResult:
     """Assemble all well quantities for one Newton iteration.
 
     Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
@@ -266,8 +276,8 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         active_mode = ws.ctrl_mode
     u_perf = u[ws.cell]          # [W,P,3]
     flag_perf = flag[ws.cell]    # [W,P]
-    sat_perf = (satnum[ws.cell] if satnum is not None
-                else jnp.zeros_like(ws.cell))
+    reg_perf = (regs[ws.cell] if regs is not None
+                else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
     dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
 
     # explicit connection densities (lagged; no gradient)
@@ -275,13 +285,13 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
         in_axes=(None, 0, 0, 0, 0, 0, 0))(
         fs, jax.lax.stop_gradient(u_perf), flag_perf,
-        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, sat_perf)
+        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, reg_perf)
 
-    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, sn):
+    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, rg):
         def f(args):
             uu, pp = args
             qv = _perf_rates(fs, uu, flag_c, pp, rho_c, wi_c, dz_c, inj,
-                             phase, sn)
+                             phase, rg)
             qv = jnp.where(mask, qv, jnp.zeros(3))
             return qv, qv
 
@@ -293,18 +303,18 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0)),
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask, sat_perf)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf)
 
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
         (orat, wrat, grat, lrat, inj_rate, bhp_t, is_inj, thp_t,
-         vfp_i) = ws_row
+         vfp_i, resv, vcoef) = ws_row
         prod = -q_tot  # positive production rates
         r_rate_prod = jnp.select(
             [mode == CTRL_ORAT, mode == CTRL_WRAT, mode == CTRL_GRAT,
-             mode == CTRL_LRAT],
+             mode == CTRL_LRAT, mode == CTRL_RESV],
             [prod[1] - orat, prod[0] - wrat, prod[2] - grat,
-             prod[0] + prod[1] - lrat],
+             prod[0] + prod[1] - lrat, jnp.dot(vcoef, prod) - resv],
             default=pb - bhp_t)
         if vfp_bank is not None:
             from opm_autodiff_tpu.wells.vfp import bank_bhp
@@ -312,9 +322,11 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
             bhp_vfp = bank_bhp(vfp_bank, vfp_i, thp_t, prod)
             r_rate_prod = jnp.where(mode == CTRL_THP, pb - bhp_vfp,
                                     r_rate_prod)
-        r_inj = jnp.where(mode == CTRL_RATE,
-                          q_tot[0] + q_tot[1] + q_tot[2] - inj_rate,
-                          pb - bhp_t)
+        inj_surf = q_tot[0] + q_tot[1] + q_tot[2]
+        r_inj = jnp.select(
+            [mode == CTRL_RATE, mode == CTRL_RESV],
+            [inj_surf - inj_rate, jnp.dot(vcoef, q_tot) - resv],
+            default=pb - bhp_t)
         r = jnp.where(is_inj, r_inj,
                       jnp.where(mode == CTRL_BHP, pb - bhp_t, r_rate_prod))
         return r
@@ -324,14 +336,14 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     q_tot = q_perf.sum(axis=1)  # [W,3]
 
     def rw_fn(q_tot_w, pb, mode, orat, wrat, grat, lrat, inj_rate, bhp_t,
-              is_inj, thp_t, vfp_i):
+              is_inj, thp_t, vfp_i, resv, vcoef):
         return control_residual(q_tot_w, pb, mode,
                                 (orat, wrat, grat, lrat, inj_rate, bhp_t,
-                                 is_inj, thp_t, vfp_i))
+                                 is_inj, thp_t, vfp_i, resv, vcoef))
 
     rw_args = (q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
                ws.inj_rate, ws.bhp_target, ws.is_injector, ws.thp_target,
-               ws.vfp_idx)
+               ws.vfp_idx, ws.resv_rate, ws.voidage_coeff)
     res_well = jax.vmap(rw_fn)(*rw_args)
 
     # dg/dq_tot: [W,3]; dg/dpbh direct: [W]

@@ -46,11 +46,15 @@ def test_default_items(deck):
 
 def test_pvto_records(deck):
     pvto = deck.get1("PVTO")
-    assert len(pvto.records) == 10
+    # TABLES keywords keep empty records as per-region separators; the
+    # closing '/' of the (single) region table is the trailing empty one
+    recs = [r for r in pvto.records if r]
+    assert len(recs) == 10
+    assert pvto.records[-1] == []
     # 1.618 branch has undersaturated points: Rs + 2 (p,Bo,mu) triples
-    assert len(pvto.records[-2]) == 1 + 2 * 3
-    assert len(pvto.records[-3]) == 1 + 3 * 3
-    assert len(pvto.records[-1]) == 1 + 1 * 3
+    assert len(recs[-2]) == 1 + 2 * 3
+    assert len(recs[-3]) == 1 + 3 * 3
+    assert len(recs[-1]) == 1 + 1 * 3
 
 
 def test_runspec(state):
