@@ -80,6 +80,7 @@ SECTION_KEYWORDS = {
 
 FLAG_KEYWORDS = {
     "OIL", "WATER", "GAS", "DISGAS", "VAPOIL", "FIELD", "METRIC", "LAB",
+    "POLYMER", "BRINE", "FOAM", "SOLVENT", "TEMP", "THERMAL",
     "UNIFIN", "UNIFOUT", "UNIFSAVE", "MULTIN", "MULTOUT", "NOSIM", "IMPES",
     "NONNC", "NOGRAV", "ECHO", "NOECHO", "FMTIN", "FMTOUT", "INIT",
     "NOINSPEC", "NORSSPEC", "SKIPREST", "END", "ENDBOX", "NEWTRAN",
@@ -108,7 +109,8 @@ RECORDS_KEYWORDS = {
     "DENSITY", "GRAVITY", "PVTW", "PVCDO", "EQUIL", "RPTRST", "TUNING",
     "WLIFTOPT", "GLIFTOPT", "MESSAGES", "DATES", "THPRES", "WRFTPLT",
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",
-    "SWATINIT",
+    "SWATINIT", "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
+    "FOAMFSC", "PVTWSALT", "SALTVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
 }
 
 DATA_KEYWORDS = {
@@ -128,7 +130,7 @@ TABLES_KEYWORDS = {
     # branch records.
     "SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3", "PVDG", "PVDO",
     "PVTO", "PVTG", "RSVD", "RVVD", "PBVD", "PDVD", "PVZG", "ROCKTAB",
-    "TSTEP",
+    "TSTEP", "PLYVISC", "PLYADS", "FOAMMOB", "PVDS", "SSFN", "MSFN",
 }
 
 # TSTEP is really DATA-like (one record of numbers) but may appear many times.

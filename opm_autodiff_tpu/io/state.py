@@ -41,6 +41,9 @@ class Runspec:
     cartdims: tuple[int, int, int]
     start: datetime.date
     title: str = ""
+    # active extended black-oil components (POLYMER/BRINE/FOAM/SOLVENT/
+    # THERMAL runspec flags; reference: Main.hpp:202 dispatchDynamic_)
+    extensions: frozenset = frozenset()
 
 
 @dataclasses.dataclass
@@ -220,6 +223,10 @@ class WellConfig:
     segments: list | None = None   # list[Segment]
     compsegs: list | None = None   # list[CompSeg]
     pd_model: str = "HF-"          # pressure-drop components (WELSEGS item 6)
+    # extended-component injection concentrations (SI mass/volume)
+    poly_conc: float = 0.0         # WPOLYMER
+    salt_conc: float = 0.0         # WSALT / WPOLYMER item 3
+    foam_conc: float = 0.0         # WFOAM
 
 
 @dataclasses.dataclass
@@ -251,6 +258,8 @@ class EclState:
     schedule: Schedule
     aquifers: dict = dataclasses.field(default_factory=dict)
     tracers: dict = dataclasses.field(default_factory=dict)
+    # extended black-oil component tables (PLYVISC/PLYADS/PLYROCK/...)
+    components: dict = dataclasses.field(default_factory=dict)
     vfp_prod_records: list = dataclasses.field(default_factory=list)
     nnc: list = dataclasses.field(default_factory=list)  # (ijk1, ijk2, trans SI)
     thpres: list = dataclasses.field(default_factory=list)  # (r1, r2, dp SI)
@@ -303,6 +312,10 @@ def _build_runspec(deck: Deck) -> Runspec:
         mon = MONTHS.get(str(item(r, 1, "JAN")).upper().strip("'\""), 1)
         year = int(item(r, 2, 1983))
         start = datetime.date(year, mon, day)
+    ext = {e for e in ("POLYMER", "BRINE", "FOAM", "SOLVENT", "THERMAL")
+           if e in deck}
+    if "TEMP" in deck:
+        ext.add("THERMAL")
     return Runspec(
         phases=frozenset(phases),
         disgas="DISGAS" in deck,
@@ -310,6 +323,7 @@ def _build_runspec(deck: Deck) -> Runspec:
         unit_system=unit,
         cartdims=cartdims,
         start=start,
+        extensions=frozenset(ext),
     )
 
 
@@ -863,6 +877,19 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                 bhp = item(r, 6, None)
                 w.bhp_limit = (bhp * u.pressure if bhp is not None
                                else 6895e4)  # ECL default ~1e4 psia
+        elif kw.name == "WPOLYMER":
+            for r in kw.records:
+                w = wells[str(item(r, 0, ""))]
+                w.poly_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+                w.salt_conc = float(item(r, 2, 0.0)) * u.polymer_concentration
+        elif kw.name == "WSALT":
+            for r in kw.records:
+                w = wells[str(item(r, 0, ""))]
+                w.salt_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+        elif kw.name == "WFOAM":
+            for r in kw.records:
+                w = wells[str(item(r, 0, ""))]
+                w.foam_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
         elif kw.name == "GRUPTREE":
             for r in kw.records:
                 child = str(item(r, 0, ""))
@@ -981,8 +1008,56 @@ def build_state(deck: Deck) -> EclState:
     for kw in deck:
         if kw.name.startswith("TBLKF"):
             tracers[kw.name] = [v for v in kw.records[0] if v is not DEFAULT]
-    vfp_prod = [kw.records for kw in deck.get("VFPPROD")]
+    components = {}
     u = rs.unit_system
+    cscale = u.polymer_concentration
+    kw = deck.get1("PLYVISC")
+    if kw:
+        t = _table_2d_regions(kw, 2, [cscale, 1.0])
+        components["PLYVISC"] = t
+    kw = deck.get1("PLYADS")
+    if kw:
+        # conc -> adsorbed mass per mass rock (dimensionless mass ratio)
+        components["PLYADS"] = _table_2d_regions(kw, 2, [cscale, 1.0])
+    kw = deck.get1("PLYROCK")
+    if kw:
+        recs = []
+        for r in kw.records:
+            recs.append({
+                "dead_pore": float(item(r, 0, 0.0)),
+                "rrf": float(item(r, 1, 1.0)),
+                "rock_density": float(item(r, 2, 0.0))
+                * u.mass / u.reservoir_volume,
+                "ads_index": int(item(r, 3, 1)),
+                "max_ads": float(item(r, 4, 0.0)),
+            })
+        components["PLYROCK"] = recs
+    kw = deck.get1("PLYMAX")
+    if kw and kw.records:
+        components["PLYMAX"] = float(item(kw.records[0], 0, 0.0)) * cscale
+    kw = deck.get1("FOAMMOB")
+    if kw:
+        components["FOAMMOB"] = _table_2d_regions(kw, 2, [cscale, 1.0])
+    kw = deck.get1("PVTWSALT")
+    if kw and len(kw.records) >= 2:
+        hdr = kw.records[0]
+        rows = [v for v in kw.records[1] if v is not DEFAULT]
+        tab = np.asarray(rows, float).reshape(-1, 5)
+        tab[:, 0] *= cscale            # salt concentration
+        tab[:, 1] *= u.oil_fvf         # Bw
+        tab[:, 2] *= u.compressibility
+        tab[:, 3] *= u.viscosity
+        tab[:, 4] *= u.compressibility
+        components["PVTWSALT"] = {
+            "p_ref": float(item(hdr, 0, 1.0)) * u.pressure,
+            "salt_ref": float(item(hdr, 1, 0.0)) * cscale,
+            "table": tab,
+        }
+    kw = deck.get1("SALTVD")
+    if kw:
+        components["SALTVD"] = _table_2d_regions(
+            kw, 2, [u.length, cscale])
+    vfp_prod = [kw.records for kw in deck.get("VFPPROD")]
     nnc = []
     for kw in deck.get("NNC"):
         for r in kw.records:
@@ -999,6 +1074,7 @@ def build_state(deck: Deck) -> EclState:
                            float(item(r, 2, 0.0)) * u.pressure))
     return EclState(rs, grid, props, regions, solution, summary, schedule,
                     aquifers=aquifers, tracers=tracers,
+                    components=components,
                     vfp_prod_records=vfp_prod, nnc=nnc, thpres=thpres)
 
 

@@ -62,10 +62,10 @@ def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, regs):
 
 
 def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-                  regsL, regsR, thp):
+                  regsL, regsR, thp, mobL, mobR):
     def f(u6):
         fl = face_flux(fs, u6[:3], u6[3:], flagL, flagR, trans, gdz,
-                       regsL, regsR, thp)
+                       regsL, regsR, thp, mobL, mobR)
         return fl, fl
 
     jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
@@ -96,9 +96,10 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     regsL = cells.regs[faces.left]
     regsR = cells.regs[faces.right]
     flux, jac_l, jac_r = jax.vmap(
-        _flux_val_jac, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        _flux_val_jac, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, regsL, regsR,
-        faces.thpres)
+        faces.thpres, cells.mob_mult[faces.left],
+        cells.mob_mult[faces.right])
 
     # R_L += flux ; R_R -= flux
     residual = residual.at[faces.left].add(flux)

@@ -47,6 +47,11 @@ class CellStatic(NamedTuple):
     depth: jnp.ndarray
     # [N,2] int32 zero-based property regions: col 0 = SATNUM, col 1 = PVTNUM
     regs: jnp.ndarray
+    # [N,3] per-phase mobility multipliers — the coupling hook for the
+    # extended black-oil components (polymer/brine thicken water, foam
+    # cuts gas mobility; reference: opm-models blackoil*modules); ones
+    # when no extension is active
+    mob_mult: jnp.ndarray
 
 
 class FaceStatic(NamedTuple):
@@ -75,11 +80,12 @@ class Intensive(NamedTuple):
 REG0 = (0, 0)  # default region pair (satnum, pvtnum) — static zeros
 
 
-def intensive(fs: FluidSystem, u, flag, regs=REG0) -> Intensive:
+def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None) -> Intensive:
     """Scalar per-cell intensive quantities; differentiable in u.
 
     ``regs`` is the (satnum, pvtnum) pair — a length-2 int vector or the
-    static default REG0."""
+    static default REG0. ``mob_mult`` [3] scales phase mobilities (the
+    extended-component feedback; None = ones)."""
     sr, pr = regs[0], regs[1]
     po, sw, x3 = u[0], u[1], u[2]
     has_gas = flag == FLAG_SG
@@ -107,10 +113,13 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0) -> Intensive:
     rho_o = (rho[1] + rs * rho[2]) * inv_bo
     rho_g = rho[2] * inv_bg
 
+    mob = jnp.stack([krw / mu_w, kro / mu_o, krg / mu_g])
+    if mob_mult is not None:
+        mob = mob * mob_mult
     return Intensive(
         p=jnp.stack([pw, po, pg]),
         inv_b=jnp.stack([inv_bw, inv_bo, inv_bg]),
-        mob=jnp.stack([krw / mu_w, kro / mu_o, krg / mu_g]),
+        mob=mob,
         rho=jnp.stack([rho_w, rho_o, rho_g]),
         rs=rs,
         sat=jnp.stack([sw, so, sg]),
@@ -129,7 +138,7 @@ def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, regs=REG0):
 
 
 def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-              regsL=REG0, regsR=REG0, thpres=0.0):
+              regsL=REG0, regsR=REG0, thpres=0.0, mobL=None, mobR=None):
     """TPFA upwinded phase flux through one face, positive L -> R.
 
     Semantics follow EclTransFluxModule::calculateGradients_
@@ -141,8 +150,8 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
 
     Returns [3]: water, oil, gas surface-volume fluxes [m^3/s].
     """
-    qL = intensive(fs, uL, flagL, regsL)
-    qR = intensive(fs, uR, flagR, regsR)
+    qL = intensive(fs, uL, flagL, regsL, mobL)
+    qR = intensive(fs, uR, flagR, regsR, mobR)
 
     # phase potential difference: dPhi_p = (pL - pR) - rho_avg * g * dz
     # (gdz = g*(depth_L - depth_R); depth positive down)
@@ -193,6 +202,7 @@ def statics_from_geometry(geo, structured: str = "auto"
         pore_vol_ref=jnp.asarray(geo.pore_vol),
         depth=jnp.asarray(geo.depth),
         regs=jnp.asarray(np.stack([satnum, pvtnum], axis=1), jnp.int32),
+        mob_mult=jnp.ones((geo.num_active, 3)),
     )
     if structured != "never":
         from opm_autodiff_tpu.models.structured import (

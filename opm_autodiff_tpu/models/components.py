@@ -1,0 +1,263 @@
+"""Extended black-oil components: polymer, brine (salt), foam.
+
+Rebuild of the reference's extended-model variants
+(flow/flow_ebos_{polymer,brine,foam}.cpp dispatched by Main.hpp:240-279;
+physics from opm-models' blackoilpolymermodules/blackoilbrinemodules/
+blackoilfoammodules). The reference solves the extra conservation
+equation fully implicitly inside the 4x4-block system; here the component
+is transported **implicitly after each converged substep** on the
+converged phase fluxes (the same operator-split the tracer model uses,
+ebos/ecltracermodel.hh:362) and couples BACK into the black-oil equations
+through per-cell phase-mobility multipliers evaluated at the lagged
+concentration (CellStatic.mob_mult):
+
+  * polymer: water viscosity multiplier from PLYVISC + permeability
+    reduction RRF scaled by adsorbed fraction (PLYROCK/PLYADS), i.e.
+    mob_w /= visc_mult(c) * RK(ads); adsorption storage enters the
+    transport equation semi-implicitly; dead pore volume shrinks the
+    polymer-accessible PV.
+  * brine: water viscosity from the PVTWSALT table vs the transported
+    salt concentration (relative to the table's reference salt).
+  * foam: gas mobility multiplied by the FOAMMOB reduction factor of the
+    transported (gas-phase) surfactant concentration.
+
+The split is first-order in dt — the same order as the reference's
+explicit connection densities and drift compensation — and converges to
+the reference's behavior at the timestep sizes the regression decks use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from opm_autodiff_tpu.models.blackoil import face_flux, intensive
+from opm_autodiff_tpu.props.tables import interp1d
+from opm_autodiff_tpu.solvers.linear import bicgstab
+
+
+class ComponentModel:
+    """Owns the concentration fields and the mobility feedback."""
+
+    def __init__(self, state, geo, fs, cells, faces):
+        self.fs = fs
+        self.cells = cells
+        self.faces = faces
+        self.geo = geo
+        ext = state.runspec.extensions
+        comp = state.components
+        n = geo.num_active
+
+        self.has_polymer = "POLYMER" in ext and "PLYVISC" in comp
+        self.has_brine = "BRINE" in ext and "PVTWSALT" in comp
+        self.has_foam = "FOAM" in ext and "FOAMMOB" in comp
+
+        # --- polymer tables (region 1; PLY* region banking later) ---
+        if self.has_polymer:
+            t = np.asarray(comp["PLYVISC"][0])
+            self.plyvisc_c = jnp.asarray(t[:, 0])
+            self.plyvisc_m = jnp.asarray(t[:, 1])
+            rock = (comp.get("PLYROCK") or [{}])[0]
+            self.dead_pore = float(rock.get("dead_pore", 0.0))
+            self.rrf = float(rock.get("rrf", 1.0))
+            self.rock_density = float(rock.get("rock_density", 0.0))
+            self.ads_index = int(rock.get("ads_index", 1))
+            self.max_ads = float(rock.get("max_ads", 0.0))
+            if "PLYADS" in comp:
+                ta = np.asarray(comp["PLYADS"][0])
+                self.plyads_c = jnp.asarray(ta[:, 0])
+                self.plyads_a = jnp.asarray(ta[:, 1])
+            else:
+                self.plyads_c = jnp.asarray([0.0, 1.0])
+                self.plyads_a = jnp.asarray([0.0, 0.0])
+            self.c_poly = jnp.zeros(n)
+            self.ads = jnp.zeros(n)  # adsorbed mass per rock mass
+        # --- brine tables ---
+        if self.has_brine:
+            ps = comp["PVTWSALT"]
+            tab = np.asarray(ps["table"])
+            self.salt_nodes = jnp.asarray(tab[:, 0])
+            self.salt_mu = jnp.asarray(tab[:, 3])
+            self.salt_ref_mu = float(tab[0, 3])
+            # initial salt from SALTVD (depth table) or zero
+            if "SALTVD" in comp:
+                t = np.asarray(comp["SALTVD"][0])
+                self.c_salt = jnp.asarray(
+                    np.interp(np.asarray(geo.depth), t[:, 0], t[:, 1]))
+            else:
+                self.c_salt = jnp.zeros(n)
+        # --- foam tables ---
+        if self.has_foam:
+            t = np.asarray(comp["FOAMMOB"][0])
+            self.foam_c = jnp.asarray(t[:, 0])
+            self.foam_m = jnp.asarray(t[:, 1])
+            self.c_foam = jnp.zeros(n)
+
+        self._m_old = None
+
+    @property
+    def active(self) -> bool:
+        return self.has_polymer or self.has_brine or self.has_foam
+
+    # ------------------------------------------------------------------
+    def mobility_multipliers(self) -> jnp.ndarray:
+        """Per-cell [N,3] phase mobility multipliers at current concs."""
+        n = self.cells.pore_vol_ref.shape[0]
+        mw = jnp.ones(n)
+        mg = jnp.ones(n)
+        if self.has_polymer:
+            visc_mult = jnp.maximum(
+                interp1d(self.c_poly, self.plyvisc_c, self.plyvisc_m,
+                         extrapolate=False), 1.0)
+            if self.max_ads > 0:
+                rk = 1.0 + (self.rrf - 1.0) * jnp.clip(
+                    self.ads / self.max_ads, 0.0, 1.0)
+            else:
+                rk = jnp.ones(n)
+            mw = mw / (visc_mult * rk)
+        if self.has_brine:
+            mu_salt = interp1d(self.c_salt, self.salt_nodes, self.salt_mu,
+                               extrapolate=False)
+            mw = mw * (self.salt_ref_mu / jnp.maximum(mu_salt, 1e-12))
+        if self.has_foam:
+            mr = jnp.clip(interp1d(self.c_foam, self.foam_c, self.foam_m,
+                                   extrapolate=False), 1e-3, 1.0)
+            mg = mg * mr
+        return jnp.stack([mw, jnp.ones(n), mg], axis=1)
+
+    # ------------------------------------------------------------------
+    def _phase_volumes(self, u, flag):
+        q = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(
+            self.fs, u, flag, self.cells.regs)
+        pv = self.cells.pore_vol_ref
+        m = pv[:, None] * q.sat * q.inv_b  # [N,3] phase surface volumes
+        gas_total = m[:, 2] + pv * q.rs * q.sat[:, 1] * q.inv_b[:, 1]
+        return m.at[:, 2].set(gas_total)
+
+    def initialize(self, u, flag):
+        if self.active:
+            self._m_old = self._phase_volumes(u, flag)
+
+    # ------------------------------------------------------------------
+    def _transport(self, c_old, m_old, m_new, flux_ph, dt, q_perf, ws,
+                   inj_conc, extra_diag=0.0, extra_rhs=0.0):
+        """One implicit upwind transport solve.
+
+        Conservative "explicit mass, implicit concentration" form: the
+        new storage is DERIVED from the step's own fluxes
+        (m_cons = m_old - dt*div F + dt*q), which makes c_new an exact
+        convex combination of c_old, upstream c and the injected
+        concentration — bounded regardless of the black-oil CNV slack.
+        After diag substitution that is simply
+            diag = m_old/dt + face inflows + injection rate
+        (production and outflow cancel). extra_diag/extra_rhs carry the
+        semi-implicit polymer adsorption."""
+        f = self.faces
+        diag = m_old / dt + extra_diag
+        rhs = m_old * c_old / dt + extra_rhs
+
+        pos = jnp.maximum(flux_ph, 0.0)   # flux L -> R
+        neg = jnp.maximum(-flux_ph, 0.0)  # flux R -> L
+        # inflow terms on the diagonal; upstream concentration off-diagonal
+        diag = diag.at[f.left].add(neg)
+        diag = diag.at[f.right].add(pos)
+        off_lr = -neg  # row L, col R
+        off_rl = -pos  # row R, col L
+
+        q = np.asarray(q_perf) if q_perf is not None else None
+        if q is not None:
+            cells_w = np.asarray(ws.cell)
+            for iw in range(q.shape[0]):
+                for ip in range(q.shape[1]):
+                    cell = int(cells_w[iw, ip])
+                    qp = q[iw, ip]
+                    if qp > 0.0:  # injection dilutes/feeds at inj_conc
+                        diag = diag.at[cell].add(qp)
+                        if inj_conc[iw] > 0.0:
+                            rhs = rhs.at[cell].add(qp * inj_conc[iw])
+
+        def matvec(x):
+            y = diag * x
+            y = y.at[f.left].add(off_lr * x[f.right])
+            y = y.at[f.right].add(off_rl * x[f.left])
+            return y
+
+        inv_d = 1.0 / diag
+        res = bicgstab(matvec, lambda r: inv_d * r, rhs, x0=c_old,
+                       tol=1e-9, maxiter=300)
+        return jnp.clip(res.x, 0.0, None)
+
+    def advance(self, u, flag, dt, q_perf, ws, well_confs):
+        """Advance all component fields after an accepted substep."""
+        if not self.active:
+            return
+        f = self.faces
+        rg = self.cells.regs
+        mm = self.cells.mob_mult
+        flux = jax.vmap(face_flux,
+                        in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, 0))(
+            self.fs, u[f.left], u[f.right], flag[f.left], flag[f.right],
+            f.trans, f.gdz, rg[f.left], rg[f.right], 0.0,
+            mm[f.left], mm[f.right])  # [F,3] positive L->R
+        m_new = self._phase_volumes(u, flag)
+        m_old = self._m_old if self._m_old is not None else m_new
+        qp = np.asarray(q_perf)[:, :, 0] if q_perf is not None else None
+        qg = np.asarray(q_perf)[:, :, 2] if q_perf is not None else None
+
+        pv = self.cells.pore_vol_ref
+        if self.has_polymer:
+            inj = np.asarray([getattr(w, "poly_conc", 0.0)
+                              for w in well_confs])
+            # semi-implicit Langmuir-table adsorption:
+            # d/dt[rock_mass * ads(c)] with ads(c) linearized at c0:
+            # adds rock_mass*ads'(c0)/dt to the diagonal and
+            # rock_mass*(ads'(c0)*c0 - (ads(c0) - ads_prev))/dt to the rhs
+            if self.rock_density > 0:
+                rock_mass = jnp.asarray(
+                    self.rock_density * (1.0 - np.asarray(self.geo.poro))
+                    * np.asarray(self.geo.volume))
+            else:
+                rock_mass = jnp.zeros_like(pv)
+            c0 = self.c_poly
+            ads0 = interp1d(c0, self.plyads_c, self.plyads_a,
+                            extrapolate=False)
+            ads_slope = (interp1d(c0 + 1e-7, self.plyads_c, self.plyads_a,
+                                  extrapolate=False) - ads0) / 1e-7
+            ads_prev = self.ads
+            extra_diag = rock_mass * ads_slope / dt
+            extra_rhs = rock_mass * (ads_slope * c0
+                                     - (ads0 - ads_prev)) / dt
+            m_poly_new = (1.0 - self.dead_pore) * m_new[:, 0]
+            m_poly_old = (1.0 - self.dead_pore) * m_old[:, 0]
+            c = self._transport(self.c_poly, m_poly_old, m_poly_new,
+                                flux[:, 0], dt, qp, ws, inj,
+                                extra_diag, extra_rhs)
+            ads_new = interp1d(c, self.plyads_c, self.plyads_a,
+                               extrapolate=False)
+            if self.ads_index == 1:  # no desorption
+                ads_new = jnp.maximum(ads_new, self.ads)
+            self.c_poly = c
+            self.ads = ads_new
+        if self.has_brine:
+            inj = np.asarray([getattr(w, "salt_conc", 0.0)
+                              for w in well_confs])
+            self.c_salt = self._transport(self.c_salt, m_old[:, 0],
+                                          m_new[:, 0], flux[:, 0], dt,
+                                          qp, ws, inj)
+        if self.has_foam:
+            inj = np.asarray([getattr(w, "foam_conc", 0.0)
+                              for w in well_confs])
+            self.c_foam = self._transport(self.c_foam, m_old[:, 2],
+                                          m_new[:, 2], flux[:, 2], dt,
+                                          qg, ws, inj)
+        self._m_old = m_new
+
+    def totals(self) -> dict:
+        out = {}
+        if self.has_polymer:
+            out["FCIP"] = float((self.c_poly * self._m_old[:, 0]).sum())
+        if self.has_brine:
+            out["FSIP"] = float((self.c_salt * self._m_old[:, 0]).sum())
+        return out

@@ -127,10 +127,12 @@ def _axis_pairs(u3, axis):
     return u3[:-1], u3[1:]
 
 
-def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR):
-    def one(uL_, uR_, fL, fR, t, g, rL, rR):
+def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR,
+                       mobL, mobR):
+    def one(uL_, uR_, fL, fR, t, g, rL, rR, mL, mR):
         def f(u6):
-            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g, rL, rR)
+            fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g, rL, rR, 0.0,
+                           mL, mR)
             return fl, fl
 
         jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL_, uR_]))
@@ -141,7 +143,8 @@ def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR):
     val, jl, jr = jax.vmap(one)(flat(uL, (3,)), flat(uR, (3,)),
                                 flagL.reshape(-1), flagR.reshape(-1),
                                 trans.reshape(-1), gdz.reshape(-1),
-                                flat(regsL, (2,)), flat(regsR, (2,)))
+                                flat(regsL, (2,)), flat(regsR, (2,)),
+                                flat(mobL, (3,)), flat(mobR, (3,)))
     return (val.reshape(shape + (3,)), jl.reshape(shape + (3, 3)),
             jr.reshape(shape + (3, 3)))
 
@@ -154,6 +157,7 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
     u3 = u.reshape(nz, ny, nx, 3)
     flag3 = flag.reshape(nz, ny, nx)
     regs3 = cells.regs.reshape(nz, ny, nx, 2)
+    mob3 = cells.mob_mult.reshape(nz, ny, nx, 3)
 
     def acc_one(uu, ff, pv, rg):
         def f(x):
@@ -177,8 +181,9 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
         uL, uR = _axis_pairs(u3, axis)
         fL, fR = _axis_pairs(flag3, axis)
         rL, rR = _axis_pairs(regs3, axis)
+        mL, mR = _axis_pairs(mob3, axis)
         flux, jl, jr = _flux_val_jac_slab(fs, uL, uR, fL, fR, trans, gdz,
-                                          rL, rR)
+                                          rL, rR, mL, mR)
 
         if axis == 0:
             res3 = res3.at[:, :, :-1].add(flux)

@@ -109,28 +109,34 @@ class TracerModel:
             m_old = self._m_old[it]
             c_old = self.conc[it]
 
+            # conservative "explicit mass, implicit concentration" form:
+            # diag = m_old/dt + inflows + injection (outflow/production
+            # cancel against the flux-derived storage), which bounds the
+            # new concentration by the incoming ones regardless of the
+            # black-oil CNV slack (see components.ComponentModel)
             n = m_new.shape[0]
-            diag = m_new / dt
+            diag = m_old / dt
+            diag = jnp.maximum(diag, 1e-12)
             rhs = m_old * c_old / dt
 
             pos = jnp.maximum(fl, 0.0)   # L -> R
             neg = jnp.maximum(-fl, 0.0)  # R -> L
-            diag = diag.at[f.left].add(pos)
-            diag = diag.at[f.right].add(neg)
+            diag = diag.at[f.left].add(neg)
+            diag = diag.at[f.right].add(pos)
             off_lr = -neg  # row L, col R coefficient
             off_rl = -pos  # row R, col L
 
-            # wells: production removes at cell concentration (implicit);
-            # injection adds at the WTRACER concentration
+            # wells: injection feeds at the WTRACER concentration and
+            # dilutes; production cancels out of the conservative form
             for iw, wname in enumerate(well_names):
                 cinj = self.wtracer.get((wname, d.name), 0.0)
                 for ip in range(q.shape[1]):
                     cell = int(ws.cell[iw, ip])
                     qp = q[iw, ip, ph]
-                    if qp < 0.0:
-                        diag = diag.at[cell].add(-qp)
-                    elif qp > 0.0 and cinj > 0.0:
-                        rhs = rhs.at[cell].add(qp * cinj)
+                    if qp > 0.0:
+                        diag = diag.at[cell].add(qp)
+                        if cinj > 0.0:
+                            rhs = rhs.at[cell].add(qp * cinj)
 
             def matvec(x):
                 y = diag * x

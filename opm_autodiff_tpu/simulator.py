@@ -33,6 +33,7 @@ from opm_autodiff_tpu.solvers.timestepper import (SubStepReport,
                                                   TimeStepParams, _PidState,
                                                   run_report_step)
 from opm_autodiff_tpu.models.aquifer import build_from_state as build_aquifers
+from opm_autodiff_tpu.models.components import ComponentModel
 from opm_autodiff_tpu.models.tracer import TracerModel
 from opm_autodiff_tpu.utils.report import SimulatorReport
 from opm_autodiff_tpu.wells import build_wellset
@@ -88,10 +89,16 @@ class Simulator:
             self.vfp_bank = None
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.facelist)
+        self.components = ComponentModel(ecl_state, self.geo, self.fs,
+                                         self.cells, self.facelist)
         self._shut_wells: dict = {}  # name -> shut time (days)
         self.msw_x = None  # multisegment well unknowns [M,S,4]
         self._init_state()
         self.tracers.initialize(self.u, self.flag)
+        if self.components.active:
+            self.components.initialize(self.u, self.flag)
+            self.cells = self.cells._replace(
+                mob_mult=self.components.mobility_multipliers())
 
     # ------------------------------------------------------------------
     def _init_state(self):
@@ -195,6 +202,11 @@ class Simulator:
                     wnames = [w.name for w in std_wells]
                     self.tracers.advance(st.u, st.flag, dt_seconds,
                                          q_perf, ws, wnames)
+                if self.components.active:
+                    self.components.advance(st.u, st.flag, dt_seconds,
+                                            q_perf, ws, std_wells)
+                    self.cells = self.cells._replace(
+                        mob_mult=self.components.mobility_multipliers())
                 self._last_q_msw = (np.asarray(q_msw)
                                     if q_msw is not None else None)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
@@ -416,7 +428,8 @@ class Simulator:
         self.cells = CellStatic(
             pore_vol_ref=jnp.asarray(self.geo.pore_vol),
             depth=self.cells.depth,
-            regs=self.cells.regs)
+            regs=self.cells.regs,
+            mob_mult=self.cells.mob_mult)
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
 

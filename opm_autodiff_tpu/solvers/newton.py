@@ -233,10 +233,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # --- control update from a cheap rates-only pass, then ONE full
     # well assembly (reference: updateWellControls before assembleWellEq,
     # BlackoilWellModel_impl.hpp:828-834) ---
-    q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.regs)
+    q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.regs,
+                              cells.mob_mult)
     mode = update_well_controls(ws, mode, pbh, q_quick)
     wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank,
-                            cells.regs)
+                            cells.regs, cells.mob_mult)
     q_tot = wr.q_perf.sum(axis=1)
 
     # --- reservoir assembly (banded fast path for structured grids) ---
@@ -253,7 +254,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     mr = None
     if msw is not None:
         mr = msw_mod.msw_contributions(fs, u, flag, st.msw_x, msw,
-                                       regs=cells.regs)
+                                       regs=cells.regs,
+                                       mob_mult=cells.mob_mult)
         residual = msw_mod.apply_to_residual(residual, mr, msw)
         diag = msw_mod.apply_to_diag(diag, mr, msw)
     # --- aquifer water sources: q = a1 - a2 * p_datum; implicit in p

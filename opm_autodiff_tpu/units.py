@@ -96,6 +96,17 @@ class UnitSystem:
         # CF in COMPDAT: cp*vol/(day*pressure) -> m^3 in SI
         return self.transmissibility
 
+    @property
+    def mass(self) -> float:
+        # deck mass unit: FIELD lb, METRIC kg (density * volume)
+        return self.density * self.length ** 3
+
+    @property
+    def polymer_concentration(self) -> float:
+        # WPOLYMER/PLYVISC node units: mass / surface liquid volume
+        # (FIELD: lb/stb, METRIC: kg/sm3)
+        return self.mass / self.liquid_volume
+
 
 FIELD = UnitSystem(
     name="FIELD",

@@ -258,7 +258,7 @@ def _haaland_dp(q_res, rho, mu, L, D, rough, area):
 
 
 def _msw_residual(fs: FluidSystem, msw_row, x, u_perf, flag_perf, reg_perf,
-                  active_mode):
+                  active_mode, mob_perf):
     """Residual [S,4] of ONE well. x: [S,4] = (qw,qo,qg,p)."""
     (seg_outlet, seg_mask, seg_depth, seg_dlen, seg_diam, seg_rough,
      seg_area, perf_cell, perf_seg, perf_wi, perf_depth, perf_mask,
@@ -283,13 +283,14 @@ def _msw_residual(fs: FluidSystem, msw_row, x, u_perf, flag_perf, reg_perf,
     rho_conn = jax.vmap(conn_rho)(jax.lax.stop_gradient(u_perf), flag_perf,
                                   reg_perf)
 
-    def one_perf(u_c, f_c, pbh, rho_c, wi, dzc, mask, rg):
+    def one_perf(u_c, f_c, pbh, rho_c, wi, dzc, mask, rg, mm):
         qv = _perf_rates(fs, u_c, f_c, pbh, rho_c, wi, dzc, is_inj,
-                         inj_phase, rg)
+                         inj_phase, rg, mm)
         return jnp.where(mask, qv, jnp.zeros(3))
 
     q_cell = jax.vmap(one_perf)(u_perf, flag_perf, p_seg_perf, rho_conn,
-                                perf_wi, dz, perf_mask, reg_perf)  # [P,3]
+                                perf_wi, dz, perf_mask, reg_perf,
+                                mob_perf)  # [P,3]
     q_wb = -q_cell  # into the wellbore
 
     # --- mass balance: q_s - sum(children q) - sum(perf inflow) = 0 ---
@@ -383,7 +384,8 @@ def _gauss_jordan_inv(a):
 
 
 def msw_contributions(fs: FluidSystem, u, flag, x, msw: MswSet,
-                      active_mode=None, regs=None) -> MswResult:
+                      active_mode=None, regs=None,
+                      mob_mult=None) -> MswResult:
     """Residual + all Jacobian blocks for one Newton iteration."""
     if active_mode is None:
         active_mode = msw.ctrl_mode
@@ -393,12 +395,14 @@ def msw_contributions(fs: FluidSystem, u, flag, x, msw: MswSet,
     flag_perf = flag[msw.perf_cell]
     reg_perf = (regs[msw.perf_cell] if regs is not None
                 else jnp.zeros(msw.perf_cell.shape + (2,), jnp.int32))
+    mob_perf = (mob_mult[msw.perf_cell] if mob_mult is not None
+                else jnp.ones(msw.perf_cell.shape + (3,)))
 
-    def one_well(row, x_w, u_p, f_p, r_p, am):
+    def one_well(row, x_w, u_p, f_p, r_p, am, m_p):
         def f(args):
             xw, up = args
             res, q_cell = _msw_residual(fs, row, xw.reshape(S, 4),
-                                        up.reshape(P, 3), f_p, r_p, am)
+                                        up.reshape(P, 3), f_p, r_p, am, m_p)
             return (res.reshape(-1), q_cell.reshape(-1)), (res, q_cell)
 
         (jac_res, jac_q), (res, q_cell) = jax.jacfwd(f, has_aux=True)(
@@ -419,7 +423,7 @@ def msw_contributions(fs: FluidSystem, u, flag, x, msw: MswSet,
            msw.is_injector, msw.inj_phase, msw.orat, msw.wrat, msw.grat,
            msw.lrat, msw.inj_rate, msw.bhp_target, msw.use_friction)
     res, q_cell, d_inv, b_blk, c_blk, dq_du = jax.vmap(one_well)(
-        row, x, u_perf, flag_perf, reg_perf, active_mode)
+        row, x, u_perf, flag_perf, reg_perf, active_mode, mob_perf)
 
     # closed wells contribute nothing; their equations pin x
     open_ = msw.open_mask

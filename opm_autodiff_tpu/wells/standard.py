@@ -181,7 +181,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
-                dz, is_injector, inj_phase, regs=(0, 0)):
+                dz, is_injector, inj_phase, regs=(0, 0), mob_mult=None):
     """Surface-volume rates [3] INTO the cell at one perforation.
 
     Reference semantics: StandardWell_impl.hpp:297 calculateSinglePerf —
@@ -190,7 +190,7 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
     connection pressure correction from an explicitly-computed (lagged)
     connection density.
     """
-    q = intensive(fs, u_cell, flag_cell, regs)
+    q = intensive(fs, u_cell, flag_cell, regs, mob_mult)
     p_conn = pbh + rho_conn * U.GRAVITY * dz
 
     # one drawdown per phase using phase pressures in the cell
@@ -235,27 +235,30 @@ def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
 
 
 def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
-                    ws: WellSet, regs=None) -> jnp.ndarray:
+                    ws: WellSet, regs=None, mob_mult=None) -> jnp.ndarray:
     """Total surface rates [W,3] without Jacobians (for control checks)."""
     u_perf = u[ws.cell]
     flag_perf = flag[ws.cell]
     reg_perf = (regs[ws.cell] if regs is not None
                 else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
+    mob_perf = (mob_mult[ws.cell] if mob_mult is not None
+                else jnp.ones(ws.cell.shape + (3,)))
     dz = ws.perf_depth - ws.ref_depth[:, None]
     rho_conn = jax.vmap(jax.vmap(
         _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
         in_axes=(None, 0, 0, 0, 0, 0, 0))(
         fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase, reg_perf)
 
-    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, rg):
-        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, rg)
+    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, rg, mm):
+        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, rg, mm)
         return jnp.where(mask, q, jnp.zeros(3))
 
     q = jax.vmap(jax.vmap(one,
-                          in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+                          in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0,
+                                   0)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf)
     q = jnp.where(ws.open_mask[:, None, None], q, 0.0)
     return q.sum(axis=1)
 
@@ -263,7 +266,8 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
 def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                        ws: WellSet,
                        active_mode: jnp.ndarray | None = None,
-                       vfp_bank=None, regs=None) -> WellResult:
+                       vfp_bank=None, regs=None,
+                       mob_mult=None) -> WellResult:
     """Assemble all well quantities for one Newton iteration.
 
     Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
@@ -278,6 +282,8 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     flag_perf = flag[ws.cell]    # [W,P]
     reg_perf = (regs[ws.cell] if regs is not None
                 else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
+    mob_perf = (mob_mult[ws.cell] if mob_mult is not None
+                else jnp.ones(ws.cell.shape + (3,)))
     dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
 
     # explicit connection densities (lagged; no gradient)
@@ -287,11 +293,12 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         fs, jax.lax.stop_gradient(u_perf), flag_perf,
         jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, reg_perf)
 
-    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, rg):
+    def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, rg,
+                 mm):
         def f(args):
             uu, pp = args
             qv = _perf_rates(fs, uu, flag_c, pp, rho_c, wi_c, dz_c, inj,
-                             phase, rg)
+                             phase, rg, mm)
             qv = jnp.where(mask, qv, jnp.zeros(3))
             return qv, qv
 
@@ -300,10 +307,10 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         return val, dq_du, dq_dpbh
 
     q_perf, dq_du, dq_dpbh = jax.vmap(jax.vmap(
-        one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf)
 
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
