@@ -227,6 +227,13 @@ class WellConfig:
     poly_conc: float = 0.0         # WPOLYMER
     salt_conc: float = 0.0         # WSALT / WPOLYMER item 3
     foam_conc: float = 0.0         # WFOAM
+    # gas lift (WLIFTOPT; ALQ quantities stay in DECK units — they only
+    # feed the VFP ALQ axis, which is parsed unscaled too)
+    glift_on: bool = False
+    glift_max_alq: float | None = None
+    glift_min_alq: float = 0.0
+    glift_weight: float = 1.0
+    glift_gas_weight: float = 0.0
 
 
 @dataclasses.dataclass
@@ -235,6 +242,8 @@ class ReportStep:
     end_days: float
     wells: list  # list[WellConfig] snapshot active during this step
     groups: dict = dataclasses.field(default_factory=dict)
+    # gas lift optimization config (LIFTOPT/GLIFTOPT; deck units)
+    liftopt: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -695,6 +704,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     group_tree: dict = {}
     group_prod: dict = {}
     group_inj: dict = {}
+    liftopt: dict = {}
 
     def snapshot():
         return [dataclasses.replace(
@@ -709,8 +719,10 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
 
     def advance(days: float):
         nonlocal t_days
+        import copy
         steps.append(ReportStep(t_days, t_days + days, snapshot(),
-                                group_snapshot()))
+                                group_snapshot(),
+                                liftopt=copy.deepcopy(liftopt)))
         t_days += days
 
     for kw in deck:
@@ -877,6 +889,27 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                 bhp = item(r, 6, None)
                 w.bhp_limit = (bhp * u.pressure if bhp is not None
                                else 6895e4)  # ECL default ~1e4 psia
+        elif kw.name == "LIFTOPT":
+            r = kw.records[0] if kw.records else []
+            liftopt["increment"] = float(item(r, 0, 12500.0))
+            liftopt["min_gradient"] = float(item(r, 1, 0.0))
+            liftopt["interval_days"] = float(item(r, 2, 0.0))
+        elif kw.name == "WLIFTOPT":
+            for r in kw.records:
+                w = wells[str(item(r, 0, ""))]
+                w.glift_on = str(item(r, 1, "NO")).upper().startswith("Y")
+                mx = item(r, 2, None)
+                w.glift_max_alq = float(mx) if mx is not None else None
+                w.glift_weight = float(item(r, 3, 1.0))
+                w.glift_min_alq = float(item(r, 4, 0.0))
+                w.glift_gas_weight = float(item(r, 5, 0.0))
+        elif kw.name == "GLIFTOPT":
+            for r in kw.records:
+                g = str(item(r, 0, ""))
+                mx = item(r, 1, None)
+                liftopt.setdefault("groups", {})[g] = {
+                    "max_lift_gas": float(mx) if mx is not None else None,
+                }
         elif kw.name == "WPOLYMER":
             for r in kw.records:
                 w = wells[str(item(r, 0, ""))]

@@ -156,6 +156,19 @@ class Simulator:
         if gmgr.active:
             lr = getattr(self, "_last_q", None)
             ws = apply_assignments(ws_base, gmgr.effective_controls(lr))
+        # gas-lift ALQ optimization at report-step start (reference:
+        # BlackoilWellModel::gasLiftOptimizationStage1, _impl.hpp:895)
+        if (self.vfp_bank is not None and rstep.liftopt
+                and any(getattr(w, "glift_on", False) for w in std_wells)):
+            from opm_autodiff_tpu.wells.gaslift import optimize_alq
+            lift = dict(rstep.liftopt)
+            lift["tree"] = rstep.groups.get("tree", {})
+            alq = optimize_alq(self.fs, self.u, self.flag, ws, std_wells,
+                               lift, self.vfp_bank, self.cells.regs,
+                               self.cells.mob_mult,
+                               unit=self.state.runspec.unit_system)
+            ws = ws._replace(alq=jnp.asarray(alq))
+            self._last_alq = alq
 
         # (re)initialize well unknowns at the start of a report step
         nwells = ws.num_wells
@@ -335,8 +348,11 @@ class Simulator:
                 names = [w.name for w in
                          self.state.schedule.steps[self._step_index].wells]
             pbh = np.asarray(self.pbh)
+            alq = getattr(self, "_last_alq", None)
             for iw, name in enumerate(names):
                 out[f"WBHP:{name}"] = float(pbh[iw])
+                if alq is not None and iw < len(alq):
+                    out[f"WALQ:{name}"] = float(alq[iw])
                 out[f"WOPR:{name}"] = float(prod[iw, 1])
                 out[f"WGPR:{name}"] = float(prod[iw, 2])
                 out[f"WWPR:{name}"] = float(prod[iw, 0])

@@ -66,6 +66,9 @@ class WellSet(NamedTuple):
     # RESV controls (reference: RateConverter.hpp:406 voidage coefficients)
     resv_rate: jnp.ndarray       # [W] reservoir-volume rate target
     voidage_coeff: jnp.ndarray   # [W,3] surface-rate -> res-volume coeffs
+    # gas lift: per-well ALQ fed to the VFP 5th axis (deck units;
+    # reference: GasLiftSingleWellGeneric/ALQState)
+    alq: jnp.ndarray             # [W]
 
     @property
     def num_wells(self) -> int:
@@ -118,6 +121,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
     # lagged voidage coefficients; the simulator refreshes these per
     # substep from FIPNUM-region average PVT (wells/rate_converter.py)
     voidage = np.ones((nw, 3))
+    alq = np.zeros(nw)
 
     for iw, w in enumerate(wells):
         comps = [c for c in w.completions if c.open]
@@ -173,6 +177,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
         bhp_limit=jnp.asarray(bhp_l), open_mask=jnp.asarray(open_m),
         thp_target=jnp.asarray(thp_t), vfp_idx=jnp.asarray(vfp_i),
         resv_rate=jnp.asarray(resv), voidage_coeff=jnp.asarray(voidage),
+        alq=jnp.asarray(alq),
     )
 
 
@@ -315,7 +320,7 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
         (orat, wrat, grat, lrat, inj_rate, bhp_t, is_inj, thp_t,
-         vfp_i, resv, vcoef) = ws_row
+         vfp_i, resv, vcoef, alq) = ws_row
         prod = -q_tot  # positive production rates
         r_rate_prod = jnp.select(
             [mode == CTRL_ORAT, mode == CTRL_WRAT, mode == CTRL_GRAT,
@@ -326,7 +331,7 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         if vfp_bank is not None:
             from opm_autodiff_tpu.wells.vfp import bank_bhp
 
-            bhp_vfp = bank_bhp(vfp_bank, vfp_i, thp_t, prod)
+            bhp_vfp = bank_bhp(vfp_bank, vfp_i, thp_t, prod, alq)
             r_rate_prod = jnp.where(mode == CTRL_THP, pb - bhp_vfp,
                                     r_rate_prod)
         inj_surf = q_tot[0] + q_tot[1] + q_tot[2]
@@ -343,14 +348,14 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     q_tot = q_perf.sum(axis=1)  # [W,3]
 
     def rw_fn(q_tot_w, pb, mode, orat, wrat, grat, lrat, inj_rate, bhp_t,
-              is_inj, thp_t, vfp_i, resv, vcoef):
+              is_inj, thp_t, vfp_i, resv, vcoef, alq):
         return control_residual(q_tot_w, pb, mode,
                                 (orat, wrat, grat, lrat, inj_rate, bhp_t,
-                                 is_inj, thp_t, vfp_i, resv, vcoef))
+                                 is_inj, thp_t, vfp_i, resv, vcoef, alq))
 
     rw_args = (q_tot, pbh, active_mode, ws.orat, ws.wrat, ws.grat, ws.lrat,
                ws.inj_rate, ws.bhp_target, ws.is_injector, ws.thp_target,
-               ws.vfp_idx, ws.resv_rate, ws.voidage_coeff)
+               ws.vfp_idx, ws.resv_rate, ws.voidage_coeff, ws.alq)
     res_well = jax.vmap(rw_fn)(*rw_args)
 
     # dg/dq_tot: [W,3]; dg/dpbh direct: [W]
