@@ -35,6 +35,9 @@ class DeckKeyword:
     # (str | float | int | DEFAULT). For DATA-style: one flat list.
     records: list
     location: str = ""
+    # ACTIONX payload: the keywords between the condition block and
+    # ENDACTIO, to be applied when the action triggers
+    sub: list = dataclasses.field(default_factory=list)
 
     def flat(self) -> list:
         out = []
@@ -85,7 +88,7 @@ FLAG_KEYWORDS = {
     "NONNC", "NOGRAV", "ECHO", "NOECHO", "FMTIN", "FMTOUT", "INIT",
     "NOINSPEC", "NORSSPEC", "SKIPREST", "END", "ENDBOX", "NEWTRAN",
     "OLDTRAN", "GRIDUNIT", "MONITOR", "RSSPEC", "MSGFILE", "NOMONITO",
-    "NOHYST", "CIRCLE", "NODPPM", "AUTOCOAR",
+    "NOHYST", "CIRCLE", "NODPPM", "AUTOCOAR", "ENDACTIO",
 }
 
 SINGLE_KEYWORDS = {
@@ -109,8 +112,9 @@ RECORDS_KEYWORDS = {
     "DENSITY", "GRAVITY", "PVTW", "PVCDO", "EQUIL", "RPTRST", "TUNING",
     "WLIFTOPT", "GLIFTOPT", "MESSAGES", "DATES", "THPRES", "WRFTPLT",
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",
-    "SWATINIT", "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
+    "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
     "FOAMFSC", "PVTWSALT", "SALTVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
+    "UDQ", "ACTIONX",
 }
 
 DATA_KEYWORDS = {
@@ -122,7 +126,7 @@ DATA_KEYWORDS = {
     "SWCR", "SGL", "SGU", "SGCR", "SOWCR", "SOGCR", "KRW", "KRO", "KRG",
     "KRWR", "KRORW", "KRORG", "KRGR", "PCW", "PCG", "TRANX", "TRANY",
     "TRANZ", "DIFFX", "DIFFY", "DIFFZ", "THCONR", "DISPERC", "MULTNUM",
-    "OPERNUM", "ROCKNUM", "MISCNUM", "TEMPI", "RSW",
+    "OPERNUM", "ROCKNUM", "MISCNUM", "TEMPI", "RSW", "SWATINIT",
 }
 
 TABLES_KEYWORDS = {
@@ -289,6 +293,14 @@ def read_deck(path: str) -> Deck:
                  | RECORDS_KEYWORDS | DATA_KEYWORDS | TABLES_KEYWORDS
                  | set(MODE_OVERRIDE))
 
+    pending_action = None  # ACTIONX being filled until ENDACTIO
+
+    def emit(kw):
+        if pending_action is not None and kw.name != "ACTIONX":
+            pending_action.sub.append(kw)
+        else:
+            keywords.append(kw)
+
     while True:
         tok = stream.next_token()
         if tok is None:
@@ -299,6 +311,9 @@ def read_deck(path: str) -> Deck:
             continue
         loc = stream.location
 
+        if name == "ENDACTIO":
+            pending_action = None
+            continue
         if name in SECTION_KEYWORDS:
             section = name
             keywords.append(DeckKeyword(name, [], loc))
@@ -329,13 +344,13 @@ def read_deck(path: str) -> Deck:
                 continue
 
         if mode == FLAG:
-            keywords.append(DeckKeyword(name, [], loc))
+            emit(DeckKeyword(name, [], loc))
         elif mode == SINGLE:
             rec = stream.read_record() or []
-            keywords.append(DeckKeyword(name, [rec], loc))
+            emit(DeckKeyword(name, [rec], loc))
         elif mode == DATA:
             rec = stream.read_record() or []
-            keywords.append(DeckKeyword(name, [rec], loc))
+            emit(DeckKeyword(name, [rec], loc))
         elif mode in (RECORDS, TABLES):
             recs = []
             while True:
@@ -357,7 +372,10 @@ def read_deck(path: str) -> Deck:
                         continue
                     break  # empty record '/' terminates the keyword
                 recs.append(rec)
-            keywords.append(DeckKeyword(name, recs, loc))
+            kw_obj = DeckKeyword(name, recs, loc)
+            emit(kw_obj)
+            if name == "ACTIONX":
+                pending_action = kw_obj
         elif mode == SPECIAL:
             if name == "TITLE":
                 # title is free text on the following line

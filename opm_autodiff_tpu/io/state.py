@@ -269,6 +269,11 @@ class EclState:
     tracers: dict = dataclasses.field(default_factory=dict)
     # extended black-oil component tables (PLYVISC/PLYADS/PLYROCK/...)
     components: dict = dataclasses.field(default_factory=dict)
+    # end-point-scaling grid arrays (SWL/SWCR/.../PCW/SWATINIT), deck units
+    eps_arrays: dict = dataclasses.field(default_factory=dict)
+    # raw UDQ / ACTIONX keyword objects (runtime-evaluated; actions.py)
+    udq_keywords: list = dataclasses.field(default_factory=list)
+    action_keywords: list = dataclasses.field(default_factory=list)
     vfp_prod_records: list = dataclasses.field(default_factory=list)
     nnc: list = dataclasses.field(default_factory=list)  # (ijk1, ijk2, trans SI)
     thpres: list = dataclasses.field(default_factory=list)  # (r1, r2, dp SI)
@@ -692,6 +697,281 @@ def _build_summary(deck: Deck) -> SummaryConfig:
     return SummaryConfig(out)
 
 
+def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
+                         group_inj, liftopt):
+    """Apply one schedule keyword to the mutable well/group state.
+
+    Shared between the deck-order schedule builder and runtime ACTIONX
+    payload application (reference: Schedule::applyAction in opm-common,
+    consumed by EclProblem::applyActions, eclproblem.hh:1243).
+    Returns True when the keyword was recognized.
+    """
+    if kw.name == "WELSPECS":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            wells[name] = WellConfig(
+                name=name,
+                group=str(item(r, 1, "FIELD")),
+                i=int(item(r, 2, 1)) - 1,
+                j=int(item(r, 3, 1)) - 1,
+                ref_depth=(item(r, 4, None) * u.length
+                           if item(r, 4, None) is not None else None),
+                preferred_phase=str(item(r, 5, "OIL")),
+                is_injector=False,
+                status="SHUT",
+                completions=[],
+                control_mode="BHP",
+            )
+    elif kw.name == "COMPDAT":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells[name]
+            i = int(item(r, 1, w.i + 1)) - 1
+            j = int(item(r, 2, w.j + 1)) - 1
+            k1 = int(item(r, 3, 1)) - 1
+            k2 = int(item(r, 4, k1 + 1)) - 1
+            stat = str(item(r, 5, "OPEN")).upper()
+            cf = item(r, 7, None)
+            diam = item(r, 8, 1.0 * U.FOOT / u.length) * u.length
+            kh = item(r, 9, None)
+            skin = item(r, 10, 0.0)
+            direction = str(item(r, 12, "Z")).upper()
+            for k in range(k1, k2 + 1):
+                w.completions.append(Completion(
+                    i=i, j=j, k=k, open=(stat == "OPEN"),
+                    cf=cf * u.well_index if cf is not None else None,
+                    diameter=diam,
+                    kh=kh * u.permeability * u.length if kh is not None else None,
+                    skin=skin, direction=direction))
+    elif kw.name == "WELSEGS":
+        # reference: WellSegments from opm-common, consumed by
+        # MultisegmentWell (opm/simulators/wells/MultisegmentWell.hpp:35)
+        recs = kw.records
+        hdr = recs[0]
+        name = str(item(hdr, 0, ""))
+        w = wells[name]
+        top_depth = item(hdr, 1, 0.0) * u.length
+        top_len = item(hdr, 2, 0.0) * u.length
+        wb_vol = item(hdr, 3, None)
+        ltype = str(item(hdr, 4, "INC")).upper()
+        w.pd_model = str(item(hdr, 5, "HF-")).upper()
+        vol_scale = u.length ** 3
+        segs = {1: Segment(1, 1, 0, top_len, top_depth, 0.1, 1e-5,
+                           np.pi * 0.1 ** 2 / 4,
+                           (wb_vol * vol_scale if wb_vol is not None
+                            else 1e-3))}
+        for r in recs[1:]:
+            s1 = int(item(r, 0, 0))
+            s2 = int(item(r, 1, s1))
+            branch = int(item(r, 2, 1))
+            outlet = int(item(r, 3, 1))
+            ln = item(r, 4, 0.0) * u.length
+            dp = item(r, 5, 0.0) * u.length
+            diam = item(r, 6, 0.1 / u.length) * u.length
+            rough = item(r, 7, 1e-5 / u.length) * u.length
+            area = item(r, 8, None)
+            vol = item(r, 9, None)
+            nseg = s2 - s1 + 1
+            for idx, sn in enumerate(range(s1, s2 + 1)):
+                out = outlet if sn == s1 else sn - 1
+                if ltype == "ABS":
+                    # given length/depth apply to the LAST segment of
+                    # the range; intermediates interpolate from the
+                    # range's outlet node
+                    ref = segs.get(outlet)
+                    base_l = ref.length if ref else 0.0
+                    base_d = ref.depth if ref else 0.0
+                    f = (idx + 1) / nseg
+                    sl = base_l + f * (ln - base_l)
+                    sd = base_d + f * (dp - base_d)
+                else:
+                    sl, sd = ln, dp  # incremental; chained below
+                a = (area * u.length ** 2 if area is not None
+                     else np.pi * diam ** 2 / 4)
+                segs[sn] = Segment(sn, branch, out, sl, sd, diam,
+                                   rough, a,
+                                   vol * vol_scale if vol is not None
+                                   else 0.0)
+        if ltype == "INC":
+            # chain incremental length/depth along outlets to absolute
+            done = {1}
+            pending = [s for s in segs if s != 1]
+            while pending:
+                rest = []
+                for sn in pending:
+                    s = segs[sn]
+                    if s.outlet in done:
+                        o = segs[s.outlet]
+                        s.length += o.length
+                        s.depth += o.depth
+                        done.add(sn)
+                    else:
+                        rest.append(sn)
+                if len(rest) == len(pending):
+                    raise ValueError(f"WELSEGS {name}: segment outlet "
+                                     "cycle or missing outlet")
+                pending = rest
+        for s in segs.values():
+            if s.volume == 0.0:
+                o = segs.get(s.outlet)
+                dl = abs(s.length - o.length) if o else 1.0
+                s.volume = max(s.area * max(dl, 1e-3), 1e-4)
+        w.segments = [segs[k2] for k2 in sorted(segs)]
+    elif kw.name == "COMPSEGS":
+        recs = kw.records
+        name = str(item(recs[0], 0, ""))
+        w = wells[name]
+        w.compsegs = []
+        for r in recs[1:]:
+            w.compsegs.append(CompSeg(
+                i=int(item(r, 0, 1)) - 1,
+                j=int(item(r, 1, 1)) - 1,
+                k=int(item(r, 2, 1)) - 1,
+                branch=int(item(r, 3, 1)),
+                start=item(r, 4, 0.0) * u.length,
+                end=item(r, 5, 0.0) * u.length,
+            ))
+    elif kw.name == "WCONPROD":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells[name]
+            w.is_injector = False
+            w.status = str(item(r, 1, "OPEN")).upper()
+            w.control_mode = str(item(r, 2, "BHP")).upper()
+            w.oil_rate = _opt_rate(item(r, 3, None), u.liquid_rate)
+            w.water_rate = _opt_rate(item(r, 4, None), u.liquid_rate)
+            w.gas_rate = _opt_rate(item(r, 5, None), u.gas_rate)
+            w.liquid_rate = _opt_rate(item(r, 6, None), u.liquid_rate)
+            w.resv_rate = _opt_rate(item(r, 7, None), u.reservoir_rate)
+            bhp = item(r, 8, None)
+            w.bhp_limit = bhp * u.pressure if bhp is not None else U.ATM
+            thp = item(r, 9, None)
+            w.thp_limit = thp * u.pressure if thp is not None else None
+            vfp = item(r, 10, None)
+            w.vfp_table = int(vfp) if vfp else None
+    elif kw.name == "WCONINJE":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells[name]
+            w.is_injector = True
+            w.inj_phase = str(item(r, 1, "GAS")).upper()
+            w.status = str(item(r, 2, "OPEN")).upper()
+            w.control_mode = str(item(r, 3, "RATE")).upper()
+            rate_scale = (u.gas_rate if w.inj_phase == "GAS"
+                          else u.liquid_rate)
+            w.inj_rate = _opt_rate(item(r, 4, None), rate_scale)
+            w.resv_rate = _opt_rate(item(r, 5, None), u.reservoir_rate)
+            bhp = item(r, 6, None)
+            w.bhp_limit = (bhp * u.pressure if bhp is not None
+                           else 6895e4)  # ECL default ~1e4 psia
+    elif kw.name == "LIFTOPT":
+        r = kw.records[0] if kw.records else []
+        liftopt["increment"] = float(item(r, 0, 12500.0))
+        liftopt["min_gradient"] = float(item(r, 1, 0.0))
+        liftopt["interval_days"] = float(item(r, 2, 0.0))
+    elif kw.name == "WLIFTOPT":
+        for r in kw.records:
+            w = wells[str(item(r, 0, ""))]
+            w.glift_on = str(item(r, 1, "NO")).upper().startswith("Y")
+            mx = item(r, 2, None)
+            w.glift_max_alq = float(mx) if mx is not None else None
+            w.glift_weight = float(item(r, 3, 1.0))
+            w.glift_min_alq = float(item(r, 4, 0.0))
+            w.glift_gas_weight = float(item(r, 5, 0.0))
+    elif kw.name == "GLIFTOPT":
+        for r in kw.records:
+            g = str(item(r, 0, ""))
+            mx = item(r, 1, None)
+            liftopt.setdefault("groups", {})[g] = {
+                "max_lift_gas": float(mx) if mx is not None else None,
+            }
+    elif kw.name == "WPOLYMER":
+        for r in kw.records:
+            w = wells[str(item(r, 0, ""))]
+            w.poly_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+            w.salt_conc = float(item(r, 2, 0.0)) * u.polymer_concentration
+    elif kw.name == "WSALT":
+        for r in kw.records:
+            w = wells[str(item(r, 0, ""))]
+            w.salt_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+    elif kw.name == "WFOAM":
+        for r in kw.records:
+            w = wells[str(item(r, 0, ""))]
+            w.foam_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+    elif kw.name == "GRUPTREE":
+        for r in kw.records:
+            child = str(item(r, 0, ""))
+            parent = str(item(r, 1, "FIELD"))
+            group_tree[child] = parent
+    elif kw.name == "GCONPROD":
+        for r in kw.records:
+            g = str(item(r, 0, ""))
+            group_prod[g] = {
+                "mode": str(item(r, 1, "NONE")).upper(),
+                "orat": _opt_rate(item(r, 2, None), u.liquid_rate),
+                "wrat": _opt_rate(item(r, 3, None), u.liquid_rate),
+                "grat": _opt_rate(item(r, 4, None), u.gas_rate),
+                "lrat": _opt_rate(item(r, 5, None), u.liquid_rate),
+                "resv": _opt_rate(item(r, 6, None), u.reservoir_rate),
+            }
+    elif kw.name == "GCONINJE":
+        for r in kw.records:
+            g = str(item(r, 0, ""))
+            group_inj.setdefault(g, {})[
+                str(item(r, 1, "GAS")).upper()] = {
+                "mode": str(item(r, 2, "RATE")).upper(),
+                "rate": _opt_rate(
+                    item(r, 3, None),
+                    u.gas_rate if str(item(r, 1, "GAS")).upper() == "GAS"
+                    else u.liquid_rate),
+            }
+    elif kw.name == "WELOPEN":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells.get(name)
+            if w is not None:
+                w.status = str(item(r, 1, "OPEN")).upper()
+    elif kw.name == "WTEST":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells.get(name)
+            if w is not None:
+                iv = item(r, 1, 0.0)
+                w.wtest_interval = float(iv) * u.time / U.DAY if iv else None
+    elif kw.name == "WECON":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells.get(name)
+            if w is not None:
+                w.econ_min_oil = _opt_rate(item(r, 1, None),
+                                           u.liquid_rate)
+                w.econ_max_wct = item(r, 2, None)
+    elif kw.name == "WELTARG":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells.get(name)
+            if w is None:
+                continue
+            quantity = str(item(r, 1, "ORAT")).upper()
+            val = item(r, 2, 0.0)
+            if quantity == "ORAT":
+                w.oil_rate = val * u.liquid_rate
+            elif quantity == "WRAT":
+                w.water_rate = val * u.liquid_rate
+            elif quantity == "GRAT":
+                w.gas_rate = val * u.gas_rate
+            elif quantity == "LRAT":
+                w.liquid_rate = val * u.liquid_rate
+            elif quantity == "BHP":
+                w.bhp_limit = val * u.pressure
+            elif quantity == "RATE":
+                w.inj_rate = val * (u.gas_rate if w.inj_phase == "GAS"
+                                    else u.liquid_rate)
+    else:
+        return False
+    return True
+
+
 def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     u = rs.unit_system
     nx, ny, nz = rs.cartdims
@@ -731,267 +1011,9 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
             continue
         if not in_schedule:
             continue
-        if kw.name == "WELSPECS":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                wells[name] = WellConfig(
-                    name=name,
-                    group=str(item(r, 1, "FIELD")),
-                    i=int(item(r, 2, 1)) - 1,
-                    j=int(item(r, 3, 1)) - 1,
-                    ref_depth=(item(r, 4, None) * u.length
-                               if item(r, 4, None) is not None else None),
-                    preferred_phase=str(item(r, 5, "OIL")),
-                    is_injector=False,
-                    status="SHUT",
-                    completions=[],
-                    control_mode="BHP",
-                )
-        elif kw.name == "COMPDAT":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells[name]
-                i = int(item(r, 1, w.i + 1)) - 1
-                j = int(item(r, 2, w.j + 1)) - 1
-                k1 = int(item(r, 3, 1)) - 1
-                k2 = int(item(r, 4, k1 + 1)) - 1
-                stat = str(item(r, 5, "OPEN")).upper()
-                cf = item(r, 7, None)
-                diam = item(r, 8, 1.0 * U.FOOT / u.length) * u.length
-                kh = item(r, 9, None)
-                skin = item(r, 10, 0.0)
-                direction = str(item(r, 12, "Z")).upper()
-                for k in range(k1, k2 + 1):
-                    w.completions.append(Completion(
-                        i=i, j=j, k=k, open=(stat == "OPEN"),
-                        cf=cf * u.well_index if cf is not None else None,
-                        diameter=diam,
-                        kh=kh * u.permeability * u.length if kh is not None else None,
-                        skin=skin, direction=direction))
-        elif kw.name == "WELSEGS":
-            # reference: WellSegments from opm-common, consumed by
-            # MultisegmentWell (opm/simulators/wells/MultisegmentWell.hpp:35)
-            recs = kw.records
-            hdr = recs[0]
-            name = str(item(hdr, 0, ""))
-            w = wells[name]
-            top_depth = item(hdr, 1, 0.0) * u.length
-            top_len = item(hdr, 2, 0.0) * u.length
-            wb_vol = item(hdr, 3, None)
-            ltype = str(item(hdr, 4, "INC")).upper()
-            w.pd_model = str(item(hdr, 5, "HF-")).upper()
-            vol_scale = u.length ** 3
-            segs = {1: Segment(1, 1, 0, top_len, top_depth, 0.1, 1e-5,
-                               np.pi * 0.1 ** 2 / 4,
-                               (wb_vol * vol_scale if wb_vol is not None
-                                else 1e-3))}
-            for r in recs[1:]:
-                s1 = int(item(r, 0, 0))
-                s2 = int(item(r, 1, s1))
-                branch = int(item(r, 2, 1))
-                outlet = int(item(r, 3, 1))
-                ln = item(r, 4, 0.0) * u.length
-                dp = item(r, 5, 0.0) * u.length
-                diam = item(r, 6, 0.1 / u.length) * u.length
-                rough = item(r, 7, 1e-5 / u.length) * u.length
-                area = item(r, 8, None)
-                vol = item(r, 9, None)
-                nseg = s2 - s1 + 1
-                for idx, sn in enumerate(range(s1, s2 + 1)):
-                    out = outlet if sn == s1 else sn - 1
-                    if ltype == "ABS":
-                        # given length/depth apply to the LAST segment of
-                        # the range; intermediates interpolate from the
-                        # range's outlet node
-                        ref = segs.get(outlet)
-                        base_l = ref.length if ref else 0.0
-                        base_d = ref.depth if ref else 0.0
-                        f = (idx + 1) / nseg
-                        sl = base_l + f * (ln - base_l)
-                        sd = base_d + f * (dp - base_d)
-                    else:
-                        sl, sd = ln, dp  # incremental; chained below
-                    a = (area * u.length ** 2 if area is not None
-                         else np.pi * diam ** 2 / 4)
-                    segs[sn] = Segment(sn, branch, out, sl, sd, diam,
-                                       rough, a,
-                                       vol * vol_scale if vol is not None
-                                       else 0.0)
-            if ltype == "INC":
-                # chain incremental length/depth along outlets to absolute
-                done = {1}
-                pending = [s for s in segs if s != 1]
-                while pending:
-                    rest = []
-                    for sn in pending:
-                        s = segs[sn]
-                        if s.outlet in done:
-                            o = segs[s.outlet]
-                            s.length += o.length
-                            s.depth += o.depth
-                            done.add(sn)
-                        else:
-                            rest.append(sn)
-                    if len(rest) == len(pending):
-                        raise ValueError(f"WELSEGS {name}: segment outlet "
-                                         "cycle or missing outlet")
-                    pending = rest
-            for s in segs.values():
-                if s.volume == 0.0:
-                    o = segs.get(s.outlet)
-                    dl = abs(s.length - o.length) if o else 1.0
-                    s.volume = max(s.area * max(dl, 1e-3), 1e-4)
-            w.segments = [segs[k2] for k2 in sorted(segs)]
-        elif kw.name == "COMPSEGS":
-            recs = kw.records
-            name = str(item(recs[0], 0, ""))
-            w = wells[name]
-            w.compsegs = []
-            for r in recs[1:]:
-                w.compsegs.append(CompSeg(
-                    i=int(item(r, 0, 1)) - 1,
-                    j=int(item(r, 1, 1)) - 1,
-                    k=int(item(r, 2, 1)) - 1,
-                    branch=int(item(r, 3, 1)),
-                    start=item(r, 4, 0.0) * u.length,
-                    end=item(r, 5, 0.0) * u.length,
-                ))
-        elif kw.name == "WCONPROD":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells[name]
-                w.is_injector = False
-                w.status = str(item(r, 1, "OPEN")).upper()
-                w.control_mode = str(item(r, 2, "BHP")).upper()
-                w.oil_rate = _opt_rate(item(r, 3, None), u.liquid_rate)
-                w.water_rate = _opt_rate(item(r, 4, None), u.liquid_rate)
-                w.gas_rate = _opt_rate(item(r, 5, None), u.gas_rate)
-                w.liquid_rate = _opt_rate(item(r, 6, None), u.liquid_rate)
-                w.resv_rate = _opt_rate(item(r, 7, None), u.reservoir_rate)
-                bhp = item(r, 8, None)
-                w.bhp_limit = bhp * u.pressure if bhp is not None else U.ATM
-                thp = item(r, 9, None)
-                w.thp_limit = thp * u.pressure if thp is not None else None
-                vfp = item(r, 10, None)
-                w.vfp_table = int(vfp) if vfp else None
-        elif kw.name == "WCONINJE":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells[name]
-                w.is_injector = True
-                w.inj_phase = str(item(r, 1, "GAS")).upper()
-                w.status = str(item(r, 2, "OPEN")).upper()
-                w.control_mode = str(item(r, 3, "RATE")).upper()
-                rate_scale = (u.gas_rate if w.inj_phase == "GAS"
-                              else u.liquid_rate)
-                w.inj_rate = _opt_rate(item(r, 4, None), rate_scale)
-                w.resv_rate = _opt_rate(item(r, 5, None), u.reservoir_rate)
-                bhp = item(r, 6, None)
-                w.bhp_limit = (bhp * u.pressure if bhp is not None
-                               else 6895e4)  # ECL default ~1e4 psia
-        elif kw.name == "LIFTOPT":
-            r = kw.records[0] if kw.records else []
-            liftopt["increment"] = float(item(r, 0, 12500.0))
-            liftopt["min_gradient"] = float(item(r, 1, 0.0))
-            liftopt["interval_days"] = float(item(r, 2, 0.0))
-        elif kw.name == "WLIFTOPT":
-            for r in kw.records:
-                w = wells[str(item(r, 0, ""))]
-                w.glift_on = str(item(r, 1, "NO")).upper().startswith("Y")
-                mx = item(r, 2, None)
-                w.glift_max_alq = float(mx) if mx is not None else None
-                w.glift_weight = float(item(r, 3, 1.0))
-                w.glift_min_alq = float(item(r, 4, 0.0))
-                w.glift_gas_weight = float(item(r, 5, 0.0))
-        elif kw.name == "GLIFTOPT":
-            for r in kw.records:
-                g = str(item(r, 0, ""))
-                mx = item(r, 1, None)
-                liftopt.setdefault("groups", {})[g] = {
-                    "max_lift_gas": float(mx) if mx is not None else None,
-                }
-        elif kw.name == "WPOLYMER":
-            for r in kw.records:
-                w = wells[str(item(r, 0, ""))]
-                w.poly_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
-                w.salt_conc = float(item(r, 2, 0.0)) * u.polymer_concentration
-        elif kw.name == "WSALT":
-            for r in kw.records:
-                w = wells[str(item(r, 0, ""))]
-                w.salt_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
-        elif kw.name == "WFOAM":
-            for r in kw.records:
-                w = wells[str(item(r, 0, ""))]
-                w.foam_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
-        elif kw.name == "GRUPTREE":
-            for r in kw.records:
-                child = str(item(r, 0, ""))
-                parent = str(item(r, 1, "FIELD"))
-                group_tree[child] = parent
-        elif kw.name == "GCONPROD":
-            for r in kw.records:
-                g = str(item(r, 0, ""))
-                group_prod[g] = {
-                    "mode": str(item(r, 1, "NONE")).upper(),
-                    "orat": _opt_rate(item(r, 2, None), u.liquid_rate),
-                    "wrat": _opt_rate(item(r, 3, None), u.liquid_rate),
-                    "grat": _opt_rate(item(r, 4, None), u.gas_rate),
-                    "lrat": _opt_rate(item(r, 5, None), u.liquid_rate),
-                    "resv": _opt_rate(item(r, 6, None), u.reservoir_rate),
-                }
-        elif kw.name == "GCONINJE":
-            for r in kw.records:
-                g = str(item(r, 0, ""))
-                group_inj.setdefault(g, {})[
-                    str(item(r, 1, "GAS")).upper()] = {
-                    "mode": str(item(r, 2, "RATE")).upper(),
-                    "rate": _opt_rate(
-                        item(r, 3, None),
-                        u.gas_rate if str(item(r, 1, "GAS")).upper() == "GAS"
-                        else u.liquid_rate),
-                }
-        elif kw.name == "WELOPEN":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells.get(name)
-                if w is not None:
-                    w.status = str(item(r, 1, "OPEN")).upper()
-        elif kw.name == "WTEST":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells.get(name)
-                if w is not None:
-                    iv = item(r, 1, 0.0)
-                    w.wtest_interval = float(iv) * u.time / U.DAY if iv else None
-        elif kw.name == "WECON":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells.get(name)
-                if w is not None:
-                    w.econ_min_oil = _opt_rate(item(r, 1, None),
-                                               u.liquid_rate)
-                    w.econ_max_wct = item(r, 2, None)
-        elif kw.name == "WELTARG":
-            for r in kw.records:
-                name = str(item(r, 0, ""))
-                w = wells.get(name)
-                if w is None:
-                    continue
-                quantity = str(item(r, 1, "ORAT")).upper()
-                val = item(r, 2, 0.0)
-                if quantity == "ORAT":
-                    w.oil_rate = val * u.liquid_rate
-                elif quantity == "WRAT":
-                    w.water_rate = val * u.liquid_rate
-                elif quantity == "GRAT":
-                    w.gas_rate = val * u.gas_rate
-                elif quantity == "LRAT":
-                    w.liquid_rate = val * u.liquid_rate
-                elif quantity == "BHP":
-                    w.bhp_limit = val * u.pressure
-                elif quantity == "RATE":
-                    w.inj_rate = val * (u.gas_rate if w.inj_phase == "GAS"
-                                        else u.liquid_rate)
+        if _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
+                                 group_inj, liftopt):
+            pass
         elif kw.name == "TSTEP":
             for v in kw.records[0]:
                 if v is not DEFAULT:
@@ -1024,7 +1046,7 @@ def build_state(deck: Deck) -> EclState:
     schedule = _build_schedule(deck, rs, grid)
     n = len(grid.poro)
     regions = {}
-    for name in ("SATNUM", "PVTNUM", "EQLNUM", "FIPNUM"):
+    for name in ("SATNUM", "PVTNUM", "EQLNUM", "FIPNUM", "IMBNUM"):
         arr = _grid_array(deck, name, n, dtype=int)
         if arr is not None:
             regions[name] = arr
@@ -1041,6 +1063,13 @@ def build_state(deck: Deck) -> EclState:
     for kw in deck:
         if kw.name.startswith("TBLKF"):
             tracers[kw.name] = [v for v in kw.records[0] if v is not DEFAULT]
+    eps_arrays = {}
+    nc = len(grid.poro)
+    for name in ("SWL", "SWCR", "SWU", "SGL", "SGCR", "SGU", "SOWCR",
+                 "SOGCR", "KRW", "KRO", "KRG", "PCW", "PCG", "SWATINIT"):
+        arr = _grid_array(deck, name, nc)
+        if arr is not None:
+            eps_arrays[name] = arr
     components = {}
     u = rs.unit_system
     cscale = u.polymer_concentration
@@ -1107,7 +1136,9 @@ def build_state(deck: Deck) -> EclState:
                            float(item(r, 2, 0.0)) * u.pressure))
     return EclState(rs, grid, props, regions, solution, summary, schedule,
                     aquifers=aquifers, tracers=tracers,
-                    components=components,
+                    components=components, eps_arrays=eps_arrays,
+                    udq_keywords=deck.get("UDQ"),
+                    action_keywords=deck.get("ACTIONX"),
                     vfp_prod_records=vfp_prod, nnc=nnc, thpres=thpres)
 
 

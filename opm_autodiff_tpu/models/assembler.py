@@ -52,9 +52,9 @@ def bsr_matvec(sys: BsrSystem, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, regs):
+def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, regs, eps):
     def f(uu):
-        a = accumulation(fs, uu, flag, pv_ref, regs)
+        a = accumulation(fs, uu, flag, pv_ref, regs, eps)
         return a, a
 
     jac, val = jax.jacfwd(f, has_aux=True)(u)
@@ -62,10 +62,10 @@ def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, regs):
 
 
 def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-                  regsL, regsR, thp, mobL, mobR):
+                  regsL, regsR, thp, mobL, mobR, epsL, epsR):
     def f(u6):
         fl = face_flux(fs, u6[:3], u6[3:], flagL, flagR, trans, gdz,
-                       regsL, regsR, thp, mobL, mobR)
+                       regsL, regsR, thp, mobL, mobR, epsL, epsR)
         return fl, fl
 
     jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
@@ -82,8 +82,10 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     """
     u, flag = state.u, state.flag
 
-    acc, acc_jac = jax.vmap(_acc_val_jac, in_axes=(None, 0, 0, 0, 0))(
-        fs, u, flag, cells.pore_vol_ref, cells.regs)
+    eps_ax = None if cells.eps is None else 0
+    acc, acc_jac = jax.vmap(
+        _acc_val_jac, in_axes=(None, 0, 0, 0, 0, eps_ax))(
+        fs, u, flag, cells.pore_vol_ref, cells.regs, cells.eps)
 
     residual = (acc - acc0) / dt
     diag = acc_jac / dt
@@ -95,11 +97,14 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
 
     regsL = cells.regs[faces.left]
     regsR = cells.regs[faces.right]
+    epsL = None if cells.eps is None else cells.eps[faces.left]
+    epsR = None if cells.eps is None else cells.eps[faces.right]
     flux, jac_l, jac_r = jax.vmap(
-        _flux_val_jac, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        _flux_val_jac,
+        in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax))(
         fs, uL, uR, flagL, flagR, faces.trans, faces.gdz, regsL, regsR,
         faces.thpres, cells.mob_mult[faces.left],
-        cells.mob_mult[faces.right])
+        cells.mob_mult[faces.right], epsL, epsR)
 
     # R_L += flux ; R_R -= flux
     residual = residual.at[faces.left].add(flux)

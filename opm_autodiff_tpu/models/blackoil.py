@@ -52,6 +52,9 @@ class CellStatic(NamedTuple):
     # cuts gas mobility; reference: opm-models blackoil*modules); ones
     # when no extension is active
     mob_mult: jnp.ndarray
+    # [N,12] end-point-scaling channels (props/eps.py) or None when the
+    # deck has no EPS keywords (the scaled-table code then traces away)
+    eps: jnp.ndarray | None = None
 
 
 class FaceStatic(NamedTuple):
@@ -80,12 +83,14 @@ class Intensive(NamedTuple):
 REG0 = (0, 0)  # default region pair (satnum, pvtnum) — static zeros
 
 
-def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None) -> Intensive:
+def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None,
+              eps=None) -> Intensive:
     """Scalar per-cell intensive quantities; differentiable in u.
 
     ``regs`` is the (satnum, pvtnum) pair — a length-2 int vector or the
     static default REG0. ``mob_mult`` [3] scales phase mobilities (the
-    extended-component feedback; None = ones)."""
+    extended-component feedback; None = ones). ``eps`` [12] carries the
+    cell's end-point-scaling channels (props/eps.py; None = unscaled)."""
     sr, pr = regs[0], regs[1]
     po, sw, x3 = u[0], u[1], u[2]
     has_gas = flag == FLAG_SG
@@ -93,8 +98,8 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None) -> Intensive:
     so = 1.0 - sw - sg
     rs = jnp.where(has_gas, fs.rs_sat(po, pr), x3)
 
-    pw = po - fs.sat.pcow(sw, sr)
-    pg = po + fs.sat.pcog(sg, sr)
+    pw = po - fs.sat.pcow(sw, sr, eps)
+    pg = po + fs.sat.pcog(sg, sr, eps)
 
     inv_bw = fs.water.inv_b(pw, pr)
     inv_bo = fs.oil_inv_b(po, rs, pr)
@@ -104,9 +109,9 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None) -> Intensive:
     mu_o = fs.oil_viscosity(po, rs, pr)
     mu_g = fs.gas.viscosity(pg, pr)
 
-    krw = fs.sat.krw(sw, sr)
-    kro = fs.sat.kro(sw, sg, sr)
-    krg = fs.sat.krg(sg, sr)
+    krw = fs.sat.krw(sw, sr, eps)
+    kro = fs.sat.kro(sw, sg, sr, eps)
+    krg = fs.sat.krg(sg, sr, eps)
 
     rho = fs.rho_ref(pr)
     rho_w = rho[0] * inv_bw
@@ -126,9 +131,10 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None) -> Intensive:
     )
 
 
-def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, regs=REG0):
+def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, regs=REG0,
+                 eps=None):
     """Per-cell conserved surface volumes [3] (water, oil, gas)."""
-    q = intensive(fs, u, flag, regs)
+    q = intensive(fs, u, flag, regs, None, eps)
     pv = pore_vol_ref * fs.rock.mult(u[0], regs[1])
     sw, so, sg = q.sat[0], q.sat[1], q.sat[2]
     aw = pv * sw * q.inv_b[0]
@@ -138,7 +144,8 @@ def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, regs=REG0):
 
 
 def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
-              regsL=REG0, regsR=REG0, thpres=0.0, mobL=None, mobR=None):
+              regsL=REG0, regsR=REG0, thpres=0.0, mobL=None, mobR=None,
+              epsL=None, epsR=None):
     """TPFA upwinded phase flux through one face, positive L -> R.
 
     Semantics follow EclTransFluxModule::calculateGradients_
@@ -150,8 +157,8 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
 
     Returns [3]: water, oil, gas surface-volume fluxes [m^3/s].
     """
-    qL = intensive(fs, uL, flagL, regsL, mobL)
-    qR = intensive(fs, uR, flagR, regsR, mobR)
+    qL = intensive(fs, uL, flagL, regsL, mobL, epsL)
+    qR = intensive(fs, uR, flagR, regsR, mobR, epsR)
 
     # phase potential difference: dPhi_p = (pL - pR) - rho_avg * g * dz
     # (gdz = g*(depth_L - depth_R); depth positive down)
@@ -203,6 +210,7 @@ def statics_from_geometry(geo, structured: str = "auto"
         depth=jnp.asarray(geo.depth),
         regs=jnp.asarray(np.stack([satnum, pvtnum], axis=1), jnp.int32),
         mob_mult=jnp.ones((geo.num_active, 3)),
+        eps=None,
     )
     if structured != "never":
         from opm_autodiff_tpu.models.structured import (

@@ -236,6 +236,48 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
     return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag[inv]))
 
 
+def apply_swatinit(state: EclState, geo: Geometry, fs: FluidSystem,
+                   ps: PrimaryState, eps):
+    """SWATINIT: override the equilibrated water saturation and scale the
+    cell's water capillary curve (EPS channel 10) so the scaled Pc
+    reproduces the equilibrium Pc at the requested saturation
+    (reference: equil/initstateequil SWATINIT handling via PCW scaling).
+
+    Returns (new PrimaryState, new eps [N,12]).
+    """
+    arr = state.eps_arrays.get("SWATINIT")
+    if arr is None:
+        return ps, eps
+    swinit = np.asarray(arr, float)[geo.act_to_glob]
+    n = len(swinit)
+    if eps is None:
+        eps = np.full((n, 12), np.nan)
+    else:
+        eps = np.asarray(eps).copy()
+
+    sat = fs.sat
+    sw_bank = np.asarray(sat.sw)
+    pcow_bank = np.asarray(sat.pcow_tab)
+    satnum = (np.asarray(geo.satnum) if geo.satnum is not None
+              else np.zeros(n, np.int32))
+    u = np.asarray(ps.u).copy()
+    for i in range(n):
+        r = int(satnum[i])
+        real = np.isfinite(sw_bank[r])
+        nodes = sw_bank[r][real]
+        pc = pcow_bank[r][real]
+        # equilibrium Pc at the cell = Pc(sw_equil) on the unscaled curve
+        pc_equil = float(np.interp(u[i, 1], nodes[::-1] if nodes[0] > nodes[-1]
+                                   else nodes, pc[::-1] if nodes[0] > nodes[-1]
+                                   else pc))
+        pc_at_init = float(np.interp(swinit[i], nodes, pc))
+        sw_new = float(np.clip(swinit[i], nodes[0], nodes[-1]))
+        u[i, 1] = sw_new
+        if abs(pc_at_init) > 1e-30 and pc_equil > 0:
+            eps[i, 10] = pc_equil / pc_at_init
+    return PrimaryState(u=jnp.asarray(u), flag=ps.flag), eps
+
+
 def restart_init(state: EclState, geo: Geometry, deck_dir: str
                  ) -> tuple[PrimaryState, int]:
     """Resume from a .UNRST written by this framework (or ECLIPSE layout).

@@ -128,11 +128,11 @@ def _axis_pairs(u3, axis):
 
 
 def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR,
-                       mobL, mobR):
-    def one(uL_, uR_, fL, fR, t, g, rL, rR, mL, mR):
+                       mobL, mobR, epsL=None, epsR=None):
+    def one(uL_, uR_, fL, fR, t, g, rL, rR, mL, mR, eL, eR):
         def f(u6):
             fl = face_flux(fs, u6[:3], u6[3:], fL, fR, t, g, rL, rR, 0.0,
-                           mL, mR)
+                           mL, mR, eL, eR)
             return fl, fl
 
         jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL_, uR_]))
@@ -140,11 +140,16 @@ def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR,
 
     shape = uL.shape[:-1]
     flat = lambda a, tail: a.reshape((-1,) + tail)  # noqa: E731
-    val, jl, jr = jax.vmap(one)(flat(uL, (3,)), flat(uR, (3,)),
-                                flagL.reshape(-1), flagR.reshape(-1),
-                                trans.reshape(-1), gdz.reshape(-1),
-                                flat(regsL, (2,)), flat(regsR, (2,)),
-                                flat(mobL, (3,)), flat(mobR, (3,)))
+    eps_ax = None if epsL is None else 0
+    val, jl, jr = jax.vmap(
+        one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax))(
+        flat(uL, (3,)), flat(uR, (3,)),
+        flagL.reshape(-1), flagR.reshape(-1),
+        trans.reshape(-1), gdz.reshape(-1),
+        flat(regsL, (2,)), flat(regsR, (2,)),
+        flat(mobL, (3,)), flat(mobR, (3,)),
+        None if epsL is None else flat(epsL, (epsL.shape[-1],)),
+        None if epsR is None else flat(epsR, (epsR.shape[-1],)))
     return (val.reshape(shape + (3,)), jl.reshape(shape + (3, 3)),
             jr.reshape(shape + (3, 3)))
 
@@ -158,17 +163,20 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
     flag3 = flag.reshape(nz, ny, nx)
     regs3 = cells.regs.reshape(nz, ny, nx, 2)
     mob3 = cells.mob_mult.reshape(nz, ny, nx, 3)
+    eps3 = (None if cells.eps is None
+            else cells.eps.reshape(nz, ny, nx, cells.eps.shape[-1]))
+    eps_ax = None if cells.eps is None else 0
 
-    def acc_one(uu, ff, pv, rg):
+    def acc_one(uu, ff, pv, rg, ep):
         def f(x):
-            a = accumulation(fs, x, ff, pv, rg)
+            a = accumulation(fs, x, ff, pv, rg, ep)
             return a, a
 
         jac, val = jax.jacfwd(f, has_aux=True)(uu)
         return val, jac
 
-    acc, acc_jac = jax.vmap(acc_one)(u, flag, cells.pore_vol_ref,
-                                     cells.regs)
+    acc, acc_jac = jax.vmap(acc_one, in_axes=(0, 0, 0, 0, eps_ax))(
+        u, flag, cells.pore_vol_ref, cells.regs, cells.eps)
     residual = (acc - acc0) / dt
     diag = acc_jac / dt
     res3 = residual.reshape(nz, ny, nx, 3)
@@ -182,8 +190,12 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
         fL, fR = _axis_pairs(flag3, axis)
         rL, rR = _axis_pairs(regs3, axis)
         mL, mR = _axis_pairs(mob3, axis)
+        if eps3 is None:
+            eL = eR = None
+        else:
+            eL, eR = _axis_pairs(eps3, axis)
         flux, jl, jr = _flux_val_jac_slab(fs, uL, uR, fL, fR, trans, gdz,
-                                          rL, rR, mL, mR)
+                                          rL, rR, mL, mR, eL, eR)
 
         if axis == 0:
             res3 = res3.at[:, :, :-1].add(flux)

@@ -3,7 +3,10 @@
 Rebuild of the slice of opm-material's ``EclMaterialLawManager`` that the
 SPE-class decks exercise: SWOF/SGOF family tables with the ECLIPSE default
 three-phase oil relperm model (saturation-weighted interpolation between
-krow and krog). End-point scaling and hysteresis come later rounds.
+krow and krog), plus two-point horizontal end-point scaling (EPS: SWL/
+SWCR/SWU/SGCR/SGU/SOWCR/SOGCR grid arrays remap the table saturation
+axis per cell) and vertical scaling (KRW/KRO/KRG maxima, PCW/PCG
+capillary multipliers) — reference: opm-material EclEpsScalingPoints.
 
 Multi-region (SATNUM) support: tables are banked into [R, n] arrays
 padded with +inf saturation nodes / edge values, so a per-cell region
@@ -48,6 +51,18 @@ class SatFunc(NamedTuple):
     krog_tab: jnp.ndarray
     pcog_tab: jnp.ndarray
     swco: jnp.ndarray  # [R] connate water saturation per region
+    # --- unscaled table end points per region [R] (EPS reference frame;
+    # opm-material EclEpsScalingPoints "unscaled points") ---
+    t_swl: jnp.ndarray     # first sw node (connate)
+    t_swcr: jnp.ndarray    # largest sw with krw == 0
+    t_swu: jnp.ndarray     # last sw node
+    t_sw0w: jnp.ndarray    # smallest sw with krow == 0 (1 - sowcr - swl)
+    t_sgcr: jnp.ndarray    # largest sg with krg == 0
+    t_sgu: jnp.ndarray     # last sg node
+    t_sg0g: jnp.ndarray    # smallest sg with krog == 0
+    t_krw_mx: jnp.ndarray  # krw at swu
+    t_kro_mx: jnp.ndarray  # krow at swl
+    t_krg_mx: jnp.ndarray  # krg at sgu
 
     @property
     def num_regions(self) -> int:
@@ -62,37 +77,140 @@ class SatFunc(NamedTuple):
             return bank[0]
         return bank[reg]
 
-    def krw(self, sw, reg=0):
-        return jnp.maximum(interp1d(sw, self._row(self.sw, reg),
-                                    self._row(self.krw_tab, reg),
-                                    extrapolate=False), 0.0)
+    @staticmethod
+    def _remap(s, a_c, b_c, a_t, b_t):
+        """Two-point horizontal EPS: cell interval [a_c,b_c] -> table
+        interval [a_t,b_t] (opm-material EclEpsTwoPhaseLaw)."""
+        den = jnp.maximum(b_c - a_c, 1e-12)
+        return a_t + (s - a_c) * (b_t - a_t) / den
 
-    def krow(self, sw, reg=0):
-        return jnp.maximum(interp1d(sw, self._row(self.sw, reg),
-                                    self._row(self.krow_tab, reg),
-                                    extrapolate=False), 0.0)
+    def _e(self, eps, idx, default):
+        """EPS channel with table default (NaN in the channel = default)."""
+        v = eps[idx]
+        return jnp.where(jnp.isnan(v), default, v)
 
-    def pcow(self, sw, reg=0):
+    def krw(self, sw, reg=0, eps=None):
+        if eps is not None:
+            swcr_t = self._row(self.t_swcr, reg)
+            swu_t = self._row(self.t_swu, reg)
+            kmx_t = self._row(self.t_krw_mx, reg)
+            swcr_c = self._e(eps, 1, swcr_t)
+            swu_c = self._e(eps, 2, swu_t)
+            kmx_c = self._e(eps, 7, kmx_t)
+            sw = self._remap(sw, swcr_c, swu_c, swcr_t, swu_t)
+            scale = kmx_c / jnp.maximum(kmx_t, 1e-12)
+        else:
+            scale = 1.0
+        return scale * jnp.maximum(interp1d(sw, self._row(self.sw, reg),
+                                            self._row(self.krw_tab, reg),
+                                            extrapolate=False), 0.0)
+
+    def krow(self, sw, reg=0, eps=None):
+        if eps is not None:
+            swl_t = self._row(self.t_swl, reg)
+            sw0_t = self._row(self.t_sw0w, reg)
+            kmx_t = self._row(self.t_kro_mx, reg)
+            swl_c = self._e(eps, 0, swl_t)
+            sw0_c = self._e(eps, 3, sw0_t)
+            kmx_c = self._e(eps, 8, kmx_t)
+            sw = self._remap(sw, swl_c, sw0_c, swl_t, sw0_t)
+            scale = kmx_c / jnp.maximum(kmx_t, 1e-12)
+        else:
+            scale = 1.0
+        return scale * jnp.maximum(interp1d(sw, self._row(self.sw, reg),
+                                            self._row(self.krow_tab, reg),
+                                            extrapolate=False), 0.0)
+
+    def pcow(self, sw, reg=0, eps=None):
         """Capillary pressure Po - Pw."""
-        return interp1d(sw, self._row(self.sw, reg),
-                        self._row(self.pcow_tab, reg), extrapolate=False)
+        if eps is not None:
+            swl_t = self._row(self.t_swl, reg)
+            swu_t = self._row(self.t_swu, reg)
+            swl_c = self._e(eps, 0, swl_t)
+            swu_c = self._e(eps, 2, swu_t)
+            sw = self._remap(sw, swl_c, swu_c, swl_t, swu_t)
+            mult = self._e(eps, 10, 1.0)
+        else:
+            mult = 1.0
+        return mult * interp1d(sw, self._row(self.sw, reg),
+                               self._row(self.pcow_tab, reg),
+                               extrapolate=False)
 
-    def krg(self, sg, reg=0):
-        return jnp.maximum(interp1d(sg, self._row(self.sg, reg),
-                                    self._row(self.krg_tab, reg),
-                                    extrapolate=False), 0.0)
+    def _krg_raw(self, sg, reg, eps):
+        if eps is not None:
+            sgcr_t = self._row(self.t_sgcr, reg)
+            sgu_t = self._row(self.t_sgu, reg)
+            kmx_t = self._row(self.t_krg_mx, reg)
+            sgcr_c = self._e(eps, 4, sgcr_t)
+            sgu_c = self._e(eps, 5, sgu_t)
+            kmx_c = self._e(eps, 9, kmx_t)
+            sg = self._remap(sg, sgcr_c, sgu_c, sgcr_t, sgu_t)
+            scale = kmx_c / jnp.maximum(kmx_t, 1e-12)
+        else:
+            scale = 1.0
+        return scale * jnp.maximum(interp1d(sg, self._row(self.sg, reg),
+                                            self._row(self.krg_tab, reg),
+                                            extrapolate=False), 0.0)
 
-    def krog(self, sg, reg=0):
-        return jnp.maximum(interp1d(sg, self._row(self.sg, reg),
-                                    self._row(self.krog_tab, reg),
-                                    extrapolate=False), 0.0)
+    def krg(self, sg, reg=0, eps=None):
+        """Gas relperm; with hysteresis channels present (eps has >= 14
+        entries: [12] = historical max Sg, [13] = IMBNUM region) the
+        Killough scanning-curve model applies on decreasing gas
+        saturation (reference: opm-material EclHysteresisTwoPhaseLaw,
+        Killough option of EHYSTR; trapped gas from Land's relation).
+        """
+        drain = self._krg_raw(sg, reg, eps)
+        if eps is None or eps.shape[-1] < 14:
+            return drain
+        sg_max = eps[12]
+        imb = jnp.asarray(eps[13], jnp.int32)
+        sgcr_d = self._row(self.t_sgcr, reg)
+        sgcr_i = self.t_sgcr[imb]          # max trapped gas (imbibition)
+        sgu_d = self._row(self.t_sgu, reg)
+        # Land parameter from the drainage/imbibition critical points
+        denom_tr = jnp.maximum(sgcr_i - sgcr_d, 1e-6)
+        denom_mx = jnp.maximum(sgu_d - sgcr_d, 1e-6)
+        c_land = jnp.maximum(1.0 / denom_tr - 1.0 / denom_mx, 1e-6)
+        dsg = jnp.maximum(sg_max - sgcr_d, 0.0)
+        sgtr = sgcr_d + dsg / (1.0 + c_land * dsg)
+        # scanning curve: imbibition shape through (sgtr, 0) and
+        # (sg_max, krg_drain(sg_max))
+        sgu_i = self.t_sgu[imb]
+        span = jnp.maximum(sg_max - sgtr, 1e-6)
+        sg_norm = sgcr_i + (sg - sgtr) * (sgu_i - sgcr_i) / span
+        krg_i = jnp.maximum(
+            interp1d(sg_norm, self.sg[imb], self.krg_tab[imb],
+                     extrapolate=False), 0.0)
+        krg_i_mx = jnp.maximum(self.t_krg_mx[imb], 1e-12)
+        krg_at_max = self._krg_raw(sg_max, reg, eps)
+        scan = krg_i * krg_at_max / krg_i_mx
+        on_drainage = (sg >= sg_max - 1e-9) | (sg_max <= sgcr_d + 1e-9) \
+            | jnp.isnan(sg_max)
+        return jnp.where(on_drainage, drain,
+                         jnp.clip(scan, 0.0, drain))
 
-    def pcog(self, sg, reg=0):
+    def krog(self, sg, reg=0, eps=None):
+        if eps is not None:
+            sg0_t = self._row(self.t_sg0g, reg)
+            kmx_t = self._row(self.t_kro_mx, reg)
+            sg0_c = self._e(eps, 6, sg0_t)
+            kmx_c = self._e(eps, 8, kmx_t)
+            sg = self._remap(sg, 0.0, sg0_c, 0.0, sg0_t)
+            scale = kmx_c / jnp.maximum(kmx_t, 1e-12)
+        else:
+            scale = 1.0
+        return scale * jnp.maximum(interp1d(sg, self._row(self.sg, reg),
+                                            self._row(self.krog_tab, reg),
+                                            extrapolate=False), 0.0)
+
+    def pcog(self, sg, reg=0, eps=None):
         """Capillary pressure Pg - Po."""
-        return interp1d(sg, self._row(self.sg, reg),
-                        self._row(self.pcog_tab, reg), extrapolate=False)
+        mult = self._e(eps, 11, 1.0) if eps is not None else 1.0
+        return mult * interp1d(sg, self._row(self.sg, reg),
+                               self._row(self.pcog_tab, reg),
+                               extrapolate=False)
 
-    def kro(self, sw, sg, reg=0):
+    def kro(self, sw, sg, reg=0, eps=None):
         """Three-phase oil relperm, ECLIPSE default model:
 
         kro = (sg * krog + (sw - swco) * krow) / (sg + sw - swco)
@@ -100,14 +218,16 @@ class SatFunc(NamedTuple):
         with the denominator guarded: as sg + (sw - swco) -> 0 the oil is
         the only mobile phase and kro -> krow(swco) = krog(0).
         """
-        krow = self.krow(sw, reg)
-        krog = self.krog(sg, reg)
+        krow = self.krow(sw, reg, eps)
+        krog = self.krog(sg, reg, eps)
         swco = self.swco[0] if self.swco.shape[0] == 1 else self.swco[reg]
+        if eps is not None:
+            swco = self._e(eps, 0, swco)
         swn = jnp.maximum(sw - swco, 0.0)
         den = sg + swn
         safe_den = jnp.where(den > 1e-12, den, 1.0)
         mixed = (sg * krog + swn * krow) / safe_den
-        return jnp.where(den > 1e-12, mixed, self.krow(swco, reg))
+        return jnp.where(den > 1e-12, mixed, self.krow(swco, reg, eps))
 
     @staticmethod
     def from_props(props: PropsSection, phases=None) -> "SatFunc":
@@ -129,6 +249,31 @@ class SatFunc(NamedTuple):
             swof_regions.append(swof_regions[-1])
         while len(sgof_regions) < nr:
             sgof_regions.append(sgof_regions[-1])
+        # unscaled table end points per region (the EPS reference frame)
+        def endpoints(t, kr_col):
+            s_nodes = t[:, 0]
+            kr = t[:, kr_col]
+            nz = np.nonzero(kr > 0)[0]
+            scr = s_nodes[nz[0] - 1] if len(nz) and nz[0] > 0 else s_nodes[0]
+            return scr
+
+        t_swl = [t[0, 0] for t in swof_regions]
+        t_swcr = [endpoints(t, 1) for t in swof_regions]
+        t_swu = [t[-1, 0] for t in swof_regions]
+        t_krw_mx = [t[-1, 1] for t in swof_regions]
+        t_kro_mx = [t[0, 2] for t in swof_regions]
+
+        def zero_point(t, col):
+            # smallest s where the (decreasing) curve reaches zero
+            z = np.nonzero(t[:, col] <= 0)[0]
+            return t[z[0], 0] if len(z) else t[-1, 0]
+
+        t_sw0w = [zero_point(t, 2) for t in swof_regions]
+        t_sgcr = [endpoints(t, 1) for t in sgof_regions]
+        t_sgu = [t[-1, 0] for t in sgof_regions]
+        t_krg_mx = [t[-1, 1] for t in sgof_regions]
+        t_sg0g = [zero_point(t, 2) for t in sgof_regions]
+
         return SatFunc(
             sw=jnp.asarray(_pad_bank(swof_regions, 0)),
             krw_tab=jnp.asarray(_pad_bank(swof_regions, 1)),
@@ -139,4 +284,9 @@ class SatFunc(NamedTuple):
             krog_tab=jnp.asarray(_pad_bank(sgof_regions, 2)),
             pcog_tab=jnp.asarray(_pad_bank(sgof_regions, 3)),
             swco=jnp.asarray([t[0, 0] for t in swof_regions]),
+            t_swl=jnp.asarray(t_swl), t_swcr=jnp.asarray(t_swcr),
+            t_swu=jnp.asarray(t_swu), t_sw0w=jnp.asarray(t_sw0w),
+            t_sgcr=jnp.asarray(t_sgcr), t_sgu=jnp.asarray(t_sgu),
+            t_sg0g=jnp.asarray(t_sg0g), t_krw_mx=jnp.asarray(t_krw_mx),
+            t_kro_mx=jnp.asarray(t_kro_mx), t_krg_mx=jnp.asarray(t_krg_mx),
         )

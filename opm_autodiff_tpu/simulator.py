@@ -67,6 +67,9 @@ class Simulator:
         self.geo = build_geometry(ecl_state)
         self.fs = FluidSystem.from_state(ecl_state)
         self.cells, self.faces = statics_from_geometry(self.geo)
+        # end-point scaling (EPS) channels from SWL/.../PCW grid arrays
+        from opm_autodiff_tpu.props.eps import build_eps
+        self._eps_host = build_eps(ecl_state, self.geo, self.fs)
         # tracers need the explicit face list even on the banded path
         _, self.facelist = statics_from_geometry(self.geo,
                                                  structured="never")
@@ -93,6 +96,11 @@ class Simulator:
                                          self.cells, self.facelist)
         self._shut_wells: dict = {}  # name -> shut time (days)
         self.msw_x = None  # multisegment well unknowns [M,S,4]
+        from opm_autodiff_tpu.actions import (ActionManager, UdqEngine,
+                                              parse_actions)
+        self.udq = UdqEngine(ecl_state.udq_keywords)
+        self.action_mgr = ActionManager(
+            parse_actions(ecl_state.action_keywords))
         self._init_state()
         self.tracers.initialize(self.u, self.flag)
         if self.components.active:
@@ -113,6 +121,23 @@ class Simulator:
             self._step_index = step
         else:
             ps = equilibrate(self.state, self.geo, self.fs)
+            if "SWATINIT" in self.state.eps_arrays:
+                from opm_autodiff_tpu.models.init import apply_swatinit
+                ps, self._eps_host = apply_swatinit(
+                    self.state, self.geo, self.fs, ps, self._eps_host)
+        # hysteresis: EHYSTR + IMBNUM append sg_max/IMBNUM channels
+        self._hysteresis = ("EHYSTR" in getattr(self.state, "flags", ())
+                            or self.state.regions.get("IMBNUM") is not None)
+        if self._hysteresis:
+            from opm_autodiff_tpu.models.blackoil import FLAG_SG
+            from opm_autodiff_tpu.props.eps import extend_with_hysteresis
+            sg0 = np.where(np.asarray(ps.flag) == FLAG_SG,
+                           np.asarray(ps.u)[:, 2], 0.0)
+            self._eps_host = extend_with_hysteresis(
+                self._eps_host, self.state, self.geo, sg0)
+        if self._eps_host is not None:
+            self.cells = self.cells._replace(
+                eps=jnp.asarray(self._eps_host))
         self.u = ps.u
         self.flag = ps.flag
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
@@ -220,6 +245,16 @@ class Simulator:
                                             q_perf, ws, std_wells)
                     self.cells = self.cells._replace(
                         mob_mult=self.components.mobility_multipliers())
+                if getattr(self, "_hysteresis", False) \
+                        and self.cells.eps is not None:
+                    # track the historical max gas saturation (Killough
+                    # scanning state; reference EclHysteresisTwoPhaseLaw)
+                    from opm_autodiff_tpu.models.blackoil import FLAG_SG
+                    sg_now = jnp.where(st.flag == FLAG_SG, st.u[:, 2], 0.0)
+                    eps_dev = self.cells.eps
+                    eps_dev = eps_dev.at[:, 12].set(
+                        jnp.maximum(eps_dev[:, 12], sg_now))
+                    self.cells = self.cells._replace(eps=eps_dev)
                 self._last_q_msw = (np.asarray(q_msw)
                                     if q_msw is not None else None)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
@@ -257,7 +292,19 @@ class Simulator:
         for name in newly_shut:
             self._shut_wells[name] = rstep.end_days
         self.summary.end_report_step(rstep.end_days, self._field_state(ws))
+        # UDQ re-evaluation + ACTIONX triggers at the report boundary, in
+        # DECK output units like the reference's SummaryState
+        # (reference: EclProblem::applyActions, eclproblem.hh:1243)
+        if self.udq.active:
+            row = self.summary.rows[-1]
+            row.update(self.udq.update(row))
         self._step_index += 1
+        if self.action_mgr.active:
+            from opm_autodiff_tpu.actions import apply_action_to_schedule
+            row = self.summary.rows[-1]
+            for act in self.action_mgr.poll(rstep.end_days, row,
+                                            self.udq.values):
+                apply_action_to_schedule(act, self.state, self._step_index)
         return reports
 
     def run(self) -> SimulatorReport:
@@ -445,7 +492,8 @@ class Simulator:
             pore_vol_ref=jnp.asarray(self.geo.pore_vol),
             depth=self.cells.depth,
             regs=self.cells.regs,
-            mob_mult=self.cells.mob_mult)
+            mob_mult=self.cells.mob_mult,
+            eps=self.cells.eps)
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
 

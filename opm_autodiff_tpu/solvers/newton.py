@@ -227,17 +227,18 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # single per-iteration intensive evaluation, shared by the
     # convergence metrics (assembly re-derives it under jacfwd)
-    q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(fs, u, flag,
-                                                         cells.regs)
+    eps_ax = None if cells.eps is None else 0
+    q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
+        fs, u, flag, cells.regs, None, cells.eps)
 
     # --- control update from a cheap rates-only pass, then ONE full
     # well assembly (reference: updateWellControls before assembleWellEq,
     # BlackoilWellModel_impl.hpp:828-834) ---
     q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.regs,
-                              cells.mob_mult)
+                              cells.mob_mult, cells.eps)
     mode = update_well_controls(ws, mode, pbh, q_quick)
     wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank,
-                            cells.regs, cells.mob_mult)
+                            cells.regs, cells.mob_mult, cells.eps)
     q_tot = wr.q_perf.sum(axis=1)
 
     # --- reservoir assembly (banded fast path for structured grids) ---

@@ -186,7 +186,8 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
-                dz, is_injector, inj_phase, regs=(0, 0), mob_mult=None):
+                dz, is_injector, inj_phase, regs=(0, 0), mob_mult=None,
+                eps=None):
     """Surface-volume rates [3] INTO the cell at one perforation.
 
     Reference semantics: StandardWell_impl.hpp:297 calculateSinglePerf —
@@ -195,7 +196,7 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
     connection pressure correction from an explicitly-computed (lagged)
     connection density.
     """
-    q = intensive(fs, u_cell, flag_cell, regs, mob_mult)
+    q = intensive(fs, u_cell, flag_cell, regs, mob_mult, eps)
     p_conn = pbh + rho_conn * U.GRAVITY * dz
 
     # one drawdown per phase using phase pressures in the cell
@@ -240,7 +241,8 @@ def _connection_density(fs: FluidSystem, u_cell, flag_cell, pbh,
 
 
 def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
-                    ws: WellSet, regs=None, mob_mult=None) -> jnp.ndarray:
+                    ws: WellSet, regs=None, mob_mult=None,
+                    eps=None) -> jnp.ndarray:
     """Total surface rates [W,3] without Jacobians (for control checks)."""
     u_perf = u[ws.cell]
     flag_perf = flag[ws.cell]
@@ -248,22 +250,26 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                 else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
     mob_perf = (mob_mult[ws.cell] if mob_mult is not None
                 else jnp.ones(ws.cell.shape + (3,)))
+    eps_perf = eps[ws.cell] if eps is not None else None
+    eps_ax = None if eps is None else 0
     dz = ws.perf_depth - ws.ref_depth[:, None]
     rho_conn = jax.vmap(jax.vmap(
         _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
         in_axes=(None, 0, 0, 0, 0, 0, 0))(
         fs, u_perf, flag_perf, pbh, ws.is_injector, ws.inj_phase, reg_perf)
 
-    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, rg, mm):
-        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, rg, mm)
+    def one(u_c, f_c, pb, rho, wi, dzc, inj, phase, mask, rg, mm, ep):
+        q = _perf_rates(fs, u_c, f_c, pb, rho, wi, dzc, inj, phase, rg,
+                        mm, ep)
         return jnp.where(mask, q, jnp.zeros(3))
 
     q = jax.vmap(jax.vmap(one,
                           in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0,
-                                   0)),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+                                   0, eps_ax)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf,
+        eps_perf)
     q = jnp.where(ws.open_mask[:, None, None], q, 0.0)
     return q.sum(axis=1)
 
@@ -272,7 +278,7 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                        ws: WellSet,
                        active_mode: jnp.ndarray | None = None,
                        vfp_bank=None, regs=None,
-                       mob_mult=None) -> WellResult:
+                       mob_mult=None, eps=None) -> WellResult:
     """Assemble all well quantities for one Newton iteration.
 
     Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
@@ -289,6 +295,8 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                 else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
     mob_perf = (mob_mult[ws.cell] if mob_mult is not None
                 else jnp.ones(ws.cell.shape + (3,)))
+    eps_perf = eps[ws.cell] if eps is not None else None
+    eps_ax = None if eps is None else 0
     dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
 
     # explicit connection densities (lagged; no gradient)
@@ -299,11 +307,11 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, reg_perf)
 
     def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, rg,
-                 mm):
+                 mm, ep):
         def f(args):
             uu, pp = args
             qv = _perf_rates(fs, uu, flag_c, pp, rho_c, wi_c, dz_c, inj,
-                             phase, rg, mm)
+                             phase, rg, mm, ep)
             qv = jnp.where(mask, qv, jnp.zeros(3))
             return qv, qv
 
@@ -312,10 +320,12 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         return val, dq_du, dq_dpbh
 
     q_perf, dq_du, dq_dpbh = jax.vmap(jax.vmap(
-        one_perf, in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        one_perf,
+        in_axes=(0, 0, None, 0, 0, 0, None, None, 0, 0, 0, eps_ax)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax))(
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf)
+        ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf,
+        eps_perf)
 
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
