@@ -114,7 +114,7 @@ RECORDS_KEYWORDS = {
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",
     "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
     "FOAMFSC", "PVTWSALT", "SALTVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
-    "UDQ", "ACTIONX",
+    "UDQ", "ACTIONX", "WTEMP", "WINJTEMP", "VISCREF",
 }
 
 DATA_KEYWORDS = {
@@ -135,6 +135,7 @@ TABLES_KEYWORDS = {
     "SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3", "PVDG", "PVDO",
     "PVTO", "PVTG", "RSVD", "RVVD", "PBVD", "PDVD", "PVZG", "ROCKTAB",
     "TSTEP", "PLYVISC", "PLYADS", "FOAMMOB", "PVDS", "SSFN", "MSFN",
+    "SPECROCK", "SPECHEAT", "WATVISCT", "OILVISCT", "GASVISCT",
 }
 
 # TSTEP is really DATA-like (one record of numbers) but may appear many times.

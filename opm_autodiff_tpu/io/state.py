@@ -227,6 +227,8 @@ class WellConfig:
     poly_conc: float = 0.0         # WPOLYMER
     salt_conc: float = 0.0         # WSALT / WPOLYMER item 3
     foam_conc: float = 0.0         # WFOAM
+    solv_frac: float = 0.0         # WSOLVENT: solvent fraction of gas inj
+    temp_inj: float | None = None  # WTEMP / WINJTEMP: injection temp (K)
     # gas lift (WLIFTOPT; ALQ quantities stay in DECK units — they only
     # feed the VFP ALQ axis, which is parsed unscaled too)
     glift_on: bool = False
@@ -898,6 +900,18 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
         for r in kw.records:
             w = wells[str(item(r, 0, ""))]
             w.foam_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+    elif kw.name == "WSOLVENT":
+        for r in kw.records:
+            w = wells[str(item(r, 0, ""))]
+            w.solv_frac = float(item(r, 1, 0.0))
+    elif kw.name in ("WTEMP", "WINJTEMP"):
+        for r in kw.records:
+            w = wells[str(item(r, 0, ""))]
+            idx = 1 if kw.name == "WTEMP" else 2
+            t = item(r, idx, None)
+            if t is not None:
+                w.temp_inj = (float(t) * u.temperature_scale
+                              + u.temperature_offset)
     elif kw.name == "GRUPTREE":
         for r in kw.records:
             child = str(item(r, 0, ""))
@@ -1119,6 +1133,45 @@ def build_state(deck: Deck) -> EclState:
     if kw:
         components["SALTVD"] = _table_2d_regions(
             kw, 2, [u.length, cscale])
+    kw = deck.get1("PVDS")
+    if kw:
+        components["PVDS"] = _table_2d_regions(
+            kw, 3, [u.pressure, u.gas_fvf, u.viscosity])
+    kw = deck.get1("TLMIXPAR")
+    if kw and kw.records:
+        components["TLMIXPAR"] = float(item(kw.records[0], 0, 1.0))
+    # thermal property tables (energy variant; reference
+    # flow_ebos_energy.cpp + opm-material thermal laws)
+    kw = deck.get1("SPECROCK")
+    if kw:
+        # rock volumetric heat capacity: energy / (rock volume * deg);
+        # temperature axes stay in DECK degrees (the thermal model adds
+        # the offset — multiplicative scaling can't express deg F -> K)
+        components["SPECROCK"] = _table_2d_regions(
+            kw, 2, [1.0,
+                    u.energy / (u.length ** 3 * u.temperature_scale)])
+    kw = deck.get1("SPECHEAT")
+    if kw:
+        # fluid specific heats (oil, water, gas): energy / (mass * deg)
+        ch = u.energy / (u.mass * u.temperature_scale)
+        components["SPECHEAT"] = _table_2d_regions(
+            kw, 4, [1.0, ch, ch, ch])
+    for nm in ("WATVISCT", "OILVISCT", "GASVISCT"):
+        kw = deck.get1(nm)
+        if kw:
+            components[nm] = _table_2d_regions(
+                kw, 2, [1.0, u.viscosity])
+    arr = _grid_array(deck, "TEMPI", nc)
+    if arr is not None:
+        components["TEMPI"] = arr
+    arr = _grid_array(deck, "THCONR", nc)
+    if arr is not None:
+        components["THCONR"] = arr
+    kw = deck.get1("VISCREF")
+    if kw and kw.records:
+        components["VISCREF"] = [
+            (item(r, 0, 1.0) * u.pressure, item(r, 1, None))
+            for r in kw.records if r]
     vfp_prod = [kw.records for kw in deck.get("VFPPROD")]
     nnc = []
     for kw in deck.get("NNC"):

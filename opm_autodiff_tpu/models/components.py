@@ -20,6 +20,11 @@ concentration (CellStatic.mob_mult):
     salt concentration (relative to the table's reference salt).
   * foam: gas mobility multiplied by the FOAMMOB reduction factor of the
     transported (gas-phase) surfactant concentration.
+  * solvent: the solvent fraction of the gas stream is transported and
+    feeds a Todd-Longstaff 1/4-power viscosity mixing rule (TLMIXPAR
+    omega) against the PVDS solvent viscosity; the gas mobility picks up
+    mu_g / mu_eff (reference: flow_ebos_solvent.cpp + opm-models
+    blackoilsolventmodules' Todd-Longstaff model).
 
 The split is first-order in dt — the same order as the reference's
 explicit connection densities and drift compensation — and converges to
@@ -53,6 +58,7 @@ class ComponentModel:
         self.has_polymer = "POLYMER" in ext and "PLYVISC" in comp
         self.has_brine = "BRINE" in ext and "PVTWSALT" in comp
         self.has_foam = "FOAM" in ext and "FOAMMOB" in comp
+        self.has_solvent = "SOLVENT" in ext and "PVDS" in comp
 
         # --- polymer tables (region 1; PLY* region banking later) ---
         if self.has_polymer:
@@ -94,12 +100,20 @@ class ComponentModel:
             self.foam_c = jnp.asarray(t[:, 0])
             self.foam_m = jnp.asarray(t[:, 1])
             self.c_foam = jnp.zeros(n)
+        # --- solvent tables ---
+        if self.has_solvent:
+            t = np.asarray(comp["PVDS"][0])
+            self.pvds_p = jnp.asarray(t[:, 0])
+            self.pvds_mu = jnp.asarray(t[:, 2])
+            self.tl_omega = float(comp.get("TLMIXPAR", 1.0))
+            self.c_solv = jnp.zeros(n)  # solvent fraction of gas stream
 
         self._m_old = None
 
     @property
     def active(self) -> bool:
-        return self.has_polymer or self.has_brine or self.has_foam
+        return (self.has_polymer or self.has_brine or self.has_foam
+                or self.has_solvent)
 
     # ------------------------------------------------------------------
     def mobility_multipliers(self) -> jnp.ndarray:
@@ -125,6 +139,21 @@ class ComponentModel:
             mr = jnp.clip(interp1d(self.c_foam, self.foam_c, self.foam_m,
                                    extrapolate=False), 1e-3, 1.0)
             mg = mg * mr
+        if self.has_solvent:
+            # Todd-Longstaff: mu_mix^(-1/4) = (1-c) mu_g^(-1/4)
+            #                               + c mu_s^(-1/4);
+            # effective viscosity mu_eff = mu_g^(1-w) * mu_mix^w
+            p_cell = self._p_cell
+            mu_g = jax.vmap(lambda pp, rr: self.fs.gas.viscosity(pp, rr[1])
+                            )(p_cell, self.cells.regs)
+            mu_s = interp1d(p_cell, self.pvds_p, self.pvds_mu,
+                            extrapolate=False)
+            c = jnp.clip(self.c_solv, 0.0, 1.0)
+            inv4 = ((1.0 - c) * mu_g ** -0.25 + c * mu_s ** -0.25)
+            mu_mix = inv4 ** -4.0
+            w = self.tl_omega
+            mu_eff = mu_g ** (1.0 - w) * mu_mix ** w
+            mg = mg * (mu_g / jnp.maximum(mu_eff, 1e-12))
         return jnp.stack([mw, jnp.ones(n), mg], axis=1)
 
     # ------------------------------------------------------------------
@@ -139,6 +168,7 @@ class ComponentModel:
     def initialize(self, u, flag):
         if self.active:
             self._m_old = self._phase_volumes(u, flag)
+            self._p_cell = u[:, 0]
 
     # ------------------------------------------------------------------
     def _transport(self, c_old, m_old, m_new, flux_ph, dt, q_perf, ws,
@@ -202,6 +232,7 @@ class ComponentModel:
             f.trans, f.gdz, rg[f.left], rg[f.right], 0.0,
             mm[f.left], mm[f.right])  # [F,3] positive L->R
         m_new = self._phase_volumes(u, flag)
+        self._p_cell = u[:, 0]
         m_old = self._m_old if self._m_old is not None else m_new
         qp = np.asarray(q_perf)[:, :, 0] if q_perf is not None else None
         qg = np.asarray(q_perf)[:, :, 2] if q_perf is not None else None
@@ -252,6 +283,12 @@ class ComponentModel:
             self.c_foam = self._transport(self.c_foam, m_old[:, 2],
                                           m_new[:, 2], flux[:, 2], dt,
                                           qg, ws, inj)
+        if self.has_solvent:
+            inj = np.asarray([getattr(w, "solv_frac", 0.0)
+                              for w in well_confs])
+            self.c_solv = jnp.clip(
+                self._transport(self.c_solv, m_old[:, 2], m_new[:, 2],
+                                flux[:, 2], dt, qg, ws, inj), 0.0, 1.0)
         self._m_old = m_new
 
     def totals(self) -> dict:

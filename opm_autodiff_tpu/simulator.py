@@ -94,6 +94,9 @@ class Simulator:
                                    self.cells, self.facelist)
         self.components = ComponentModel(ecl_state, self.geo, self.fs,
                                          self.cells, self.facelist)
+        from opm_autodiff_tpu.models.thermal import ThermalModel
+        self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
+                                    self.cells, self.facelist)
         self._shut_wells: dict = {}  # name -> shut time (days)
         self.msw_x = None  # multisegment well unknowns [M,S,4]
         from opm_autodiff_tpu.actions import (ActionManager, UdqEngine,
@@ -105,8 +108,9 @@ class Simulator:
         self.tracers.initialize(self.u, self.flag)
         if self.components.active:
             self.components.initialize(self.u, self.flag)
-            self.cells = self.cells._replace(
-                mob_mult=self.components.mobility_multipliers())
+        if self.thermal.active:
+            self.thermal.initialize(self.u, self.flag)
+        self._refresh_mob_mult()
 
     # ------------------------------------------------------------------
     def _init_state(self):
@@ -243,8 +247,10 @@ class Simulator:
                 if self.components.active:
                     self.components.advance(st.u, st.flag, dt_seconds,
                                             q_perf, ws, std_wells)
-                    self.cells = self.cells._replace(
-                        mob_mult=self.components.mobility_multipliers())
+                if self.thermal.active:
+                    self.thermal.advance(st.u, st.flag, dt_seconds,
+                                         q_perf, ws, std_wells)
+                self._refresh_mob_mult()
                 if getattr(self, "_hysteresis", False) \
                         and self.cells.eps is not None:
                     # track the historical max gas saturation (Killough
@@ -318,6 +324,19 @@ class Simulator:
                       f"FPR={r.get('FPR', 0):.1f} "
                       f"substeps={len(reports)}")
         return self.report
+
+    # ------------------------------------------------------------------
+    def _refresh_mob_mult(self):
+        """Combine the extended-component and thermal phase-mobility
+        feedbacks into CellStatic.mob_mult."""
+        if not (self.components.active or self.thermal.active):
+            return
+        mm = jnp.ones((self.geo.num_active, 3))
+        if self.components.active:
+            mm = mm * self.components.mobility_multipliers()
+        if self.thermal.active:
+            mm = mm * self.thermal.mobility_multipliers()
+        self.cells = self.cells._replace(mob_mult=mm)
 
     # ------------------------------------------------------------------
     def _refresh_voidage(self, ws):

@@ -50,6 +50,7 @@ class UnitSystem:
     permeability: float  # -> m^2
     temperature_offset: float  # additive, deg -> K
     temperature_scale: float
+    energy: float = 1.0  # deck energy unit -> J (METRIC kJ, FIELD Btu)
 
     # ---- derived, frequently used compound factors ----
     @property
@@ -121,6 +122,7 @@ FIELD = UnitSystem(
     permeability=MILLIDARCY,
     temperature_offset=255.3722222222222,  # F -> K: (F + 459.67) * 5/9
     temperature_scale=5.0 / 9.0,
+    energy=1055.05585262,  # Btu
 )
 
 METRIC = UnitSystem(
@@ -136,6 +138,7 @@ METRIC = UnitSystem(
     permeability=MILLIDARCY,
     temperature_offset=273.15,
     temperature_scale=1.0,
+    energy=1000.0,  # kJ
 )
 
 LAB = UnitSystem(

@@ -1,0 +1,208 @@
+"""Solvent (Todd-Longstaff) and thermal (energy) model variants
+(reference: flow/flow_ebos_solvent.cpp, flow_ebos_energy.cpp; opm-models
+blackoilsolventmodules/blackoilenergymodules)."""
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+SOLVENT_DECK = """RUNSPEC
+DIMENS
+ 8 1 1 /
+OIL
+WATER
+GAS
+SOLVENT
+METRIC
+START
+ 1 'JAN' 2020 /
+GRID
+DX
+ 8*20 /
+DY
+ 8*20 /
+DZ
+ 8*5 /
+TOPS
+ 8*1000 /
+PORO
+ 8*0.25 /
+PERMX
+ 8*500 /
+PROPS
+PVTW
+ 200 1.02 4.0E-5 0.5 0 /
+PVDO
+ 100 1.05 2.0
+ 400 1.02 2.0 /
+PVDG
+ 100 0.012 0.015
+ 400 0.003 0.018 /
+PVDS
+-- solvent: much thinner than gas
+ 100 0.010 0.002
+ 400 0.0025 0.003 /
+TLMIXPAR
+ 0.8 /
+ROCK
+ 200 4E-5 /
+SWOF
+ 0.15 0.00  0.90 0
+ 0.50 0.20  0.30 0
+ 0.85 0.60  0.0  0
+ 1.00 1.00  0.0  0 /
+SGOF
+ 0.0  0.0  0.90 0
+ 0.5  0.4  0.20 0
+ 0.85 0.9  0.0  0 /
+DENSITY
+ 850 1000 1 /
+SOLUTION
+PRESSURE
+ 8*200 /
+SWAT
+ 8*0.15 /
+SGAS
+ 8*0.0 /
+SUMMARY
+FOPR
+SCHEDULE
+WELSPECS
+ 'GI' 'G' 1 1 1000 'GAS' /
+ 'P1' 'G' 8 1 1000 'OIL' /
+/
+COMPDAT
+ 'GI' 1 1 1 1 'OPEN' 1* 1* 0.2 /
+ 'P1' 8 1 1 1 'OPEN' 1* 1* 0.2 /
+/
+WCONINJE
+ 'GI' 'GAS' 'OPEN' 'RATE' 4000 1* 400 /
+/
+WSOLVENT
+ 'GI' 1.0 /
+WCONPROD
+ 'P1' 'OPEN' 'BHP' 5* 150 /
+/
+TSTEP
+ 2 5 10 /
+END
+"""
+
+
+def test_solvent_transport_and_mixing(tmp_path):
+    p = tmp_path / "S.DATA"
+    p.write_text(SOLVENT_DECK)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    sim.run()
+    assert sim.components.has_solvent
+    c = np.asarray(sim.components.c_solv)
+    # solvent front: full strength at the injector, dropping downstream
+    assert c[0] > 0.5
+    assert c[-1] < c[0]
+    # thinner mixed gas -> gas mobility multiplier > 1 near the injector
+    mm = np.asarray(sim.cells.mob_mult)
+    assert mm[0, 2] > 1.2
+    assert mm[-1, 2] < mm[0, 2]
+
+
+THERMAL_DECK = """RUNSPEC
+DIMENS
+ 8 1 1 /
+OIL
+WATER
+THERMAL
+METRIC
+START
+ 1 'JAN' 2020 /
+GRID
+DX
+ 8*20 /
+DY
+ 8*20 /
+DZ
+ 8*5 /
+TOPS
+ 8*1000 /
+PORO
+ 8*0.25 /
+PERMX
+ 8*500 /
+PROPS
+PVTW
+ 200 1.02 4.0E-5 0.5 0 /
+PVDO
+ 100 1.05 10.0
+ 400 1.02 10.0 /
+ROCK
+ 200 4E-5 /
+SWOF
+ 0.15 0.00  0.90 0
+ 0.50 0.20  0.30 0
+ 0.85 0.60  0.0  0
+ 1.00 1.00  0.0  0 /
+DENSITY
+ 850 1000 1 /
+SPECROCK
+ 0   2000
+ 300 2000 /
+SPECHEAT
+ 0   2.0 4.2 2.2
+ 300 2.0 4.2 2.2 /
+OILVISCT
+-- heavy oil thins strongly with temperature
+ 20  10.0
+ 150 1.0 /
+WATVISCT
+ 20  0.5
+ 150 0.2 /
+SOLUTION
+PRESSURE
+ 8*200 /
+SWAT
+ 8*0.15 /
+TEMPI
+ 8*20 /
+SUMMARY
+FOPR
+SCHEDULE
+WELSPECS
+ 'I1' 'G' 1 1 1000 'WATER' /
+ 'P1' 'G' 8 1 1000 'OIL' /
+/
+COMPDAT
+ 'I1' 1 1 1 1 'OPEN' 1* 1* 0.2 /
+ 'P1' 8 1 1 1 'OPEN' 1* 1* 0.2 /
+/
+WCONINJE
+ 'I1' 'WATER' 'OPEN' 'RATE' 60 1* 400 /
+/
+WTEMP
+ 'I1' 140 /
+WCONPROD
+ 'P1' 'OPEN' 'BHP' 5* 150 /
+/
+TSTEP
+ 2 5 10 20 /
+END
+"""
+
+
+def test_hot_waterflood(tmp_path):
+    p = tmp_path / "T.DATA"
+    p.write_text(THERMAL_DECK)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.thermal.active
+    T0 = np.asarray(sim.thermal.T).copy()
+    assert T0[0] == pytest.approx(293.15, abs=0.1)  # TEMPI 20 C
+    sim.run()
+    T = np.asarray(sim.thermal.T)
+    # hot front near the injector, cold far end
+    assert T[0] > 350.0
+    assert T[-1] < T[0]
+    assert T.max() < 413.2 + 1.0  # never above injection temp (140 C)
+    # thinned oil near the heat front: oil mobility multiplier > 1
+    mm = np.asarray(sim.cells.mob_mult)
+    assert mm[0, 1] > 2.0
+    assert mm[-1, 1] == pytest.approx(1.0, abs=0.2)
