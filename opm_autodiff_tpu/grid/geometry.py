@@ -157,6 +157,9 @@ def build_geometry(state: EclState) -> Geometry:
         axis=np.concatenate(axes),
     )
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    faces = _apply_numerical_aquifers(state, glob_to_act, (nx, ny),
+                                      pore_vol, depth, volume, permx,
+                                      dx, dy, dz, faces)
     compute_face_thpres(faces, state, act_to_glob)
 
     satnum = state.regions.get("SATNUM")
@@ -175,6 +178,96 @@ def build_geometry(state: EclState) -> Geometry:
         dx=dx, dy=dy, dz=dz, permx=permx, permy=permy, permz=permz,
         poro=compress(g.poro), ntg=ntg, faces=faces, satnum=satnum_c,
         pvtnum=pvtnum_c, fipnum=fipnum_c,
+    )
+
+
+def _apply_numerical_aquifers(state, glob_to_act, nxy, pore_vol, depth,
+                              volume, permx, dx, dy, dz, faces):
+    """AQUNUM/AQUCON numerical aquifers (reference: AquiferNumerical,
+    opm/simulators/aquifers/AquiferNumerical.hpp:32): AQUNUM turns grid
+    cells into 1-D aquifer cells with their own bulk volume/porosity/
+    perm/depth; AQUCON connects reservoir-cell box faces to the
+    aquifer's first cell with a computed transmissibility.
+
+    Mutates the per-cell arrays in place and returns the extended face
+    list (aquifer connections are axis-3 faces, like NNCs)."""
+    from opm_autodiff_tpu.io.state import item
+
+    aqunum = state.aquifers.get("AQUNUM")
+    if not aqunum:
+        return faces
+    u = state.runspec.unit_system
+    nx, ny = nxy
+    # aquifer id -> (first cell act index, perm, length, area)
+    first_cell = {}
+    for r in aqunum:
+        aq_id = int(item(r, 0, 1))
+        i = int(item(r, 1, 1)) - 1
+        j = int(item(r, 2, 1)) - 1
+        k = int(item(r, 3, 1)) - 1
+        c = glob_to_act[i + nx * (j + ny * k)]
+        if c < 0:
+            continue
+        area = item(r, 4, None)
+        length = item(r, 5, None)
+        poro = item(r, 6, None)
+        perm = item(r, 7, None)
+        dep = item(r, 8, None)
+        area = (area * u.length ** 2 if area is not None
+                else dy[c] * dz[c])
+        length = length * u.length if length is not None else dx[c]
+        poro = poro if poro is not None else 0.25
+        perm = (perm * u.permeability if perm is not None else permx[c])
+        volume[c] = area * length
+        pore_vol[c] = area * length * poro
+        permx[c] = perm
+        if dep is not None:
+            depth[c] = dep * u.length
+        if aq_id not in first_cell:
+            first_cell[aq_id] = (int(c), perm, length, area)
+
+    aqucon = state.aquifers.get("AQUCON") or []
+    lefts, rights, transs = [], [], []
+    for r in aqucon:
+        aq_id = int(item(r, 0, 1))
+        if aq_id not in first_cell:
+            continue
+        c_aq, k_aq, len_aq, area_aq = first_cell[aq_id]
+        i1, i2 = int(item(r, 1, 1)) - 1, int(item(r, 2, 1)) - 1
+        j1, j2 = int(item(r, 3, 1)) - 1, int(item(r, 4, 1)) - 1
+        k1, k2 = int(item(r, 5, 1)) - 1, int(item(r, 6, 1)) - 1
+        face = str(item(r, 7, "I-")).upper().strip("'")
+        mult = item(r, 8, 1.0)
+        for kk in range(k1, k2 + 1):
+            for jj in range(j1, j2 + 1):
+                for ii in range(i1, i2 + 1):
+                    c = glob_to_act[ii + nx * (jj + ny * kk)]
+                    if c < 0 or c == c_aq:
+                        continue
+                    if face.startswith("I"):
+                        a_face = dy[c] * dz[c]
+                        d_res = dx[c]
+                    elif face.startswith("J"):
+                        a_face = dx[c] * dz[c]
+                        d_res = dy[c]
+                    else:
+                        a_face = dx[c] * dy[c]
+                        d_res = dz[c]
+                    h_res = permx[c] * a_face / (d_res / 2.0)
+                    h_aq = k_aq * area_aq / (len_aq / 2.0)
+                    t = mult * h_res * h_aq / max(h_res + h_aq, 1e-300)
+                    if t > 0:
+                        lefts.append(int(c_aq))
+                        rights.append(int(c))
+                        transs.append(t)
+    if not lefts:
+        return faces
+    return FaceList(
+        left=np.concatenate([faces.left, np.asarray(lefts, np.int32)]),
+        right=np.concatenate([faces.right, np.asarray(rights, np.int32)]),
+        trans=np.concatenate([faces.trans, np.asarray(transs)]),
+        axis=np.concatenate([faces.axis,
+                             np.full(len(lefts), 3, np.int8)]),
     )
 
 

@@ -107,7 +107,8 @@ RECORDS_KEYWORDS = {
     "COMPSEGS", "WSEGVALV", "GRUPTREE", "GCONPROD", "GCONINJE", "GEFAC",
     "GRUPNET", "NODEPROP", "BRANPROP", "EQUALS", "COPY", "ADD", "MULTIPLY",
     "MULTIREG", "BOX", "FAULTS", "MULTFLT", "PINCH", "NNC", "EDITNNC",
-    "AQUCT", "AQUFETP", "AQUANCON", "AQUFLUX", "ROCK", "ROCKTAB",
+    "AQUCT", "AQUFETP", "AQUANCON", "AQUFLUX", "AQUNUM", "AQUCON",
+    "ROCK", "ROCKTAB",
     "TRACER", "WTRACER", "VFPPROD", "VFPINJ",
     "DENSITY", "GRAVITY", "PVTW", "PVCDO", "EQUIL", "RPTRST", "TUNING",
     "WLIFTOPT", "GLIFTOPT", "MESSAGES", "DATES", "THPRES", "WRFTPLT",

@@ -102,6 +102,17 @@ class PvtoTable:
 
 
 @dataclasses.dataclass
+class PvtgTable:
+    """Wet-gas table: per pressure node, Rv branches.
+
+    p[i]: pressure of branch i (Pa); each branch: rv, Bg, mu_g arrays
+    (first row is the saturated point at that pressure).
+    """
+    p: np.ndarray   # [np]
+    branches: list  # list of (rv[nk], bg[nk], mu[nk]) arrays
+
+
+@dataclasses.dataclass
 class PropsSection:
     pvtw: PvtwRecord
     rock: RockRecord
@@ -124,6 +135,7 @@ class PropsSection:
     pvdg_regions: list = dataclasses.field(default_factory=list)
     pvdo_regions: list = dataclasses.field(default_factory=list)
     pvto_regions: list = dataclasses.field(default_factory=list)
+    pvtg_regions: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -147,6 +159,7 @@ class SolutionSection:
     swat: np.ndarray | None
     sgas: np.ndarray | None
     rs: np.ndarray | None
+    rv: np.ndarray | None = None
     restart: tuple | None = None  # (basename, report_step)
 
 
@@ -277,6 +290,7 @@ class EclState:
     udq_keywords: list = dataclasses.field(default_factory=list)
     action_keywords: list = dataclasses.field(default_factory=list)
     vfp_prod_records: list = dataclasses.field(default_factory=list)
+    vfp_inj_records: list = dataclasses.field(default_factory=list)
     nnc: list = dataclasses.field(default_factory=list)  # (ijk1, ijk2, trans SI)
     thpres: list = dataclasses.field(default_factory=list)  # (r1, r2, dp SI)
 
@@ -534,6 +548,31 @@ def _table_2d_regions(kw, ncols: int, scales: list[float]) -> list:
     return out
 
 
+def _build_pvtg_regions(kw, u: U.UnitSystem) -> list:
+    """PVTG tables, one per PVTNUM region (empty records separate)."""
+    tables = []
+    p_list, branches = [], []
+    for rec in kw.records:
+        vals = [v for v in rec if v is not DEFAULT]
+        if not vals:
+            if p_list:
+                tables.append(PvtgTable(np.asarray(p_list), branches))
+                p_list, branches = [], []
+            elif tables:
+                tables.append(tables[-1])
+            continue
+        pres = vals[0] * u.pressure
+        rest = np.asarray(vals[1:], float).reshape(-1, 3)
+        rv = rest[:, 0] * u.oil_gas_ratio
+        bg = rest[:, 1] * u.gas_fvf
+        mu = rest[:, 2] * u.viscosity
+        p_list.append(pres)
+        branches.append((rv, bg, mu))
+    if p_list:
+        tables.append(PvtgTable(np.asarray(p_list), branches))
+    return tables
+
+
 def _build_pvto_regions(kw, u: U.UnitSystem) -> list:
     """PVTO tables, one per PVTNUM region (regions separated by empty
     records — the lone '/' closing each region's table)."""
@@ -625,6 +664,8 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     pvto_kw = deck.get1("PVTO")
     pvto_regions = _build_pvto_regions(pvto_kw, u) if pvto_kw else []
     pvto = pvto_regions[0] if pvto_regions else None
+    pvtg_kw = deck.get1("PVTG")
+    pvtg_regions = _build_pvtg_regions(pvtg_kw, u) if pvtg_kw else []
     return PropsSection(pvtw, rock, density, pvdg, pvdo, pvto, swof, sgof,
                         swfn, sgfn, sof3,
                         swof_regions=swof_regions,
@@ -634,7 +675,8 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
                         density_regions=density_regions,
                         pvdg_regions=pvdg_regions,
                         pvdo_regions=pvdo_regions,
-                        pvto_regions=pvto_regions)
+                        pvto_regions=pvto_regions,
+                        pvtg_regions=pvtg_regions)
 
 
 def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
@@ -678,6 +720,7 @@ def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
         swat=arr("SWAT"),
         sgas=arr("SGAS"),
         rs=arr("RS", u.gas_oil_ratio),
+        rv=arr("RV", u.oil_gas_ratio),
         restart=restart,
     )
 
@@ -866,6 +909,10 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             bhp = item(r, 6, None)
             w.bhp_limit = (bhp * u.pressure if bhp is not None
                            else 6895e4)  # ECL default ~1e4 psia
+            thp = item(r, 7, None)
+            w.thp_limit = thp * u.pressure if thp is not None else None
+            vfp = item(r, 8, None)
+            w.vfp_table = int(vfp) if vfp else None
     elif kw.name == "LIFTOPT":
         r = kw.records[0] if kw.records else []
         liftopt["increment"] = float(item(r, 0, 12500.0))
@@ -1065,7 +1112,7 @@ def build_state(deck: Deck) -> EclState:
         if arr is not None:
             regions[name] = arr
     aquifers = {}
-    for name in ("AQUCT", "AQUFETP", "AQUANCON"):
+    for name in ("AQUCT", "AQUFETP", "AQUANCON", "AQUNUM", "AQUCON"):
         kws = deck.get(name)
         if kws:
             aquifers[name] = [r for kw in kws for r in kw.records]
@@ -1173,6 +1220,7 @@ def build_state(deck: Deck) -> EclState:
             (item(r, 0, 1.0) * u.pressure, item(r, 1, None))
             for r in kw.records if r]
     vfp_prod = [kw.records for kw in deck.get("VFPPROD")]
+    vfp_inj = [kw.records for kw in deck.get("VFPINJ")]
     nnc = []
     for kw in deck.get("NNC"):
         for r in kw.records:
@@ -1192,7 +1240,8 @@ def build_state(deck: Deck) -> EclState:
                     components=components, eps_arrays=eps_arrays,
                     udq_keywords=deck.get("UDQ"),
                     action_keywords=deck.get("ACTIONX"),
-                    vfp_prod_records=vfp_prod, nnc=nnc, thpres=thpres)
+                    vfp_prod_records=vfp_prod, vfp_inj_records=vfp_inj,
+                    nnc=nnc, thpres=thpres)
 
 
 def load_state(path: str) -> EclState:

@@ -8,8 +8,10 @@ AD type, reference: opm-material; SURVEY.md §2.9#3).
 
 Primary variables per cell (opm-models' variable-switching scheme):
   u = (po, sw, x3) with a per-cell meaning flag:
-    flag == FLAG_SG: x3 = Sg   (free gas present; Rs = RsSat(po))
+    flag == FLAG_SG: x3 = Sg   (oil+gas present; Rs=RsSat(po), Rv=RvSat)
     flag == FLAG_RS: x3 = Rs   (no free gas; Sg = 0, oil undersaturated)
+    flag == FLAG_RV: x3 = Rv   (no oil; Sg = 1-Sw, gas undersaturated —
+                                the VAPOIL/condensate state)
 The flag is *data*, not control flow — all property evaluations are masked
 arithmetic so a single trace covers both states (SURVEY.md §7 hard part 2).
 
@@ -29,6 +31,7 @@ from opm_autodiff_tpu.props.fluid import FluidSystem
 
 FLAG_SG = 0  # x3 means Sg
 FLAG_RS = 1  # x3 means Rs
+FLAG_RV = 2  # x3 means Rv (VAPOIL decks only)
 
 NUM_EQ = 3
 
@@ -77,6 +80,7 @@ class Intensive(NamedTuple):
     mob: jnp.ndarray     # [3] kr / mu  [1/(Pa s)]
     rho: jnp.ndarray     # [3] mass densities at reservoir conditions
     rs: jnp.ndarray      # dissolved GOR
+    rv: jnp.ndarray      # vaporized OGR (0 for dry-gas decks)
     sat: jnp.ndarray     # [3] saturations
 
 
@@ -93,21 +97,25 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None,
     cell's end-point-scaling channels (props/eps.py; None = unscaled)."""
     sr, pr = regs[0], regs[1]
     po, sw, x3 = u[0], u[1], u[2]
-    has_gas = flag == FLAG_SG
-    sg = jnp.where(has_gas, x3, 0.0)
+    is_sg = flag == FLAG_SG
+    is_rv = flag == FLAG_RV
+    sg = jnp.where(is_sg, x3, jnp.where(is_rv, 1.0 - sw, 0.0))
     so = 1.0 - sw - sg
-    rs = jnp.where(has_gas, fs.rs_sat(po, pr), x3)
+    rs = jnp.where(flag == FLAG_RS, x3, fs.rs_sat(po, pr))
 
     pw = po - fs.sat.pcow(sw, sr, eps)
     pg = po + fs.sat.pcog(sg, sr, eps)
+    # vaporized oil: saturated where free oil coexists with gas; the
+    # primary variable in the no-oil (condensate) state
+    rv = jnp.where(is_rv, x3, fs.rv_sat(pg, pr))
 
     inv_bw = fs.water.inv_b(pw, pr)
     inv_bo = fs.oil_inv_b(po, rs, pr)
-    inv_bg = fs.gas.inv_b(pg, pr)
+    inv_bg = fs.gas_inv_b(pg, rv, pr)
 
     mu_w = fs.water.viscosity(pw, pr)
     mu_o = fs.oil_viscosity(po, rs, pr)
-    mu_g = fs.gas.viscosity(pg, pr)
+    mu_g = fs.gas_viscosity(pg, rv, pr)
 
     krw = fs.sat.krw(sw, sr, eps)
     kro = fs.sat.kro(sw, sg, sr, eps)
@@ -116,7 +124,7 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None,
     rho = fs.rho_ref(pr)
     rho_w = rho[0] * inv_bw
     rho_o = (rho[1] + rs * rho[2]) * inv_bo
-    rho_g = rho[2] * inv_bg
+    rho_g = (rho[2] + rv * rho[1]) * inv_bg
 
     mob = jnp.stack([krw / mu_w, kro / mu_o, krg / mu_g])
     if mob_mult is not None:
@@ -127,6 +135,7 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None,
         mob=mob,
         rho=jnp.stack([rho_w, rho_o, rho_g]),
         rs=rs,
+        rv=rv,
         sat=jnp.stack([sw, so, sg]),
     )
 
@@ -138,7 +147,8 @@ def accumulation(fs: FluidSystem, u, flag, pore_vol_ref, regs=REG0,
     pv = pore_vol_ref * fs.rock.mult(u[0], regs[1])
     sw, so, sg = q.sat[0], q.sat[1], q.sat[2]
     aw = pv * sw * q.inv_b[0]
-    ao = pv * so * q.inv_b[1]
+    # vaporized oil lives in the gas phase; dissolved gas in the oil
+    ao = pv * (so * q.inv_b[1] + q.rv * sg * q.inv_b[2])
     ag = pv * (sg * q.inv_b[2] + q.rs * so * q.inv_b[1])
     return jnp.stack([aw, ao, ag])
 
@@ -178,13 +188,15 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
     mob_up = jnp.where(upwind_L, qL.mob, qR.mob)
     inv_b_up = jnp.where(upwind_L, qL.inv_b, qR.inv_b)
     rs_up = jnp.where(upwind_L[1], qL.rs, qR.rs)  # follows the oil phase
+    rv_up = jnp.where(upwind_L[2], qL.rv, qR.rv)  # follows the gas phase
 
     vol_flux = trans * mob_up * dphi          # reservoir-volume flux [3]
     surf_flux = inv_b_up * vol_flux           # surface-volume flux [3]
 
-    # dissolved gas rides with the oil phase
+    # dissolved gas rides with the oil phase; vaporized oil with gas
     gas_total = surf_flux[2] + rs_up * surf_flux[1]
-    return jnp.stack([surf_flux[0], surf_flux[1], gas_total])
+    oil_total = surf_flux[1] + rv_up * surf_flux[2]
+    return jnp.stack([surf_flux[0], oil_total, gas_total])
 
 
 def gravity_constant() -> float:

@@ -144,7 +144,7 @@ class ComponentModel:
             #                               + c mu_s^(-1/4);
             # effective viscosity mu_eff = mu_g^(1-w) * mu_mix^w
             p_cell = self._p_cell
-            mu_g = jax.vmap(lambda pp, rr: self.fs.gas.viscosity(pp, rr[1])
+            mu_g = jax.vmap(lambda pp, rr: self.fs.gas_viscosity(pp, 0.0, rr[1])
                             )(p_cell, self.cells.regs)
             mu_s = interp1d(p_cell, self.pvds_p, self.pvds_mu,
                             extrapolate=False)

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.grid.geometry import Geometry
 from opm_autodiff_tpu.io.state import EclState
-from opm_autodiff_tpu.models.blackoil import FLAG_RS, FLAG_SG, PrimaryState
+from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_RV, FLAG_SG,
+                                              PrimaryState)
 from opm_autodiff_tpu.props.fluid import FluidSystem
 
 
@@ -91,8 +92,15 @@ class _HostProps:
         else:
             self.o_p = np.asarray(o.p[r])
             self.o_invb = np.asarray(o.inv_b_tab[r])
+        self.wet_gas = fs.wet_gas
         self.g_p = np.asarray(fs.gas.p[r])
-        self.g_invb = np.asarray(fs.gas.inv_b_tab[r])
+        if self.wet_gas:
+            # wet gas (PVTG): saturated curve; density uses rv_sat
+            self.g_invb = np.asarray(fs.gas.inv_b_sat[r])
+            self.g_rv = np.asarray(fs.gas.rv_tab[r])
+        else:
+            self.g_invb = np.asarray(fs.gas.inv_b_tab[r])
+            self.g_rv = np.zeros_like(self.g_p)
         w = fs.water
         self.w_pref = float(w.p_ref[r])
         self.w_invb = float(w.inv_b_ref[r])
@@ -125,8 +133,15 @@ class _HostProps:
     def oil_density(self, p, rs):
         return (self.rho_surf[1] + rs * self.rho_surf[2]) * self.oil_inv_b(p, rs)
 
+    def rv_sat(self, p):
+        if not self.wet_gas:
+            return 0.0
+        return max(self._interp_extrap(p, self.g_p, self.g_rv), 0.0)
+
     def gas_density(self, p):
-        return self.rho_surf[2] * self._interp_extrap(p, self.g_p, self.g_invb)
+        rv = self.rv_sat(p)
+        return (self.rho_surf[2] + rv * self.rho_surf[1]) \
+            * self._interp_extrap(p, self.g_p, self.g_invb)
 
     def water_density(self, p):
         x = self.w_comp * (p - self.w_pref)
@@ -136,7 +151,7 @@ class _HostProps:
 def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState:
     eq = state.solution.equil
     if eq is None:
-        return explicit_init(state, geo)
+        return explicit_init(state, geo, fs)
 
     depths = np.asarray(geo.depth)
     order = np.argsort(depths)
@@ -222,7 +237,12 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
         sw[i] = sw_i
         sg[i] = sg_i
         po_out[i] = po[i]
-        if sg_i > 0.0:
+        so_i = 1.0 - sw_i - sg_i
+        if sg_i > 0.0 and so_i <= 1e-9 and hp.wet_gas:
+            # pure gas zone in a VAPOIL run: Rv is the third variable
+            flag[i] = FLAG_RV
+            x3[i] = hp.rv_sat(pg[i])
+        elif sg_i > 0.0:
             flag[i] = FLAG_SG
             x3[i] = sg_i
         else:
@@ -319,7 +339,8 @@ def restart_init(state: EclState, geo: Geometry, deck_dir: str
     return PrimaryState(u=jnp.asarray(uu), flag=jnp.asarray(flag)), step
 
 
-def explicit_init(state: EclState, geo: Geometry) -> PrimaryState:
+def explicit_init(state: EclState, geo: Geometry,
+                  fs: FluidSystem | None = None) -> PrimaryState:
     sol = state.solution
     if sol.pressure is None or sol.swat is None:
         raise ValueError("need EQUIL or explicit PRESSURE/SWAT[/SGAS/RS]")
@@ -332,5 +353,17 @@ def explicit_init(state: EclState, geo: Geometry) -> PrimaryState:
           else np.zeros_like(po))
     flag = np.where(sg > 0.0, FLAG_SG, FLAG_RS).astype(np.int32)
     x3 = np.where(sg > 0.0, sg, rs)
+    # VAPOIL: cells with gas and no oil live in the Rv state
+    if fs is not None and getattr(fs, "wet_gas", False):
+        so = 1.0 - sw - sg
+        no_oil = (sg > 0.0) & (so <= 1e-9)
+        if sol.rv is not None:
+            rv = np.asarray(sol.rv)[act]
+        else:
+            import jax
+
+            rv = np.asarray(jax.vmap(fs.rv_sat)(jnp.asarray(po)))
+        flag = np.where(no_oil, FLAG_RV, flag).astype(np.int32)
+        x3 = np.where(no_oil, rv, x3)
     u = np.stack([po, sw, x3], axis=1)
     return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag))

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from opm_autodiff_tpu.io.state import EclState
 from opm_autodiff_tpu.props.pvt import (DeadOilPvt, DryGasPvt, LiveOilPvt,
-                                        WaterPvt, row, water_pvt_from_props)
+                                        WaterPvt, WetGasPvt, row,
+                                        water_pvt_from_props)
 from opm_autodiff_tpu.props.satfunc import SatFunc
 
 WATER, OIL, GAS = 0, 1, 2
@@ -41,7 +42,7 @@ class RockParams(NamedTuple):
 class FluidSystem(NamedTuple):
     water: WaterPvt
     oil: LiveOilPvt | DeadOilPvt
-    gas: DryGasPvt
+    gas: DryGasPvt | WetGasPvt
     sat: SatFunc
     rock: RockParams
     # surface densities [R, (WATER, OIL, GAS)] kg/m^3 per PVTNUM region
@@ -76,6 +77,26 @@ class FluidSystem(NamedTuple):
             return self.oil.rs_sat(p, reg)
         return jnp.zeros_like(p)
 
+    # --- gas properties dispatch (dry vs wet / VAPOIL) ---
+    @property
+    def wet_gas(self) -> bool:
+        return isinstance(self.gas, WetGasPvt)
+
+    def gas_inv_b(self, p, rv, reg=0):
+        if self.wet_gas:
+            return self.gas.inv_b(p, rv, reg)
+        return self.gas.inv_b(p, reg)
+
+    def gas_viscosity(self, p, rv, reg=0):
+        if self.wet_gas:
+            return self.gas.viscosity(p, rv, reg)
+        return self.gas.viscosity(p, reg)
+
+    def rv_sat(self, p, reg=0):
+        if self.wet_gas:
+            return self.gas.rv_sat(p, reg)
+        return jnp.zeros_like(p)
+
     # --- phase mass densities at reservoir conditions ---
     def water_density(self, p, reg=0):
         return self.rho_ref(reg)[WATER] * self.water.inv_b(p, reg)
@@ -85,8 +106,10 @@ class FluidSystem(NamedTuple):
         rho = self.rho_ref(reg)
         return (rho[OIL] + rs * rho[GAS]) * self.oil_inv_b(p, rs, reg)
 
-    def gas_density(self, p, reg=0):
-        return self.rho_ref(reg)[GAS] * self.gas.inv_b(p, reg)
+    def gas_density(self, p, rv=0.0, reg=0):
+        # wet gas carries vaporized oil mass
+        rho = self.rho_ref(reg)
+        return (rho[GAS] + rv * rho[OIL]) * self.gas_inv_b(p, rv, reg)
 
     @staticmethod
     def from_state(state: EclState) -> "FluidSystem":
@@ -114,14 +137,16 @@ class FluidSystem(NamedTuple):
             [props.pvdo] if props.pvdo is not None else [])
         gas_tabs = props.pvdg_regions or (
             [props.pvdg] if props.pvdg is not None else [])
+        wet_tabs = list(props.pvtg_regions)
         pvtws = props.pvtw_regions or [props.pvtw]
         rocks = props.rock_regions or [props.rock]
         denss = props.density_regions or [props.density]
         ntpvt = max(len(oil_tabs), len(dead_tabs), len(gas_tabs),
-                    len(pvtws), len(rocks), len(denss))
+                    len(wet_tabs), len(pvtws), len(rocks), len(denss))
         oil_tabs = recycle(oil_tabs, ntpvt)
         dead_tabs = recycle(dead_tabs, ntpvt)
         gas_tabs = recycle(gas_tabs, ntpvt)
+        wet_tabs = recycle(wet_tabs, ntpvt)
         pvtws = recycle(pvtws, ntpvt)
         rocks = recycle(rocks, ntpvt)
         denss = recycle(denss, ntpvt)
@@ -132,13 +157,15 @@ class FluidSystem(NamedTuple):
             oil = DeadOilPvt.from_tables(dead_tabs)
         else:
             raise NotImplementedError("need PVTO or PVDO")
-        if gas_tabs:
+        if wet_tabs:
+            gas = WetGasPvt.from_tables(wet_tabs)
+        elif gas_tabs:
             gas = DryGasPvt.from_tables(gas_tabs)
         elif "GAS" not in phases:
             gas = DryGasPvt.from_tables([np.asarray(
                 [[1e5, 1.0, 1e-3], [1e9, 1.0, 1e-3]])] * ntpvt)
         else:
-            raise NotImplementedError("need PVDG (wet gas PVTG later)")
+            raise NotImplementedError("need PVDG or PVTG")
         props = dataclasses.replace(props, pvtw_regions=pvtws)
         return FluidSystem(
             water=water_pvt_from_props(props),

@@ -225,6 +225,83 @@ class LiveOilPvt(NamedTuple):
             slope_inv_b=jnp.asarray(sb), slope_mu=jnp.asarray(sm))
 
 
+class WetGasPvt(NamedTuple):
+    """PVTG wet gas with vaporized oil, banked per PVTNUM region.
+
+    Mirrors LiveOilPvt's structure with the roles of p and Rv swapped:
+    the saturated curve is sampled at the deck's pressure nodes; the
+    undersaturated behavior (rv below rv_sat at fixed p) is a linear
+    d/d(rv) slope per pressure node taken from the branch rows.
+    """
+
+    p: jnp.ndarray            # [R,np] pressure nodes
+    rv_tab: jnp.ndarray       # [R,np] saturated Rv at those nodes
+    inv_b_sat: jnp.ndarray    # [R,np] 1/Bg on the saturated curve
+    mu_sat: jnp.ndarray       # [R,np]
+    slope_inv_b: jnp.ndarray  # [R,np] d(1/Bg)/d(rv) undersaturated
+    slope_mu: jnp.ndarray     # [R,np]
+
+    def rv_sat(self, pres, reg=0):
+        """Saturated (maximum) vaporized OGR at pressure p."""
+        return jnp.maximum(
+            interp1d(pres, row(self.p, reg), row(self.rv_tab, reg)), 0.0)
+
+    def inv_b(self, pres, rv, reg=0):
+        rvs = self.rv_sat(pres, reg)
+        drv = jnp.minimum(rv - rvs, 0.0)  # undersaturated: rv < rv_sat
+        base = interp1d(pres, row(self.p, reg), row(self.inv_b_sat, reg))
+        slope = interp1d(pres, row(self.p, reg),
+                         row(self.slope_inv_b, reg), extrapolate=False)
+        return base + slope * drv
+
+    def viscosity(self, pres, rv, reg=0):
+        rvs = self.rv_sat(pres, reg)
+        drv = jnp.minimum(rv - rvs, 0.0)
+        base = interp1d(pres, row(self.p, reg), row(self.mu_sat, reg),
+                        extrapolate=False)
+        slope = interp1d(pres, row(self.p, reg), row(self.slope_mu, reg),
+                         extrapolate=False)
+        return base + slope * drv
+
+    @staticmethod
+    def from_tables(pvtgs: list) -> "WetGasPvt":
+        cols = []
+        for pvtg in pvtgs:
+            npn = len(pvtg.p)
+            rv_sat = np.empty(npn)
+            inv_b_sat = np.empty(npn)
+            mu_sat = np.empty(npn)
+            slope_b = np.full(npn, np.nan)
+            slope_m = np.full(npn, np.nan)
+            for i, (rv, bg, mu) in enumerate(pvtg.branches):
+                rv_sat[i] = rv[0]
+                inv_b_sat[i] = 1.0 / bg[0]
+                mu_sat[i] = mu[0]
+                if len(rv) > 1:
+                    drv = rv - rv[0]
+                    db = 1.0 / bg - 1.0 / bg[0]
+                    dm = mu - mu[0]
+                    denom = np.sum(drv * drv)
+                    if denom > 0:
+                        slope_b[i] = np.sum(drv * db) / denom
+                        slope_m[i] = np.sum(drv * dm) / denom
+            have = ~np.isnan(slope_b)
+            if have.any():
+                idx = np.arange(npn)
+                slope_b = np.interp(idx, idx[have], slope_b[have])
+                slope_m = np.interp(idx, idx[have], slope_m[have])
+            else:
+                slope_b[:] = 0.0
+                slope_m[:] = 0.0
+            cols.append([pvtg.p, rv_sat, inv_b_sat, mu_sat, slope_b,
+                         slope_m])
+        p, rv, invb, mu, sb, sm = _pad_bank_linear(cols)
+        return WetGasPvt(
+            p=jnp.asarray(p), rv_tab=jnp.asarray(rv),
+            inv_b_sat=jnp.asarray(invb), mu_sat=jnp.asarray(mu),
+            slope_inv_b=jnp.asarray(sb), slope_mu=jnp.asarray(sm))
+
+
 def water_pvt_from_props(props: PropsSection) -> WaterPvt:
     recs = props.pvtw_regions or [props.pvtw]
     return WaterPvt(

@@ -90,6 +90,19 @@ class Simulator:
         else:
             self._vfp_numbering = {}
             self.vfp_bank = None
+        if self.vfp.inj:
+            from opm_autodiff_tpu.wells.vfp import VfpInjBank
+            nums = sorted(self.vfp.inj)
+            self._vfp_inj_numbering = {n: i for i, n in enumerate(nums)}
+            self.vfp_inj_bank = VfpInjBank.from_tables(
+                [self.vfp.inj[n] for n in nums])
+        else:
+            self._vfp_inj_numbering = {}
+            self.vfp_inj_bank = None
+        # the well model takes both banks as one pytree
+        self._vfp_combined = ((self.vfp_bank, self.vfp_inj_bank)
+                              if self.vfp_inj_bank is not None
+                              else self.vfp_bank)
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.facelist)
         self.components = ComponentModel(ecl_state, self.geo, self.fs,
@@ -178,7 +191,8 @@ class Simulator:
         self._msw_well_names = [w.name for w in msw_wells]
         msw = build_mswset(self.geo, wells)
         ws_base = build_wellset(self.geo, std_wells,
-                                vfp_numbering=self._vfp_numbering)
+                                vfp_numbering=self._vfp_numbering,
+                                vfp_inj_numbering=self._vfp_inj_numbering)
         ws_base = self._refresh_voidage(ws_base)
         gmgr = GroupManager(rstep.groups, std_wells)
         ws = ws_base
@@ -226,7 +240,7 @@ class Simulator:
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
-                vfp_bank=self.vfp_bank, msw=msw)
+                vfp_bank=self._vfp_combined, msw=msw)
 
             def commit():
                 p_old = committed["st"].u[:, 0]

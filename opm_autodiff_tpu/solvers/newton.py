@@ -25,8 +25,9 @@ from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
 from opm_autodiff_tpu.models.structured import (StructuredTopology,
                                                 assemble_structured)
 from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
-from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_SG, PrimaryState,
-                                              accumulation, intensive)
+from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_RV, FLAG_SG,
+                                              PrimaryState, accumulation,
+                                              intensive)
 from opm_autodiff_tpu.solvers.linear import solve_linear
 from opm_autodiff_tpu.wells import multisegment as msw_mod
 from opm_autodiff_tpu.wells import standard as wells_mod
@@ -147,8 +148,13 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None):
     dsw = jnp.clip(dsw, -params.ds_max, params.ds_max)
 
     is_sg = flag == FLAG_SG
-    x3_lim = jnp.where(is_sg, params.ds_max,
-                       jnp.maximum(params.drs_max_rel * jnp.abs(x3), 1.0))
+    is_rs = flag == FLAG_RS
+    is_rv = flag == FLAG_RV
+    x3_lim = jnp.select(
+        [is_sg, is_rs],
+        [jnp.full_like(x3, params.ds_max),
+         jnp.maximum(params.drs_max_rel * jnp.abs(x3), 1.0)],
+        default=jnp.maximum(params.drs_max_rel * jnp.abs(x3), 1e-3))
     dx3 = jnp.clip(dx3, -x3_lim, x3_lim)
 
     po_new = jnp.clip(po + dpo, 1e4, 2e9)
@@ -158,21 +164,33 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None):
     # --- variable switching (disabled without a gas phase) ---
     if fs.num_pvt_regions == 1 or pvtnum is None:
         rs_sat_new = fs.rs_sat(po_new)
+        rv_sat_new = fs.rv_sat(po_new)
     else:
         rs_sat_new = jax.vmap(fs.rs_sat)(po_new, pvtnum)
+        rv_sat_new = jax.vmap(fs.rv_sat)(po_new, pvtnum)
     gas_on = params.has_gas
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
     to_rs = is_sg & (x3_new < 0.0) & gas_on
-    # RS cell whose Rs exceeds saturation: free gas appears -> switch to SG
-    to_sg = (~is_sg) & (x3_new > rs_sat_new) & gas_on
+    # SG cell whose So went negative (VAPOIL): oil vaporizes -> RV
+    to_rv = is_sg & ~to_rs & (1.0 - sw_new - x3_new < 0.0) & gas_on \
+        & fs.wet_gas
+    # RS cell whose Rs exceeds saturation: free gas appears -> SG
+    to_sg_rs = is_rs & (x3_new > rs_sat_new) & gas_on
+    # RV cell whose Rv exceeds saturation: oil condenses -> SG
+    to_sg_rv = is_rv & (x3_new > rv_sat_new) & gas_on
 
-    flag_new = jnp.where(to_rs, FLAG_RS, jnp.where(to_sg, FLAG_SG, flag))
-    x3_new = jnp.where(to_rs, rs_sat_new,
-                       jnp.where(to_sg, 0.0,
-                                 jnp.where(is_sg,
-                                           jnp.clip(x3_new, 0.0, 1.0 - sw_new),
-                                           jnp.maximum(x3_new, 0.0))))
-    # keep saturations feasible: for SG cells cap sg <= 1 - sw
+    flag_new = jnp.where(
+        to_rs, FLAG_RS,
+        jnp.where(to_rv, FLAG_RV,
+                  jnp.where(to_sg_rs | to_sg_rv, FLAG_SG, flag)))
+    x3_stay = jnp.where(is_sg, jnp.clip(x3_new, 0.0, 1.0 - sw_new),
+                        jnp.maximum(x3_new, 0.0))
+    x3_new = jnp.select(
+        [to_rs, to_rv, to_sg_rs, to_sg_rv],
+        [rs_sat_new, rv_sat_new,
+         jnp.zeros_like(x3_new),
+         jnp.maximum(1.0 - sw_new - 1e-4, 0.0)],
+        default=x3_stay)
     u_new = jnp.stack([po_new, sw_new, x3_new], axis=1)
     return u_new, flag_new
 

@@ -312,7 +312,7 @@ def _msw_residual(fs: FluidSystem, msw_row, x, u_perf, flag_perf, reg_perf,
     gor = jnp.where(both_pos, qg / jnp.where(qo > 1e-12, qo, 1.0), 0.0)
     rs_mix = jnp.minimum(gor, fs.rs_sat(p))
     bo = 1.0 / jnp.maximum(fs.oil_inv_b(p, rs_mix), 1e-12)
-    bg = 1.0 / jnp.maximum(fs.gas.inv_b(p), 1e-12)
+    bg = 1.0 / jnp.maximum(fs.gas_inv_b(p, 0.0), 1e-12)
     q_free_gas = qg - rs_mix * qo
     vol_flux = q[:, 0] * bw + q[:, 1] * bo + q_free_gas * bg  # [S] res m3/s
     rho_s = fs.rho_ref(0)
@@ -323,7 +323,7 @@ def _msw_residual(fs: FluidSystem, msw_row, x, u_perf, flag_perf, reg_perf,
                / (jnp.abs(vol_flux) + eps))
     mu_mix = (fs.water.viscosity(p) * jnp.abs(q[:, 0] * bw)
               + fs.oil_viscosity(p, rs_mix) * jnp.abs(q[:, 1] * bo)
-              + fs.gas.viscosity(p) * jnp.abs(q_free_gas * bg)
+              + fs.gas_viscosity(p, 0.0) * jnp.abs(q_free_gas * bg)
               + eps * fs.oil_viscosity(p, rs_mix)) \
         / (jnp.abs(vol_flux) + eps)
 

@@ -57,7 +57,7 @@ def voidage_coefficients(fs, p_avg, rs_avg):
         rs = float(rs_avg[r])
         bw = float(fs.water.inv_b(p))
         bo = float(fs.oil_inv_b(p, rs))
-        bg = float(fs.gas.inv_b(p))
+        bg = float(fs.gas_inv_b(p, rs * 0.0))
         big_bw = 1.0 / max(bw, 1e-30)
         big_bo = 1.0 / max(bo, 1e-30)
         big_bg = 1.0 / max(bg, 1e-30)

@@ -92,7 +92,8 @@ class WellResult(NamedTuple):
 
 
 def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
-                  vfp_numbering: dict | None = None) -> WellSet:
+                  vfp_numbering: dict | None = None,
+                  vfp_inj_numbering: dict | None = None) -> WellSet:
     """Host-side construction from schedule WellConfig list (padded)."""
     nw = max(len(wells), 1)
     np_max = max_perfs or max((len(w.completions) for w in wells), default=1)
@@ -163,8 +164,10 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
             resv[iw] = w.resv_rate
         if getattr(w, "thp_limit", None):
             thp_t[iw] = w.thp_limit
-        if getattr(w, "vfp_table", None) is not None and vfp_numbering:
-            vfp_i[iw] = vfp_numbering.get(w.vfp_table, -1)
+        if getattr(w, "vfp_table", None) is not None:
+            numbering = (vfp_inj_numbering if w.is_injector
+                         else vfp_numbering) or {}
+            vfp_i[iw] = numbering.get(w.vfp_table, -1)
 
     return WellSet(
         cell=jnp.asarray(cell), wi=jnp.asarray(wi),
@@ -179,6 +182,14 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
         resv_rate=jnp.asarray(resv), voidage_coeff=jnp.asarray(voidage),
         alq=jnp.asarray(alq),
     )
+
+
+def _split_banks(vfp_bank):
+    """vfp_bank may be a production VfpBank or a plain (prod, inj) tuple
+    (VfpBank itself is a NamedTuple, so test for the _fields attr)."""
+    if isinstance(vfp_bank, tuple) and not hasattr(vfp_bank, "_fields"):
+        return vfp_bank
+    return vfp_bank, None
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +214,11 @@ def _perf_rates(fs: FluidSystem, u_cell, flag_cell, pbh, rho_conn, wi,
     dp = p_conn - q.p  # [3]; > 0 -> injection into cell
 
     # producing part (dp < 0): per-phase Darcy with cell mobility
-    q_prod = wi * q.mob * q.inv_b * dp  # [3] (negative when producing)
-    # dissolved gas produced with oil
-    q_prod = q_prod.at[2].add(q.rs * q_prod[1])
+    base = wi * q.mob * q.inv_b * dp  # [3] (negative when producing)
+    # dissolved gas produced with oil; vaporized oil with gas (VAPOIL)
+    q_prod = jnp.stack([base[0],
+                        base[1] + q.rv * base[2],
+                        base[2] + q.rs * base[1]])
 
     # injecting part (dp > 0): total mobility, injected phase only
     total_mob = q.mob[0] + q.mob[1] + q.mob[2]
@@ -332,16 +345,17 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         (orat, wrat, grat, lrat, inj_rate, bhp_t, is_inj, thp_t,
          vfp_i, resv, vcoef, alq) = ws_row
         prod = -q_tot  # positive production rates
+        prod_bank, inj_bank = _split_banks(vfp_bank)
         r_rate_prod = jnp.select(
             [mode == CTRL_ORAT, mode == CTRL_WRAT, mode == CTRL_GRAT,
              mode == CTRL_LRAT, mode == CTRL_RESV],
             [prod[1] - orat, prod[0] - wrat, prod[2] - grat,
              prod[0] + prod[1] - lrat, jnp.dot(vcoef, prod) - resv],
             default=pb - bhp_t)
-        if vfp_bank is not None:
+        if prod_bank is not None:
             from opm_autodiff_tpu.wells.vfp import bank_bhp
 
-            bhp_vfp = bank_bhp(vfp_bank, vfp_i, thp_t, prod, alq)
+            bhp_vfp = bank_bhp(prod_bank, vfp_i, thp_t, prod, alq)
             r_rate_prod = jnp.where(mode == CTRL_THP, pb - bhp_vfp,
                                     r_rate_prod)
         inj_surf = q_tot[0] + q_tot[1] + q_tot[2]
@@ -349,6 +363,11 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
             [mode == CTRL_RATE, mode == CTRL_RESV],
             [inj_surf - inj_rate, jnp.dot(vcoef, q_tot) - resv],
             default=pb - bhp_t)
+        if inj_bank is not None:
+            from opm_autodiff_tpu.wells.vfp import bank_inj_bhp
+
+            bhp_inj = bank_inj_bhp(inj_bank, vfp_i, thp_t, inj_surf)
+            r_inj = jnp.where(mode == CTRL_THP, pb - bhp_inj, r_inj)
         r = jnp.where(is_inj, r_inj,
                       jnp.where(mode == CTRL_BHP, pb - bhp_t, r_rate_prod))
         return r

@@ -244,15 +244,107 @@ def bank_bhp(bank: VfpBank, tidx, thp, prod_rates, alq=0.0):
     return jnp.where(tidx >= 0, acc, 0.0)
 
 
+class VfpInjTable(NamedTuple):
+    """VFPINJ: 2-D (flo, thp) -> BHP injection table
+    (reference: VFPInjProperties)."""
+
+    table_num: int
+    datum_depth: float
+    flo_type: str
+    flo: jnp.ndarray   # [nf]
+    thp: jnp.ndarray   # [nt]
+    bhp: jnp.ndarray   # [nt, nf]
+
+
+def parse_vfpinj(records: list, unit) -> VfpInjTable:
+    hdr = records[0]
+    table_num = int(item(hdr, 0, 1))
+    datum = item(hdr, 1, 0.0) * unit.length
+    flo_type = str(item(hdr, 2, "GAS")).upper().strip("'")
+
+    def vals(rec):
+        return np.asarray([v for v in rec if v is not DEFAULT], float)
+
+    flo_scale = unit.gas_rate if flo_type == "GAS" else unit.liquid_rate
+    flo = vals(records[1]) * flo_scale
+    thp = vals(records[2]) * unit.pressure
+    nf, nt = len(flo), len(thp)
+    bhp = np.zeros((nt, nf))
+    for rec in records[3:]:
+        v = vals(rec)
+        it = int(v[0]) - 1
+        bhp[it, :] = v[1:1 + nf] * unit.pressure
+    return VfpInjTable(table_num=table_num, datum_depth=datum,
+                       flo_type=flo_type, flo=jnp.asarray(flo),
+                       thp=jnp.asarray(thp), bhp=jnp.asarray(bhp))
+
+
+class VfpInjBank(NamedTuple):
+    """Stacked injection tables (same padding scheme as VfpBank)."""
+
+    flo: jnp.ndarray   # [T, NF]
+    thp: jnp.ndarray   # [T, NT]
+    bhp: jnp.ndarray   # [T, NT, NF]
+    n_axis: jnp.ndarray  # [T, 2] actual (nf, nt)
+
+    @staticmethod
+    def from_tables(tables: list) -> "VfpInjBank":
+        def pad(arrs, fill=np.inf):
+            m = max(a.shape[-1] for a in arrs)
+            return np.stack([
+                np.concatenate([np.asarray(a),
+                                np.full(m - a.shape[-1], fill)])
+                for a in arrs])
+
+        flo = pad([t.flo for t in tables])
+        thp = pad([t.thp for t in tables])
+        nt, nf = thp.shape[1], flo.shape[1]
+        bhp = np.zeros((len(tables), nt, nf))
+        n_axis = np.zeros((len(tables), 2), np.int32)
+        for i, t in enumerate(tables):
+            b = np.asarray(t.bhp)
+            bhp[i, :b.shape[0], :b.shape[1]] = b
+            n_axis[i] = [t.flo.shape[0], t.thp.shape[0]]
+        return VfpInjBank(flo=jnp.asarray(flo), thp=jnp.asarray(thp),
+                          bhp=jnp.asarray(bhp), n_axis=jnp.asarray(n_axis))
+
+
+def bank_inj_bhp(bank: VfpInjBank, tidx, thp, inj_rate):
+    """Injection BHP from THP + surface rate (scalar; vmap over wells)."""
+    ti = jnp.maximum(tidx, 0)
+
+    def locate(x, nodes, n):
+        i = jnp.clip(jnp.searchsorted(nodes, x, side="right") - 1, 0,
+                     jnp.maximum(n - 2, 0))
+        den = nodes[i + 1] - nodes[i]
+        wgt = jnp.where((n > 1) & jnp.isfinite(den) & (den > 0),
+                        (x - nodes[i]) / jnp.where(den > 0, den, 1.0), 0.0)
+        return i, jnp.clip(wgt, 0.0, 1.0)
+
+    na = bank.n_axis[ti]
+    if0, wf = locate(inj_rate, bank.flo[ti], na[0])
+    it0, wt = locate(thp, bank.thp[ti], na[1])
+    b = bank.bhp[ti]
+    acc = 0.0
+    for dt_, ct in ((0, 1 - wt), (1, wt)):
+        for df, cf in ((0, 1 - wf), (1, wf)):
+            acc = acc + ct * cf * b[it0 + dt_, if0 + df]
+    return jnp.where(tidx >= 0, acc, 0.0)
+
+
 class VfpTables:
     """Registry of parsed VFP tables (reference: VFPProperties holder)."""
 
     def __init__(self, state):
         self.prod: dict[int, VfpProdTable] = {}
+        self.inj: dict[int, VfpInjTable] = {}
         unit = state.runspec.unit_system
         for recs in state.vfp_prod_records:
             t = parse_vfpprod(recs, unit)
             self.prod[t.table_num] = t
+        for recs in getattr(state, "vfp_inj_records", []):
+            t = parse_vfpinj(recs, unit)
+            self.inj[t.table_num] = t
 
     def bhp_from_thp(self, table_num: int, thp, prod_rates):
         t = self.prod[table_num]

@@ -122,3 +122,37 @@ def test_thp_controlled_well(tmp_path):
                         jnp.asarray(500 * U.PSI), prod)
     assert r["WBHP:PROD"] == pytest.approx(float(expected) / U.PSI, rel=1e-3)
     assert r["WOPR:PROD"] > 0
+
+
+VFPINJ_TEXT = """VFPINJ
+-- num datum flo pres units bhp
+ 5 8400 'WAT' 'THP' 'FIELD' 'BHP' /
+-- flo axis (stb/d)
+ 500 2000 8000 /
+-- thp axis (psia)
+ 500 1000 /
+ 1 2000 2400 3400 /
+ 2 2600 3000 4000 /
+"""
+
+
+def test_parse_vfpinj_and_bank():
+    from opm_autodiff_tpu.wells.vfp import (VfpInjBank, bank_inj_bhp,
+                                            parse_vfpinj)
+    deck = read_deck_text(VFPINJ_TEXT)
+    kw = deck.get1("VFPINJ")
+    t = parse_vfpinj(kw.records, U.FIELD)
+    assert t.table_num == 5
+    assert t.flo_type == "WAT"
+    assert t.bhp.shape == (2, 3)
+    assert float(t.bhp[0, 1]) / U.PSI == pytest.approx(2400)
+
+    bank = VfpInjBank.from_tables([t])
+    # node hit
+    v = float(bank_inj_bhp(bank, 0, 500 * U.PSI, 2000 * U.STB / U.DAY))
+    assert v / U.PSI == pytest.approx(2400)
+    # interpolation between thp rows and flo columns
+    v = float(bank_inj_bhp(bank, 0, 750 * U.PSI, 5000 * U.STB / U.DAY))
+    assert 2400 < v / U.PSI < 3700
+    # missing table index -> 0
+    assert float(bank_inj_bhp(bank, -1, 500 * U.PSI, 0.0)) == 0.0
