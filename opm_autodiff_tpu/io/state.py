@@ -44,6 +44,9 @@ class Runspec:
     # active extended black-oil components (POLYMER/BRINE/FOAM/SOLVENT/
     # THERMAL runspec flags; reference: Main.hpp:202 dispatchDynamic_)
     extensions: frozenset = frozenset()
+    # NOSIM: initialize + write output, skip time stepping
+    # (reference: FlowMainEbos.hpp:507-524)
+    nosim: bool = False
 
 
 @dataclasses.dataclass
@@ -174,6 +177,7 @@ class Completion:
     kh: float | None
     skin: float
     direction: str  # 'X','Y','Z'
+    pi_mult: float = 1.0  # WPIMULT connection-factor multiplier
 
 
 @dataclasses.dataclass
@@ -240,6 +244,7 @@ class WellConfig:
     poly_conc: float = 0.0         # WPOLYMER
     salt_conc: float = 0.0         # WSALT / WPOLYMER item 3
     foam_conc: float = 0.0         # WFOAM
+    efac: float = 1.0              # WEFAC*GEFAC well efficiency factor
     solv_frac: float = 0.0         # WSOLVENT: solvent fraction of gas inj
     temp_inj: float | None = None  # WTEMP / WINJTEMP: injection temp (K)
     # gas lift (WLIFTOPT; ALQ quantities stay in DECK units — they only
@@ -259,6 +264,8 @@ class ReportStep:
     groups: dict = dataclasses.field(default_factory=dict)
     # gas lift optimization config (LIFTOPT/GLIFTOPT; deck units)
     liftopt: dict = dataclasses.field(default_factory=dict)
+    # TUNING overrides for the adaptive timestepper (days); None = keep
+    tuning: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -354,6 +361,7 @@ def _build_runspec(deck: Deck) -> Runspec:
         cartdims=cartdims,
         start=start,
         extensions=frozenset(ext),
+        nosim="NOSIM" in deck,
     )
 
 
@@ -947,6 +955,43 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
         for r in kw.records:
             w = wells[str(item(r, 0, ""))]
             w.foam_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+    elif kw.name == "WPIMULT":
+        # reference: WellProdIndexCalculator WELPI/WPIMULT rescaling
+        for r in kw.records:
+            w = wells.get(str(item(r, 0, "")))
+            if w is None:
+                continue
+            f = float(item(r, 1, 1.0))
+            i = item(r, 2, None)
+            j = item(r, 3, None)
+            k1 = item(r, 4, None)
+            k2 = item(r, 5, None)
+            for c in w.completions:
+                if i is not None and c.i != int(i) - 1:
+                    continue
+                if j is not None and c.j != int(j) - 1:
+                    continue
+                if k1 is not None and c.k < int(k1) - 1:
+                    continue
+                if k2 is not None and c.k > int(k2) - 1:
+                    continue
+                c.pi_mult *= f
+    elif kw.name == "WEFAC":
+        for r in kw.records:
+            w = wells.get(str(item(r, 0, "")))
+            if w is not None:
+                w.efac = float(item(r, 1, 1.0))
+    elif kw.name == "GEFAC":
+        for r in kw.records:
+            g = str(item(r, 0, ""))
+            f = float(item(r, 1, 1.0))
+            for w in wells.values():
+                grp = w.group
+                while grp:
+                    if grp == g:
+                        w.efac *= f
+                        break
+                    grp = group_tree.get(grp, "")
     elif kw.name == "WSOLVENT":
         for r in kw.records:
             w = wells[str(item(r, 0, ""))]
@@ -1046,6 +1091,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     group_prod: dict = {}
     group_inj: dict = {}
     liftopt: dict = {}
+    tuning: dict = {}
 
     def snapshot():
         return [dataclasses.replace(
@@ -1063,7 +1109,8 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         import copy
         steps.append(ReportStep(t_days, t_days + days, snapshot(),
                                 group_snapshot(),
-                                liftopt=copy.deepcopy(liftopt)))
+                                liftopt=copy.deepcopy(liftopt),
+                                tuning=dict(tuning)))
         t_days += days
 
     for kw in deck:
@@ -1075,6 +1122,19 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         if _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
                                  group_inj, liftopt):
             pass
+        elif kw.name == "TUNING":
+            # record 1: TSINIT TSMAXZ TSMINZ ... (days); reference:
+            # AdaptiveTimeSteppingEbos::updateTUNING
+            r = kw.records[0] if kw.records else []
+            ts_init = item(r, 0, None)
+            ts_max = item(r, 1, None)
+            ts_min = item(r, 2, None)
+            if ts_init is not None:
+                tuning["initial_dt_days"] = float(ts_init) * u.time / U.DAY
+            if ts_max is not None:
+                tuning["max_dt_days"] = float(ts_max) * u.time / U.DAY
+            if ts_min is not None:
+                tuning["min_dt_days"] = float(ts_min) * u.time / U.DAY
         elif kw.name == "TSTEP":
             for v in kw.records[0]:
                 if v is not DEFAULT:
@@ -1247,6 +1307,9 @@ def build_state(deck: Deck) -> EclState:
 def load_state(path: str) -> EclState:
     import os
 
-    st = build_state(read_deck(path))
+    deck = read_deck(path)
+    st = build_state(deck)
+    from opm_autodiff_tpu.io.validation import validate_deck
+    st.validation = validate_deck(deck)
     st.deck_dir = os.path.dirname(os.path.abspath(path))
     return st

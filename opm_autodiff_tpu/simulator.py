@@ -117,6 +117,14 @@ class Simulator:
         self.udq = UdqEngine(ecl_state.udq_keywords)
         self.action_mgr = ActionManager(
             parse_actions(ecl_state.action_keywords))
+        # startup diagnostics: keyword validation + RelpermDiagnostics
+        # (reference: eclproblem.hh:806, KeywordValidation.hpp:19)
+        from opm_autodiff_tpu.io.validation import relperm_diagnostics
+        self.diagnostics = list(getattr(ecl_state, "validation", []))
+        self.diagnostics += relperm_diagnostics(ecl_state.props)
+        if self.opts.verbose:
+            for m in self.diagnostics:
+                print(m)
         self._init_state()
         self.tracers.initialize(self.u, self.flag)
         if self.components.active:
@@ -291,8 +299,15 @@ class Simulator:
             return rep.converged, rep.iterations, rep.linear_iterations, commit
 
         step_days = rstep.end_days - rstep.start_days
+        tstep_params = self.opts.tstep
+        if rstep.tuning:
+            tstep_params = dataclasses.replace(tstep_params,
+                                               **rstep.tuning)
+            if "initial_dt_days" in rstep.tuning:
+                self._suggested_dt = min(self._suggested_dt,
+                                         rstep.tuning["initial_dt_days"])
         reports, self._suggested_dt = run_report_step(
-            step_days, self._suggested_dt, solve_fn, self.opts.tstep,
+            step_days, self._suggested_dt, solve_fn, tstep_params,
             pid_state=self._pid)
 
         st = committed["st"]
@@ -328,6 +343,9 @@ class Simulator:
         return reports
 
     def run(self) -> SimulatorReport:
+        if self.state.runspec.nosim:
+            # NOSIM: initialization only (FlowMainEbos.hpp:507-524)
+            return self.report
         nsteps = len(self.state.schedule.steps)
         while self._step_index < nsteps:
             reports = self.step()
@@ -382,8 +400,10 @@ class Simulator:
 
     # ------------------------------------------------------------------
     def _collect_summary(self, st: NewtonState, ws, q_tot, dt_seconds):
-        """Accumulate cumulative volumes from converged substep rates."""
-        q = np.asarray(q_tot)  # [W,3] into cells; negative = production
+        """Accumulate cumulative volumes from converged substep rates.
+        WEFAC/GEFAC efficiency factors scale the reported volumes
+        (reference: WellState report generation honors efficiency)."""
+        q = np.asarray(q_tot) * np.asarray(ws.efac)[:, None]
         qm = getattr(self, "_last_q_msw", None)
         q_all = np.concatenate([q, qm]) if qm is not None else q
         prod = np.maximum(-q_all, 0.0).sum(axis=0)  # [3]

@@ -159,8 +159,10 @@ def build_mswset(geo: Geometry, wells: list) -> MswSet | None:
             if ci < 0:
                 continue
             pc[iw, ip] = ci
-            pw[iw, ip] = c.cf if c.cf is not None else peaceman_well_index(
-                geo, ci, c.diameter, c.skin, c.direction, c.kh)
+            pw[iw, ip] = (c.cf if c.cf is not None
+                          else peaceman_well_index(
+                              geo, ci, c.diameter, c.skin, c.direction,
+                              c.kh)) * getattr(c, "pi_mult", 1.0)
             pd[iw, ip] = geo.depth[ci]
             pm[iw, ip] = True
             seg_idx = 0

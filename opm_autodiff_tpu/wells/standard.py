@@ -69,6 +69,9 @@ class WellSet(NamedTuple):
     # gas lift: per-well ALQ fed to the VFP 5th axis (deck units;
     # reference: GasLiftSingleWellGeneric/ALQState)
     alq: jnp.ndarray             # [W]
+    # WEFAC/GEFAC efficiency factor: scales reported/group/cumulative
+    # rates (downtime fraction), not the instantaneous physics
+    efac: jnp.ndarray            # [W]
 
     @property
     def num_wells(self) -> int:
@@ -123,6 +126,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
     # substep from FIPNUM-region average PVT (wells/rate_converter.py)
     voidage = np.ones((nw, 3))
     alq = np.zeros(nw)
+    efac = np.ones(nw)
 
     for iw, w in enumerate(wells):
         comps = [c for c in w.completions if c.open]
@@ -131,10 +135,13 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
             if ci < 0:
                 continue
             cell[iw, ip] = ci
-            wi[iw, ip] = c.cf if c.cf is not None else peaceman_well_index(
-                geo, ci, c.diameter, c.skin, c.direction, c.kh)
+            wi[iw, ip] = (c.cf if c.cf is not None
+                          else peaceman_well_index(
+                              geo, ci, c.diameter, c.skin, c.direction,
+                              c.kh)) * getattr(c, "pi_mult", 1.0)
             pdepth[iw, ip] = geo.depth[ci]
             pmask[iw, ip] = True
+        efac[iw] = getattr(w, "efac", 1.0)
         ref_depth[iw] = (w.ref_depth if w.ref_depth is not None
                          else (pdepth[iw, pmask[iw]].min()
                                if pmask[iw].any() else 0.0))
@@ -180,7 +187,7 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
         bhp_limit=jnp.asarray(bhp_l), open_mask=jnp.asarray(open_m),
         thp_target=jnp.asarray(thp_t), vfp_idx=jnp.asarray(vfp_i),
         resv_rate=jnp.asarray(resv), voidage_coeff=jnp.asarray(voidage),
-        alq=jnp.asarray(alq),
+        alq=jnp.asarray(alq), efac=jnp.asarray(efac),
     )
 
 

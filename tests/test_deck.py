@@ -135,3 +135,40 @@ def test_summary_config(state):
     kws = dict(state.summary.keywords)
     assert "FOPR" in kws
     assert kws["WBHP"] == ["PROD", "INJ"]
+
+
+def test_keyword_validation_and_diagnostics(tmp_path):
+    """KeywordValidation + RelpermDiagnostics messages (reference:
+    KeywordValidation.hpp:19; RelpermDiagnostics.cpp)."""
+    from opm_autodiff_tpu.io.validation import (relperm_diagnostics,
+                                                validate_deck)
+    text = (open("tests/data/SPE1CASE1.DATA").read()
+            .replace("SCHEDULE", "WPAVE\n 1* /\nTUNING\n /\n /\n /\nSCHEDULE"))
+    p = tmp_path / "V.DATA"
+    p.write_text(text)
+    from opm_autodiff_tpu.io.deck import read_deck
+    from opm_autodiff_tpu.io.state import build_state
+    d = read_deck(str(p))
+    msgs = validate_deck(d)
+    assert any("WPAVE" in m and m.startswith("ERROR") for m in msgs)
+    assert any("TUNING" in m and m.startswith("WARN") for m in msgs)
+    st = build_state(d)
+    # clean SPE1 tables produce no relperm errors
+    diag = relperm_diagnostics(st.props)
+    assert not any(m.startswith("ERROR") for m in diag)
+
+    import numpy as np
+    bad = dataclasses_replace_tables(st.props)
+    diag = relperm_diagnostics(bad)
+    assert any("not strictly increasing" in m for m in diag)
+
+
+def dataclasses_replace_tables(props):
+    import copy
+
+    import numpy as np
+    bad = copy.deepcopy(props)
+    t = np.asarray(bad.swof_regions[0]).copy()
+    t[1, 0] = t[0, 0]  # duplicate node
+    bad.swof_regions[0] = t
+    return bad

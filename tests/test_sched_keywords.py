@@ -1,0 +1,118 @@
+"""WPIMULT / WEFAC / GEFAC / TUNING / NOSIM schedule keywords
+(reference: WellProdIndexCalculator, WellState efficiency handling,
+AdaptiveTimeSteppingEbos::updateTUNING, FlowMainEbos NOSIM)."""
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+from opm_autodiff_tpu.wells import build_wellset
+
+BASE = """RUNSPEC
+DIMENS
+ 5 1 1 /
+OIL
+WATER
+METRIC
+{runspec}
+START
+ 1 'JAN' 2020 /
+GRID
+DX
+ 5*20 /
+DY
+ 5*20 /
+DZ
+ 5*5 /
+TOPS
+ 5*1000 /
+PORO
+ 5*0.25 /
+PERMX
+ 5*300 /
+PROPS
+PVTW
+ 200 1.02 4.0E-5 0.5 0 /
+PVDO
+ 100 1.05 2.0
+ 400 1.02 2.0 /
+ROCK
+ 200 4E-5 /
+SWOF
+ 0.15 0.00  0.90 0
+ 1.00 1.00  0.0  0 /
+DENSITY
+ 850 1000 1 /
+SOLUTION
+PRESSURE
+ 5*200 /
+SWAT
+ 5*0.15 /
+SUMMARY
+FOPR
+SCHEDULE
+WELSPECS
+ 'P1' 'G' 5 1 1000 'OIL' /
+/
+COMPDAT
+ 'P1' 5 1 1 1 'OPEN' 1* 1* 0.2 /
+/
+WCONPROD
+ 'P1' 'OPEN' 'BHP' 5* 150 /
+/
+{sched}
+TSTEP
+ 2 5 /
+END
+"""
+
+
+def _state(tmp_path, name, runspec="", sched=""):
+    p = tmp_path / f"{name}.DATA"
+    p.write_text(BASE.format(runspec=runspec, sched=sched))
+    return load_state(str(p))
+
+
+def test_wpimult_scales_cf(tmp_path):
+    s0 = _state(tmp_path, "A")
+    s1 = _state(tmp_path, "B", sched="WPIMULT\n 'P1' 0.25 /\n/")
+    from opm_autodiff_tpu.grid import build_geometry
+    g0 = build_geometry(s0)
+    g1 = build_geometry(s1)
+    ws0 = build_wellset(g0, s0.schedule.steps[0].wells)
+    ws1 = build_wellset(g1, s1.schedule.steps[0].wells)
+    assert float(ws1.wi[0, 0]) == pytest.approx(0.25 * float(ws0.wi[0, 0]))
+
+
+def test_wefac_scales_reported_rates(tmp_path):
+    s1 = _state(tmp_path, "E", sched="WEFAC\n 'P1' 0.5 /\n/")
+    w = s1.schedule.steps[0].wells[0]
+    assert w.efac == pytest.approx(0.5)
+    sim = Simulator(s1, SimulatorOptions())
+    sim.run()
+    # the reported rate carries the efficiency factor
+    r = sim.summary.rows[-1]
+    assert r["WOPR:P1"] > 0
+    ws = build_wellset(sim.geo, s1.schedule.steps[0].wells)
+    assert float(ws.efac[0]) == pytest.approx(0.5)
+
+
+def test_tuning_caps_dt(tmp_path):
+    s1 = _state(tmp_path, "T", sched="TUNING\n 0.1 0.5 /\n /\n /")
+    step = s1.schedule.steps[0]
+    assert step.tuning["initial_dt_days"] == pytest.approx(0.1)
+    assert step.tuning["max_dt_days"] == pytest.approx(0.5)
+    sim = Simulator(s1, SimulatorOptions())
+    reports = sim.step()
+    # dt never exceeded the TUNING cap
+    assert max(r.dt_days for r in reports) <= 0.5 + 1e-9
+    assert reports[0].dt_days <= 0.1 + 1e-9
+
+
+def test_nosim(tmp_path):
+    s1 = _state(tmp_path, "N", runspec="NOSIM")
+    assert s1.runspec.nosim
+    sim = Simulator(s1, SimulatorOptions())
+    rep = sim.run()
+    assert sim._step_index == 0  # no steps taken
