@@ -28,7 +28,8 @@ import numpy as np
 from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.grid.geometry import Geometry
 from opm_autodiff_tpu.models.blackoil import (CellStatic, PrimaryState,
-                                              accumulation, face_flux)
+                                              accumulation, face_flux,
+                                              intensive)
 from opm_autodiff_tpu.props.fluid import FluidSystem
 
 
@@ -63,6 +64,9 @@ class StructuredSystem(NamedTuple):
     y_rl: jnp.ndarray
     z_lr: jnp.ndarray
     z_rl: jnp.ndarray
+    # per-cell inverse FVFs from the same packed evaluation — the
+    # convergence metrics need them, saving a second intensive sweep
+    inv_b: jnp.ndarray | None = None
 
     @property
     def num_cells(self) -> int:
@@ -154,9 +158,160 @@ def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR,
             jr.reshape(shape + (3, 3)))
 
 
+# ---------------------------------------------------------------------------
+# Packed-quantity fast assembly
+# ---------------------------------------------------------------------------
+# The straightforward per-face jacfwd re-evaluates the full PVT/satfunc
+# table stack (searchsorted + gathers) for BOTH cells of every face under
+# 6 tangents — ~36 intensive evaluations per cell per assembly. Instead:
+# evaluate the per-cell intensive quantities AND the accumulation once
+# with a single 3-tangent jacfwd (packed into a 17-vector), then build
+# face fluxes and their Jacobians from the packed values by the chain
+# rule — the face pass is pure arithmetic, no table lookups.
+# Layout: [p(3), inv_b(3), mob(3), rho(3), rs, rv, acc(3)].
+
+_NQ = 17
+
+
+def _pack_cell(fs, u, flag, pv_ref, regs, mob, eps):
+    q = intensive(fs, u, flag, regs, mob, eps)
+    pv = pv_ref * fs.rock.mult(u[0], regs[1])
+    sw, so, sg = q.sat[0], q.sat[1], q.sat[2]
+    aw = pv * sw * q.inv_b[0]
+    ao = pv * (so * q.inv_b[1] + q.rv * sg * q.inv_b[2])
+    ag = pv * (sg * q.inv_b[2] + q.rs * so * q.inv_b[1])
+    return jnp.concatenate([q.p, q.inv_b, q.mob, q.rho,
+                            jnp.stack([q.rs, q.rv, aw, ao, ag])])
+
+
+def _flux_and_jac_slab(QL, QR, dQL, dQR, trans, gdz):
+    """TPFA upwinded flux + hand-derived chain-rule Jacobians on packed
+    cell quantities (face_flux semantics, eclfluxmodule.hh:212-356).
+
+    All inputs are slab arrays: Q* [..., 17], dQ* [..., 17, 3],
+    trans/gdz [...]. Returns (flux [...,3], jl [...,3,3], jr [...,3,3]).
+    Pure elementwise arithmetic — no per-face table lookups and no
+    wide-tangent jacfwd (whose [F, 34, ...] intermediates pad terribly
+    onto (8,128) TPU tiles)."""
+    pL, ibL, mobL, rhoL = (QL[..., 0:3], QL[..., 3:6], QL[..., 6:9],
+                           QL[..., 9:12])
+    pR, ibR, mobR, rhoR = (QR[..., 0:3], QR[..., 3:6], QR[..., 6:9],
+                           QR[..., 9:12])
+    rsL, rvL = QL[..., 12], QL[..., 13]
+    rsR, rvR = QR[..., 12], QR[..., 13]
+    dpL, dibL, dmobL, drhoL = (dQL[..., 0:3, :], dQL[..., 3:6, :],
+                               dQL[..., 6:9, :], dQL[..., 9:12, :])
+    dpR, dibR, dmobR, drhoR = (dQR[..., 0:3, :], dQR[..., 3:6, :],
+                               dQR[..., 6:9, :], dQR[..., 9:12, :])
+    drsL, drvL = dQL[..., 12, :], dQL[..., 13, :]
+    drsR, drvR = dQR[..., 12, :], dQR[..., 13, :]
+
+    t = trans[..., None]
+    g = gdz[..., None]
+    dphi = (pL - pR) - 0.5 * (rhoL + rhoR) * g           # [...,3]
+    up = dphi >= 0.0
+    m = jnp.where(up, mobL, mobR)
+    b = jnp.where(up, ibL, ibR)
+    base = t * m * b * dphi                              # [...,3]
+
+    upj = up[..., :, None]
+    gj = g[..., :, None] if g.ndim == dphi.ndim else g[..., None]
+    tj = t[..., :, None] if t.ndim == dphi.ndim else t[..., None]
+    # d dphi / du on each side
+    ddphi_L = dpL - 0.5 * gj * drhoL                     # [...,3,3]
+    ddphi_R = -dpR - 0.5 * gj * drhoR
+    mb = (m * b)[..., :, None]
+    mdphi = (m * dphi)[..., :, None]
+    bdphi = (b * dphi)[..., :, None]
+    dbase_L = tj * (jnp.where(upj, dmobL * bdphi + dibL * mdphi, 0.0)
+                    + mb * ddphi_L)
+    dbase_R = tj * (jnp.where(upj, 0.0, dmobR * bdphi + dibR * mdphi)
+                    + mb * ddphi_R)
+
+    rs_up = jnp.where(up[..., 1], rsL, rsR)
+    rv_up = jnp.where(up[..., 2], rvL, rvR)
+    drs_L = jnp.where(up[..., 1, None], drsL, 0.0)
+    drs_R = jnp.where(up[..., 1, None], 0.0, drsR)
+    drv_L = jnp.where(up[..., 2, None], drvL, 0.0)
+    drv_R = jnp.where(up[..., 2, None], 0.0, drvR)
+
+    flux = jnp.stack([base[..., 0],
+                      base[..., 1] + rv_up * base[..., 2],
+                      base[..., 2] + rs_up * base[..., 1]], axis=-1)
+
+    def rows(dbase, drs, drv):
+        rw = dbase[..., 0, :]
+        ro = (dbase[..., 1, :] + rv_up[..., None] * dbase[..., 2, :]
+              + drv * base[..., 2, None])
+        rg = (dbase[..., 2, :] + rs_up[..., None] * dbase[..., 1, :]
+              + drs * base[..., 1, None])
+        return jnp.stack([rw, ro, rg], axis=-2)
+
+    return flux, rows(dbase_L, drs_L, drv_L), rows(dbase_R, drs_R, drv_R)
+
+
 def assemble_structured(fs: FluidSystem, cells: CellStatic,
                         topo: StructuredTopology, state: PrimaryState,
                         acc0, dt) -> StructuredSystem:
+    nx, ny, nz = topo.dims
+    u, flag = state.u, state.flag
+
+    eps_ax = None if cells.eps is None else 0
+
+    def one_cell(uu, ff, pv, rg, mm, ep):
+        def f(x):
+            q = _pack_cell(fs, x, ff, pv, rg, mm, ep)
+            return q, q
+
+        jac, val = jax.jacfwd(f, has_aux=True)(uu)
+        return val, jac
+
+    Q, dQ = jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
+        u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult, cells.eps)
+
+    residual = (Q[:, 14:17] - acc0) / dt
+    diag = dQ[:, 14:17, :] / dt
+    res3 = residual.reshape(nz, ny, nx, 3)
+    diag3 = diag.reshape(nz, ny, nx, 3, 3)
+    Q3 = Q.reshape(nz, ny, nx, _NQ)
+    dQ3 = dQ.reshape(nz, ny, nx, _NQ, 3)
+
+    bands = {}
+    for axis, (trans, gdz) in enumerate(
+            ((topo.trans_x, topo.gdz_x), (topo.trans_y, topo.gdz_y),
+             (topo.trans_z, topo.gdz_z))):
+        QL, QR = _axis_pairs(Q3, axis)
+        dQL, dQR = _axis_pairs(dQ3, axis)
+        flux, jl, jr = _flux_and_jac_slab(QL, QR, dQL, dQR, trans, gdz)
+
+        if axis == 0:
+            res3 = res3.at[:, :, :-1].add(flux)
+            res3 = res3.at[:, :, 1:].add(-flux)
+            diag3 = diag3.at[:, :, :-1].add(jl)
+            diag3 = diag3.at[:, :, 1:].add(-jr)
+        elif axis == 1:
+            res3 = res3.at[:, :-1, :].add(flux)
+            res3 = res3.at[:, 1:, :].add(-flux)
+            diag3 = diag3.at[:, :-1, :].add(jl)
+            diag3 = diag3.at[:, 1:, :].add(-jr)
+        else:
+            res3 = res3.at[:-1].add(flux)
+            res3 = res3.at[1:].add(-flux)
+            diag3 = diag3.at[:-1].add(jl)
+            diag3 = diag3.at[1:].add(-jr)
+        bands[axis] = (jr, -jl)
+
+    return StructuredSystem(
+        residual=res3.reshape(-1, 3), diag=diag3.reshape(-1, 3, 3),
+        x_lr=bands[0][0], x_rl=bands[0][1],
+        y_lr=bands[1][0], y_rl=bands[1][1],
+        z_lr=bands[2][0], z_rl=bands[2][1],
+        inv_b=Q[:, 3:6])
+
+
+def assemble_structured_ref(fs: FluidSystem, cells: CellStatic,
+                            topo: StructuredTopology, state: PrimaryState,
+                            acc0, dt) -> StructuredSystem:
     nx, ny, nz = topo.dims
     u, flag = state.u, state.flag
     u3 = u.reshape(nz, ny, nx, 3)

@@ -243,11 +243,9 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
 
-    # single per-iteration intensive evaluation, shared by the
-    # convergence metrics (assembly re-derives it under jacfwd)
-    eps_ax = None if cells.eps is None else 0
-    q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
-        fs, u, flag, cells.regs, None, cells.eps)
+    # inverse FVFs for the convergence metrics: the structured packed
+    # assembly exposes them for free; other layouts do one vmapped sweep
+    inv_b_cells = None
 
     # --- control update from a cheap rates-only pass, then ONE full
     # well assembly (reference: updateWellControls before assembleWellEq,
@@ -263,9 +261,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     if isinstance(faces, StructuredTopology):
         sys = assemble_structured(fs, cells, faces, PrimaryState(u, flag),
                                   acc0, dt)
+        inv_b_cells = sys.inv_b
     else:
         sys = assemble_system(fs, cells, faces, PrimaryState(u, flag),
                               acc0, dt)
+    if inv_b_cells is None:
+        eps_ax = None if cells.eps is None else 0
+        q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
+            fs, u, flag, cells.regs, None, cells.eps)
+        inv_b_cells = q_all.inv_b
     residual = wells_mod.apply_to_residual(sys.residual, wr, ws)
     diag = wells_mod.apply_to_diag(sys.diag, wr, ws)
     # --- multisegment wells (reference: MultisegmentWell assemble +
@@ -305,7 +309,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # --- convergence ---
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
-        params, fs, cells, residual, q_all.inv_b, dt, wr, ws, mode)
+        params, fs, cells, residual, inv_b_cells, dt, wr, ws, mode)
     if msw is not None:
         msw_scale = jnp.where(
             msw.is_injector,
