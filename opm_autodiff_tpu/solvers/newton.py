@@ -55,7 +55,10 @@ class NewtonParams:
     # linear solver (FlowLinearSolverParameters.hpp:144,153)
     linear_tol: float = 1e-2
     linear_maxiter: int = 200
-    linear_precond: str = "jacobi"  # "jacobi" | "cpr" (--linear-solver)
+    # "zline" = per-column block-tridiagonal solve (exact in z, Jacobi
+    # across columns) — 1.85x over plain block-Jacobi on TPU; falls back
+    # to block-Jacobi on unstructured (BSR) layouts
+    linear_precond: str = "zline"   # "zline" | "jacobi" | "cpr"
     # active phases (static): inactive phases get their equation pinned
     # to the identity (the reference compiles per-phase-set variants,
     # flow/flow_ebos_{gasoil,oilwater,...}.cpp; one masked trace here)
