@@ -34,7 +34,7 @@ def main():
     ny = int(os.environ.get("BENCH_NY", "64"))
     nz = int(os.environ.get("BENCH_NZ", "12"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    precond = os.environ.get("BENCH_PRECOND", "jacobi")
+    precond = os.environ.get("BENCH_PRECOND", "zline")
 
     (_state, geo, fs, cells, faces, init, ws, acc0,
      pbh) = __graft_entry__._build_problem(nx, ny, nz)
