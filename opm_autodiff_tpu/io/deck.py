@@ -115,7 +115,7 @@ RECORDS_KEYWORDS = {
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",
     "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
     "FOAMFSC", "PVTWSALT", "SALTVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
-    "UDQ", "ACTIONX", "WTEMP", "WINJTEMP", "VISCREF",
+    "UDQ", "ACTIONX", "WTEMP", "WINJTEMP", "VISCREF", "DRSDT", "DRVDT",
 }
 
 DATA_KEYWORDS = {

@@ -902,6 +902,44 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             w.thp_limit = thp * u.pressure if thp is not None else None
             vfp = item(r, 10, None)
             w.vfp_table = int(vfp) if vfp else None
+    elif kw.name == "WCONHIST":
+        # history-matching producer control: observed rates become rate
+        # targets with the preferred-phase mode (reference: opm-common
+        # Schedule WCONHIST handling; flow treats them as targets)
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells[name]
+            w.is_injector = False
+            w.status = str(item(r, 1, "OPEN")).upper()
+            mode = str(item(r, 2, "ORAT")).upper()
+            w.control_mode = mode if mode in ("ORAT", "WRAT", "GRAT",
+                                              "LRAT", "RESV", "BHP") \
+                else "ORAT"
+            w.oil_rate = _opt_rate(item(r, 3, None), u.liquid_rate)
+            w.water_rate = _opt_rate(item(r, 4, None), u.liquid_rate)
+            w.gas_rate = _opt_rate(item(r, 5, None), u.gas_rate)
+            if w.oil_rate is not None and w.water_rate is not None:
+                w.liquid_rate = w.oil_rate + w.water_rate
+            vfp = item(r, 6, None)
+            w.vfp_table = int(vfp) if vfp else w.vfp_table
+            bhp = item(r, 9, None)
+            if bhp is not None:
+                w.bhp_limit = bhp * u.pressure
+            elif w.bhp_limit is None:
+                w.bhp_limit = U.ATM
+    elif kw.name == "WCONINJH":
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells[name]
+            w.is_injector = True
+            w.inj_phase = str(item(r, 1, "GAS")).upper()
+            w.status = str(item(r, 2, "OPEN")).upper()
+            rate_scale = (u.gas_rate if w.inj_phase == "GAS"
+                          else u.liquid_rate)
+            w.control_mode = "RATE"
+            w.inj_rate = _opt_rate(item(r, 3, None), rate_scale)
+            bhp = item(r, 4, None)
+            w.bhp_limit = (bhp * u.pressure if bhp is not None else 6.9e8)
     elif kw.name == "WCONINJE":
         for r in kw.records:
             name = str(item(r, 0, ""))
@@ -1122,6 +1160,16 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         if _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
                                  group_inj, liftopt):
             pass
+        elif kw.name in ("DRSDT", "DRVDT"):
+            # max dissolved-GOR / vaporized-OGR increase rate
+            # (reference: EclProblem::updateCompositionChangeLimits_,
+            # eclproblem.hh:2010)
+            r = kw.records[0] if kw.records else []
+            v = item(r, 0, None)
+            if v is not None:
+                scale = ((u.gas_oil_ratio if kw.name == "DRSDT"
+                          else u.oil_gas_ratio) / u.time)
+                tuning[kw.name.lower()] = float(v) * scale
         elif kw.name == "TUNING":
             # record 1: TSINIT TSMAXZ TSMINZ ... (days); reference:
             # AdaptiveTimeSteppingEbos::updateTUNING

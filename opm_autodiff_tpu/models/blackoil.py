@@ -50,10 +50,10 @@ class CellStatic(NamedTuple):
     depth: jnp.ndarray
     # [N,2] int32 zero-based property regions: col 0 = SATNUM, col 1 = PVTNUM
     regs: jnp.ndarray
-    # [N,3] per-phase mobility multipliers — the coupling hook for the
-    # extended black-oil components (polymer/brine thicken water, foam
-    # cuts gas mobility; reference: opm-models blackoil*modules); ones
-    # when no extension is active
+    # [N,5] dynamic per-cell channels: [0:3] phase mobility multipliers
+    # (polymer/brine/foam/thermal feedback; reference: opm-models
+    # blackoil*modules), [3] Rs cap, [4] Rv cap (DRSDT/DRVDT composition
+    # change limits, eclproblem.hh:2010). Defaults [1,1,1,inf,inf].
     mob_mult: jnp.ndarray
     # [N,12] end-point-scaling channels (props/eps.py) or None when the
     # deck has no EPS keywords (the scaled-table code then traces away)
@@ -92,22 +92,30 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None,
     """Scalar per-cell intensive quantities; differentiable in u.
 
     ``regs`` is the (satnum, pvtnum) pair — a length-2 int vector or the
-    static default REG0. ``mob_mult`` [3] scales phase mobilities (the
-    extended-component feedback; None = ones). ``eps`` [12] carries the
-    cell's end-point-scaling channels (props/eps.py; None = unscaled)."""
+    static default REG0. ``mob_mult`` [5] carries the dynamic per-cell
+    channels ([0:3] phase mobility multipliers from the extended
+    components, [3]/[4] the DRSDT/DRVDT Rs/Rv caps; None = neutral).
+    ``eps`` [12] carries the cell's end-point-scaling channels
+    (props/eps.py; None = unscaled)."""
     sr, pr = regs[0], regs[1]
     po, sw, x3 = u[0], u[1], u[2]
     is_sg = flag == FLAG_SG
     is_rv = flag == FLAG_RV
     sg = jnp.where(is_sg, x3, jnp.where(is_rv, 1.0 - sw, 0.0))
     so = 1.0 - sw - sg
-    rs = jnp.where(flag == FLAG_RS, x3, fs.rs_sat(po, pr))
+    rs_sat_eff = fs.rs_sat(po, pr)
+    if mob_mult is not None:
+        rs_sat_eff = jnp.minimum(rs_sat_eff, mob_mult[3])
+    rs = jnp.where(flag == FLAG_RS, x3, rs_sat_eff)
 
     pw = po - fs.sat.pcow(sw, sr, eps)
     pg = po + fs.sat.pcog(sg, sr, eps)
     # vaporized oil: saturated where free oil coexists with gas; the
     # primary variable in the no-oil (condensate) state
-    rv = jnp.where(is_rv, x3, fs.rv_sat(pg, pr))
+    rv_sat_eff = fs.rv_sat(pg, pr)
+    if mob_mult is not None:
+        rv_sat_eff = jnp.minimum(rv_sat_eff, mob_mult[4])
+    rv = jnp.where(is_rv, x3, rv_sat_eff)
 
     inv_bw = fs.water.inv_b(pw, pr)
     inv_bo = fs.oil_inv_b(po, rs, pr)
@@ -128,7 +136,7 @@ def intensive(fs: FluidSystem, u, flag, regs=REG0, mob_mult=None,
 
     mob = jnp.stack([krw / mu_w, kro / mu_o, krg / mu_g])
     if mob_mult is not None:
-        mob = mob * mob_mult
+        mob = mob * mob_mult[:3]
     return Intensive(
         p=jnp.stack([pw, po, pg]),
         inv_b=jnp.stack([inv_bw, inv_bo, inv_bg]),
@@ -221,7 +229,8 @@ def statics_from_geometry(geo, structured: str = "auto"
         pore_vol_ref=jnp.asarray(geo.pore_vol),
         depth=jnp.asarray(geo.depth),
         regs=jnp.asarray(np.stack([satnum, pvtnum], axis=1), jnp.int32),
-        mob_mult=jnp.ones((geo.num_active, 3)),
+        mob_mult=jnp.tile(jnp.asarray([1.0, 1.0, 1.0, np.inf, np.inf]),
+                          (geo.num_active, 1)),
         eps=None,
     )
     if structured != "never":

@@ -151,7 +151,7 @@ def _flux_val_jac_slab(fs, uL, uR, flagL, flagR, trans, gdz, regsL, regsR,
         flagL.reshape(-1), flagR.reshape(-1),
         trans.reshape(-1), gdz.reshape(-1),
         flat(regsL, (2,)), flat(regsR, (2,)),
-        flat(mobL, (3,)), flat(mobR, (3,)),
+        flat(mobL, (mobL.shape[-1],)), flat(mobR, (mobR.shape[-1],)),
         None if epsL is None else flat(epsL, (epsL.shape[-1],)),
         None if epsR is None else flat(epsR, (epsR.shape[-1],)))
     return (val.reshape(shape + (3,)), jl.reshape(shape + (3, 3)),
@@ -317,7 +317,7 @@ def assemble_structured_ref(fs: FluidSystem, cells: CellStatic,
     u3 = u.reshape(nz, ny, nx, 3)
     flag3 = flag.reshape(nz, ny, nx)
     regs3 = cells.regs.reshape(nz, ny, nx, 2)
-    mob3 = cells.mob_mult.reshape(nz, ny, nx, 3)
+    mob3 = cells.mob_mult.reshape(nz, ny, nx, -1)
     eps3 = (None if cells.eps is None
             else cells.eps.reshape(nz, ny, nx, cells.eps.shape[-1]))
     eps_ax = None if cells.eps is None else 0

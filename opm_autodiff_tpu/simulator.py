@@ -239,16 +239,52 @@ class Simulator:
                                        self.active_mode, self.msw_x),
                      "acc0": self.acc0, "q": None, "ws": ws}
 
+        drsdt = rstep.tuning.get("drsdt")
+        drvdt = rstep.tuning.get("drvdt")
+
         def solve_fn(dt_seconds):
             st0 = committed["st"]
             ws = committed["ws"]
             aq_dev = (self.aquifers.device_coefficients(dt_seconds)
                       if self.aquifers is not None else None)
+            # DRSDT/DRVDT: cap Rs/Rv growth over this substep, both in
+            # the update chop AND inside the property evaluation via the
+            # aux channels (the saturated Rs/Rv used by SG cells is the
+            # capped one, so free gas accumulates instead of dissolving —
+            # EclProblem::updateCompositionChangeLimits_)
+            x3_caps = None
+            if drsdt is not None or drvdt is not None:
+                from opm_autodiff_tpu.models.blackoil import (FLAG_RS,
+                                                              FLAG_RV,
+                                                              FLAG_SG)
+                x3_0 = st0.u[:, 2]
+                if self.fs.num_pvt_regions == 1:
+                    rs0_sat = self.fs.rs_sat(st0.u[:, 0])
+                    rv0_sat = self.fs.rv_sat(st0.u[:, 0])
+                else:
+                    rs0_sat = jax.vmap(self.fs.rs_sat)(
+                        st0.u[:, 0], self.cells.regs[:, 1])
+                    rv0_sat = jax.vmap(self.fs.rv_sat)(
+                        st0.u[:, 0], self.cells.regs[:, 1])
+                rs_start = jnp.where(st0.flag == FLAG_RS, x3_0, rs0_sat)
+                rv_start = jnp.where(st0.flag == FLAG_RV, x3_0, rv0_sat)
+                aux = self.cells.mob_mult
+                rs_cap = (rs_start + drsdt * dt_seconds
+                          if drsdt is not None
+                          else jnp.full_like(x3_0, jnp.inf))
+                rv_cap = (rv_start + drvdt * dt_seconds
+                          if drvdt is not None
+                          else jnp.full_like(x3_0, jnp.inf))
+                aux = aux.at[:, 3].set(rs_cap).at[:, 4].set(rv_cap)
+                self.cells = self.cells._replace(mob_mult=aux)
+                x3_caps = jnp.where(st0.flag == FLAG_RS, rs_cap,
+                                    jnp.where(st0.flag == FLAG_RV, rv_cap,
+                                              jnp.inf))
             st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve(
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
-                vfp_bank=self._vfp_combined, msw=msw)
+                vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps)
 
             def commit():
                 p_old = committed["st"].u[:, 0]
@@ -301,8 +337,12 @@ class Simulator:
         step_days = rstep.end_days - rstep.start_days
         tstep_params = self.opts.tstep
         if rstep.tuning:
-            tstep_params = dataclasses.replace(tstep_params,
-                                               **rstep.tuning)
+            fields = {f.name for f in dataclasses.fields(tstep_params)}
+            overrides = {k: v for k, v in rstep.tuning.items()
+                         if k in fields}
+            if overrides:
+                tstep_params = dataclasses.replace(tstep_params,
+                                                   **overrides)
             if "initial_dt_days" in rstep.tuning:
                 self._suggested_dt = min(self._suggested_dt,
                                          rstep.tuning["initial_dt_days"])
@@ -360,7 +400,8 @@ class Simulator:
     # ------------------------------------------------------------------
     def _refresh_mob_mult(self):
         """Combine the extended-component and thermal phase-mobility
-        feedbacks into CellStatic.mob_mult."""
+        feedbacks into CellStatic.mob_mult channels [0:3] (channels 3/4
+        are the DRSDT/DRVDT caps, refreshed per substep)."""
         if not (self.components.active or self.thermal.active):
             return
         mm = jnp.ones((self.geo.num_active, 3))
@@ -368,7 +409,8 @@ class Simulator:
             mm = mm * self.components.mobility_multipliers()
         if self.thermal.active:
             mm = mm * self.thermal.mobility_multipliers()
-        self.cells = self.cells._replace(mob_mult=mm)
+        aux = self.cells.mob_mult.at[:, 0:3].set(mm)
+        self.cells = self.cells._replace(mob_mult=aux)
 
     # ------------------------------------------------------------------
     def _refresh_voidage(self, ws):

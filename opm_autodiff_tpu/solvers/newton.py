@@ -139,7 +139,8 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
     return cnv, mb, well_err, relaxed_ok, converged, failed
 
 
-def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None):
+def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
+                     x3_cap=None):
     # (inactive-phase pinning means dx for those variables is ~0)
     """Appleyard-chopped update + primary-variable switching
     (opm-models BlackOilNewtonMethod::update_ semantics)."""
@@ -171,6 +172,10 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None):
     else:
         rs_sat_new = jax.vmap(fs.rs_sat)(po_new, pvtnum)
         rv_sat_new = jax.vmap(fs.rv_sat)(po_new, pvtnum)
+    if x3_cap is not None:
+        # DRSDT/DRVDT: the switching threshold is the capped saturation
+        rs_sat_new = jnp.minimum(rs_sat_new, x3_cap)
+        rv_sat_new = jnp.minimum(rv_sat_new, x3_cap)
     gas_on = params.has_gas
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
     to_rs = is_sg & (x3_new < 0.0) & gas_on
@@ -194,6 +199,10 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None):
          jnp.zeros_like(x3_new),
          jnp.maximum(1.0 - sw_new - 1e-4, 0.0)],
         default=x3_stay)
+    if x3_cap is not None:
+        # DRSDT/DRVDT composition-change rate limits (caps built per
+        # substep in the driver; +inf where inactive)
+        x3_new = jnp.minimum(x3_new, x3_cap)
     u_new = jnp.stack([po_new, sw_new, x3_new], axis=1)
     return u_new, flag_new
 
@@ -239,7 +248,7 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
 def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
                           aq: AquiferDevice | None = None,
-                          vfp_bank=None, msw=None):
+                          vfp_bank=None, msw=None, x3_cap=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
@@ -356,7 +365,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # --- chopped update + switching ---
     u_new, flag_new = _chop_and_update(params, fs, u, flag, dx,
-                                       cells.regs[:, 1])
+                                       cells.regs[:, 1], x3_cap)
     dpbh = jnp.clip(dpbh, -5e6, 5e6)  # DbhpMaxRel-style damping
     pbh_new = jnp.clip(pbh + dpbh, 1e5, 2e9)
 
@@ -394,7 +403,8 @@ class NewtonReport:
 
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
-                 aq: AquiferDevice | None = None, vfp_bank=None, msw=None):
+                 aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
+                 x3_cap=None):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -412,7 +422,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     for it in range(params.max_iter + 1):
         new_st, info, (q_tot, q_perf, q_msw), q_aq = newton_iteration(
             params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
-            vfp_bank, msw)
+            vfp_bank, msw, x3_cap)
         last_q_aq = q_aq
         last_q_perf = q_perf
         last_q_msw = q_msw

@@ -398,7 +398,7 @@ def msw_contributions(fs: FluidSystem, u, flag, x, msw: MswSet,
     reg_perf = (regs[msw.perf_cell] if regs is not None
                 else jnp.zeros(msw.perf_cell.shape + (2,), jnp.int32))
     mob_perf = (mob_mult[msw.perf_cell] if mob_mult is not None
-                else jnp.ones(msw.perf_cell.shape + (3,)))
+                else jnp.ones(msw.perf_cell.shape + (5,)))
 
     def one_well(row, x_w, u_p, f_p, r_p, am, m_p):
         def f(args):

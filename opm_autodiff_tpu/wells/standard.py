@@ -269,7 +269,7 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     reg_perf = (regs[ws.cell] if regs is not None
                 else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
     mob_perf = (mob_mult[ws.cell] if mob_mult is not None
-                else jnp.ones(ws.cell.shape + (3,)))
+                else jnp.ones(ws.cell.shape + (5,)))
     eps_perf = eps[ws.cell] if eps is not None else None
     eps_ax = None if eps is None else 0
     dz = ws.perf_depth - ws.ref_depth[:, None]
@@ -314,7 +314,7 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     reg_perf = (regs[ws.cell] if regs is not None
                 else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
     mob_perf = (mob_mult[ws.cell] if mob_mult is not None
-                else jnp.ones(ws.cell.shape + (3,)))
+                else jnp.ones(ws.cell.shape + (5,)))
     eps_perf = eps[ws.cell] if eps is not None else None
     eps_ax = None if eps is None else 0
     dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
