@@ -164,6 +164,9 @@ class SolutionSection:
     rs: np.ndarray | None
     rv: np.ndarray | None = None
     restart: tuple | None = None  # (basename, report_step)
+    # per-EQLNUM-region records/tables (entry 0 == equil/rsvd)
+    equil_regions: list = dataclasses.field(default_factory=list)
+    rsvd_regions: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -689,27 +692,34 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
 
 def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
     u = rs.unit_system
-    equil = None
+    equil_regions = []
     kw = deck.get1("EQUIL")
     if kw and kw.records:
-        r = kw.records[0]
-        equil = EquilRecord(
-            datum_depth=item(r, 0, 0.0) * u.length,
-            datum_pressure=item(r, 1, 0.0) * u.pressure,
-            woc_depth=item(r, 2, 0.0) * u.length,
-            woc_pc=item(r, 3, 0.0) * u.pressure,
-            goc_depth=item(r, 4, 0.0) * u.length,
-            goc_pc=item(r, 5, 0.0) * u.pressure,
-            rs_method=int(item(r, 6, 0)),
-            rv_method=int(item(r, 7, 0)),
-            accuracy=int(item(r, 8, 0)),
-        )
-    rsvd = None
+        for r in kw.records:
+            if not r:
+                continue
+            equil_regions.append(EquilRecord(
+                datum_depth=item(r, 0, 0.0) * u.length,
+                datum_pressure=item(r, 1, 0.0) * u.pressure,
+                woc_depth=item(r, 2, 0.0) * u.length,
+                woc_pc=item(r, 3, 0.0) * u.pressure,
+                goc_depth=item(r, 4, 0.0) * u.length,
+                goc_pc=item(r, 5, 0.0) * u.pressure,
+                rs_method=int(item(r, 6, 0)),
+                rv_method=int(item(r, 7, 0)),
+                accuracy=int(item(r, 8, 0)),
+            ))
+    equil = equil_regions[0] if equil_regions else None
+    rsvd_regions = []
     kw = deck.get1("RSVD")
     if kw and kw.records:
-        vals = np.asarray([v for v in kw.records[0] if v is not DEFAULT],
-                          float).reshape(-1, 2)
-        rsvd = vals * np.asarray([u.length, u.gas_oil_ratio])
+        for r in kw.records:
+            vals = np.asarray([v for v in r if v is not DEFAULT],
+                              float).reshape(-1, 2)
+            if len(vals):
+                rsvd_regions.append(
+                    vals * np.asarray([u.length, u.gas_oil_ratio]))
+    rsvd = rsvd_regions[0] if rsvd_regions else None
 
     def arr(name, scale=1.0):
         a = _grid_array(deck, name, ncells)
@@ -724,6 +734,8 @@ def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
     return SolutionSection(
         equil=equil,
         rsvd=rsvd,
+        equil_regions=equil_regions,
+        rsvd_regions=rsvd_regions,
         pressure=arr("PRESSURE", u.pressure),
         swat=arr("SWAT"),
         sgas=arr("SGAS"),

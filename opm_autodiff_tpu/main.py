@@ -22,8 +22,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("deck", help="ECLIPSE .DATA input deck")
     p.add_argument("--output-dir", default=None,
                    help="directory for output files (default: deck's)")
-    p.add_argument("--linear-solver", default="jacobi",
-                   choices=["jacobi", "cpr"],
+    p.add_argument("--linear-solver", default="zline",
+                   choices=["zline", "jacobi", "cpr"],
                    help="preconditioner (reference --linear-solver)")
     p.add_argument("--tolerance-cnv", type=float, default=1e-2)
     p.add_argument("--tolerance-mb", type=float, default=1e-6)
@@ -89,6 +89,13 @@ def main(argv=None) -> int:
     outdir = args.output_dir or os.path.dirname(os.path.abspath(args.deck))
     os.makedirs(outdir, exist_ok=True)
 
+    # .PRT run log (the reference's OpmLog/.PRT stream, Main.hpp:442
+    # setupLogging): banner, keyword validation, per-step convergence
+    prt = PrtLog(os.path.join(outdir, base + ".PRT"), __version__,
+                 args.deck)
+    for m in sim.diagnostics:
+        prt.line(m)
+
     ecl_out = args.enable_ecl_output == "true"
     unit_name = state.runspec.unit_system.name
     unrst = None
@@ -109,8 +116,14 @@ def main(argv=None) -> int:
             from opm_autodiff_tpu.io import eclbinary as eb
 
             eb.write_unrst_step(unrst, sim._step_index, sim, unit_name)
+        r = sim.summary.rows[-1]
+        srep = sim.report.steps[-1]
+        prt.line(
+            f"Report step {sim._step_index:4d}/{nsteps} t={r['TIME']:10.2f} "
+            f"days  substeps={len(reports)}  newton={srep.newton_iterations}"
+            f"  linear={srep.linear_iterations}  FOPR={r.get('FOPR', 0):.2f}"
+            f"  FPR={r.get('FPR', 0):.2f}")
         if not args.quiet:
-            r = sim.summary.rows[-1]
             print(f"step {sim._step_index}/{nsteps} t={r['TIME']:.1f}d "
                   f"FOPR={r.get('FOPR', 0):.1f} FPR={r.get('FPR', 0):.1f} "
                   f"substeps={len(reports)}")
@@ -127,11 +140,36 @@ def main(argv=None) -> int:
                                sim.summary.rows, state.cartdims,
                                state.runspec.start, unit_name)
     write_infostep(os.path.join(outdir, base + ".INFOSTEP"), sim)
+    rep = sim.report
+    prt.line(f"End of simulation: wall={wall:.1f}s {rep.summary_line()}")
+    prt.close()
     if not args.quiet:
         rep = sim.report
         print(f"done in {wall:.1f}s: {rep.summary_line()}")
         print(f"summary written to {os.path.join(outdir, base + '.csv')}")
     return 0
+
+
+class PrtLog:
+    """Minimal .PRT print-file writer (reference: OpmLog file backend,
+    opm/simulators/utils logging set up in Main.hpp:442)."""
+
+    def __init__(self, path: str, version: str, deck: str):
+        self._f = open(path, "w")
+        import datetime
+
+        self.line("=" * 70)
+        self.line(f" opm_autodiff_tpu {version} — TPU-native black-oil "
+                  "simulator")
+        self.line(f" deck: {deck}")
+        self.line(f" started: {datetime.datetime.now().isoformat()}")
+        self.line("=" * 70)
+
+    def line(self, msg: str) -> None:
+        self._f.write(msg + "\n")
+
+    def close(self) -> None:
+        self._f.close()
 
 
 def write_infostep(path: str, sim) -> None:

@@ -149,16 +149,57 @@ class _HostProps:
 
 
 def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState:
-    eq = state.solution.equil
-    if eq is None:
+    """Hydrostatic equilibration, one EQUIL record per EQLNUM region
+    (reference: per-region PressureTable/PhaseSaturations,
+    equil/initstateequil.hh:288,816)."""
+    sol = state.solution
+    eqs = sol.equil_regions or ([sol.equil] if sol.equil else [])
+    if not eqs:
         return explicit_init(state, geo, fs)
 
-    depths = np.asarray(geo.depth)
+    eqlnum = state.regions.get("EQLNUM")
+    if eqlnum is not None:
+        reg_cells = np.maximum(
+            np.asarray(eqlnum)[geo.act_to_glob] - 1, 0).astype(np.int32)
+    else:
+        reg_cells = np.zeros(geo.num_active, np.int32)
+    reg_cells = np.minimum(reg_cells, len(eqs) - 1)
+
+    pvtnum = (np.asarray(geo.pvtnum) if geo.pvtnum is not None
+              else np.zeros(geo.num_active, np.int32))
+
+    n = geo.num_active
+    u_out = np.empty((n, 3))
+    flag_out = np.empty(n, np.int32)
+
+    for ireg, eq in enumerate(eqs):
+        mask = reg_cells == ireg
+        if not mask.any():
+            continue
+        rsvds = sol.rsvd_regions
+        rsvd = (rsvds[ireg] if ireg < len(rsvds)
+                else (rsvds[-1] if rsvds else None))
+        # the region's dominant PVT table drives the integration
+        pvt_r = int(np.bincount(pvtnum[mask]).argmax())
+        idx = np.nonzero(mask)[0]
+        po, sw, x3, flag = _equilibrate_region(
+            state, geo, fs, eq, rsvd, pvt_r, idx)
+        u_out[idx, 0] = po
+        u_out[idx, 1] = sw
+        u_out[idx, 2] = x3
+        flag_out[idx] = flag
+    return PrimaryState(u=jnp.asarray(u_out), flag=jnp.asarray(flag_out))
+
+
+def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx):
+    """Equilibrate the cells in ``idx`` against one EQUIL record.
+
+    Returns (po, sw, x3, flag) arrays over idx (unsorted order)."""
+    depths = np.asarray(geo.depth)[idx]
     order = np.argsort(depths)
     d_sorted = depths[order]
 
-    rsvd = state.solution.rsvd
-    hp = _HostProps(fs)
+    hp = _HostProps(fs, pvt_reg)
 
     def rs_at(p, d):
         rs_sat = hp.rs_sat(p)
@@ -176,7 +217,6 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
         return hp.gas_density(p)
 
     # oil pressure from datum
-    po = np.empty_like(d_sorted)
     po = _integrate_pressure(d_sorted, eq.datum_depth, eq.datum_pressure,
                              rho_oil)
 
@@ -199,8 +239,9 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
     sg_bank = np.asarray(sat.sg)
     pcog_bank = np.asarray(sat.pcog_tab)
     swco_bank = np.asarray(sat.swco)
-    regs = (np.asarray(geo.satnum) if getattr(geo, "satnum", None) is not None
-            else np.zeros(len(d_sorted), np.int32))
+    regs = (np.asarray(geo.satnum)[idx]
+            if getattr(geo, "satnum", None) is not None
+            else np.zeros(len(idx), np.int32))
     regs_sorted = regs[order]
 
     n = len(d_sorted)
@@ -249,11 +290,10 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
             flag[i] = FLAG_RS
             x3[i] = rs_at(po[i], d)
 
-    # scatter back to active-cell order
+    # scatter back to the incoming (unsorted) cell order
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
-    u = np.stack([po_out[inv], sw[inv], x3[inv]], axis=1)
-    return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag[inv]))
+    return po_out[inv], sw[inv], x3[inv], flag[inv]
 
 
 def apply_swatinit(state: EclState, geo: Geometry, fs: FluidSystem,
