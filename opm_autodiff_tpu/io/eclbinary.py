@@ -346,3 +346,40 @@ def write_unrst_step(writer: EclFileWriter, seqnum: int, sim,
     writer.write("SWAT    ", u[:, 1].astype(np.float32))
     writer.write("SGAS    ", sg.astype(np.float32))
     writer.write("RS      ", (rs / usys.gas_oil_ratio).astype(np.float32))
+
+
+def write_rft_step(writer: EclFileWriter, sim, time_days: float,
+                   unit_name: str, well_names: list[str] | None = None):
+    """Append one RFT report for the requested wells (reference: WRFTPLT
+    -> EclipseIO RFT stream; per-connection depth/pressure/saturations).
+    """
+    import numpy as np
+
+    from opm_autodiff_tpu import units as U
+
+    u = U.BY_NAME[unit_name]
+    step = sim.state.schedule.steps[min(sim._step_index,
+                                        len(sim.state.schedule.steps) - 1)]
+    uu = np.asarray(sim.u)
+    flag = np.asarray(sim.flag)
+    sg_all = np.where(flag == 0, uu[:, 2], 0.0)
+    for w in step.wells:
+        if well_names is not None and w.name not in well_names:
+            continue
+        if not getattr(w, "rft", False):
+            continue
+        cells = [sim.geo.act_index(c.i, c.j, c.k)
+                 for c in w.completions if c.open]
+        cells = [c for c in cells if c >= 0]
+        if not cells:
+            continue
+        writer.write("TIME", np.asarray([time_days], np.float32))
+        writer.write("WELLETC", [f"{w.name:8s}", "RFT"], kind="CHAR")
+        depth = np.asarray([sim.geo.depth[c] for c in cells], np.float32)
+        pres = np.asarray([uu[c, 0] for c in cells], np.float32)
+        swat = np.asarray([uu[c, 1] for c in cells], np.float32)
+        sgas = np.asarray([sg_all[c] for c in cells], np.float32)
+        writer.write("DEPTH", depth / u.length)
+        writer.write("PRESSURE", pres / u.pressure)
+        writer.write("SWAT", swat)
+        writer.write("SGAS", sgas)

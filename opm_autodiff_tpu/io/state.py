@@ -248,6 +248,7 @@ class WellConfig:
     salt_conc: float = 0.0         # WSALT / WPOLYMER item 3
     foam_conc: float = 0.0         # WFOAM
     efac: float = 1.0              # WEFAC*GEFAC well efficiency factor
+    rft: bool = False              # WRFTPLT: write RFT data for this well
     solv_frac: float = 0.0         # WSOLVENT: solvent fraction of gas inj
     temp_inj: float | None = None  # WTEMP / WINJTEMP: injection temp (K)
     # gas lift (WLIFTOPT; ALQ quantities stay in DECK units — they only
@@ -1005,6 +1006,11 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
         for r in kw.records:
             w = wells[str(item(r, 0, ""))]
             w.foam_conc = float(item(r, 1, 0.0)) * u.polymer_concentration
+    elif kw.name == "WRFTPLT":
+        for r in kw.records:
+            w = wells.get(str(item(r, 0, "")))
+            if w is not None:
+                w.rft = str(item(r, 1, "YES")).upper().startswith("Y")
     elif kw.name == "WPIMULT":
         # reference: WellProdIndexCalculator WELPI/WPIMULT rescaling
         for r in kw.records:

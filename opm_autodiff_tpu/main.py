@@ -107,6 +107,12 @@ def main(argv=None) -> int:
         eb.write_init(os.path.join(outdir, base + ".INIT"), sim.geo, state,
                       unit_name)
         unrst = eb.EclFileWriter(os.path.join(outdir, base + ".UNRST"))
+    rft = None
+    if ecl_out and any(getattr(w, "rft", False)
+                       for st in state.schedule.steps for w in st.wells):
+        from opm_autodiff_tpu.io import eclbinary as eb
+
+        rft = eb.EclFileWriter(os.path.join(outdir, base + ".RFT"))
 
     t0 = time.perf_counter()
     nsteps = len(state.schedule.steps)
@@ -116,6 +122,11 @@ def main(argv=None) -> int:
             from opm_autodiff_tpu.io import eclbinary as eb
 
             eb.write_unrst_step(unrst, sim._step_index, sim, unit_name)
+        if rft is not None:
+            from opm_autodiff_tpu.io import eclbinary as eb
+
+            r_last = sim.summary.rows[-1]
+            eb.write_rft_step(rft, sim, r_last["TIME"], unit_name)
         r = sim.summary.rows[-1]
         srep = sim.report.steps[-1]
         prt.line(
@@ -130,6 +141,8 @@ def main(argv=None) -> int:
     wall = time.perf_counter() - t0
     if unrst is not None:
         unrst.close()
+    if rft is not None:
+        rft.close()
 
     sim.summary.to_csv(os.path.join(outdir, base + ".csv"))
     sim.summary.to_npz(os.path.join(outdir, base + ".npz"))

@@ -458,20 +458,44 @@ class Simulator:
         self.cum["FGIT"] += inj[2] * dt
         self._last_q = q
 
+    def _fip(self):
+        """Fluids in place, field + per-FIPNUM region (reference:
+        EclGenericOutputBlackoilModule FIP accounting,
+        eclgenericoutputblackoilmodule.hh:76): surface volumes from the
+        same accumulation terms the conservation equations use."""
+        from opm_autodiff_tpu.models.blackoil import accumulation
+
+        acc = np.asarray(self._acc_fn(self.fs, self.u, self.flag,
+                                      self.cells.pore_vol_ref,
+                                      self.cells.regs))  # [N,3] w,o,g
+        out = {"FWIP": float(acc[:, 0].sum()),
+               "FOIP": float(acc[:, 1].sum()),
+               "FGIP": float(acc[:, 2].sum())}
+        fip = self.geo.fipnum
+        if fip is not None and int(np.asarray(fip).max()) > 0:
+            fip = np.asarray(fip)
+            for r in range(int(fip.max()) + 1):
+                m = fip == r
+                out[f"ROIP:{r + 1}"] = float(acc[m, 1].sum())
+                out[f"RGIP:{r + 1}"] = float(acc[m, 2].sum())
+                out[f"RWIP:{r + 1}"] = float(acc[m, 0].sum())
+        return out
+
     def _field_state(self, ws):
         """Field + well quantities for the summary at report time."""
         u = np.asarray(self.u)
         pv = np.asarray(self.cells.pore_vol_ref)
         fpr = float((u[:, 0] * pv).sum() / pv.sum())
         q = getattr(self, "_last_q", None)
-        out = {
+        out = self._fip()
+        out.update({
             "FPR": fpr,
             "FOPT": self.cum["FOPT"],
             "FGPT": self.cum["FGPT"],
             "FWPT": self.cum["FWPT"],
             "FGIT": self.cum["FGIT"],
             "FWIT": self.cum["FWIT"],
-        }
+        })
         if self.aquifers is not None:
             out["FAQT"] = self.cum["FAQT"]
             out["FAQR"] = getattr(self, "_last_q_aq", 0.0)

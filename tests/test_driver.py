@@ -134,3 +134,20 @@ def test_ecl_restart_keyword(tmp_path, spe1_deck_path):
     sw_full = np.asarray(full.u[:, 1])
     np.testing.assert_allclose(np.asarray(resumed.u[:, 1]), sw_full,
                                atol=2e-3)
+
+
+def test_fip_in_summary(spe1_deck_path):
+    """FIP in-place volumes, field + FIPNUM regions (reference:
+    EclGenericOutputBlackoilModule FIP accounting)."""
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+    sim = Simulator(load_state(spe1_deck_path), SimulatorOptions())
+    for _ in range(3):
+        sim.step()
+    r0 = sim.summary.rows[0]
+    r = sim.summary.rows[-1]
+    assert r["FOIP"] > 0
+    assert r["FGIP"] > 0
+    # production depletes oil in place
+    assert r["FOIP"] < r0["FOIP"]

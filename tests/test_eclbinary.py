@@ -117,3 +117,26 @@ def test_cli_writes_ecl_files(tmp_path, spe1_deck_path):
     assert 4000 < p.mean() < 5200  # psia
     sw = [v for n, t, v in unrst if n == "SWAT"][0]
     np.testing.assert_allclose(sw, 0.12, atol=1e-2)  # ~connate after 2 days
+
+
+def test_rft_output(tmp_path, spe1_deck_path):
+    """WRFTPLT -> .RFT stream with per-connection depth/pressure/sats
+    (reference: EclipseIO RFT via eclwriter)."""
+    text = open(spe1_deck_path).read().replace(
+        "TSTEP", "WRFTPLT\n 'PROD' 'YES' /\n/\nTSTEP", 1)
+    p = tmp_path / "RFT.DATA"
+    p.write_text(text)
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "opm_autodiff_tpu.main", str(p),
+         "--platform", "cpu", "--output-dir", str(tmp_path), "--quiet"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rft = tmp_path / "RFT.RFT"
+    assert rft.exists()
+    from opm_autodiff_tpu.io.eclbinary import read_ecl_file
+    kws = read_ecl_file(str(rft))
+    names = [k[0] for k in kws]
+    assert "WELLETC" in names and "PRESSURE" in names and "DEPTH" in names
