@@ -186,6 +186,36 @@ def cpr_banded_apply(c: CprBandedData, sys, r, inner_iters: int = 12,
     return x1 + x2
 
 
+def build_gmg_hierarchy(c: CprBandedData):
+    """Semi-coarsened geometric-multigrid hierarchy of the scalar
+    pressure system (reference: the AMG hierarchy amgcpr.hh builds
+    algebraically — rebuilt per Newton iteration like cpr_reuse_setup=0)."""
+    from opm_autodiff_tpu.solvers.gmg import build_hierarchy
+
+    return build_hierarchy(c.p_diag, c.px_lr, c.px_rl, c.py_lr, c.py_rl,
+                           c.pz_lr, c.pz_rl)
+
+
+def cpr_banded_apply_gmg(c: CprBandedData, sys, r, hierarchy,
+                         cycles: int = 1, pressure_var: int = 0):
+    """Two-stage apply with geometric-multigrid V-cycles as the coarse
+    pressure solve (the reference's '1 AMG V-cycle' made geometric —
+    SURVEY.md §7 hard part 1). Linear in r, so plain BiCGStab can wrap it."""
+    from opm_autodiff_tpu.models.structured import structured_matvec
+    from opm_autodiff_tpu.solvers.gmg import level_matvec, vcycle
+
+    nz, ny, nx = c.p_diag.shape
+    r_p = jnp.einsum("ni,ni->n", c.weights, r).reshape(nz, ny, nx)
+    dp = vcycle(hierarchy, r_p)
+    for _ in range(cycles - 1):
+        res = r_p - level_matvec(hierarchy[0], dp)
+        dp = dp + vcycle(hierarchy, res)
+    x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp.reshape(-1))
+    r2 = r - structured_matvec(sys, x1)
+    x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    return x1 + x2
+
+
 def cpr_apply(c: CprData, sys: BsrSystem, r, inner_iters: int = 12,
               pressure_var: int = 0):
     """Two-stage apply: coarse pressure correction + block-Jacobi smoothing."""

@@ -328,6 +328,19 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
 def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
     from opm_autodiff_tpu.models.structured import StructuredSystem
 
+    if name == "cpramg":
+        # CPR with a geometric-multigrid coarse pressure solve (the
+        # reference default two-level cpr: fine smoother + 1 AMG V-cycle,
+        # setupPropertyTree.cpp:95-120). Linear apply -> BiCGStab-safe.
+        if isinstance(sys, StructuredSystem):
+            from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,
+                                                      build_gmg_hierarchy,
+                                                      cpr_banded_apply_gmg)
+
+            cprb = build_cpr_banded(sys, inv_diag)
+            hier = build_gmg_hierarchy(cprb)
+            return lambda r: cpr_banded_apply_gmg(cprb, sys, r, hier)
+        name = "cpr"  # unstructured: fall back to Krylov-inner CPR
     if name == "cpr":
         if isinstance(sys, StructuredSystem):
             from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,
