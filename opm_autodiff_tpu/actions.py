@@ -255,6 +255,7 @@ def apply_action_to_schedule(action: ActionDef, state, from_step: int):
         tree = step.groups.setdefault("tree", {})
         prod = step.groups.setdefault("prod", {})
         inj = step.groups.setdefault("inj", {})
+        net = step.groups.setdefault("net", {})
         for kw in action.keywords:
             _apply_sched_keyword(kw, u, wells, tree, prod, inj,
-                                 step.liftopt)
+                                 step.liftopt, net)

@@ -105,7 +105,8 @@ RECORDS_KEYWORDS = {
     "WELSPECS", "COMPDAT", "WCONPROD", "WCONINJE", "WCONHIST", "WCONINJH",
     "WELTARG", "WELOPEN", "WPIMULT", "WEFAC", "WTEST", "WECON", "WELSEGS",
     "COMPSEGS", "WSEGVALV", "GRUPTREE", "GCONPROD", "GCONINJE", "GEFAC",
-    "GRUPNET", "NODEPROP", "BRANPROP", "EQUALS", "COPY", "ADD", "MULTIPLY",
+    "GRUPNET", "NODEPROP", "BRANPROP", "NETBALAN", "EQUALS", "COPY", "ADD",
+    "MULTIPLY",
     "MULTIREG", "BOX", "FAULTS", "MULTFLT", "PINCH", "NNC", "EDITNNC",
     "AQUCT", "AQUFETP", "AQUANCON", "AQUFLUX", "AQUNUM", "AQUCON",
     "ROCK", "ROCKTAB",

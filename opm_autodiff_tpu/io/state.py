@@ -764,7 +764,7 @@ def _build_summary(deck: Deck) -> SummaryConfig:
 
 
 def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
-                         group_inj, liftopt):
+                         group_inj, liftopt, group_net=None):
     """Apply one schedule keyword to the mutable well/group state.
 
     Shared between the deck-order schedule builder and runtime ACTIONX
@@ -1087,6 +1087,33 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
                     u.gas_rate if str(item(r, 1, "GAS")).upper() == "GAS"
                     else u.liquid_rate),
             }
+    elif kw.name == "GRUPNET":
+        # standard network model: per-group node with a fixed terminal
+        # pressure or a VFP branch table to its parent node (reference:
+        # Schedule's Network consumed by BlackoilWellModelGeneric network
+        # balancing)
+        if group_net is None:
+            group_net = {}
+        for r in kw.records:
+            g = str(item(r, 0, ""))
+            pr = item(r, 1, None)
+            vfp = item(r, 2, 0)
+            alq = item(r, 3, 0.0)
+            group_net[g] = {
+                "pressure": (float(pr) * u.pressure
+                             if pr is not None and float(pr) >= 0 else None),
+                "vfp": int(vfp) if vfp is not None else 0,
+                "alq": float(alq) if alq is not None else 0.0,
+            }
+    elif kw.name == "NETBALAN":
+        if group_net is None:
+            group_net = {}
+        r = kw.records[0] if kw.records else []
+        group_net["_balan"] = {
+            "interval_days": float(item(r, 0, 0.0)) * u.time / U.DAY,
+            "ptol": float(item(r, 1, 1.0e-5)) * u.pressure,
+            "max_iter": int(item(r, 2, 10)),
+        }
     elif kw.name == "WELOPEN":
         for r in kw.records:
             name = str(item(r, 0, ""))
@@ -1146,6 +1173,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     group_tree: dict = {}
     group_prod: dict = {}
     group_inj: dict = {}
+    group_net: dict = {}
     liftopt: dict = {}
     tuning: dict = {}
 
@@ -1158,7 +1186,8 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         import copy
         return {"tree": dict(group_tree),
                 "prod": copy.deepcopy(group_prod),
-                "inj": copy.deepcopy(group_inj)}
+                "inj": copy.deepcopy(group_inj),
+                "net": copy.deepcopy(group_net)}
 
     def advance(days: float):
         nonlocal t_days
@@ -1176,7 +1205,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         if not in_schedule:
             continue
         if _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
-                                 group_inj, liftopt):
+                                 group_inj, liftopt, group_net):
             pass
         elif kw.name in ("DRSDT", "DRVDT"):
             # max dissolved-GOR / vaporized-OGR increase rate

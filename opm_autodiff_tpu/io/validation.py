@@ -21,7 +21,6 @@ UNSUPPORTED = {
     "GASFIELD": "field gas options are not implemented",
     "MISCIBLE": "the full miscible (SSFN/MISC) model is not implemented; "
                 "SOLVENT uses Todd-Longstaff mixing",
-    "NETBALAN": "network balancing is not implemented",
     "WPAVE": "block-average well pressures are not implemented",
 }
 

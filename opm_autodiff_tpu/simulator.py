@@ -207,6 +207,34 @@ class Simulator:
         if gmgr.active:
             lr = getattr(self, "_last_q", None)
             ws = apply_assignments(ws_base, gmgr.effective_controls(lr))
+
+        # GRUPNET network: node pressures from branch VFP tables become
+        # dynamic THP limits on the member wells (reference: network
+        # balancing in BlackoilWellModelGeneric; NETBALAN interval is
+        # subsumed by the substep loop re-evaluating from last rates)
+        net_nodes = {g: c
+                     for g, c in (rstep.groups.get("net") or {}).items()
+                     if not g.startswith("_")}
+
+        def with_network(w_set):
+            if not net_nodes or self.vfp_bank is None:
+                return w_set
+            from opm_autodiff_tpu.wells.network import (apply_network_thp,
+                                                        group_production,
+                                                        node_pressures)
+            from opm_autodiff_tpu.wells.standard import _split_banks
+
+            prod_bank, _ = _split_banks(self.vfp_bank)
+            tree = rstep.groups.get("tree", {})
+            grates = group_production(tree, std_wells,
+                                      getattr(self, "_last_q", None),
+                                      len(std_wells))
+            press = node_pressures(tree, net_nodes, grates, prod_bank,
+                                   self._vfp_numbering)
+            self._net_pressures = press
+            return apply_network_thp(w_set, std_wells, tree, press)
+
+        ws = with_network(ws)
         # gas-lift ALQ optimization at report-step start (reference:
         # BlackoilWellModel::gasLiftOptimizationStage1, _impl.hpp:895)
         if (self.vfp_bank is not None and rstep.liftopt
@@ -323,9 +351,11 @@ class Simulator:
                                     if q_msw is not None else None)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
                 # re-apportion group targets with the fresh rates
-                if gmgr.active:
-                    committed["ws"] = apply_assignments(
+                if gmgr.active or net_nodes:
+                    new_ws = (apply_assignments(
                         ws_base, gmgr.effective_controls(self._last_q))
+                        if gmgr.active else ws_base)
+                    committed["ws"] = with_network(new_ws)
                 # relative pressure change feeds the PID dt controller
                 p_new = st.u[:, 0]
                 num = float(jnp.linalg.norm(p_new - p_old))

@@ -122,7 +122,7 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
     rate_scale = jnp.where(jnp.isfinite(rate_scale) & (rate_scale > 0),
                            rate_scale, 1.0)
     from opm_autodiff_tpu.wells.standard import CTRL_THP
-    is_bhp_eq = (active_mode == CTRL_BHP) | (active_mode == CTRL_THP)
+    is_bhp_eq = (active_mode == CTRL_BHP) | (active_mode == wells_mod.CTRL_THP)
     scale = jnp.where(is_bhp_eq, jnp.maximum(jnp.abs(ws.bhp_target), 1e5),
                       rate_scale)
     well_err = jnp.where(ws.open_mask,
@@ -207,13 +207,39 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
     return u_new, flag_new
 
 
-def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
+def update_well_controls(ws: WellSet, active_mode, pbh, q_tot,
+                         vfp_bank=None):
     """Control switching (reference: WellInterface_impl.hpp:155
     updateWellControl): rate-constrained wells falling below/above their
     BHP limit switch to BHP control; BHP-constrained wells exceeding the
-    schedule rate target switch back."""
+    schedule rate target switch back. With VFP tables, THP limits are
+    checked the same way (reference checkIndividualConstraints): a
+    producer whose BHP falls below the BHP-equivalent of its THP limit
+    at current rates switches to THP control — this is also how GRUPNET
+    network node pressures constrain wells."""
     prod = -q_tot  # [W,3] positive production
     sched = ws.ctrl_mode
+
+    # THP limit: compare pbh against the limit mapped through the VFP
+    # table at current rates
+    to_thp = jnp.zeros_like(ws.is_injector)
+    if vfp_bank is not None:
+        from opm_autodiff_tpu.wells.standard import _split_banks
+        from opm_autodiff_tpu.wells.vfp import bank_bhp, bank_inj_bhp
+
+        prod_bank, inj_bank = _split_banks(vfp_bank)
+        has_thp = (ws.thp_target > 0) & (ws.vfp_idx >= 0)
+        if prod_bank is not None:
+            bhp_of_thp = jax.vmap(bank_bhp, in_axes=(None, 0, 0, 0, 0))(
+                prod_bank, ws.vfp_idx, ws.thp_target, prod, ws.alq)
+            to_thp = (~ws.is_injector) & has_thp & \
+                (active_mode != wells_mod.CTRL_THP) & (pbh < bhp_of_thp)
+        if inj_bank is not None:
+            bhp_inj = jax.vmap(bank_inj_bhp, in_axes=(None, 0, 0, 0))(
+                inj_bank, ws.vfp_idx, ws.thp_target, q_tot.sum(axis=1))
+            to_thp = to_thp | (ws.is_injector & has_thp
+                               & (active_mode != wells_mod.CTRL_THP)
+                               & (pbh > bhp_inj))
 
     # producer: on rate control and pbh below limit -> BHP
     prod_to_bhp = (~ws.is_injector) & (active_mode != CTRL_BHP) & \
@@ -227,8 +253,9 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
         [prod[:, 1] - ws.orat, prod[:, 0] - ws.wrat, prod[:, 2] - ws.grat,
          prod[:, 0] + prod[:, 1] - ws.lrat, resv_prod - ws.resv_rate],
         default=jnp.full_like(pbh, -1.0))
-    prod_to_rate = (~ws.is_injector) & (active_mode == CTRL_BHP) & \
-        (sched != CTRL_BHP) & (sched_rate > 0.0)
+    limit_active = (active_mode == CTRL_BHP) | (active_mode == wells_mod.CTRL_THP)
+    prod_to_rate = (~ws.is_injector) & limit_active & \
+        (sched != active_mode) & (sched_rate > 0.0)
 
     inj_rate_now = q_tot.sum(axis=1)
     inj_resv_now = jnp.einsum("wi,wi->w", ws.voidage_coeff, q_tot)
@@ -240,7 +267,8 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot):
     inj_to_rate = ws.is_injector & (active_mode == CTRL_BHP) & \
         (sched != CTRL_BHP) & inj_target_exceeded
 
-    new_mode = jnp.where(prod_to_bhp | inj_to_bhp, CTRL_BHP, active_mode)
+    new_mode = jnp.where(to_thp, wells_mod.CTRL_THP, active_mode)
+    new_mode = jnp.where(prod_to_bhp | inj_to_bhp, CTRL_BHP, new_mode)
     new_mode = jnp.where(prod_to_rate | inj_to_rate, sched, new_mode)
     return new_mode
 
@@ -264,7 +292,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # BlackoilWellModel_impl.hpp:828-834) ---
     q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.regs,
                               cells.mob_mult, cells.eps)
-    mode = update_well_controls(ws, mode, pbh, q_quick)
+    mode = update_well_controls(ws, mode, pbh, q_quick, vfp_bank)
     wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank,
                             cells.regs, cells.mob_mult, cells.eps)
     q_tot = wr.q_perf.sum(axis=1)
