@@ -137,6 +137,7 @@ TABLES_KEYWORDS = {
     "SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3", "PVDG", "PVDO",
     "PVTO", "PVTG", "RSVD", "RVVD", "PBVD", "PDVD", "PVZG", "ROCKTAB",
     "TSTEP", "PLYVISC", "PLYADS", "FOAMMOB", "PVDS", "SSFN", "MSFN",
+    "MISC", "PMISC", "SORWMIS", "SGCWMIS",
     "SPECROCK", "SPECHEAT", "WATVISCT", "OILVISCT", "GASVISCT",
 }
 

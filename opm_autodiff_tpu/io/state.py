@@ -353,7 +353,8 @@ def _build_runspec(deck: Deck) -> Runspec:
         mon = MONTHS.get(str(item(r, 1, "JAN")).upper().strip("'\""), 1)
         year = int(item(r, 2, 1983))
         start = datetime.date(year, mon, day)
-    ext = {e for e in ("POLYMER", "BRINE", "FOAM", "SOLVENT", "THERMAL")
+    ext = {e for e in ("POLYMER", "BRINE", "FOAM", "SOLVENT", "THERMAL",
+                       "MISCIBLE")
            if e in deck}
     if "TEMP" in deck:
         ext.add("THERMAL")
@@ -1342,6 +1343,17 @@ def build_state(deck: Deck) -> EclState:
     kw = deck.get1("TLMIXPAR")
     if kw and kw.records:
         components["TLMIXPAR"] = float(item(kw.records[0], 0, 1.0))
+    # miscible-solvent tables (reference: opm-material
+    # blackoilsolventmodules' MISC/PMISC/SSFN handling under MISCIBLE)
+    kw = deck.get1("MISC")
+    if kw:
+        components["MISC"] = _table_2d_regions(kw, 2, [1.0, 1.0])
+    kw = deck.get1("PMISC")
+    if kw:
+        components["PMISC"] = _table_2d_regions(kw, 2, [u.pressure, 1.0])
+    kw = deck.get1("SSFN")
+    if kw:
+        components["SSFN"] = _table_2d_regions(kw, 3, [1.0, 1.0, 1.0])
     # thermal property tables (energy variant; reference
     # flow_ebos_energy.cpp + opm-material thermal laws)
     kw = deck.get1("SPECROCK")

@@ -19,14 +19,14 @@ UNSUPPORTED = {
     "API": "API tracking is not implemented",
     "COMPLUMP": "completion lumping is not implemented",
     "GASFIELD": "field gas options are not implemented",
-    "MISCIBLE": "the full miscible (SSFN/MISC) model is not implemented; "
-                "SOLVENT uses Todd-Longstaff mixing",
     "WPAVE": "block-average well pressures are not implemented",
 }
 
 # Supported with caveats (warn-grade).
 PARTIAL = {
     "EHYSTR": "hysteresis applies Killough scanning to gas relperm only",
+    "MISCIBLE": "MISC/PMISC/SSFN viscosity+relperm-split miscibility; "
+                "SORWMIS/SGCWMIS/MSFN endpoint shifts are not applied",
     "HFA": "the multisegment acceleration pressure-drop term is ignored",
     "PVTWSALT": "brine feedback covers water viscosity (not Bw/density)",
     "ROCKCOMP": "rock compaction uses the ROCK second-order expansion",

@@ -101,14 +101,38 @@ class ComponentModel:
             self.foam_m = jnp.asarray(t[:, 1])
             self.c_foam = jnp.zeros(n)
         # --- solvent tables ---
+        self.has_misc = False
         if self.has_solvent:
             t = np.asarray(comp["PVDS"][0])
             self.pvds_p = jnp.asarray(t[:, 0])
             self.pvds_mu = jnp.asarray(t[:, 2])
             self.tl_omega = float(comp.get("TLMIXPAR", 1.0))
             self.c_solv = jnp.zeros(n)  # solvent fraction of gas stream
+            # full miscible model (MISCIBLE + MISC/PMISC/SSFN; reference:
+            # opm-material blackoilsolventmodules isMiscible() path):
+            # MISC scales the Todd-Longstaff mixing by the miscibility
+            # function of the solvent fraction, PMISC by pressure; SSFN
+            # splits the gas-stream relperm between gas and solvent.
+            self.has_misc = "MISCIBLE" in ext
+            self.misc_tab = None
+            self.pmisc_tab = None
+            self.ssfn_tab = None
+            if self.has_misc and "MISC" in comp:
+                tm = np.asarray(comp["MISC"][0])
+                self.misc_tab = (jnp.asarray(tm[:, 0]), jnp.asarray(tm[:, 1]))
+            if self.has_misc and "PMISC" in comp:
+                tp = np.asarray(comp["PMISC"][0])
+                self.pmisc_tab = (jnp.asarray(tp[:, 0]),
+                                  jnp.asarray(tp[:, 1]))
+            if "SSFN" in comp:
+                ts = np.asarray(comp["SSFN"][0])
+                self.ssfn_tab = (jnp.asarray(ts[:, 0]),
+                                 jnp.asarray(ts[:, 1]),
+                                 jnp.asarray(ts[:, 2]))
 
         self._m_old = None
+        self._sat = None
+        self._rs = None
 
     @property
     def active(self) -> bool:
@@ -139,27 +163,71 @@ class ComponentModel:
             mr = jnp.clip(interp1d(self.c_foam, self.foam_c, self.foam_m,
                                    extrapolate=False), 1e-3, 1.0)
             mg = mg * mr
+        mo = jnp.ones(n)
         if self.has_solvent:
             # Todd-Longstaff: mu_mix^(-1/4) = (1-c) mu_g^(-1/4)
             #                               + c mu_s^(-1/4);
-            # effective viscosity mu_eff = mu_g^(1-w) * mu_mix^w
+            # per-component effective viscosities
+            #   mu_g_eff = mu_g^(1-w) mu_mix^w, mu_s_eff = mu_s^(1-w) mu_mix^w
+            # with the mixing exponent w scaled by the MISC/PMISC
+            # miscibility under the full miscible model.
             p_cell = self._p_cell
             mu_g = jax.vmap(lambda pp, rr: self.fs.gas_viscosity(pp, 0.0, rr[1])
                             )(p_cell, self.cells.regs)
-            mu_s = interp1d(p_cell, self.pvds_p, self.pvds_mu,
-                            extrapolate=False)
+            mu_s = jnp.maximum(interp1d(p_cell, self.pvds_p, self.pvds_mu,
+                                        extrapolate=False), 1e-12)
             c = jnp.clip(self.c_solv, 0.0, 1.0)
+            m_fac = jnp.ones(n)
+            if self.misc_tab is not None:
+                m_fac = jnp.clip(interp1d(c, *self.misc_tab,
+                                          extrapolate=False), 0.0, 1.0)
+            if self.pmisc_tab is not None:
+                m_fac = m_fac * jnp.clip(
+                    interp1d(p_cell, *self.pmisc_tab, extrapolate=False),
+                    0.0, 1.0)
+            w = self.tl_omega * m_fac
             inv4 = ((1.0 - c) * mu_g ** -0.25 + c * mu_s ** -0.25)
             mu_mix = inv4 ** -4.0
-            w = self.tl_omega
-            mu_eff = mu_g ** (1.0 - w) * mu_mix ** w
-            mg = mg * (mu_g / jnp.maximum(mu_eff, 1e-12))
-        return jnp.stack([mw, jnp.ones(n), mg], axis=1)
+            mu_g_eff = jnp.maximum(mu_g ** (1.0 - w) * mu_mix ** w, 1e-12)
+            mu_s_eff = jnp.maximum(mu_s ** (1.0 - w) * mu_mix ** w, 1e-12)
+            # SSFN: split of the gas-stream relperm between gas and
+            # solvent as a function of the solvent fraction (defaults to
+            # the linear split)
+            if self.ssfn_tab is not None:
+                nodes, kg_m, ks_m = self.ssfn_tab
+                kg = jnp.clip(interp1d(c, nodes, kg_m, extrapolate=False),
+                              0.0, 1.0)
+                ks = jnp.clip(interp1d(c, nodes, ks_m, extrapolate=False),
+                              0.0, 1.0)
+            else:
+                kg, ks = 1.0 - c, c
+            # total stream mobility multiplier on krg(Sg_total)/mu_g
+            mg = mg * mu_g * (kg / mu_g_eff + ks / mu_s_eff)
+            if self.has_misc and self._sat is not None:
+                # miscible oil: TL mixing of the oil viscosity with the
+                # solvent by the solvent fraction of the oil+solvent
+                # volume (reference blackoilsolventmodules effective oil
+                # viscosity; SORWMIS/SGCWMIS endpoint shifts not applied)
+                so = self._sat[:, 1]
+                ss = c * self._sat[:, 2]
+                fos = ss / jnp.maximum(so + ss, 1e-12)
+                mu_o = jax.vmap(
+                    lambda pp, rr_, rg_: self.fs.oil_viscosity(pp, rr_, rg_)
+                )(p_cell, self._rs, self.cells.regs[:, 1])
+                mu_mix_os = ((1.0 - fos) * mu_o ** -0.25
+                             + fos * mu_s ** -0.25) ** -4.0
+                mu_o_eff = jnp.maximum(
+                    mu_o ** (1.0 - w) * mu_mix_os ** w, 1e-12)
+                mo = mo * (mu_o / mu_o_eff)
+        return jnp.stack([mw, mo, mg], axis=1)
 
     # ------------------------------------------------------------------
     def _phase_volumes(self, u, flag):
         q = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(
             self.fs, u, flag, self.cells.regs)
+        # lagged saturations/Rs feed the miscible-oil viscosity mixing
+        self._sat = q.sat
+        self._rs = q.rs
         pv = self.cells.pore_vol_ref
         m = pv[:, None] * q.sat * q.inv_b  # [N,3] phase surface volumes
         gas_total = m[:, 2] + pv * q.rs * q.sat[:, 1] * q.inv_b[:, 1]

@@ -51,12 +51,22 @@ def prepare_banded(sys):
     def tr(band):  # [Z, Y, X, 3, 3] -> [Z, 3, 3, Y, X]
         return jnp.transpose(band, (0, 3, 4, 1, 2))
 
+    def nonempty(band, axis):
+        # singleton grid dimensions make zero-width bands; keep a dummy
+        # width-1 zero band (the kernel statically skips it) so BlockSpec
+        # sizes stay positive
+        if band.shape[axis] == 0:
+            shape = list(band.shape)
+            shape[axis] = 1
+            return jnp.zeros(shape, band.dtype)
+        return band
+
     pad_hi = [(0, 1), (0, 0), (0, 0), (0, 0), (0, 0)]
     pad_lo = [(1, 0), (0, 0), (0, 0), (0, 0), (0, 0)]
     return {
         "diag": tr(sys.diag.reshape(nz, ny, nx, 3, 3)),
-        "x_lr": tr(sys.x_lr), "x_rl": tr(sys.x_rl),
-        "y_lr": tr(sys.y_lr), "y_rl": tr(sys.y_rl),
+        "x_lr": tr(nonempty(sys.x_lr, 2)), "x_rl": tr(nonempty(sys.x_rl, 2)),
+        "y_lr": tr(nonempty(sys.y_lr, 1)), "y_rl": tr(nonempty(sys.y_rl, 1)),
         # z bands padded to nz planes; plane k of z_rl holds row k, col k-1
         "z_lr": jnp.pad(tr(sys.z_lr), pad_hi),
         "z_rl": jnp.pad(tr(sys.z_rl), pad_lo),
@@ -82,21 +92,24 @@ def _kernel(diag_ref, xlr_ref, xrl_ref, ylr_ref, yrl_ref, zlr_ref, zrl_ref,
     zcol = jnp.zeros((ny, 1), dt)
     zrow = jnp.zeros((1, nx), dt)
 
-    # x bands: [3,3,ny,nx-1] against shifted columns of xc
-    xr = [v[:, 1:] for v in xc]
-    xl = [v[:, :-1] for v in xc]
-    for c, contrib in enumerate(rows(xlr_ref, xr)):
-        y[c] = y[c] + jnp.concatenate([contrib, zcol], axis=1)
-    for c, contrib in enumerate(rows(xrl_ref, xl)):
-        y[c] = y[c] + jnp.concatenate([zcol, contrib], axis=1)
+    # x bands: [3,3,ny,nx-1] against shifted columns of xc (statically
+    # absent on single-column grids — prepare_banded keeps dummy banks)
+    if nx > 1:
+        xr = [v[:, 1:] for v in xc]
+        xl = [v[:, :-1] for v in xc]
+        for c, contrib in enumerate(rows(xlr_ref, xr)):
+            y[c] = y[c] + jnp.concatenate([contrib, zcol], axis=1)
+        for c, contrib in enumerate(rows(xrl_ref, xl)):
+            y[c] = y[c] + jnp.concatenate([zcol, contrib], axis=1)
 
     # y bands: [3,3,ny-1,nx] against shifted rows
-    xd = [v[1:, :] for v in xc]
-    xu = [v[:-1, :] for v in xc]
-    for c, contrib in enumerate(rows(ylr_ref, xd)):
-        y[c] = y[c] + jnp.concatenate([contrib, zrow], axis=0)
-    for c, contrib in enumerate(rows(yrl_ref, xu)):
-        y[c] = y[c] + jnp.concatenate([zrow, contrib], axis=0)
+    if ny > 1:
+        xd = [v[1:, :] for v in xc]
+        xu = [v[:-1, :] for v in xc]
+        for c, contrib in enumerate(rows(ylr_ref, xd)):
+            y[c] = y[c] + jnp.concatenate([contrib, zrow], axis=0)
+        for c, contrib in enumerate(rows(yrl_ref, xu)):
+            y[c] = y[c] + jnp.concatenate([zrow, contrib], axis=0)
 
     # z bands: neighbor planes, masked at the grid edges
     @pl.when(k < nz - 1)
@@ -138,10 +151,10 @@ def banded_spmv_pallas(prep: dict, x, interpret: bool = False):
         grid=(nz,),
         in_specs=[
             b5((3, 3, ny, nx)),       # diag
-            b5((3, 3, ny, nx - 1)),   # x_lr
-            b5((3, 3, ny, nx - 1)),   # x_rl
-            b5((3, 3, ny - 1, nx)),   # y_lr
-            b5((3, 3, ny - 1, nx)),   # y_rl
+            b5((3, 3, ny, max(nx - 1, 1))),   # x_lr
+            b5((3, 3, ny, max(nx - 1, 1))),   # x_rl
+            b5((3, 3, max(ny - 1, 1), nx)),   # y_lr
+            b5((3, 3, max(ny - 1, 1), nx)),   # y_rl
             b5((3, 3, ny, nx)),       # z_lr (padded hi)
             b5((3, 3, ny, nx)),       # z_rl (padded lo)
             xs(lambda k: (jnp.maximum(k - 1, k - k), k - k, k - k, k - k)),

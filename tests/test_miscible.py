@@ -1,0 +1,78 @@
+"""Miscible-solvent model: MISCIBLE + MISC/PMISC/SSFN
+(reference: opm-material blackoilsolventmodules isMiscible() path;
+flow's SPE5-class solvent regression family)."""
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+from tests.test_solvent_thermal import SOLVENT_DECK
+
+MISC_PROPS = """MISC
+ 0.0 0.0
+ 0.5 0.5
+ 1.0 1.0 /
+PMISC
+ 100 0.0
+ 250 1.0
+ 400 1.0 /
+SSFN
+ 0.0 1.0 0.0
+ 1.0 0.0 1.0 /
+"""
+
+
+def _misc_deck(tmp_path, props=MISC_PROPS):
+    text = SOLVENT_DECK.replace("\nSOLVENT\n", "\nSOLVENT\nMISCIBLE\n/\n")
+    text = text.replace("ROCK\n", props + "ROCK\n")
+    p = tmp_path / "M.DATA"
+    p.write_text(text)
+    return str(p)
+
+
+def test_parse_misc_tables(tmp_path):
+    state = load_state(_misc_deck(tmp_path))
+    assert "MISCIBLE" in state.runspec.extensions
+    comp = state.components
+    assert np.asarray(comp["MISC"][0]).shape == (3, 2)
+    pm = np.asarray(comp["PMISC"][0])
+    assert pm[1, 0] == pytest.approx(250e5)  # METRIC barsa -> Pa
+    assert np.asarray(comp["SSFN"][0]).shape == (2, 3)
+
+
+def test_miscibility_scales_mixing(tmp_path):
+    """With MISC/PMISC active, low solvent fraction means little mixing:
+    the gas mobility multiplier stays near the immiscible value, while
+    at full solvent strength it approaches mu_g/mu_s like the fully-
+    miscible run."""
+    sim = Simulator(load_state(_misc_deck(tmp_path)), SimulatorOptions())
+    sim.run()
+    assert sim.components.has_misc
+    assert sim.components.misc_tab is not None
+    c = np.asarray(sim.components.c_solv)
+    mm = np.asarray(sim.cells.mob_mult)
+    # solvent front advances; thin solvent still raises gas mobility
+    assert c[0] > 0.5
+    assert mm[0, 2] > 1.2
+    # downstream (less solvent) the multiplier decays
+    assert mm[-1, 2] < mm[0, 2]
+    # miscible oil mixing is wired: the thinner mixed oil raises the oil
+    # mobility, strongest at the injector where solvent is undiluted
+    assert (mm[:, 1] >= 1.0 - 1e-9).all()
+    assert mm[0, 1] > 1.05
+    assert mm[-1, 1] < mm[0, 1]
+
+
+def test_immiscible_run_unchanged(tmp_path):
+    """Without MISCIBLE the solvent path still runs (Todd-Longstaff)."""
+    p = tmp_path / "S.DATA"
+    p.write_text(SOLVENT_DECK)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    sim.run()
+    assert not sim.components.has_misc
+    mm = np.asarray(sim.cells.mob_mult)
+    assert mm[0, 2] > 1.2
+    # no oil mixing outside the miscible model
+    np.testing.assert_allclose(mm[:, 1], 1.0)
