@@ -235,12 +235,16 @@ def statics_from_geometry(geo, structured: str = "auto"
     )
     if structured != "never":
         from opm_autodiff_tpu.models.structured import (
-            structured_ok, topology_from_geometry)
+            embedded_ok, structured_ok, topology_from_geometry,
+            topology_from_geometry_embedded)
 
         if structured_ok(geo):
             return cells, topology_from_geometry(geo)
+        if embedded_ok(geo):
+            # inactive cells: embed into the full box with identity rows
+            return cells, topology_from_geometry_embedded(geo)
         if structured == "always":
-            raise ValueError("grid is not fully-active cartesian")
+            raise ValueError("grid is not banded-representable")
     f = geo.faces
     thp = (f.thpres if getattr(f, "thpres", None) is not None
            else np.zeros(len(f.left)))

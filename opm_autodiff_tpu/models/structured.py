@@ -14,7 +14,10 @@ assumption baked into its GPU backends' reorderings (bda/, SURVEY.md
 
 Cells are kept on the FULL cartesian grid (inactive cells pinned to
 identity equations) — dense padded arrays beat compressed gathers on
-TPU. Requires an all-cells Geometry (``structured_ok``).
+TPU. Fully-active grids use the plain path (``structured_ok``); ACTNUM
+grids whose connections are all cartesian-neighbor embed through
+``EmbeddedTopology`` (``embedded_ok``); NNC/fault/thpres grids fall back
+to the face-list (BSR) layout.
 """
 
 from __future__ import annotations
@@ -120,6 +123,129 @@ def topology_from_geometry(geo: Geometry) -> StructuredTopology:
         trans_z=jnp.asarray(tz), gdz_x=jnp.asarray(gx),
         gdz_y=jnp.asarray(gy), gdz_z=jnp.asarray(gz),
         active=jnp.asarray(np.ones(nx * ny * nz, bool)))
+
+
+class EmbeddedTopology(NamedTuple):
+    """Banded fast path for grids with inactive cells (ACTNUM / MINPV /
+    corner-point): the compressed active state embeds into the full
+    cartesian box, inactive cells become identity rows, and assembly +
+    linear solve run banded (the TPU-friendly layout beats compressed
+    gathers even at large inactive fractions). The reference reaches the
+    same shapes through CpGrid's compressed<->cartesian index maps
+    (ebos/eclcpgridvanguard.hh cartesianIndexMapper)."""
+
+    topo: StructuredTopology
+    act: jnp.ndarray        # [Na] int32 active -> full(cartesian) index
+    fill: jnp.ndarray       # [Nf] int32 full -> active source (self if
+    #                         active; an arbitrary active cell otherwise,
+    #                         only to keep PVT evaluation finite)
+    mask: jnp.ndarray       # [Nf] bool: cell is active
+    pv_full: jnp.ndarray    # [Nf] pore volume (0 at inactive)
+    depth_full: jnp.ndarray
+    regs_full: jnp.ndarray  # [Nf,2]
+
+
+def embedded_ok(geo: Geometry) -> bool:
+    """True when the grid can ride the embedded banded path: cartesian
+    box with inactive cells, every connection between cartesian
+    neighbors (no NNC, no fault throw), no threshold pressures."""
+    nx, ny, nz = geo.cartdims
+    if geo.num_active == nx * ny * nz:
+        return False  # plain structured path applies
+    f = geo.faces
+    axis = np.asarray(f.axis)
+    if (axis == 3).any():
+        return False
+    thp = getattr(f, "thpres", None)
+    if thp is not None and bool((np.asarray(thp) != 0).any()):
+        return False
+    gl = geo.act_to_glob[np.asarray(f.left)]
+    gr = geo.act_to_glob[np.asarray(f.right)]
+    stride = {0: 1, 1: nx, 2: nx * ny}
+    for ax in (0, 1, 2):
+        sel = axis == ax
+        if sel.any() and not (gr[sel] - gl[sel] == stride[ax]).all():
+            return False
+    return True
+
+
+def topology_from_geometry_embedded(geo: Geometry) -> EmbeddedTopology:
+    """Full-box banded topology with zero transmissibility on every band
+    position that has no active-active face."""
+    nx, ny, nz = geo.cartdims
+    nf = nx * ny * nz
+    f = geo.faces
+    act = geo.act_to_glob.astype(np.int32)
+    mask = np.zeros(nf, bool)
+    mask[act] = True
+    fill = np.where(geo.glob_to_act >= 0, geo.glob_to_act,
+                    0).astype(np.int32)
+
+    depth_full = np.zeros(nf)
+    depth_full[act] = np.asarray(geo.depth)
+    pv_full = np.zeros(nf)
+    pv_full[act] = np.asarray(geo.pore_vol)
+    satnum = getattr(geo, "satnum", None)
+    pvtnum = getattr(geo, "pvtnum", None)
+    regs_full = np.zeros((nf, 2), np.int32)
+    if satnum is not None:
+        regs_full[act, 0] = np.asarray(satnum)
+    if pvtnum is not None:
+        regs_full[act, 1] = np.asarray(pvtnum)
+
+    def band(axis, shape):
+        t = np.zeros(shape)
+        g = np.zeros(shape)
+        sel = np.asarray(f.axis) == axis
+        gl = act[np.asarray(f.left)[sel]]
+        gr = act[np.asarray(f.right)[sel]]
+        tr = np.asarray(f.trans)[sel]
+        k = gl // (nx * ny)
+        j = (gl // nx) % ny
+        i = gl % nx
+        if axis == 0:
+            idx = (k * ny + j) * (nx - 1) + i
+        elif axis == 1:
+            idx = (k * (ny - 1) + j) * nx + i
+        else:
+            idx = (k * ny + j) * nx + i
+        t.reshape(-1)[idx] = tr
+        g.reshape(-1)[idx] = U.GRAVITY * (depth_full[gl] - depth_full[gr])
+        return t, g
+
+    tx, gx = band(0, (nz, ny, nx - 1))
+    ty, gy = band(1, (nz, ny - 1, nx))
+    tz, gz = band(2, (nz - 1, ny, nx))
+    topo = StructuredTopology(
+        trans_x=jnp.asarray(tx), trans_y=jnp.asarray(ty),
+        trans_z=jnp.asarray(tz), gdz_x=jnp.asarray(gx),
+        gdz_y=jnp.asarray(gy), gdz_z=jnp.asarray(gz),
+        active=jnp.asarray(mask))
+    return EmbeddedTopology(
+        topo=topo, act=jnp.asarray(act), fill=jnp.asarray(fill),
+        mask=jnp.asarray(mask), pv_full=jnp.asarray(pv_full),
+        depth_full=jnp.asarray(depth_full), regs_full=jnp.asarray(regs_full))
+
+
+def embed_cells(emb: EmbeddedTopology, cells: CellStatic) -> CellStatic:
+    """Full-box CellStatic: static fields from the topology, dynamic
+    mob_mult (and eps) gathered through the fill map."""
+    return CellStatic(
+        pore_vol_ref=emb.pv_full,
+        depth=emb.depth_full,
+        regs=emb.regs_full,
+        mob_mult=cells.mob_mult[emb.fill],
+        eps=None if cells.eps is None else cells.eps[emb.fill])
+
+
+def pin_inactive(sys: StructuredSystem,
+                 mask: jnp.ndarray) -> StructuredSystem:
+    """Identity equations for inactive cells (their residual is zero and
+    bands touching them carry zero transmissibility already)."""
+    eye = jnp.eye(3, dtype=sys.diag.dtype)
+    return sys._replace(
+        residual=jnp.where(mask[:, None], sys.residual, 0.0),
+        diag=jnp.where(mask[:, None, None], sys.diag, eye))
 
 
 def _axis_pairs(u3, axis):

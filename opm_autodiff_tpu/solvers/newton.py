@@ -22,8 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
-from opm_autodiff_tpu.models.structured import (StructuredTopology,
-                                                assemble_structured)
+from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
+                                                StructuredTopology,
+                                                assemble_structured,
+                                                embed_cells, pin_inactive)
 from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
 from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_RV, FLAG_SG,
                                               PrimaryState, accumulation,
@@ -297,8 +299,28 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                             cells.regs, cells.mob_mult, cells.eps)
     q_tot = wr.q_perf.sum(axis=1)
 
-    # --- reservoir assembly (banded fast path for structured grids) ---
-    if isinstance(faces, StructuredTopology):
+    # --- reservoir assembly (banded fast path for structured grids;
+    # ACTNUM grids embed into the full box with identity rows) ---
+    emb = faces if isinstance(faces, EmbeddedTopology) else None
+    ws_sys = ws
+    msw_sys = msw
+    aq_cell_sys = aq.cell
+    if emb is not None:
+        u_f = u[emb.fill]
+        flag_f = flag[emb.fill]
+        acc0_f = jnp.zeros((emb.mask.shape[0], 3),
+                           acc0.dtype).at[emb.act].set(acc0)
+        sys = assemble_structured(fs, embed_cells(emb, cells), emb.topo,
+                                  PrimaryState(u_f, flag_f), acc0_f, dt)
+        sys = pin_inactive(sys, emb.mask)
+        inv_b_cells = sys.inv_b[emb.act]
+        # linear-system-facing cell indices move to the full box; the
+        # physics evaluations above stay on the compressed active arrays
+        ws_sys = ws._replace(cell=emb.act[ws.cell])
+        if msw is not None:
+            msw_sys = msw._replace(cell=emb.act[msw.cell])
+        aq_cell_sys = emb.act[aq.cell]
+    elif isinstance(faces, StructuredTopology):
         sys = assemble_structured(fs, cells, faces, PrimaryState(u, flag),
                                   acc0, dt)
         inv_b_cells = sys.inv_b
@@ -310,8 +332,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
             fs, u, flag, cells.regs, None, cells.eps)
         inv_b_cells = q_all.inv_b
-    residual = wells_mod.apply_to_residual(sys.residual, wr, ws)
-    diag = wells_mod.apply_to_diag(sys.diag, wr, ws)
+    residual = wells_mod.apply_to_residual(sys.residual, wr, ws_sys)
+    diag = wells_mod.apply_to_diag(sys.diag, wr, ws_sys)
     # --- multisegment wells (reference: MultisegmentWell assemble +
     # Schur via duneB_/C_/D_, MultisegmentWellEval.hpp:272) ---
     mr = None
@@ -319,14 +341,14 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         mr = msw_mod.msw_contributions(fs, u, flag, st.msw_x, msw,
                                        regs=cells.regs,
                                        mob_mult=cells.mob_mult)
-        residual = msw_mod.apply_to_residual(residual, mr, msw)
-        diag = msw_mod.apply_to_diag(diag, mr, msw)
+        residual = msw_mod.apply_to_residual(residual, mr, msw_sys)
+        diag = msw_mod.apply_to_diag(diag, mr, msw_sys)
     # --- aquifer water sources: q = a1 - a2 * p_datum; implicit in p
     # (reference BlackoilAquiferModel::addToSource) ---
     rho_w_g = fs.rho_ref(0)[0] * 9.80665
     q_aq = aquifer_rates(aq, u, rho_w_g)
-    residual = residual.at[aq.cell, 0].add(-q_aq)
-    diag = diag.at[aq.cell, 0, 0].add(aq.a2)
+    residual = residual.at[aq_cell_sys, 0].add(-q_aq)
+    diag = diag.at[aq_cell_sys, 0, 0].add(aq.a2)
 
     # --- inactive-phase equation pinning (two-phase variants) ---
     if not (params.has_water and params.has_gas):
@@ -347,9 +369,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         sys = sys._replace(**updates)
     sys = sys._replace(residual=residual, diag=diag)
 
-    # --- convergence ---
+    # --- convergence (on the active rows) ---
+    residual_act = residual[emb.act] if emb is not None else residual
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
-        params, fs, cells, residual, inv_b_cells, dt, wr, ws, mode)
+        params, fs, cells, residual_act, inv_b_cells, dt, wr, ws, mode)
     if msw is not None:
         msw_scale = jnp.where(
             msw.is_injector,
@@ -368,15 +391,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         failed = failed | ~jnp.isfinite(msw_err)
 
     # --- linear solve with well Schur complement fused in ---
-    rhs = -residual + wells_mod.schur_rhs(residual, wr, ws)
+    rhs = -residual + wells_mod.schur_rhs(residual, wr, ws_sys)
     if msw is not None:
-        rhs = rhs + msw_mod.schur_rhs(mr, msw, residual)
+        rhs = rhs + msw_mod.schur_rhs(mr, msw_sys, residual)
 
         def extra_mv(x):
-            return (wells_mod.schur_matvec(wr, ws, x)
-                    + msw_mod.schur_matvec(mr, msw, x))
+            return (wells_mod.schur_matvec(wr, ws_sys, x)
+                    + msw_mod.schur_matvec(mr, msw_sys, x))
     else:
-        extra_mv = partial(wells_mod.schur_matvec, wr, ws)
+        extra_mv = partial(wells_mod.schur_matvec, wr, ws_sys)
     lin = solve_linear(sys, rhs,
                        extra_matvec=extra_mv,
                        tol=params.linear_tol, maxiter=params.linear_maxiter,
@@ -388,11 +411,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     dx_ok = jnp.all(jnp.isfinite(dx))
     failed = jnp.logical_or(failed, ~dx_ok)
     dx = jnp.where(dx_ok, dx, jnp.zeros_like(dx))
-    dpbh = wells_mod.recover_pbh_update(wr, ws, dx)
+    dpbh = wells_mod.recover_pbh_update(wr, ws_sys, dx)
     dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
 
-    # --- chopped update + switching ---
-    u_new, flag_new = _chop_and_update(params, fs, u, flag, dx,
+    # --- chopped update + switching (active rows) ---
+    dx_act = dx[emb.act] if emb is not None else dx
+    u_new, flag_new = _chop_and_update(params, fs, u, flag, dx_act,
                                        cells.regs[:, 1], x3_cap)
     dpbh = jnp.clip(dpbh, -5e6, 5e6)  # DbhpMaxRel-style damping
     pbh_new = jnp.clip(pbh + dpbh, 1e5, 2e9)
@@ -400,7 +424,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     msw_x_new = st.msw_x
     q_msw = None
     if msw is not None:
-        dxw = msw_mod.recover_update(mr, msw, dx)
+        dxw = msw_mod.recover_update(mr, msw_sys, dx)
         dxw = jnp.where(jnp.isfinite(dxw), dxw, 0.0)
         msw_x_new = msw_mod.chop_msw_update(st.msw_x, dxw, msw)
         q_msw = mr.q_perf_cell.sum(axis=1)  # [M,3] into cells
