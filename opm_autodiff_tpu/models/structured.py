@@ -70,6 +70,15 @@ class StructuredSystem(NamedTuple):
     # per-cell inverse FVFs from the same packed evaluation — the
     # convergence metrics need them, saving a second intensive sweep
     inv_b: jnp.ndarray | None = None
+    # extra (non-neighbor) connections: fault throw, NNC, numerical
+    # aquifers. COO blocks over full-box indices; None when absent. The
+    # few extra gathers ride on top of the banded hot path (the
+    # preconditioners ignore them, like the reference masks overlap rows,
+    # ISTLSolverEbos.hpp:479).
+    ex_left: jnp.ndarray | None = None
+    ex_right: jnp.ndarray | None = None
+    ex_lr: jnp.ndarray | None = None   # [Fe,3,3] row=left,  col=right
+    ex_rl: jnp.ndarray | None = None   # [Fe,3,3] row=right, col=left
 
     @property
     def num_cells(self) -> int:
@@ -143,30 +152,22 @@ class EmbeddedTopology(NamedTuple):
     pv_full: jnp.ndarray    # [Nf] pore volume (0 at inactive)
     depth_full: jnp.ndarray
     regs_full: jnp.ndarray  # [Nf,2]
+    # extra (non-band) connections in full-box indices: fault throw
+    # across pillars, NNC, numerical-aquifer links, thpres faces.
+    # None when every connection fits the 7-point bands.
+    ex_left: jnp.ndarray | None = None
+    ex_right: jnp.ndarray | None = None
+    ex_trans: jnp.ndarray | None = None
+    ex_gdz: jnp.ndarray | None = None
+    ex_thpres: jnp.ndarray | None = None
 
 
 def embedded_ok(geo: Geometry) -> bool:
-    """True when the grid can ride the embedded banded path: cartesian
-    box with inactive cells, every connection between cartesian
-    neighbors (no NNC, no fault throw), no threshold pressures."""
-    nx, ny, nz = geo.cartdims
-    if geo.num_active == nx * ny * nz:
-        return False  # plain structured path applies
-    f = geo.faces
-    axis = np.asarray(f.axis)
-    if (axis == 3).any():
-        return False
-    thp = getattr(f, "thpres", None)
-    if thp is not None and bool((np.asarray(thp) != 0).any()):
-        return False
-    gl = geo.act_to_glob[np.asarray(f.left)]
-    gr = geo.act_to_glob[np.asarray(f.right)]
-    stride = {0: 1, 1: nx, 2: nx * ny}
-    for ax in (0, 1, 2):
-        sel = axis == ax
-        if sel.any() and not (gr[sel] - gl[sel] == stride[ax]).all():
-            return False
-    return True
+    """True when the grid rides the embedded banded path: any cartesian
+    box that the plain structured path doesn't already cover (inactive
+    cells, fault throw, NNC, thpres — non-band connections become COO
+    extras on top of the bands)."""
+    return not structured_ok(geo)
 
 
 def topology_from_geometry_embedded(geo: Geometry) -> EmbeddedTopology:
@@ -193,19 +194,30 @@ def topology_from_geometry_embedded(geo: Geometry) -> EmbeddedTopology:
     if pvtnum is not None:
         regs_full[act, 1] = np.asarray(pvtnum)
 
-    def band(axis, shape):
+    # classify: conforming neighbor faces (stride match, no thpres) go
+    # to bands; everything else (fault throw, NNC, thpres) to COO extras
+    axis = np.asarray(f.axis)
+    gl_all = act[np.asarray(f.left)]
+    gr_all = act[np.asarray(f.right)]
+    thp_all = (np.asarray(f.thpres) if getattr(f, "thpres", None) is not None
+               else np.zeros(len(gl_all)))
+    stride = np.choose(np.minimum(axis, 3),
+                       [1, nx, nx * ny, 0])  # NNC (3) never conforms
+    conform = (gr_all - gl_all == stride) & (axis < 3) & (thp_all == 0.0)
+
+    def band(ax, shape):
         t = np.zeros(shape)
         g = np.zeros(shape)
-        sel = np.asarray(f.axis) == axis
-        gl = act[np.asarray(f.left)[sel]]
-        gr = act[np.asarray(f.right)[sel]]
+        sel = (axis == ax) & conform
+        gl = gl_all[sel]
+        gr = gr_all[sel]
         tr = np.asarray(f.trans)[sel]
         k = gl // (nx * ny)
         j = (gl // nx) % ny
         i = gl % nx
-        if axis == 0:
+        if ax == 0:
             idx = (k * ny + j) * (nx - 1) + i
-        elif axis == 1:
+        elif ax == 1:
             idx = (k * (ny - 1) + j) * nx + i
         else:
             idx = (k * ny + j) * nx + i
@@ -221,10 +233,23 @@ def topology_from_geometry_embedded(geo: Geometry) -> EmbeddedTopology:
         trans_z=jnp.asarray(tz), gdz_x=jnp.asarray(gx),
         gdz_y=jnp.asarray(gy), gdz_z=jnp.asarray(gz),
         active=jnp.asarray(mask))
+    extra = ~conform
+    ex = {}
+    if extra.any():
+        exl = gl_all[extra]
+        exr = gr_all[extra]
+        ex = dict(
+            ex_left=jnp.asarray(exl.astype(np.int32)),
+            ex_right=jnp.asarray(exr.astype(np.int32)),
+            ex_trans=jnp.asarray(np.asarray(f.trans)[extra]),
+            ex_gdz=jnp.asarray(
+                U.GRAVITY * (depth_full[exl] - depth_full[exr])),
+            ex_thpres=jnp.asarray(thp_all[extra]))
     return EmbeddedTopology(
         topo=topo, act=jnp.asarray(act), fill=jnp.asarray(fill),
         mask=jnp.asarray(mask), pv_full=jnp.asarray(pv_full),
-        depth_full=jnp.asarray(depth_full), regs_full=jnp.asarray(regs_full))
+        depth_full=jnp.asarray(depth_full), regs_full=jnp.asarray(regs_full),
+        **ex)
 
 
 def embed_cells(emb: EmbeddedTopology, cells: CellStatic) -> CellStatic:
@@ -236,6 +261,35 @@ def embed_cells(emb: EmbeddedTopology, cells: CellStatic) -> CellStatic:
         regs=emb.regs_full,
         mob_mult=cells.mob_mult[emb.fill],
         eps=None if cells.eps is None else cells.eps[emb.fill])
+
+
+def add_extra_faces(sys: StructuredSystem, fs: FluidSystem,
+                    cells_full: CellStatic, emb: EmbeddedTopology,
+                    u_full, flag_full) -> StructuredSystem:
+    """Assemble the non-band connections (fault/NNC/thpres) and attach
+    them as COO corrections to the banded system (same per-face AD as
+    the face-list assembler)."""
+    if emb.ex_left is None:
+        return sys
+    from opm_autodiff_tpu.models.assembler import _flux_val_jac
+
+    le, ri = emb.ex_left, emb.ex_right
+    eps = cells_full.eps
+    eps_ax = None if eps is None else 0
+    flux, jac_l, jac_r = jax.vmap(
+        _flux_val_jac,
+        in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax))(
+        fs, u_full[le], u_full[ri], flag_full[le], flag_full[ri],
+        emb.ex_trans, emb.ex_gdz, cells_full.regs[le], cells_full.regs[ri],
+        emb.ex_thpres, cells_full.mob_mult[le], cells_full.mob_mult[ri],
+        None if eps is None else eps[le], None if eps is None else eps[ri])
+    residual = sys.residual.at[le].add(flux)
+    residual = residual.at[ri].add(-flux)
+    diag = sys.diag.at[le].add(jac_l)
+    diag = diag.at[ri].add(-jac_r)
+    return sys._replace(residual=residual, diag=diag,
+                        ex_left=le, ex_right=ri,
+                        ex_lr=jac_r, ex_rl=-jac_l)
 
 
 def pin_inactive(sys: StructuredSystem,
@@ -520,4 +574,10 @@ def structured_matvec(sys: StructuredSystem, x: jnp.ndarray) -> jnp.ndarray:
                                       x3[:, :-1, :]))
     y = y.at[:-1].add(jnp.einsum("...ij,...j->...i", sys.z_lr, x3[1:]))
     y = y.at[1:].add(jnp.einsum("...ij,...j->...i", sys.z_rl, x3[:-1]))
-    return y.reshape(n, 3)
+    y = y.reshape(n, 3)
+    if sys.ex_left is not None:
+        y = y.at[sys.ex_left].add(
+            jnp.einsum("fij,fj->fi", sys.ex_lr, x[sys.ex_right]))
+        y = y.at[sys.ex_right].add(
+            jnp.einsum("fij,fj->fi", sys.ex_rl, x[sys.ex_left]))
+    return y

@@ -52,6 +52,11 @@ def _scale_system(sys, row, col, dtype):
         def sc(band, rsl, csl):
             return (band * rsl[..., :, None] * csl[..., None, :]).astype(dtype)
 
+        ex = {}
+        if sys.ex_left is not None:
+            ex = dict(
+                ex_lr=sc(sys.ex_lr, row[sys.ex_left], col[sys.ex_right]),
+                ex_rl=sc(sys.ex_rl, row[sys.ex_right], col[sys.ex_left]))
         return sys._replace(
             diag=dscaled,
             x_lr=sc(sys.x_lr, r3[:, :, :-1], c3[:, :, 1:]),
@@ -59,7 +64,7 @@ def _scale_system(sys, row, col, dtype):
             y_lr=sc(sys.y_lr, r3[:, :-1, :], c3[:, 1:, :]),
             y_rl=sc(sys.y_rl, r3[:, 1:, :], c3[:, :-1, :]),
             z_lr=sc(sys.z_lr, r3[:-1], c3[1:]),
-            z_rl=sc(sys.z_rl, r3[1:], c3[:-1]))
+            z_rl=sc(sys.z_rl, r3[1:], c3[:-1]), **ex)
     return BsrSystem(
         residual=sys.residual,
         diag=dscaled,
@@ -282,7 +287,16 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
 
         if isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
             prep = pallas_spmv.prepare_banded(scaled)
-            base_mv = partial(pallas_spmv.banded_spmv_pallas, prep)
+            if scaled.ex_left is None:
+                base_mv = partial(pallas_spmv.banded_spmv_pallas, prep)
+            else:
+                def base_mv(y, _s=scaled, _p=prep):
+                    z = pallas_spmv.banded_spmv_pallas(_p, y)
+                    z = z.at[_s.ex_left].add(
+                        jnp.einsum("fij,fj->fi", _s.ex_lr, y[_s.ex_right]))
+                    z = z.at[_s.ex_right].add(
+                        jnp.einsum("fij,fj->fi", _s.ex_rl, y[_s.ex_left]))
+                    return z
         else:
             base_mv = partial(system_matvec, scaled)
 

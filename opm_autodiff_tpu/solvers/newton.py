@@ -24,6 +24,7 @@ import numpy as np
 from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
 from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
                                                 StructuredTopology,
+                                                add_extra_faces,
                                                 assemble_structured,
                                                 embed_cells, pin_inactive)
 from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
@@ -278,7 +279,8 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot,
 def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
                           aq: AquiferDevice | None = None,
-                          vfp_bank=None, msw=None, x3_cap=None):
+                          vfp_bank=None, msw=None, x3_cap=None,
+                          relax=1.0):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
@@ -310,8 +312,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         flag_f = flag[emb.fill]
         acc0_f = jnp.zeros((emb.mask.shape[0], 3),
                            acc0.dtype).at[emb.act].set(acc0)
-        sys = assemble_structured(fs, embed_cells(emb, cells), emb.topo,
+        cells_f = embed_cells(emb, cells)
+        sys = assemble_structured(fs, cells_f, emb.topo,
                                   PrimaryState(u_f, flag_f), acc0_f, dt)
+        sys = add_extra_faces(sys, fs, cells_f, emb, u_f, flag_f)
         sys = pin_inactive(sys, emb.mask)
         inv_b_cells = sys.inv_b[emb.act]
         # linear-system-facing cell indices move to the full box; the
@@ -362,9 +366,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             diag = diag.at[:, eq, :].set(0.0)
             diag = diag.at[:, eq, 1 if eq == 0 else 2].set(1.0)
             for name in ("off_lr", "off_rl", "x_lr", "x_rl", "y_lr",
-                         "y_rl", "z_lr", "z_rl"):
+                         "y_rl", "z_lr", "z_rl", "ex_lr", "ex_rl"):
                 if hasattr(sys, name):
                     band = updates.get(name, getattr(sys, name))
+                    if band is None:
+                        continue
                     updates[name] = band.at[..., eq, :].set(0.0)
         sys = sys._replace(**updates)
     sys = sys._replace(residual=residual, diag=diag)
@@ -411,6 +417,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     dx_ok = jnp.all(jnp.isfinite(dx))
     failed = jnp.logical_or(failed, ~dx_ok)
     dx = jnp.where(dx_ok, dx, jnp.zeros_like(dx))
+    # oscillation relaxation: the host loop dampens the update when the
+    # residual history oscillates (reference: NonlinearSolverEbos
+    # stabilizeNonlinearUpdate :315, dampen with relaxMax 0.5)
+    dx = dx * relax
     dpbh = wells_mod.recover_pbh_update(wr, ws_sys, dx)
     dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
 
@@ -471,10 +481,23 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     last_q_msw = None
     if aq is None:
         aq = empty_device()
+    # oscillation detection over the per-phase CNV history (reference:
+    # NonlinearSolverEbos::detectOscillations :278 — an equation
+    # oscillates when its residual rose after falling; relaxation backs
+    # the update off toward relaxMax 0.5 and recovers when smooth)
+    hist: list[np.ndarray] = []
+    relax = 1.0
     for it in range(params.max_iter + 1):
         new_st, info, (q_tot, q_perf, q_msw), q_aq = newton_iteration(
             params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
-            vfp_bank, msw, x3_cap)
+            vfp_bank, msw, x3_cap, jnp.asarray(relax))
+        hist.append(np.asarray(info.cnv))
+        if len(hist) >= 3:
+            osc = sum(
+                1 for p in range(3)
+                if hist[-1][p] > hist[-2][p] * 1.01
+                and hist[-3][p] > hist[-2][p] * 1.01) >= 2
+            relax = max(relax - 0.1, 0.5) if osc else min(relax + 0.1, 1.0)
         last_q_aq = q_aq
         last_q_perf = q_perf
         last_q_msw = q_msw

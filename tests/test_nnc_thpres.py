@@ -39,9 +39,17 @@ def test_nnc_adds_faces(tmp_path):
     assert f.left[i] == geo.act_index(0, 0, 0)
     assert f.right[i] == geo.act_index(5, 0, 0)
     assert f.trans[i] == pytest.approx(5.0 * U.FIELD.transmissibility)
-    # NNC forces the general face-list path
-    from opm_autodiff_tpu.models.structured import structured_ok
+    # NNC leaves the plain banded path but rides the embedded path's
+    # COO extras (models/structured.py EmbeddedTopology)
+    from opm_autodiff_tpu.models.blackoil import statics_from_geometry
+    from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
+                                                    structured_ok)
     assert not structured_ok(geo)
+    _, topo = statics_from_geometry(geo)
+    assert isinstance(topo, EmbeddedTopology)
+    assert topo.ex_left is not None and topo.ex_left.shape[0] == 1
+    assert float(topo.ex_trans[0]) == pytest.approx(
+        5.0 * U.FIELD.transmissibility)
 
 
 def test_nnc_carries_flow(tmp_path):
