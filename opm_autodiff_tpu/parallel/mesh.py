@@ -21,6 +21,7 @@ Krylov dot products become ``psum`` automatically; wells stay replicated
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -54,30 +55,31 @@ def shard_problem(mesh: Mesh, cells, topo, u, flag, acc0):
     data per gather, correct but slower; prefer structured grids for
     multi-chip runs).
     """
-    from opm_autodiff_tpu.models.structured import StructuredTopology
+    from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
+                                                    StructuredTopology)
 
-    s1 = cell_sharding(mesh)
-    s2 = cell_sharding(mesh, 1)
     r = replicated(mesh)
+    axis = mesh.axis_names[0]
+    nshards = mesh.devices.size
 
-    cells_sh = jax.tree.map(lambda a: jax.device_put(a, s1), cells)
-    u_sh = jax.device_put(u, s2)
-    flag_sh = jax.device_put(flag, s1)
-    acc0_sh = jax.device_put(acc0, s2)
+    def put(a):
+        # shard the leading dim over the mesh when it divides evenly,
+        # else replicate (e.g. an ACTNUM-compressed active count, or the
+        # z bands' nz-1 planes). With k-major ordering the divisible
+        # arrays split into z-slabs; GSPMD resolves any mixed layouts.
+        a = jnp.asarray(a) if not hasattr(a, "ndim") else a
+        if a.ndim >= 1 and a.shape[0] % nshards == 0:
+            spec = P(axis, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.device_put(a, r)
 
-    if isinstance(topo, StructuredTopology):
-        axis = mesh.axis_names[0]
+    cells_sh = jax.tree.map(put, cells)
+    u_sh = put(u)
+    flag_sh = put(flag)
+    acc0_sh = put(acc0)
 
-        def put_band(a):
-            # bands are (nz[-1], ny, nx[-1], ...) — shard the z dim when it
-            # divides evenly, else replicate (the z bands have nz-1 planes)
-            nshards = mesh.devices.size
-            if a.ndim >= 1 and a.shape[0] % nshards == 0:
-                spec = P(axis, *([None] * (a.ndim - 1)))
-                return jax.device_put(a, NamedSharding(mesh, spec))
-            return jax.device_put(a, r)
-
-        topo_sh = jax.tree.map(put_band, topo)
+    if isinstance(topo, (StructuredTopology, EmbeddedTopology)):
+        topo_sh = jax.tree.map(put, topo)
     else:
         topo_sh = jax.tree.map(lambda a: jax.device_put(a, r), topo)
     return cells_sh, topo_sh, u_sh, flag_sh, acc0_sh

@@ -81,3 +81,53 @@ def test_sharding_layout(problem):
     assert shard_rows == {u.shape[0] // 8}
     # structured bands with even z-planes shard too
     assert len(topo_sh.trans_x.sharding.device_set) == 8
+
+
+@pytest.fixture(scope="module")
+def actnum_problem(tmp_path_factory):
+    """ACTNUM (embedded banded) problem for the sharded step."""
+    import os
+    import tempfile
+
+    from opm_autodiff_tpu.grid import build_geometry
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.models.blackoil import (accumulation,
+                                                  statics_from_geometry)
+    from opm_autodiff_tpu.models.init import equilibrate
+    from opm_autodiff_tpu.props import FluidSystem
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+    from opm_autodiff_tpu.wells import build_wellset
+
+    nx, ny, nz = 6, 5, 16
+    path = os.path.join(tempfile.mkdtemp(), "SPE1A.DATA")
+    write_spe1_deck(path, nx, ny, nz)
+    txt = open(path).read()
+    act = np.ones(nx * ny * nz, int)
+    for i in (7, 33, 150, 151, 152, 400):
+        act[i] = 0
+    txt = txt.replace("PROPS", "ACTNUM\n " + " ".join(map(str, act))
+                      + " /\n\nPROPS", 1)
+    open(path, "w").write(txt)
+    state = load_state(path)
+    geo = build_geometry(state)
+    fs = FluidSystem.from_state(state)
+    cells, faces = statics_from_geometry(geo)
+    init = equilibrate(state, geo, fs)
+    ws = build_wellset(geo, state.schedule.steps[0].wells)
+    acc0 = jax.vmap(accumulation, in_axes=(None, 0, 0, 0))(
+        fs, init.u, init.flag, cells.pore_vol_ref)
+    pbh = init.u[ws.cell[:, 0], 0] + jnp.where(ws.is_injector, 1e5, -1e5)
+    return state, geo, fs, cells, faces, init, ws, acc0, pbh
+
+
+def test_embedded_topology_shards(actnum_problem):
+    """The ACTNUM embedded banded path runs sharded over the mesh and
+    matches the single-device iteration."""
+    from opm_autodiff_tpu.models.structured import EmbeddedTopology
+
+    assert isinstance(actnum_problem[4], EmbeddedTopology)
+    u1, q1, cnv1 = _run(actnum_problem, mesh=None)
+    u8, q8, cnv8 = _run(actnum_problem, mesh=make_mesh(8))
+    np.testing.assert_allclose(cnv8, cnv1, rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(q8, q1, rtol=1e-5)
+    np.testing.assert_allclose(u8, u1, rtol=5e-3)
