@@ -103,7 +103,7 @@ SINGLE_KEYWORDS = {
 
 RECORDS_KEYWORDS = {
     "WELSPECS", "COMPDAT", "WCONPROD", "WCONINJE", "WCONHIST", "WCONINJH",
-    "WELTARG", "WELOPEN", "WPIMULT", "WEFAC", "WTEST", "WECON", "WELSEGS",
+    "WELTARG", "WELOPEN", "COMPLUMP", "WPIMULT", "WEFAC", "WTEST", "WECON", "WELSEGS",
     "COMPSEGS", "WSEGVALV", "GRUPTREE", "GCONPROD", "GCONINJE", "GEFAC",
     "GRUPNET", "NODEPROP", "BRANPROP", "NETBALAN", "EQUALS", "COPY", "ADD",
     "MULTIPLY",

@@ -181,6 +181,7 @@ class Completion:
     skin: float
     direction: str  # 'X','Y','Z'
     pi_mult: float = 1.0  # WPIMULT connection-factor multiplier
+    lump: int = 0  # COMPLUMP completion number (0 = unassigned)
 
 
 @dataclasses.dataclass
@@ -1115,12 +1116,54 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             "ptol": float(item(r, 1, 1.0e-5)) * u.pressure,
             "max_iter": int(item(r, 2, 10)),
         }
+    elif kw.name == "COMPLUMP":
+        # assign completion (lump) numbers to connections; WELOPEN can
+        # then open/shut whole lumps (the reference gets this from
+        # opm-common's Schedule; used by Norne-class decks)
+        for r in kw.records:
+            name = str(item(r, 0, ""))
+            w = wells.get(name)
+            if w is None:
+                continue
+            ii = int(item(r, 1, 0))
+            jj = int(item(r, 2, 0))
+            kk1 = int(item(r, 3, 0))
+            kk2 = int(item(r, 4, kk1))
+            n = int(item(r, 5, 0))
+            for c in w.completions:
+                if ii > 0 and c.i != ii - 1:
+                    continue
+                if jj > 0 and c.j != jj - 1:
+                    continue
+                if kk1 > 0 and not (kk1 - 1 <= c.k <= kk2 - 1):
+                    continue
+                c.lump = n
     elif kw.name == "WELOPEN":
         for r in kw.records:
             name = str(item(r, 0, ""))
             w = wells.get(name)
-            if w is not None:
-                w.status = str(item(r, 1, "OPEN")).upper()
+            if w is None:
+                continue
+            stat = str(item(r, 1, "OPEN")).upper()
+            ii = int(item(r, 2, 0) or 0)
+            jj = int(item(r, 3, 0) or 0)
+            kk = int(item(r, 4, 0) or 0)
+            c1 = int(item(r, 5, 0) or 0)
+            c2 = int(item(r, 6, c1) or c1)
+            if ii <= 0 and jj <= 0 and kk <= 0 and c1 <= 0:
+                w.status = stat  # whole-well form
+                continue
+            # connection form: filter by location and/or lump range
+            for c in w.completions:
+                if ii > 0 and c.i != ii - 1:
+                    continue
+                if jj > 0 and c.j != jj - 1:
+                    continue
+                if kk > 0 and c.k != kk - 1:
+                    continue
+                if c1 > 0 and not (c1 <= c.lump <= c2):
+                    continue
+                c.open = stat == "OPEN"
     elif kw.name == "WTEST":
         for r in kw.records:
             name = str(item(r, 0, ""))

@@ -17,7 +17,6 @@ import numpy as np
 # "ignored" (the tokenizer skips it defensively).
 UNSUPPORTED = {
     "API": "API tracking is not implemented",
-    "COMPLUMP": "completion lumping is not implemented",
     "GASFIELD": "field gas options are not implemented",
     "WPAVE": "block-average well pressures are not implemented",
 }

@@ -116,3 +116,100 @@ def test_nosim(tmp_path):
     sim = Simulator(s1, SimulatorOptions())
     rep = sim.run()
     assert sim._step_index == 0  # no steps taken
+
+
+LUMP_BASE = """RUNSPEC
+DIMENS
+ 1 1 3 /
+OIL
+WATER
+METRIC
+START
+ 1 'JAN' 2020 /
+GRID
+DX
+ 3*20 /
+DY
+ 3*20 /
+DZ
+ 3*5 /
+TOPS
+ 3*1000 /
+PORO
+ 3*0.25 /
+PERMX
+ 3*300 /
+PROPS
+PVTW
+ 200 1.02 4.0E-5 0.5 0 /
+PVDO
+ 100 1.05 2.0
+ 400 1.02 2.0 /
+ROCK
+ 200 4E-5 /
+SWOF
+ 0.15 0.00  0.90 0
+ 1.00 1.00  0.0  0 /
+DENSITY
+ 850 1000 1 /
+SOLUTION
+PRESSURE
+ 3*200 /
+SWAT
+ 3*0.15 /
+SUMMARY
+FOPR
+SCHEDULE
+WELSPECS
+ 'P1' 'G' 1 1 1000 'OIL' /
+/
+COMPDAT
+ 'P1' 1 1 1 3 'OPEN' 1* 1* 0.2 /
+/
+COMPLUMP
+ 'P1' 1 1 1 2 1 /
+/
+WCONPROD
+ 'P1' 'OPEN' 'BHP' 5* 150 /
+/
+TSTEP
+ 2 /
+{welopen}TSTEP
+ 5 /
+END
+"""
+
+
+def test_complump_welopen_shuts_connections(tmp_path):
+    """COMPLUMP assigns completion numbers; WELOPEN by completion range
+    shuts those connections only (reference: opm-common Schedule
+    completion handling consumed by BlackoilWellModel)."""
+    p = tmp_path / "LUMP.DATA"
+    p.write_text(LUMP_BASE.format(
+        welopen="WELOPEN\n 'P1' 'SHUT' 3* 1 1 /\n/\n"))
+    state = load_state(str(p))
+    w0 = state.schedule.steps[0].wells[0]
+    assert [c.lump for c in w0.completions] == [1, 1, 0]
+    assert all(c.open for c in w0.completions)
+    w1 = state.schedule.steps[1].wells[0]
+    assert w1.status == "OPEN"  # well itself stays open
+    assert [c.open for c in w1.completions] == [False, False, True]
+
+
+def test_welopen_by_location(tmp_path):
+    p = tmp_path / "LUMP2.DATA"
+    p.write_text(LUMP_BASE.format(
+        welopen="WELOPEN\n 'P1' 'SHUT' 1 1 2 /\n/\n"))
+    state = load_state(str(p))
+    w1 = state.schedule.steps[1].wells[0]
+    assert [c.open for c in w1.completions] == [True, False, True]
+
+
+def test_welopen_whole_well_form_unchanged(tmp_path):
+    p = tmp_path / "LUMP3.DATA"
+    p.write_text(LUMP_BASE.format(
+        welopen="WELOPEN\n 'P1' 'SHUT' /\n/\n"))
+    state = load_state(str(p))
+    w1 = state.schedule.steps[1].wells[0]
+    assert w1.status == "SHUT"
+    assert all(c.open for c in w1.completions)
