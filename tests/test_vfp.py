@@ -156,3 +156,15 @@ def test_parse_vfpinj_and_bank():
     assert 2400 < v / U.PSI < 3700
     # missing table index -> 0
     assert float(bank_inj_bhp(bank, -1, 500 * U.PSI, 0.0)) == 0.0
+
+
+def test_printvfp_tool(tmp_path, capsys):
+    """examples/printvfp.cpp analog: dumps a BHP(rate, thp) grid."""
+    p = tmp_path / "V.DATA"
+    p.write_text("RUNSPEC\nFIELD\nSCHEDULE\n" + VFP_TEXT + "END\n")
+    from opm_autodiff_tpu.tools.printvfp import main as printvfp
+    printvfp([str(p), "--n", "3"])
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0].startswith("-- table 1")
+    assert len(lines) == 5  # header + axis row + 3 rate rows... 
