@@ -1397,6 +1397,12 @@ def build_state(deck: Deck) -> EclState:
     kw = deck.get1("SSFN")
     if kw:
         components["SSFN"] = _table_2d_regions(kw, 3, [1.0, 1.0, 1.0])
+    kw = deck.get1("SORWMIS")
+    if kw:
+        components["SORWMIS"] = _table_2d_regions(kw, 2, [1.0, 1.0])
+    kw = deck.get1("SGCWMIS")
+    if kw:
+        components["SGCWMIS"] = _table_2d_regions(kw, 2, [1.0, 1.0])
     # thermal property tables (energy variant; reference
     # flow_ebos_energy.cpp + opm-material thermal laws)
     kw = deck.get1("SPECROCK")

@@ -124,6 +124,18 @@ class ComponentModel:
                 tp = np.asarray(comp["PMISC"][0])
                 self.pmisc_tab = (jnp.asarray(tp[:, 0]),
                                   jnp.asarray(tp[:, 1]))
+            # miscible endpoint shifts (SORWMIS/SGCWMIS): interpolated
+            # into the cells' EPS channels each substep (reference:
+            # blackoilsolventmodules miscibleResidualOilSaturation /
+            # miscibleCriticalGasSaturation)
+            self.sorwmis = None
+            self.sgcwmis = None
+            if self.has_misc and "SORWMIS" in comp:
+                tw = np.asarray(comp["SORWMIS"][0])
+                self.sorwmis = (jnp.asarray(tw[:, 0]), jnp.asarray(tw[:, 1]))
+            if self.has_misc and "SGCWMIS" in comp:
+                tg = np.asarray(comp["SGCWMIS"][0])
+                self.sgcwmis = (jnp.asarray(tg[:, 0]), jnp.asarray(tg[:, 1]))
             if "SSFN" in comp:
                 ts = np.asarray(comp["SSFN"][0])
                 self.ssfn_tab = (jnp.asarray(ts[:, 0]),
@@ -177,15 +189,7 @@ class ComponentModel:
             mu_s = jnp.maximum(interp1d(p_cell, self.pvds_p, self.pvds_mu,
                                         extrapolate=False), 1e-12)
             c = jnp.clip(self.c_solv, 0.0, 1.0)
-            m_fac = jnp.ones(n)
-            if self.misc_tab is not None:
-                m_fac = jnp.clip(interp1d(c, *self.misc_tab,
-                                          extrapolate=False), 0.0, 1.0)
-            if self.pmisc_tab is not None:
-                m_fac = m_fac * jnp.clip(
-                    interp1d(p_cell, *self.pmisc_tab, extrapolate=False),
-                    0.0, 1.0)
-            w = self.tl_omega * m_fac
+            w = self.tl_omega * self._misc_factor(c, p_cell)
             inv4 = ((1.0 - c) * mu_g ** -0.25 + c * mu_s ** -0.25)
             mu_mix = inv4 ** -4.0
             mu_g_eff = jnp.maximum(mu_g ** (1.0 - w) * mu_mix ** w, 1e-12)
@@ -220,6 +224,47 @@ class ComponentModel:
                     mu_o ** (1.0 - w) * mu_mix_os ** w, 1e-12)
                 mo = mo * (mu_o / mu_o_eff)
         return jnp.stack([mw, mo, mg], axis=1)
+
+    def _misc_factor(self, c, p_cell):
+        """Miscibility in [0,1]: MISC(solvent fraction) x PMISC(p)."""
+        m = jnp.ones_like(c)
+        if self.misc_tab is not None:
+            m = jnp.clip(interp1d(c, *self.misc_tab, extrapolate=False),
+                         0.0, 1.0)
+        if self.pmisc_tab is not None:
+            m = m * jnp.clip(interp1d(p_cell, *self.pmisc_tab,
+                                      extrapolate=False), 0.0, 1.0)
+        return m
+
+    def eps_endpoint_channels(self) -> dict:
+        """Per-cell EPS channel overrides for the miscible endpoint
+        shifts: {3: sw-where-krow-vanishes, 4: critical gas}. The
+        residual oil / critical gas interpolate between the immiscible
+        table endpoints and the SORWMIS/SGCWMIS values by the
+        miscibility factor."""
+        if not self.has_solvent or not self.has_misc or self._sat is None:
+            return {}
+        if self.sorwmis is None and self.sgcwmis is None:
+            return {}
+        c = jnp.clip(self.c_solv, 0.0, 1.0)
+        m = self._misc_factor(c, self._p_cell)
+        sw = self._sat[:, 0]
+        regs = self.cells.regs[:, 0]
+        sat = self.fs.sat
+        out = {}
+        if self.sorwmis is not None:
+            sw0w_t = sat.t_sw0w[regs]
+            sor_base = 1.0 - sw0w_t
+            sor_mis = jnp.clip(interp1d(sw, *self.sorwmis,
+                                        extrapolate=False), 0.0, 1.0)
+            sor_eff = (1.0 - m) * sor_base + m * sor_mis
+            out[3] = 1.0 - sor_eff
+        if self.sgcwmis is not None:
+            sgcr_t = sat.t_sgcr[regs]
+            sgc_mis = jnp.clip(interp1d(sw, *self.sgcwmis,
+                                        extrapolate=False), 0.0, 1.0)
+            out[4] = (1.0 - m) * sgcr_t + m * sgc_mis
+        return out
 
     # ------------------------------------------------------------------
     def _phase_volumes(self, u, flag):

@@ -160,6 +160,13 @@ class Simulator:
                            np.asarray(ps.u)[:, 2], 0.0)
             self._eps_host = extend_with_hysteresis(
                 self._eps_host, self.state, self.geo, sg0)
+        # miscible SORWMIS/SGCWMIS endpoint shifts write into EPS
+        # channels each substep: make sure the channel array exists
+        if (self._eps_host is None and self.components.active
+                and getattr(self.components, "has_misc", False)
+                and (self.components.sorwmis is not None
+                     or self.components.sgcwmis is not None)):
+            self._eps_host = np.full((self.geo.num_active, 12), np.nan)
         if self._eps_host is not None:
             self.cells = self.cells._replace(
                 eps=jnp.asarray(self._eps_host))
@@ -441,6 +448,14 @@ class Simulator:
             mm = mm * self.thermal.mobility_multipliers()
         aux = self.cells.mob_mult.at[:, 0:3].set(mm)
         self.cells = self.cells._replace(mob_mult=aux)
+        # miscible endpoint shifts into the EPS channels (lagged state)
+        if self.components.active and self.cells.eps is not None:
+            ch = self.components.eps_endpoint_channels()
+            if ch:
+                eps_dev = self.cells.eps
+                for idx, vals in ch.items():
+                    eps_dev = eps_dev.at[:, idx].set(vals)
+                self.cells = self.cells._replace(eps=eps_dev)
 
     # ------------------------------------------------------------------
     def _refresh_voidage(self, ws):

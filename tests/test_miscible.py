@@ -76,3 +76,32 @@ def test_immiscible_run_unchanged(tmp_path):
     assert mm[0, 2] > 1.2
     # no oil mixing outside the miscible model
     np.testing.assert_allclose(mm[:, 1], 1.0)
+
+
+MISC_EP_PROPS = MISC_PROPS + """SORWMIS
+ 0.0 0.02
+ 1.0 0.02 /
+SGCWMIS
+ 0.0 0.05
+ 1.0 0.05 /
+"""
+
+
+def test_sorwmis_sgcwmis_shift_endpoints(tmp_path):
+    """Miscibility interpolates the residual-oil / critical-gas
+    endpoints toward the SORWMIS/SGCWMIS values through the cells' EPS
+    channels (reference: blackoilsolventmodules miscible residuals)."""
+    sim = Simulator(load_state(_misc_deck(tmp_path, props=MISC_EP_PROPS)),
+                    SimulatorOptions())
+    assert sim.cells.eps is not None  # channel array auto-created
+    sim.run()
+    eps = np.asarray(sim.cells.eps)
+    # immiscible base: krow vanishes at sw=0.85 (sor=0.15), sgcr=0.
+    # near the injector the solvent is at full strength -> residual oil
+    # shrinks toward 0.02, so the krow-vanishing sw rises above 0.85
+    assert eps[0, 3] > 0.87  # above the 0.85 immiscible endpoint
+    assert eps[0, 3] <= 0.99
+    # critical gas rises from 0 toward 0.05 with miscibility
+    assert 0.0 < eps[0, 4] <= 0.05 + 1e-9
+    # the shift decays downstream with the solvent fraction
+    assert eps[-1, 3] <= eps[0, 3] + 1e-12
