@@ -33,7 +33,7 @@ def main():
     nx = int(os.environ.get("BENCH_NX", "64"))
     ny = int(os.environ.get("BENCH_NY", "64"))
     nz = int(os.environ.get("BENCH_NZ", "12"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
     precond = os.environ.get("BENCH_PRECOND", "zline")
 
     (_state, geo, fs, cells, faces, init, ws, acc0,
@@ -43,10 +43,17 @@ def main():
 
     dt = jnp.asarray(86400.0)
 
+    # explicit connection densities once per substep, exactly like
+    # newton_solve (reference: calculateExplicitQuantities on iter 0)
+    from opm_autodiff_tpu.wells.standard import connection_densities
+    rho_conn = jax.jit(connection_densities)(fs, init.u, init.flag, pbh,
+                                             ws, cells.regs)
+
     def step(u, flag, pbh, mode, acc0):
         st = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode)
         new_st, info, _q, _qa = newton_iteration_impl(
-            params, fs, cells, faces, st, ws, acc0, dt)  # _q = (tot, perf)
+            params, fs, cells, faces, st, ws, acc0, dt,
+            rho_conn=rho_conn)  # _q = (tot, perf)
         return new_st.u, new_st.flag, new_st.pbh, new_st.active_mode
 
     jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3))

@@ -35,8 +35,7 @@ from opm_autodiff_tpu.solvers.linear import solve_linear
 from opm_autodiff_tpu.wells import multisegment as msw_mod
 from opm_autodiff_tpu.wells import standard as wells_mod
 from opm_autodiff_tpu.wells.standard import (CTRL_BHP, WellResult, WellSet,
-                                             well_contributions,
-                                             well_rates_only)
+                                             well_contributions)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -280,7 +279,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
                           aq: AquiferDevice | None = None,
                           vfp_bank=None, msw=None, x3_cap=None,
-                          relax=1.0):
+                          relax=1.0, rho_conn=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
@@ -291,15 +290,19 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # assembly exposes them for free; other layouts do one vmapped sweep
     inv_b_cells = None
 
-    # --- control update from a cheap rates-only pass, then ONE full
-    # well assembly (reference: updateWellControls before assembleWellEq,
-    # BlackoilWellModel_impl.hpp:828-834) ---
-    q_quick = well_rates_only(fs, u, flag, pbh, ws, cells.regs,
-                              cells.mob_mult, cells.eps)
-    mode = update_well_controls(ws, mode, pbh, q_quick, vfp_bank)
-    wr = well_contributions(fs, u, flag, pbh, ws, mode, vfp_bank,
-                            cells.regs, cells.mob_mult, cells.eps)
-    q_tot = wr.q_perf.sum(axis=1)
+    # --- ONE well assembly: the perforation stage is mode-independent,
+    # so control switching runs on its own rates and only the 1x1
+    # control equations are (re)built for the new mode (reference:
+    # updateWellControls before assembleWellEq,
+    # BlackoilWellModel_impl.hpp:828-834 — same data flow, no extra
+    # rates pass). ``rho_conn`` is the per-substep explicit connection
+    # density (calculateExplicitQuantities analog).
+    pr = wells_mod.well_perf_contributions(fs, u, flag, pbh, ws,
+                                           cells.regs, cells.mob_mult,
+                                           cells.eps, rho_conn)
+    q_tot = pr.q_perf.sum(axis=1)
+    mode = update_well_controls(ws, mode, pbh, q_tot, vfp_bank)
+    wr = wells_mod.well_control_contributions(pr, ws, mode, pbh, vfp_bank)
 
     # --- reservoir assembly (banded fast path for structured grids;
     # ACTNUM grids embed into the full box with identity rows) ---
@@ -451,6 +454,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 newton_iteration = jax.jit(newton_iteration_impl,
                            static_argnames=("params",))
 
+_conn_rho = jax.jit(wells_mod.connection_densities)
+
 
 @dataclasses.dataclass
 class NewtonReport:
@@ -487,10 +492,14 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # the update off toward relaxMax 0.5 and recovers when smooth)
     hist: list[np.ndarray] = []
     relax = 1.0
+    # explicit connection densities once per substep (reference:
+    # calculateExplicitQuantities on iteration 0,
+    # BlackoilWellModel_impl.hpp:824)
+    rho_conn = _conn_rho(fs, st.u, st.flag, st.pbh, ws, cells.regs)
     for it in range(params.max_iter + 1):
         new_st, info, (q_tot, q_perf, q_msw), q_aq = newton_iteration(
             params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
-            vfp_bank, msw, x3_cap, jnp.asarray(relax))
+            vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn)
         hist.append(np.asarray(info.cnv))
         if len(hist) >= 3:
             osc = sum(

@@ -294,21 +294,40 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     return q.sum(axis=1)
 
 
-def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
-                       ws: WellSet,
-                       active_mode: jnp.ndarray | None = None,
-                       vfp_bank=None, regs=None,
-                       mob_mult=None, eps=None) -> WellResult:
-    """Assemble all well quantities for one Newton iteration.
+class WellPerf(NamedTuple):
+    """Mode-independent perforation quantities (first assembly stage)."""
 
-    Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
-    Shapes: u [N,3], flag [N], pbh [W]. ``active_mode`` is the *current*
-    control (dynamic — control switching changes it between iterations,
-    reference BlackoilWellModel_impl.hpp:1239 updateWellControls);
-    defaults to the schedule mode.
-    """
-    if active_mode is None:
-        active_mode = ws.ctrl_mode
+    q_perf: jnp.ndarray    # [W,P,3] rates into cells
+    dq_du: jnp.ndarray     # [W,P,3,3]
+    dq_dpbh: jnp.ndarray   # [W,P,3]
+    rho_conn: jnp.ndarray  # [W,P]
+
+
+def connection_densities(fs: FluidSystem, u, flag, pbh, ws: WellSet,
+                         regs=None) -> jnp.ndarray:
+    """Explicit (lagged) connection mixture densities [W,P].
+
+    The reference computes these once per timestep in
+    calculateExplicitQuantities (BlackoilWellModel_impl.hpp:824); the
+    Newton loop passes the result into every iteration's assembly."""
+    u_perf = u[ws.cell]
+    flag_perf = flag[ws.cell]
+    reg_perf = (regs[ws.cell] if regs is not None
+                else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
+    return jax.vmap(jax.vmap(
+        _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
+        in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        fs, jax.lax.stop_gradient(u_perf), flag_perf,
+        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, reg_perf)
+
+
+def well_perf_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
+                            ws: WellSet, regs=None, mob_mult=None,
+                            eps=None, rho_conn=None) -> WellPerf:
+    """Per-perforation rates + Jacobians (independent of well controls).
+
+    ``rho_conn`` may be precomputed once per substep
+    (connection_densities); None recomputes it here."""
     u_perf = u[ws.cell]          # [W,P,3]
     flag_perf = flag[ws.cell]    # [W,P]
     reg_perf = (regs[ws.cell] if regs is not None
@@ -319,12 +338,8 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     eps_ax = None if eps is None else 0
     dz = ws.perf_depth - ws.ref_depth[:, None]  # [W,P]
 
-    # explicit connection densities (lagged; no gradient)
-    rho_conn = jax.vmap(jax.vmap(
-        _connection_density, in_axes=(None, 0, 0, None, None, None, 0)),
-        in_axes=(None, 0, 0, 0, 0, 0, 0))(
-        fs, jax.lax.stop_gradient(u_perf), flag_perf,
-        jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, reg_perf)
+    if rho_conn is None:
+        rho_conn = connection_densities(fs, u, flag, pbh, ws, regs)
 
     def one_perf(u_c, flag_c, pb, rho_c, wi_c, dz_c, inj, phase, mask, rg,
                  mm, ep):
@@ -346,6 +361,23 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
         ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf,
         eps_perf)
+
+    # closed wells contribute nothing
+    open_ = ws.open_mask
+    q_perf = jnp.where(open_[:, None, None], q_perf, jnp.zeros_like(q_perf))
+    dq_du = jnp.where(open_[:, None, None, None], dq_du,
+                      jnp.zeros_like(dq_du))
+    dq_dpbh = jnp.where(open_[:, None, None], dq_dpbh,
+                        jnp.zeros_like(dq_dpbh))
+    return WellPerf(q_perf=q_perf, dq_du=dq_du, dq_dpbh=dq_dpbh,
+                    rho_conn=rho_conn)
+
+
+def well_control_contributions(pr: WellPerf, ws: WellSet, active_mode,
+                               pbh, vfp_bank=None) -> WellResult:
+    """Second assembly stage: the per-well control equation and the
+    B/D Schur blocks for the current (possibly just-switched) mode."""
+    q_perf, dq_du, dq_dpbh = pr.q_perf, pr.dq_du, pr.dq_dpbh
 
     # ---- well control equations (per well, differentiable in u, pbh) ----
     def control_residual(q_tot, pb, mode, ws_row):
@@ -409,21 +441,40 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
     b_blk = jnp.where(d_bad[:, None, None], 0.0, b_blk)
     d_diag = jnp.where(d_bad, 1.0, d_diag)
 
-    # closed wells contribute nothing; pin their pbh to the limit
+    # closed wells: pin their pbh to the limit (their q/dq are already
+    # zero from the perf stage)
     open_ = ws.open_mask
-    zero3 = jnp.zeros_like(q_perf)
-    q_perf = jnp.where(open_[:, None, None], q_perf, zero3)
-    dq_du = jnp.where(open_[:, None, None, None], dq_du,
-                      jnp.zeros_like(dq_du))
-    dq_dpbh = jnp.where(open_[:, None, None], dq_dpbh,
-                        jnp.zeros_like(dq_dpbh))
     res_well = jnp.where(open_, res_well, pbh - ws.bhp_target)
     b_blk = jnp.where(open_[:, None, None], b_blk, jnp.zeros_like(b_blk))
     d_diag = jnp.where(open_, d_diag, jnp.ones_like(d_diag))
 
     return WellResult(q_perf=q_perf, dq_du=dq_du, dq_dpbh=dq_dpbh,
                       res_well=res_well, b_blk=b_blk, d_diag=d_diag,
-                      rho_conn=rho_conn)
+                      rho_conn=pr.rho_conn)
+
+
+def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
+                       ws: WellSet,
+                       active_mode: jnp.ndarray | None = None,
+                       vfp_bank=None, regs=None,
+                       mob_mult=None, eps=None,
+                       rho_conn=None) -> WellResult:
+    """Assemble all well quantities for one Newton iteration.
+
+    Returns per-perf rates + Jacobian blocks and the 1x1 well equations.
+    Shapes: u [N,3], flag [N], pbh [W]. ``active_mode`` is the *current*
+    control (dynamic — control switching changes it between iterations,
+    reference BlackoilWellModel_impl.hpp:1239 updateWellControls);
+    defaults to the schedule mode. The two stages are exposed separately
+    (well_perf_contributions / well_control_contributions) so the Newton
+    loop can switch controls on the SAME assembly's rates without a
+    second rates pass.
+    """
+    if active_mode is None:
+        active_mode = ws.ctrl_mode
+    pr = well_perf_contributions(fs, u, flag, pbh, ws, regs, mob_mult,
+                                 eps, rho_conn)
+    return well_control_contributions(pr, ws, active_mode, pbh, vfp_bank)
 
 
 # ---------------------------------------------------------------------------
