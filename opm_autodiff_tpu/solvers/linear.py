@@ -285,6 +285,7 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         from opm_autodiff_tpu.models.structured import StructuredSystem
         from opm_autodiff_tpu.ops import pallas_spmv
 
+        prec = None
         if isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
             prep = pallas_spmv.prepare_banded(scaled)
             if scaled.ex_left is None:
@@ -297,6 +298,13 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                     z = z.at[_s.ex_right].add(
                         jnp.einsum("fij,fj->fi", _s.ex_rl, y[_s.ex_left]))
                     return z
+            if precond == "zline":
+                # single-launch Pallas block-Thomas (4.6x the XLA scan,
+                # and full-f32 where XLA's einsum rounds through bf16)
+                from opm_autodiff_tpu.ops import pallas_zline
+
+                fact = pallas_zline.prepare_zline(prep)
+                prec = partial(pallas_zline.zline_apply_pallas, fact)
         else:
             base_mv = partial(system_matvec, scaled)
 
@@ -307,8 +315,10 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                 z = z + (extra_matvec(x) * row32.astype(f64)).astype(dtype)
             return z
 
-        inv_diag = invert_blocks(scaled.diag)
-        prec = _make_precond(precond, scaled, inv_diag, cpr_inner_iters)
+        if prec is None:
+            inv_diag = invert_blocks(scaled.diag)
+            prec = _make_precond(precond, scaled, inv_diag,
+                                 cpr_inner_iters)
         res = _run(method, matvec, prec, b_s, tol, maxiter)
         return LinearSolveResult(x=res.x.astype(f64) * col64,
                                  iterations=res.iterations,
