@@ -35,6 +35,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu for testing)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax profiler trace (open with "
+                        "TensorBoard/xprof) covering the whole run — the "
+                        "reference's SimulatorReport timing tree plus "
+                        "device-level detail (SURVEY.md §5 tracing)")
     p.add_argument("--enable-ecl-output", default="true",
                    choices=["true", "false"],
                    help="write EGRID/INIT/UNRST/SMSPEC/UNSMRY binaries")
@@ -115,6 +120,8 @@ def main(argv=None) -> int:
         rft = eb.EclFileWriter(os.path.join(outdir, base + ".RFT"))
 
     t0 = time.perf_counter()
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     nsteps = len(state.schedule.steps)
     while sim._step_index < nsteps:
         reports = sim.step()
@@ -139,6 +146,10 @@ def main(argv=None) -> int:
                   f"FOPR={r.get('FOPR', 0):.1f} FPR={r.get('FPR', 0):.1f} "
                   f"substeps={len(reports)}")
     wall = time.perf_counter() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        if not args.quiet:
+            print(f"profiler trace written to {args.profile_dir}")
     if unrst is not None:
         unrst.close()
     if rft is not None:
