@@ -228,14 +228,22 @@ class _TokenStream:
         self.location = ""
 
     def peek_line_first(self) -> str | None:
-        """First token of the next non-empty line without consuming."""
+        """First token of the next non-empty line without consuming.
+
+        Only used for keyword-boundary detection, so a cheap whitespace
+        split suffices — tokenizing whole multi-MB array lines here was
+        a parse hot spot."""
         li = self._li
         if self._buf:
             return self._buf[0]
         while li < len(self._lines):
-            toks = _tokenize_line(self._lines[li][0])
-            if toks:
-                return toks[0]
+            text = self._lines[li][0]
+            idx = text.find("--")
+            if idx >= 0:
+                text = text[:idx]
+            parts = text.split(None, 1)
+            if parts:
+                return parts[0]
             li += 1
         return None
 
@@ -261,6 +269,41 @@ class _TokenStream:
             if tok == "/":
                 return items
             items.extend(_expand_token(tok))
+
+    def read_data_fast(self):
+        """Native bulk-number fast path for DATA keyword bodies
+        (native/decklex.cpp): one C pass over the raw lines up to the
+        terminating '/'. Returns a float64 numpy array, or None when the
+        body needs the general tokenizer (defaults, strings, or the
+        native library is unavailable)."""
+        if self._buf:
+            return None  # data shares the keyword's line: rare, fall back
+        from opm_autodiff_tpu.io import decklex
+
+        if not decklex.available():
+            return None
+        # find the line holding the terminating '/' (comments stripped)
+        li = self._li
+        end = None
+        while li < len(self._lines):
+            text = self._lines[li][0]
+            idx = text.find("--")
+            body = text[:idx] if idx >= 0 else text
+            if "/" in body:
+                end = li
+                break
+            li += 1
+        if end is None:
+            return None
+        buf = "\n".join(self._lines[i][0]
+                        for i in range(self._li, end + 1))
+        vals = decklex.parse_numbers(buf)
+        if vals is None:
+            return None
+        self._li = end + 1
+        if end < len(self._lines):
+            self.location = self._lines[end][1]
+        return vals
 
     def skip_to_next_keyword(self, known: set[str]):
         """Consume lines until the first token of a line is a known keyword."""
@@ -353,7 +396,9 @@ def read_deck(path: str) -> Deck:
             rec = stream.read_record() or []
             emit(DeckKeyword(name, [rec], loc))
         elif mode == DATA:
-            rec = stream.read_record() or []
+            rec = stream.read_data_fast()
+            if rec is None:
+                rec = stream.read_record() or []
             emit(DeckKeyword(name, [rec], loc))
         elif mode in (RECORDS, TABLES):
             recs = []

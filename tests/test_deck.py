@@ -172,3 +172,62 @@ def dataclasses_replace_tables(props):
     t[1, 0] = t[0, 0]  # duplicate node
     bad.swof_regions[0] = t
     return bad
+
+
+def test_native_decklex_matches_python(tmp_path, monkeypatch):
+    """The native bulk-number fast path (native/decklex.cpp) must produce
+    the same DATA arrays as the Python tokenizer, including repeats,
+    comments, and D-exponents."""
+    import numpy as np
+
+    from opm_autodiff_tpu.io import decklex
+    from opm_autodiff_tpu.io.deck import read_deck
+
+    if not decklex.available():
+        import pytest
+        pytest.skip("native lexer unavailable")
+    text = """RUNSPEC
+DIMENS
+ 3 2 1 /
+OIL
+GRID
+PORO
+ 0.25 0.30 2*0.1 -- comment inside
+ 1.5D-1 0.2 /
+PERMX
+ 6*100.0 /
+END
+"""
+    p = tmp_path / "LX.DATA"
+    p.write_text(text)
+    d_fast = read_deck(str(p))
+    monkeypatch.setenv("OPM_TPU_NATIVE_DECKLEX", "0")
+    d_py = read_deck(str(p))
+    for kw in ("PORO", "PERMX"):
+        a = np.asarray(d_fast.get1(kw).records[0], float)
+        b = np.asarray(d_py.get1(kw).records[0], float)
+        np.testing.assert_allclose(a, b)
+    np.testing.assert_allclose(
+        np.asarray(d_fast.get1("PORO").records[0], float),
+        [0.25, 0.30, 0.1, 0.1, 0.15, 0.2])
+
+
+def test_native_decklex_falls_back_on_defaults(tmp_path):
+    """A DATA body containing defaulted items ('N*') must fall back to
+    the Python tokenizer (the native lexer refuses it)."""
+    from opm_autodiff_tpu.io.deck import DEFAULT, read_deck
+
+    text = """RUNSPEC
+DIMENS
+ 2 1 1 /
+GRID
+PORO
+ 0.25 1* /
+END
+"""
+    p = tmp_path / "LXD.DATA"
+    p.write_text(text)
+    d = read_deck(str(p))
+    rec = d.get1("PORO").records[0]
+    assert rec[0] == 0.25
+    assert rec[1] is DEFAULT
