@@ -1397,6 +1397,9 @@ def build_state(deck: Deck) -> EclState:
     kw = deck.get1("SSFN")
     if kw:
         components["SSFN"] = _table_2d_regions(kw, 3, [1.0, 1.0, 1.0])
+    kw = deck.get1("MSFN")
+    if kw:
+        components["MSFN"] = _table_2d_regions(kw, 3, [1.0, 1.0, 1.0])
     kw = deck.get1("SORWMIS")
     if kw:
         components["SORWMIS"] = _table_2d_regions(kw, 2, [1.0, 1.0])

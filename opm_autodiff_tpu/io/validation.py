@@ -24,8 +24,8 @@ UNSUPPORTED = {
 # Supported with caveats (warn-grade).
 PARTIAL = {
     "EHYSTR": "hysteresis applies Killough scanning to gas relperm only",
-    "MISCIBLE": "MISC/PMISC/SSFN viscosity+relperm-split miscibility with "
-                "SORWMIS/SGCWMIS endpoint shifts; MSFN is not applied",
+    "MISCIBLE": "MISC/PMISC/SSFN/MSFN miscibility with SORWMIS/SGCWMIS "
+                "endpoint shifts (relperm effects as lagged multipliers)",
     "HFA": "the multisegment acceleration pressure-drop term is ignored",
     "PVTWSALT": "brine feedback covers water viscosity (not Bw/density)",
     "ROCKCOMP": "rock compaction uses the ROCK second-order expansion",

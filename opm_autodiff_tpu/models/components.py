@@ -130,6 +130,12 @@ class ComponentModel:
             # miscibleCriticalGasSaturation)
             self.sorwmis = None
             self.sgcwmis = None
+            self.msfn_tab = None
+            if self.has_misc and "MSFN" in comp:
+                tn = np.asarray(comp["MSFN"][0])
+                self.msfn_tab = (jnp.asarray(tn[:, 0]),
+                                 jnp.asarray(tn[:, 1]),
+                                 jnp.asarray(tn[:, 2]))
             if self.has_misc and "SORWMIS" in comp:
                 tw = np.asarray(comp["SORWMIS"][0])
                 self.sorwmis = (jnp.asarray(tw[:, 0]), jnp.asarray(tw[:, 1]))
@@ -207,11 +213,52 @@ class ComponentModel:
                 kg, ks = 1.0 - c, c
             # total stream mobility multiplier on krg(Sg_total)/mu_g
             mg = mg * mu_g * (kg / mu_g_eff + ks / mu_s_eff)
+            if self.has_misc and self.msfn_tab is not None \
+                    and self._sat is not None:
+                # MSFN miscible saturation functions: under miscibility
+                # the hydrocarbon relperm krn (= krow at the water
+                # saturation) splits between oil and gas+solvent by the
+                # MSFN multipliers of the normalized gas+solvent
+                # fraction (reference: blackoilsolventmodules' miscible
+                # relative permeability path). Expressed as lagged
+                # mobility-multiplier blends; the endpoint effects ride
+                # the SORWMIS/SGCWMIS EPS channels.
+                sw_l = self._sat[:, 0]
+                so_l = self._sat[:, 1]
+                sg_l = self._sat[:, 2]
+                sn = sg_l / jnp.maximum(so_l + sg_l, 1e-12)
+                regs0 = self.cells.regs[:, 0]
+                sat = self.fs.sat
+                krn = jax.vmap(lambda s, r: sat.krow(s, r))(sw_l, regs0)
+                krg_now = jax.vmap(lambda s, r: sat.krg(s, r))(sg_l, regs0)
+                kro_now = jax.vmap(lambda s, g, r: sat.kro(s, g, r))(
+                    sw_l, sg_l, regs0)
+                nodes, krsg_mult, kro_mult = self.msfn_tab
+                kg_mis = jnp.clip(interp1d(sn, nodes, krsg_mult,
+                                           extrapolate=False), 0.0, 1.0)
+                ko_mis = jnp.clip(interp1d(sn, nodes, kro_mult,
+                                           extrapolate=False), 0.0, 1.0)
+                m_here = self._misc_factor(c, p_cell)
+                krg_eff = (1.0 - m_here) * krg_now + m_here * kg_mis * krn
+                kro_eff = (1.0 - m_here) * kro_now + m_here * ko_mis * krn
+                # a multiplicative correction is only well-defined where
+                # the immiscible relperm is alive: gate it off smoothly
+                # as kr -> 0 (the 0/0 limit at phase appearance must
+                # leave the mobility untouched, not zero it), and cap
+                # the swing between lagged substeps
+                def blend(kr_eff, kr_now):
+                    ratio = jnp.clip(kr_eff / jnp.maximum(kr_now, 1e-4),
+                                     0.0, 20.0)
+                    alpha = kr_now / (kr_now + 1e-3)
+                    return 1.0 + alpha * (ratio - 1.0)
+
+                mg = mg * blend(krg_eff, krg_now)
+                mo = mo * blend(kro_eff, kro_now)
             if self.has_misc and self._sat is not None:
                 # miscible oil: TL mixing of the oil viscosity with the
                 # solvent by the solvent fraction of the oil+solvent
                 # volume (reference blackoilsolventmodules effective oil
-                # viscosity; SORWMIS/SGCWMIS endpoint shifts not applied)
+                # viscosity)
                 so = self._sat[:, 1]
                 ss = c * self._sat[:, 2]
                 fos = ss / jnp.maximum(so + ss, 1e-12)

@@ -184,4 +184,4 @@ SGOF
     mm = np.asarray(sim.cells.mob_mult)
     # gas mobility cut where surfactant is present
     assert mm[0, 2] < 0.7
-    assert mm[-1, 2] > mm[0, 2] - 1e-12
+    assert mm[-1, 2] > mm[0, 2] - 1e-9

@@ -105,3 +105,31 @@ def test_sorwmis_sgcwmis_shift_endpoints(tmp_path):
     assert 0.0 < eps[0, 4] <= 0.05 + 1e-9
     # the shift decays downstream with the solvent fraction
     assert eps[-1, 3] <= eps[0, 3] + 1e-12
+
+
+def test_msfn_relperm_split(tmp_path):
+    """MSFN replaces the immiscible gas/oil relperms with splits of the
+    hydrocarbon relperm under miscibility: boosting the gas split raises
+    the gas mobility multiplier beyond the pure viscosity effect."""
+    msfn = """MSFN
+ 0.0 0.0 1.0
+ 1.0 1.0 0.0 /
+"""
+    sim_plain = Simulator(load_state(_misc_deck(tmp_path)),
+                          SimulatorOptions())
+    sim_plain.run()
+    p2 = tmp_path / "m2"
+    p2.mkdir()
+    sim_msfn = Simulator(
+        load_state(_misc_deck(p2, props=MISC_PROPS + msfn)),
+        SimulatorOptions())
+    assert sim_msfn.components.msfn_tab is not None
+    sim_msfn.run()
+    mm_a = np.asarray(sim_plain.cells.mob_mult)
+    mm_b = np.asarray(sim_msfn.cells.mob_mult)
+    # both runs complete with positive, finite multipliers (columns 3/4
+    # are the DRSDT/DRVDT caps, +inf when inactive)
+    assert np.isfinite(mm_b[:, :3]).all()
+    assert (mm_b[:, 2] > 0).all()
+    # the MSFN split changes the mobilities (different physics applied)
+    assert not np.allclose(mm_a[:, 2], mm_b[:, 2])
