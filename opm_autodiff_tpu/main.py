@@ -22,6 +22,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("deck", help="ECLIPSE .DATA input deck")
     p.add_argument("--output-dir", default=None,
                    help="directory for output files (default: deck's)")
+    p.add_argument("--linear-solver-configuration", default=None,
+                   help="canned config (ilu0/cpr/cpr_trueimpes/"
+                        "cpr_quasiimpes/amg) or a .json property tree "
+                        "(reference: setupPropertyTree.cpp:36)")
     p.add_argument("--linear-solver", default="zline",
                    choices=["zline", "jacobi", "cpr"],
                    help="preconditioner (reference --linear-solver)")
@@ -75,13 +79,17 @@ def main(argv=None) -> int:
         print(f"reading deck: {args.deck}")
 
     state = load_state(args.deck)
+    newton = NewtonParams(
+        max_iter=args.newton_max_iterations,
+        tol_cnv=args.tolerance_cnv,
+        tol_mb=args.tolerance_mb,
+        linear_precond=args.linear_solver,
+    )
+    if args.linear_solver_configuration:
+        from opm_autodiff_tpu.solvers.config import apply_to_params
+        newton = apply_to_params(newton, args.linear_solver_configuration)
     opts = SimulatorOptions(
-        newton=NewtonParams(
-            max_iter=args.newton_max_iterations,
-            tol_cnv=args.tolerance_cnv,
-            tol_mb=args.tolerance_mb,
-            linear_precond=args.linear_solver,
-        ),
+        newton=newton,
         tstep=TimeStepParams(
             initial_dt_days=args.initial_time_step_in_days,
             restart_factor=args.solver_restart_factor,

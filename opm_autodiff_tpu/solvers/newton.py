@@ -60,7 +60,8 @@ class NewtonParams:
     # "zline" = per-column block-tridiagonal solve (exact in z, Jacobi
     # across columns) — 1.85x over plain block-Jacobi on TPU; falls back
     # to block-Jacobi on unstructured (BSR) layouts
-    linear_precond: str = "zline"   # "zline" | "jacobi" | "cpr"
+    linear_precond: str = "zline"   # "zline" | "jacobi" | "cpr" | "cpramg"
+    linear_method: str | None = None  # None = auto (bicgstab/fgmres)
     # active phases (static): inactive phases get their equation pinned
     # to the identity (the reference compiles per-phase-set variants,
     # flow/flow_ebos_{gasoil,oilwater,...}.cpp; one masked trace here)
@@ -412,7 +413,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     lin = solve_linear(sys, rhs,
                        extra_matvec=extra_mv,
                        tol=params.linear_tol, maxiter=params.linear_maxiter,
-                       precond=params.linear_precond)
+                       precond=params.linear_precond,
+                       method=params.linear_method)
     dx = lin.x
     # a diverged/NaN linear solve is a hard iteration failure (the
     # reference throws LinearSolverProblem and the timestepper chops;
