@@ -325,27 +325,37 @@ def write_init(path: str, geo, state, unit_name: str = "FIELD"):
             w.write(name, (arr / usys.transmissibility).astype(np.float32))
 
 
-def write_unrst_step(writer: EclFileWriter, seqnum: int, sim,
-                     unit_name: str = "FIELD"):
-    """Append one report step's solution to a unified restart file."""
+def write_unrst_arrays(writer: EclFileWriter, seqnum: int, u: np.ndarray,
+                       flag: np.ndarray, cartdims, num_active: int,
+                       unit_name: str = "FIELD"):
+    """Append one report step's solution (host-snapshotted arrays) to a
+    unified restart file. Array-based so the async output thread can
+    run it after the simulator state has moved on (reference:
+    TaskletRunner, eclgenericwriter.hh:121)."""
     from opm_autodiff_tpu import units as U
 
     usys = U.BY_NAME.get(unit_name, U.FIELD)
-    nx, ny, nz = sim.geo.cartdims
+    nx, ny, nz = cartdims
     writer.write("SEQNUM  ", np.asarray([seqnum], np.int32))
     ih = np.zeros(95, np.int32)
     ih[2] = _UNIT_CODE.get(unit_name, 2)
-    ih[8:12] = [nx, ny, nz, sim.geo.num_active]
+    ih[8:12] = [nx, ny, nz, num_active]
     ih[14] = 7
     writer.write("INTEHEAD", ih)
-    u = np.asarray(sim.u)
-    flag = np.asarray(sim.flag)
     sg = np.where(flag == 0, u[:, 2], 0.0)
     rs = np.where(flag == 1, u[:, 2], 0.0)
     writer.write("PRESSURE", (u[:, 0] / usys.pressure).astype(np.float32))
     writer.write("SWAT    ", u[:, 1].astype(np.float32))
     writer.write("SGAS    ", sg.astype(np.float32))
     writer.write("RS      ", (rs / usys.gas_oil_ratio).astype(np.float32))
+
+
+def write_unrst_step(writer: EclFileWriter, seqnum: int, sim,
+                     unit_name: str = "FIELD"):
+    """Append one report step's solution to a unified restart file."""
+    write_unrst_arrays(writer, seqnum, np.asarray(sim.u),
+                       np.asarray(sim.flag), sim.geo.cartdims,
+                       sim.geo.num_active, unit_name)
 
 
 def write_rft_step(writer: EclFileWriter, sim, time_days: float,

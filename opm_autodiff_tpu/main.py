@@ -47,7 +47,47 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--enable-ecl-output", default="true",
                    choices=["true", "false"],
                    help="write EGRID/INIT/UNRST/SMSPEC/UNSMRY binaries")
+    p.add_argument("--enable-async-ecl-output", default="true",
+                   choices=["true", "false"],
+                   help="serialize ECL binary output on a background "
+                        "thread, off the stepping critical path "
+                        "(reference: EnableAsyncEclOutput TaskletRunner, "
+                        "eclwriter.hh:49)")
     return p
+
+
+class AsyncOutput:
+    """Single background writer thread (reference: TaskletRunner,
+    ebos/eclgenericwriter.hh:121): tasks run in submission order; the
+    file handles are touched only by this thread once started."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        if enabled:
+            import queue
+            import threading
+
+            self._q = queue.Queue()
+            self._t = threading.Thread(target=self._run, daemon=True)
+            self._t.start()
+
+    def submit(self, fn):
+        if self.enabled:
+            self._q.put(fn)
+        else:
+            fn()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            fn()
+
+    def close(self):
+        if self.enabled:
+            self._q.put(None)
+            self._t.join()
 
 
 def main(argv=None) -> int:
@@ -131,12 +171,21 @@ def main(argv=None) -> int:
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     nsteps = len(state.schedule.steps)
+    aout = AsyncOutput(ecl_out and args.enable_async_ecl_output == "true")
+    import numpy as _np
     while sim._step_index < nsteps:
         reports = sim.step()
         if unrst is not None:
             from opm_autodiff_tpu.io import eclbinary as eb
 
-            eb.write_unrst_step(unrst, sim._step_index, sim, unit_name)
+            # snapshot to host now; the write happens off-thread
+            u_snap = _np.asarray(sim.u)
+            flag_snap = _np.asarray(sim.flag)
+            aout.submit(lambda s=sim._step_index, u=u_snap, f=flag_snap:
+                        eb.write_unrst_arrays(unrst, s, u, f,
+                                              sim.geo.cartdims,
+                                              sim.geo.num_active,
+                                              unit_name))
         if rft is not None:
             from opm_autodiff_tpu.io import eclbinary as eb
 
@@ -154,6 +203,7 @@ def main(argv=None) -> int:
                   f"FOPR={r.get('FOPR', 0):.1f} FPR={r.get('FPR', 0):.1f} "
                   f"substeps={len(reports)}")
     wall = time.perf_counter() - t0
+    aout.close()
     if args.profile_dir:
         jax.profiler.stop_trace()
         if not args.quiet:
