@@ -130,8 +130,9 @@ def bicgstab(matvec: Callable, precond: Callable, b: jnp.ndarray,
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-
-    r0 = b - matvec(x0)
+        r0 = b  # skip the b - A@0 matvec
+    else:
+        r0 = b - matvec(x0)
     bnorm = jnp.sqrt(jnp.real(_dot(b, b)))
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     target = tol * bnorm
