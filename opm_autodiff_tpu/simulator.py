@@ -49,6 +49,10 @@ class SimulatorOptions:
     newton: NewtonParams = dataclasses.field(default_factory=NewtonParams)
     tstep: TimeStepParams = dataclasses.field(default_factory=TimeStepParams)
     verbose: int = 0  # 0 quiet, 1 report-step lines, 2 + newton lines
+    # re-inject the previous substep's leftover residual as a source so
+    # relaxed tolerances don't accumulate mass-balance drift (reference:
+    # EnableDriftCompensation, eclproblem.hh:1127/:1848)
+    drift_compensation: bool = True
 
 
 class Simulator:
@@ -175,6 +179,10 @@ class Simulator:
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
         self.pbh = None
+        # drift-compensation capture (zeros, not None, so the jitted
+        # Newton kernel compiles once with the array variant)
+        self._drift_vol = (jnp.zeros((self.geo.num_active, 3))
+                           if self.opts.drift_compensation else None)
         self.active_mode = None
         self.cum = {"FOPT": 0.0, "FGPT": 0.0, "FWPT": 0.0, "FGIT": 0.0,
                     "FWIT": 0.0, "FAQT": 0.0}
@@ -319,11 +327,16 @@ class Simulator:
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
-                vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps)
+                vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
+                drift_vol=self._drift_vol)
 
             def commit():
                 p_old = committed["st"].u[:, 0]
                 committed["st"] = st
+                if self.opts.drift_compensation and rep.residual is not None:
+                    # capture drift = leftover residual x dt
+                    # (reference: eclproblem.hh:1127-1135)
+                    self._drift_vol = rep.residual * dt_seconds
                 committed["acc0"] = self._acc_fn(
                     self.fs, st.u, st.flag, self.cells.pore_vol_ref,
                     self.cells.regs)
@@ -606,6 +619,8 @@ class Simulator:
                                    for e in self._pid.errors]),
             msw_x=(np.asarray(self.msw_x) if self.msw_x is not None
                    else np.zeros(0)),
+            drift_vol=(np.asarray(self._drift_vol)
+                       if self._drift_vol is not None else np.zeros(0)),
         )
 
     def load_restart(self, path: str) -> None:
@@ -625,6 +640,9 @@ class Simulator:
                                 for e in d["pid_errors"]]
         if "msw_x" in d and d["msw_x"].size:
             self.msw_x = jnp.asarray(d["msw_x"])
+        if ("drift_vol" in d and d["drift_vol"].size
+                and self.opts.drift_compensation):
+            self._drift_vol = jnp.asarray(d["drift_vol"])
 
     # ------------------------------------------------------------------
     # Python-API parity with the reference's pybind11 BlackOilSimulator

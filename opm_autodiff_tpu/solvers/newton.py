@@ -280,7 +280,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
                           aq: AquiferDevice | None = None,
                           vfp_bank=None, msw=None, x3_cap=None,
-                          relax=1.0, rho_conn=None):
+                          relax=1.0, rho_conn=None, drift_vol=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
@@ -357,6 +357,24 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     q_aq = aquifer_rates(aq, u, rho_w_g)
     residual = residual.at[aq_cell_sys, 0].add(-q_aq)
     diag = diag.at[aq_cell_sys, 0, 0].add(aq.a2)
+
+    # --- drift compensation: the previous substep's converged-but-
+    # nonzero residual (times dt) re-enters as a source so the relaxed
+    # tolerances do not accumulate mass-balance drift; capped like the
+    # reference at 10x the nonlinear tolerance (EclProblem::source drift
+    # handling, eclproblem.hh:1848-1874; capture :1127) ---
+    if drift_vol is not None:
+        rate = drift_vol / dt  # [Na,3] surface m3/s
+        comp_total = (jnp.abs(rate) * dt
+                      / cells.pore_vol_ref[:, None]).sum(axis=1)
+        cap = 10.0 * params.tol_cnv
+        comp_scale = jnp.where(
+            comp_total > cap, cap / jnp.maximum(comp_total, 1e-300), 1.0)
+        corr = rate * comp_scale[:, None]
+        if emb is not None:
+            residual = residual.at[emb.act].add(corr)
+        else:
+            residual = residual + corr
 
     # --- inactive-phase equation pinning (two-phase variants) ---
     if not (params.has_water and params.has_gas):
@@ -450,7 +468,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                          linear_ok=lin.converged)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
                          active_mode=mode, msw_x=msw_x_new)
-    return new_st, info, (q_tot, wr.q_perf, q_msw), q_aq
+    return new_st, info, (q_tot, wr.q_perf, q_msw, residual_act), q_aq
 
 
 newton_iteration = jax.jit(newton_iteration_impl,
@@ -468,12 +486,15 @@ class NewtonReport:
     cnv: np.ndarray = None
     mb: np.ndarray = None
     well_err: float = 0.0
+    # device [Na,3] residual of the last assembled iteration — the
+    # drift-compensation capture (reference: drift_, eclproblem.hh:1127)
+    residual: object = None
 
 
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
-                 x3_cap=None):
+                 x3_cap=None, drift_vol=None):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -499,9 +520,12 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # BlackoilWellModel_impl.hpp:824)
     rho_conn = _conn_rho(fs, st.u, st.flag, st.pbh, ws, cells.regs)
     for it in range(params.max_iter + 1):
-        new_st, info, (q_tot, q_perf, q_msw), q_aq = newton_iteration(
-            params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
-            vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn)
+        new_st, info, (q_tot, q_perf, q_msw, res_act), q_aq = \
+            newton_iteration(
+                params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
+                vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
+                drift_vol)
+        last_res = res_act
         hist.append(np.asarray(info.cnv))
         if len(hist) >= 3:
             osc = sum(
@@ -524,17 +548,17 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             return st, NewtonReport(False, it, total_lin, True,
                                     np.asarray(info.cnv),
                                     np.asarray(info.mb),
-                                    float(info.well_err)), \
+                                    float(info.well_err), last_res), \
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         if conv:
             # carry over any control-mode change from the last assembly
             st = st._replace(active_mode=new_st.active_mode)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
-                                    float(info.well_err)), \
+                                    float(info.well_err), last_res), \
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         st = new_st
     return st, NewtonReport(False, params.max_iter, total_lin, False,
                             np.asarray(info.cnv), np.asarray(info.mb),
-                            float(info.well_err)), \
+                            float(info.well_err), last_res), \
         (last_q, last_q_perf, last_q_msw), last_q_aq
