@@ -436,18 +436,29 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
     nx, ny, nz = topo.dims
     u, flag = state.u, state.flag
 
-    eps_ax = None if cells.eps is None else 0
+    from opm_autodiff_tpu.ops import pallas_cellpack as pcp
 
-    def one_cell(uu, ff, pv, rg, mm, ep):
-        def f(x):
-            q = _pack_cell(fs, x, ff, pv, rg, mm, ep)
-            return q, q
+    if pcp.enabled() and pcp.supports(fs, cells):
+        # fused single-launch property pack (f32 — see the module
+        # docstring for the precision argument); everything downstream
+        # stays f64
+        Qf, dQf = pcp.cellpack(fs, cells, u, flag, (nz, ny, nx))
+        Q = Qf.astype(u.dtype)
+        dQ = dQf.astype(u.dtype)
+    else:
+        eps_ax = None if cells.eps is None else 0
 
-        jac, val = jax.jacfwd(f, has_aux=True)(uu)
-        return val, jac
+        def one_cell(uu, ff, pv, rg, mm, ep):
+            def f(x):
+                q = _pack_cell(fs, x, ff, pv, rg, mm, ep)
+                return q, q
 
-    Q, dQ = jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
-        u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult, cells.eps)
+            jac, val = jax.jacfwd(f, has_aux=True)(uu)
+            return val, jac
+
+        Q, dQ = jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
+            u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult,
+            cells.eps)
 
     residual = (Q[:, 14:17] - acc0) / dt
     diag = dQ[:, 14:17, :] / dt
