@@ -439,26 +439,37 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
     from opm_autodiff_tpu.ops import pallas_cellpack as pcp
 
     if pcp.enabled() and pcp.supports(fs, cells):
-        # fused single-launch property pack (f32 — see the module
-        # docstring for the precision argument); everything downstream
-        # stays f64
-        Qf, dQf = pcp.cellpack(fs, cells, u, flag, (nz, ny, nx))
-        Q = Qf.astype(u.dtype)
-        dQ = dQf.astype(u.dtype)
-    else:
-        eps_ax = None if cells.eps is None else 0
+        # two fused launches: property pack (plane layout, f32) feeding
+        # the flux/band kernel directly — no [N,..] layout round-trip,
+        # no per-op XLA launches (see the ops module docstrings for the
+        # f32 precision argument)
+        from opm_autodiff_tpu.ops import pallas_flux
 
-        def one_cell(uu, ff, pv, rg, mm, ep):
-            def f(x):
-                q = _pack_cell(fs, x, ff, pv, rg, mm, ep)
-                return q, q
+        q5, dq5 = pcp.cellpack_planes(fs, cells, u, flag, (nz, ny, nx))
+        (res, diag, x_lr, x_rl, y_lr, y_rl, z_lr,
+         z_rl) = pallas_flux.flux_bands(q5, dq5, acc0, topo, dt)
+        f64 = u.dtype
+        inv_b = jnp.transpose(q5[:, 3:6], (0, 2, 3, 1)).reshape(
+            nz * ny * nx, 3).astype(f64)
+        return StructuredSystem(
+            residual=res.astype(f64), diag=diag.astype(f64),
+            x_lr=x_lr.astype(f64), x_rl=x_rl.astype(f64),
+            y_lr=y_lr.astype(f64), y_rl=y_rl.astype(f64),
+            z_lr=z_lr.astype(f64), z_rl=z_rl.astype(f64),
+            inv_b=inv_b)
+    eps_ax = None if cells.eps is None else 0
 
-            jac, val = jax.jacfwd(f, has_aux=True)(uu)
-            return val, jac
+    def one_cell(uu, ff, pv, rg, mm, ep):
+        def f(x):
+            q = _pack_cell(fs, x, ff, pv, rg, mm, ep)
+            return q, q
 
-        Q, dQ = jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
-            u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult,
-            cells.eps)
+        jac, val = jax.jacfwd(f, has_aux=True)(uu)
+        return val, jac
+
+    Q, dQ = jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
+        u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult,
+        cells.eps)
 
     residual = (Q[:, 14:17] - acc0) / dt
     diag = dQ[:, 14:17, :] / dt

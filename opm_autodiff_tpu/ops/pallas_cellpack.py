@@ -322,8 +322,9 @@ def _smem_spec(length: int):
                         memory_space=pltpu.SMEM)
 
 
-def cellpack(fs, cells, u, flag, dims, interpret: bool = False):
-    """Q [N,17], dQ [N,17,3] (f32) via the fused kernel.
+def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
+    """Plane-layout Q [nz,17,ny,nx], dQ [nz,17,3,ny,nx] (f32) — feeds
+    ops/pallas_flux.flux_bands without a layout round-trip.
 
     ``dims`` = (nz, ny, nx); cell ordering k-major like everywhere else.
     """
@@ -379,6 +380,13 @@ def cellpack(fs, cells, u, flag, dims, interpret: bool = False):
         ],
         interpret=interpret,
     )(u4, flag4, pv4, mob4, *tables, scal_arr)
+    return q, dq
+
+
+def cellpack(fs, cells, u, flag, dims, interpret: bool = False):
+    """Q [N,17], dQ [N,17,3] (f32) via the fused kernel."""
+    nz, ny, nx = dims
+    q, dq = cellpack_planes(fs, cells, u, flag, dims, interpret)
     Q = jnp.transpose(q, (0, 2, 3, 1)).reshape(nz * ny * nx, NQ)
     dQ = jnp.transpose(dq, (0, 3, 4, 1, 2)).reshape(nz * ny * nx, NQ, 3)
     return Q, dQ

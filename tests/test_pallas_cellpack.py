@@ -81,12 +81,14 @@ def test_assembly_with_kernel_matches(problem, monkeypatch):
 
     sys_ref = S.assemble_structured(fs, cells, faces, ps, acc0, dt)
 
+    from opm_autodiff_tpu.ops import pallas_flux
+
     monkeypatch.setenv("OPM_TPU_PALLAS_ASSEMBLY", "1")
-    monkeypatch.setattr(pcp, "cellpack",
-                        functools.partial(pcp.cellpack.__wrapped__
-                                          if hasattr(pcp.cellpack,
-                                                     "__wrapped__")
-                                          else pcp.cellpack,
+    monkeypatch.setattr(pcp, "cellpack_planes",
+                        functools.partial(pcp.cellpack_planes,
+                                          interpret=True))
+    monkeypatch.setattr(pallas_flux, "flux_bands",
+                        functools.partial(pallas_flux.flux_bands,
                                           interpret=True))
     sys_pal = S.assemble_structured(fs, cells, faces, ps, acc0, dt)
 
