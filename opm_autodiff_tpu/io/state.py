@@ -1088,6 +1088,14 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
                     item(r, 3, None),
                     u.gas_rate if str(item(r, 1, "GAS")).upper() == "GAS"
                     else u.liquid_rate),
+                "resv": _opt_rate(item(r, 4, None), u.reservoir_rate),
+                # REIN (reinjection) / VREP (voidage replacement)
+                # fractions — reference: WellGroupHelpers REIN/VREP
+                # target computation
+                "rein_frac": (float(item(r, 5, 1.0))
+                              if item(r, 5, None) is not None else 1.0),
+                "vrep_frac": (float(item(r, 6, 1.0))
+                              if item(r, 6, None) is not None else 1.0),
             }
     elif kw.name == "GRUPNET":
         # standard network model: per-group node with a fixed terminal

@@ -221,7 +221,8 @@ class Simulator:
         ws = ws_base
         if gmgr.active:
             lr = getattr(self, "_last_q", None)
-            ws = apply_assignments(ws_base, gmgr.effective_controls(lr))
+            ws = apply_assignments(ws_base, gmgr.effective_controls(
+                lr, np.asarray(ws_base.voidage_coeff)))
 
         # GRUPNET network: node pressures from branch VFP tables become
         # dynamic THP limits on the member wells (reference: network
@@ -373,7 +374,9 @@ class Simulator:
                 # re-apportion group targets with the fresh rates
                 if gmgr.active or net_nodes:
                     new_ws = (apply_assignments(
-                        ws_base, gmgr.effective_controls(self._last_q))
+                        ws_base, gmgr.effective_controls(
+                            self._last_q,
+                            np.asarray(ws_base.voidage_coeff)))
                         if gmgr.active else ws_base)
                     committed["ws"] = with_network(new_ws)
                 # relative pressure change feeds the PID dt controller
@@ -566,6 +569,11 @@ class Simulator:
             out["FGPR"] = prod_all[:, 2].sum()
             fgor = out["FGPR"] / max(out["FOPR"], 1e-30)
             out["FGOR"] = fgor
+            inj_all = np.maximum(q_all, 0.0)
+            out["FWIR"] = inj_all[:, 0].sum()
+            out["FGIR"] = inj_all[:, 2].sum()
+            out["FWCT"] = out["FWPR"] / max(out["FWPR"] + out["FOPR"],
+                                            1e-30)
             prod = np.maximum(-q, 0.0)
             names = getattr(self, "_std_well_names", None)
             if names is None:

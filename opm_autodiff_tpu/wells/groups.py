@@ -37,11 +37,18 @@ class GroupManager:
             return False
         return any(w.control_mode == "GRUP" for w in self.wells)
 
-    def _members(self, group: str, injector: bool) -> list[int]:
-        """Indices of GRUP-controlled wells in this group's subtree."""
+    def _members(self, group: str, injector: bool,
+                 any_mode: bool = False) -> list[int]:
+        """Indices of wells in this group's subtree.
+
+        ``any_mode=False`` keeps only GRUP-controlled wells (target
+        apportioning); ``any_mode=True`` keeps every well (production
+        accounting for REIN/VREP)."""
         out = []
         for iw, w in enumerate(self.wells):
-            if w.control_mode != "GRUP" or w.is_injector != injector:
+            if w.is_injector != injector:
+                continue
+            if not any_mode and w.control_mode != "GRUP":
                 continue
             g = w.group
             while g:
@@ -51,11 +58,14 @@ class GroupManager:
                 g = self.tree.get(g, "")
         return out
 
-    def effective_controls(self, last_rates: np.ndarray | None):
+    def effective_controls(self, last_rates: np.ndarray | None,
+                           voidage_coeff: np.ndarray | None = None):
         """Per-well (mode, target) assignments for GRUP wells.
 
         last_rates: [W,3] surface rates into cells (negative = production)
         from the previous substep, or None before the first one.
+        voidage_coeff: [W,3] surface->reservoir-volume coefficients
+        (feeds VREP voidage accounting).
         Returns {well_index: (mode_str, target_si)}.
         """
         out = {}
@@ -90,22 +100,49 @@ class GroupManager:
                      else np.zeros((nw, 3)))
         for gname, phases in self.inj.items():
             for phase, gc in phases.items():
-                if gc.get("mode") not in ("RATE", "RESV"):
+                mode = gc.get("mode", "NONE")
+                col = {"WATER": 0, "WAT": 0, "OIL": 1, "GAS": 2}[phase]
+                assign_mode = "RATE"
+                if mode == "RATE":
+                    target = gc.get("rate")
+                elif mode == "RESV":
+                    target = gc.get("resv")
+                    assign_mode = "RESV"
+                elif mode == "REIN":
+                    # reinjection: fraction of the group's produced rate
+                    # of the injected phase (reference: WellGroupHelpers
+                    # REIN target)
+                    prods = self._members(gname, injector=False,
+                                          any_mode=True)
+                    target = gc.get("rein_frac", 1.0) * float(
+                        rates[prods, col].sum()) if prods else 0.0
+                elif mode == "VREP":
+                    # voidage replacement: fraction of the group's
+                    # produced reservoir-volume rate, injected as a
+                    # reservoir-volume (RESV) target
+                    prods = self._members(gname, injector=False,
+                                          any_mode=True)
+                    if voidage_coeff is None or not prods:
+                        target = None
+                    else:
+                        voidage = float(
+                            (voidage_coeff[prods] * rates[prods]).sum())
+                        target = gc.get("vrep_frac", 1.0) * voidage
+                    assign_mode = "RESV"
+                else:
                     continue
-                target = gc.get("rate")
                 if target is None:
                     continue
                 members = [iw for iw in self._members(gname, injector=True)
                            if (self.wells[iw].inj_phase or "GAS") == phase]
                 if not members:
                     continue
-                col = {"WATER": 0, "WAT": 0, "OIL": 1, "GAS": 2}[phase]
                 guide = inj_rates[members, col]
                 if guide.sum() <= 0:
                     guide = np.ones(len(members))
                 guide = guide / guide.sum()
                 for gfrac, iw in zip(guide, members):
-                    out[iw] = ("RATE", float(target * gfrac))
+                    out[iw] = (assign_mode, float(target * gfrac))
         return out
 
 

@@ -125,3 +125,58 @@ def test_welopen_and_wtest(tmp_path):
     st2 = load_state(str(p2))
     prod = next(w for w in st2.schedule.steps[0].wells if w.name == "PROD")
     assert prod.wtest_interval == pytest.approx(30.0)
+
+
+def _rein_deck(tmp_path, mode_line):
+    from opm_autodiff_tpu.utils.synthetic import spe1_deck_text
+
+    text = spe1_deck_text(8, 8, 3, tstep_days="5 10 20 30")
+    sched = """SCHEDULE
+WELSPECS
+ 'PROD' 'G1' 8 8 8400 'OIL' /
+ 'INJ'  'G1' 1 1 8335 'GAS' /
+/
+COMPDAT
+ 'PROD' 8 8 3 3 'OPEN' 1* 1* 0.5 /
+ 'INJ'  1 1 1 1 'OPEN' 1* 1* 0.5 /
+/
+WCONPROD
+ 'PROD' 'OPEN' 'ORAT' 12000 4* 1000 /
+/
+WCONINJE
+ 'INJ' 'GAS' 'OPEN' 'GRUP' /
+/
+""" + mode_line + """TSTEP
+ 5 10 20 30 /
+END
+"""
+    head = text.split("SCHEDULE")[0]
+    p = tmp_path / "REIN.DATA"
+    p.write_text(head + sched)
+    return str(p)
+
+
+def test_gconinje_rein(tmp_path):
+    """REIN: the group's gas injection follows its gas production times
+    the reinjection fraction (reference: WellGroupHelpers REIN target)."""
+    deck = _rein_deck(tmp_path, "GCONINJE\n 'G1' 'GAS' 'REIN' 2* 0.5 /\n/\n")
+    sim = Simulator(load_state(deck), SimulatorOptions())
+    sim.run()
+    rows = sim.summary.rows
+    # after the first substep the fixed point holds: FGIR ~ 0.5 * FGPR
+    r = rows[-1]
+    assert r["FGIR"] == pytest.approx(0.5 * r["FGPR"], rel=0.05)
+
+
+def test_gconinje_vrep(tmp_path):
+    """VREP: injection runs on a reservoir-voidage (RESV) target."""
+    deck = _rein_deck(tmp_path, "GCONINJE\n 'G1' 'GAS' 'VREP' 3* 1.0 /\n/\n")
+    sim = Simulator(load_state(deck), SimulatorOptions())
+    sim.run()
+    rows = sim.summary.rows
+    # injector is active and tracking a voidage-replacement target
+    assert rows[-1]["FGIR"] > 0
+    from opm_autodiff_tpu.wells.standard import CTRL_RESV
+    i_inj = sim._std_well_names.index("INJ")
+    import numpy as np
+    assert int(np.asarray(sim.active_mode)[i_inj]) in (CTRL_RESV, 0)
