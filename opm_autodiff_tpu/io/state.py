@@ -237,7 +237,9 @@ class WellConfig:
     inj_rate: float | None = None
     # WECON economic limits
     econ_min_oil: float | None = None
+    econ_min_gas: float | None = None
     econ_max_wct: float | None = None
+    econ_max_gor: float | None = None
     vfp_table: int | None = None  # VFPPROD table number (THP control)
     wtest_interval: float | None = None  # days between WTEST retests
     # multisegment well description (None => standard well)
@@ -1184,9 +1186,14 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             name = str(item(r, 0, ""))
             w = wells.get(name)
             if w is not None:
+                # WECON items (0-based): 1 min oil rate, 2 min gas
+                # rate, 3 max water cut, 4 max GOR
                 w.econ_min_oil = _opt_rate(item(r, 1, None),
                                            u.liquid_rate)
-                w.econ_max_wct = item(r, 2, None)
+                w.econ_min_gas = _opt_rate(item(r, 2, None), u.gas_rate)
+                w.econ_max_wct = item(r, 3, None)
+                w.econ_max_gor = _opt_rate(item(r, 4, None),
+                                           u.gas_oil_ratio)
     elif kw.name == "WELTARG":
         for r in kw.records:
             name = str(item(r, 0, ""))

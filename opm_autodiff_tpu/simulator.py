@@ -590,6 +590,10 @@ class Simulator:
                 out[f"WWPR:{name}"] = float(prod[iw, 0])
                 out[f"WGIR:{name}"] = float(max(q[iw, 2], 0.0))
                 out[f"WWIR:{name}"] = float(max(q[iw, 0], 0.0))
+                liq = prod[iw, 0] + prod[iw, 1]
+                out[f"WWCT:{name}"] = float(prod[iw, 0] / max(liq, 1e-30))
+                out[f"WGOR:{name}"] = float(prod[iw, 2]
+                                            / max(prod[iw, 1], 1e-30))
             if qm is not None and self.msw_x is not None:
                 prod_m = np.maximum(-qm, 0.0)
                 xw = np.asarray(self.msw_x)

@@ -157,12 +157,23 @@ def apply_econ_limits(wells: list, last_rates: np.ndarray | None) -> list[str]:
             continue
         orate = prod[iw, 1]
         wrate = prod[iw, 0]
+        grate = prod[iw, 2]
         if w.econ_min_oil is not None and 0 < orate < w.econ_min_oil:
+            w.status = "SHUT"
+            shut.append(w.name)
+            continue
+        if (getattr(w, "econ_min_gas", None) is not None
+                and 0 < grate < w.econ_min_gas):
             w.status = "SHUT"
             shut.append(w.name)
             continue
         if (w.econ_max_wct is not None and orate + wrate > 0
                 and wrate / (orate + wrate) > w.econ_max_wct):
+            w.status = "SHUT"
+            shut.append(w.name)
+            continue
+        if (getattr(w, "econ_max_gor", None) is not None and orate > 0
+                and grate / orate > w.econ_max_gor):
             w.status = "SHUT"
             shut.append(w.name)
     return shut

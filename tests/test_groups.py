@@ -180,3 +180,21 @@ def test_gconinje_vrep(tmp_path):
     i_inj = sim._std_well_names.index("INJ")
     import numpy as np
     assert int(np.asarray(sim.active_mode)[i_inj]) in (CTRL_RESV, 0)
+
+
+def test_wecon_item_positions(tmp_path):
+    """WECON items: 2=min oil, 3=min gas, 4=max WCT, 5=max GOR
+    (0-based 1..4) — regression for the item-index mapping."""
+    from opm_autodiff_tpu import units as U
+
+    deck = _group_deck(tmp_path)
+    text = open(deck).read().replace(
+        "WCONINJE", "WECON\n 'PROD' 100 50 0.8 2.5 /\n/\nWCONINJE", 1)
+    p = tmp_path / "WE.DATA"
+    p.write_text(text)
+    state = load_state(str(p))
+    w = next(x for x in state.schedule.steps[0].wells if x.name == "PROD")
+    assert w.econ_min_oil == pytest.approx(100 * U.FIELD.liquid_rate)
+    assert w.econ_min_gas == pytest.approx(50 * U.FIELD.gas_rate)
+    assert w.econ_max_wct == pytest.approx(0.8)
+    assert w.econ_max_gor == pytest.approx(2.5 * U.FIELD.gas_oil_ratio)
