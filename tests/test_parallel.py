@@ -31,7 +31,7 @@ def _run(problem, mesh=None):
 
     if mesh is None:
         st = NewtonState(init.u, init.flag, pbh, ws.ctrl_mode)
-        new_st, info, (q_tot, _, _qm), _ = newton_iteration_impl(
+        new_st, info, (q_tot, _, _qm, _res), _ = newton_iteration_impl(
             params, fs, cells, faces, st, ws, acc0, dt)
         return np.asarray(new_st.u), np.asarray(q_tot), np.asarray(info.cnv)
 
@@ -45,7 +45,7 @@ def _run(problem, mesh=None):
 
     def fn(u, flag, pbh, mode, acc0):
         st = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode)
-        new_st, info, (q_tot, _, _qm), _ = newton_iteration_impl(
+        new_st, info, (q_tot, _, _qm, _res), _ = newton_iteration_impl(
             params, fs_r, cells_sh, topo_sh, st, ws_r, acc0, dt)
         return new_st.u, q_tot, info.cnv
 
