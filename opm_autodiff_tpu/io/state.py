@@ -539,8 +539,18 @@ def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
     multy = _grid_array(deck, "MULTY", n, 1.0)
     multz = _grid_array(deck, "MULTZ", n, 1.0)
     multpv = _grid_array(deck, "MULTPV", n, 1.0)
-    # zero-porosity cells are inactive (reference: MINPV handling is richer)
+    # zero-porosity cells are inactive
     actnum = np.where(poro <= 0.0, 0, actnum)
+    # MINPV: deactivate cells below the pore-volume threshold
+    # (reference: MINPV handling in the vanguards, eclbasevanguard.hh;
+    # the reference can also merge thin cells — here they deactivate)
+    kw = deck.get1("MINPV")
+    if kw is not None and coord is None:
+        vals = [v for v in kw.flat() if v is not DEFAULT]
+        minpv = (np.full(n, float(vals[0])) if len(vals) == 1
+                 else np.asarray(vals, float))
+        pv = dx * dy * dz * poro * ntg * multpv
+        actnum = np.where(pv < minpv * u.reservoir_volume, 0, actnum)
     return GridSection(dx, dy, dz, depth, poro, permx, permy, permz, ntg,
                        actnum, multx, multy, multz, multpv,
                        coord=coord, zcorn=zcorn)

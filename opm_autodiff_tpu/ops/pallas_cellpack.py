@@ -45,7 +45,12 @@ def enabled() -> bool:
     env = os.environ.get("OPM_TPU_PALLAS_ASSEMBLY")
     if env is not None:
         return env == "1"
-    return jax.default_backend() not in ("cpu",)
+    # multi-chip: pallas_call does not partition under GSPMD — the
+    # sharded (mesh) path keeps the XLA assembly until the kernels are
+    # wrapped in shard_map (z-slab cellpack is trivially shardable;
+    # flux needs a halo exchange; future round)
+    return (jax.default_backend() not in ("cpu",)
+            and jax.device_count() == 1)
 
 
 def supports(fs, cells) -> bool:

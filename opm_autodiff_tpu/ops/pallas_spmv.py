@@ -35,7 +35,10 @@ def enabled() -> bool:
     env = os.environ.get("OPM_TPU_PALLAS_SPMV")
     if env is not None:
         return env == "1"
-    return jax.default_backend() not in ("cpu",)
+    # single chip only: pallas_call does not partition under GSPMD (the
+    # sharded mesh path keeps the XLA matvec until shard_map wrapping)
+    return (jax.default_backend() not in ("cpu",)
+            and jax.device_count() == 1)
 
 
 def prepare_banded(sys):

@@ -96,3 +96,30 @@ def test_peaceman_wi(geo):
     # 0.00708*k[mD]*h[ft]/ln(r0/rw) = 0.00708*200*50/ln(198/0.25) ~ 10.6
     cf_field = wi / U.FIELD.well_index
     assert cf_field == pytest.approx(10.61, rel=1e-2)
+
+
+def test_minpv_deactivates_cells(tmp_path, spe1_deck_path):
+    """MINPV removes cells whose pore volume falls below the threshold
+    (reference: MINPV handling in the vanguards)."""
+    import numpy as np
+
+    from opm_autodiff_tpu.grid import build_geometry
+    from opm_autodiff_tpu.io.state import load_state
+
+    text = open(spe1_deck_path).read()
+    # SPE1 layer 1: 25ft thick, poro 0.3, 20 acres/cell -> PV per cell
+    # huge; a threshold above layer-1 cell PV but below layers 2/3
+    # (thicker) knocks out exactly layer 1
+    geo0 = build_geometry(load_state(spe1_deck_path))
+    pv = np.asarray(geo0.pore_vol)
+    thr_si = (pv.reshape(3, 10, 10)[0].max()
+              + 1.0)  # just above all layer-1 cells
+    from opm_autodiff_tpu import units as U
+    thr = thr_si / U.FIELD.reservoir_volume
+    text = text.replace("PROPS", f"MINPV\n {thr} /\n\nPROPS", 1)
+    p = tmp_path / "MPV.DATA"
+    p.write_text(text)
+    geo = build_geometry(load_state(str(p)))
+    dropped = geo0.num_active - geo.num_active
+    assert dropped == int((pv < thr_si).sum())
+    assert dropped >= 100  # at least the thinnest layer
