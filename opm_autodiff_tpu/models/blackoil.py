@@ -211,13 +211,16 @@ def gravity_constant() -> float:
     return U.GRAVITY
 
 
-def statics_from_geometry(geo, structured: str = "auto"
+def statics_from_geometry(geo, structured: str = "auto",
+                          pad_nz_to: int | None = None
                           ) -> tuple[CellStatic, "FaceStatic"]:
     """Device-ready static pytrees from host Geometry.
 
     ``structured='auto'`` returns the banded StructuredTopology when the
     grid is fully-active cartesian (the TPU fast path: no gathers);
     'never' forces the general face list; 'always' asserts it.
+    ``pad_nz_to`` pads the banded box with inactive z layers (embedded
+    path) so z-slab sharding works when nz % n_devices != 0.
     """
     satnum = getattr(geo, "satnum", None)
     if satnum is None:
@@ -238,11 +241,15 @@ def statics_from_geometry(geo, structured: str = "auto"
             embedded_ok, structured_ok, topology_from_geometry,
             topology_from_geometry_embedded)
 
-        if structured_ok(geo):
+        needs_pad = (pad_nz_to is not None
+                     and pad_nz_to != geo.cartdims[2])
+        if structured_ok(geo) and not needs_pad:
             return cells, topology_from_geometry(geo)
-        if embedded_ok(geo):
-            # inactive cells: embed into the full box with identity rows
-            return cells, topology_from_geometry_embedded(geo)
+        if embedded_ok(geo) or (structured_ok(geo) and needs_pad):
+            # inactive cells (or z padding): embed into the full box
+            # with identity rows
+            return cells, topology_from_geometry_embedded(
+                geo, nz_pad=pad_nz_to)
         if structured == "always":
             raise ValueError("grid is not banded-representable")
     f = geo.faces

@@ -170,17 +170,31 @@ def embedded_ok(geo: Geometry) -> bool:
     return not structured_ok(geo)
 
 
-def topology_from_geometry_embedded(geo: Geometry) -> EmbeddedTopology:
+def topology_from_geometry_embedded(geo: Geometry,
+                                    nz_pad: int | None = None
+                                    ) -> EmbeddedTopology:
     """Full-box banded topology with zero transmissibility on every band
-    position that has no active-active face."""
+    position that has no active-active face.
+
+    ``nz_pad`` >= nz grows the box with inactive padding layers so the
+    k-major cell arrays shard evenly over an n-device mesh even when
+    nz % n_devices != 0 (the Norne case: nz=22 on 8 chips pads to 24;
+    replaces the reference's Zoltan rebalancing freedom,
+    eclgenericcpgridvanguard.cc:76)."""
     nx, ny, nz = geo.cartdims
+    if nz_pad is not None:
+        assert nz_pad >= nz, "nz_pad must not shrink the grid"
+        nz = nz_pad
     nf = nx * ny * nz
     f = geo.faces
     act = geo.act_to_glob.astype(np.int32)
     mask = np.zeros(nf, bool)
     mask[act] = True
-    fill = np.where(geo.glob_to_act >= 0, geo.glob_to_act,
-                    0).astype(np.int32)
+    # full -> active source map; z-padding cells (beyond the real grid's
+    # glob indices) fill from active cell 0 like any inactive cell
+    g2a = np.asarray(geo.glob_to_act)
+    fill = np.zeros(nf, np.int32)
+    fill[:g2a.shape[0]] = np.where(g2a >= 0, g2a, 0)
 
     depth_full = np.zeros(nf)
     depth_full[act] = np.asarray(geo.depth)

@@ -53,6 +53,10 @@ class SimulatorOptions:
     # relaxed tolerances don't accumulate mass-balance drift (reference:
     # EnableDriftCompensation, eclproblem.hh:1127/:1848)
     drift_compensation: bool = True
+    # "std4" = 4-DOF StandardWell (reference StandardWell.hpp:126, the
+    # production model); "bhp" = 1-DOF Peaceman research well
+    # (eclpeacemanwell.hh:77)
+    well_model: str = "std4"
 
 
 class Simulator:
@@ -179,6 +183,7 @@ class Simulator:
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
         self.pbh = None
+        self.xw = None  # 4-DOF StandardWell unknowns [W,4]
         # drift-compensation capture (zeros, not None, so the jitted
         # Newton kernel compiles once with the array variant)
         self._drift_vol = (jnp.zeros((self.geo.num_active, 3))
@@ -267,11 +272,20 @@ class Simulator:
 
         # (re)initialize well unknowns at the start of a report step
         nwells = ws.num_wells
+        use4 = self.opts.well_model == "std4"
         if self.pbh is None or len(self.pbh) != nwells:
             p_perf0 = self.u[ws.cell[:, 0], 0]
             offset = jnp.where(ws.is_injector, +1e5, -1e5)
             self.pbh = p_perf0 + offset
             self.active_mode = ws.ctrl_mode
+            self.xw = None
+        if use4 and (self.xw is None or self.xw.shape[0] != nwells):
+            from opm_autodiff_tpu.wells import standard4 as s4
+            q_prev = (jnp.asarray(self._last_q)
+                      if getattr(self, "_last_q", None) is not None
+                      and len(self._last_q) == nwells else None)
+            self.xw = s4.init_xw(self.fs, self.u, self.flag, ws,
+                                 pbh=self.pbh, q_rates=q_prev)
         if msw is not None and (
                 self.msw_x is None
                 or self.msw_x.shape[:2] != msw.seg_mask.shape):
@@ -280,7 +294,8 @@ class Simulator:
         t0 = time.perf_counter()
 
         committed = {"st": NewtonState(self.u, self.flag, self.pbh,
-                                       self.active_mode, self.msw_x),
+                                       self.active_mode, self.msw_x,
+                                       self.xw if use4 else None),
                      "acc0": self.acc0, "q": None, "ws": ws}
 
         drsdt = rstep.tuning.get("drsdt")
@@ -407,6 +422,8 @@ class Simulator:
         self.u, self.flag = st.u, st.flag
         self.pbh, self.active_mode = st.pbh, st.active_mode
         self.msw_x = st.msw_x
+        if st.xw is not None:
+            self.xw = st.xw
         self.acc0 = committed["acc0"]
 
         self.report.add_step(
@@ -633,6 +650,8 @@ class Simulator:
                    else np.zeros(0)),
             drift_vol=(np.asarray(self._drift_vol)
                        if self._drift_vol is not None else np.zeros(0)),
+            xw=(np.asarray(self.xw) if self.xw is not None
+                else np.zeros(0)),
         )
 
     def load_restart(self, path: str) -> None:
@@ -655,6 +674,8 @@ class Simulator:
         if ("drift_vol" in d and d["drift_vol"].size
                 and self.opts.drift_compensation):
             self._drift_vol = jnp.asarray(d["drift_vol"])
+        self.xw = (jnp.asarray(d["xw"])
+                   if "xw" in d and d["xw"].size else None)
 
     # ------------------------------------------------------------------
     # Python-API parity with the reference's pybind11 BlackOilSimulator

@@ -1,0 +1,125 @@
+"""Fine-grained parallel block-ILU(0): Chow-Patel factorization + Jacobi
+triangular solves, on the BSR (face-list) layout.
+
+The reference's CPU preconditioner is a sequential block-ILU0
+(/root/reference/opm/simulators/linalg/ParallelOverlappingILU0.hpp:604);
+its own GPU ports replace the sequential sweeps with level-scheduled /
+graph-colored triangular solves (linalg/bda/BILU0.cpp,
+GraphColoring.hpp:117) or the Chow-Patel fine-grained iterative ILU
+(linalg/bda/ChowPatelIlu.cpp, after Chow & Patel, "Fine-grained parallel
+incomplete LU factorization", SISC 2015). On TPU the Chow-Patel form is
+the natural fit: every fixed-point sweep is a batched gather/scatter
+einsum over the static face list — the exact shape of ``bsr_matvec`` —
+with no sequential wavefronts at all.
+
+Factorization (pattern = pattern(A), L unit block-lower, U block-upper):
+
+    L_ij = (A_ij - sum_k L_ik U_kj) inv(U_jj)   (i > j)
+    U_ij =  A_ij - sum_k L_ik U_kj              (i <= j)
+
+iterated Jacobi-style from L0 = A_low inv(diag), U0 = A_up. TPFA
+connectivity graphs of cartesian/corner-point grids are triangle-free
+(two neighboring cells share no third mutual neighbor), so the only
+nonempty correction sums are the diagonal ones
+
+    U_ii = A_ii - sum_{k<i, (i,k) in S} L_ik U_ki,
+
+where (k,i) is the opposite half of the same face — no fill-pair
+enumeration is needed. Rare NNC/fault triangles make the factorization
+slightly more approximate (the Chow-Patel iteration is approximate
+anyway); the Krylov outer loop absorbs it.
+
+Application solves L z = r and U x = z with fixed-count Jacobi sweeps
+(the GPU-literature companion to Chow-Patel):
+
+    z^{m+1} = r - L_strict z^m
+    x^{m+1} = inv(U_ii) (z - U_strict x^m)
+
+Each sweep costs one half-matvec; 4 sweeps of each are plenty at
+preconditioner accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from opm_autodiff_tpu.models.assembler import BsrSystem
+
+
+class CpIlu0(NamedTuple):
+    """Factorization operands (device pytree)."""
+
+    low_row: jnp.ndarray   # [F] row index of the strictly-lower entry
+    low_col: jnp.ndarray   # [F] col index (== upper entry's row)
+    l_blk: jnp.ndarray     # [F,3,3] L_{low_row,low_col}
+    u_blk: jnp.ndarray     # [F,3,3] U_{low_col,low_row} (strict upper)
+    uii_inv: jnp.ndarray   # [N,3,3] inv(U_ii)
+
+
+def _inv33(m):
+    """Branch-free cofactor inverse of [...,3,3] blocks (same scheme as
+    solvers/linear.py invert_blocks, kept local to avoid a cycle)."""
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]
+    d = m[..., 1, 0]; e = m[..., 1, 1]; f = m[..., 1, 2]
+    g = m[..., 2, 0]; h = m[..., 2, 1]; i = m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def build_cpilu0(sys: BsrSystem, n_sweeps: int = 3) -> CpIlu0:
+    """Chow-Patel fixed-point block-ILU0 factorization.
+
+    ``n_sweeps`` Jacobi-style sweeps; each is one face-batched einsum +
+    segment scatter (triangle-free TPFA: only the diagonal corrections
+    iterate, see module docstring).
+    """
+    n = sys.num_cells
+    left, right = sys.left, sys.right
+    is_up = left < right  # face's (left,right) entry is strictly upper
+    low_row = jnp.where(is_up, right, left)
+    low_col = jnp.where(is_up, left, right)
+    # block of the strictly-lower entry (low_row, low_col) and of the
+    # mirrored strictly-upper entry (low_col, low_row)
+    a_low = jnp.where(is_up[:, None, None], sys.off_rl, sys.off_lr)
+    u_blk = jnp.where(is_up[:, None, None], sys.off_lr, sys.off_rl)
+
+    uii = sys.diag
+    l_blk = jnp.einsum("fij,fjk->fik", a_low, _inv33(uii[low_col]))
+    for _ in range(n_sweeps):
+        corr = jnp.zeros_like(sys.diag).at[low_row].add(
+            jnp.einsum("fij,fjk->fik", l_blk, u_blk))
+        uii = sys.diag - corr
+        l_blk = jnp.einsum("fij,fjk->fik", a_low, _inv33(uii[low_col]))
+    return CpIlu0(low_row=low_row, low_col=low_col, l_blk=l_blk,
+                  u_blk=u_blk, uii_inv=_inv33(uii))
+
+
+def cpilu0_apply(fact: CpIlu0, r: jnp.ndarray,
+                 n_sweeps: int = 4) -> jnp.ndarray:
+    """x ~= inv(LU) r via Jacobi-sweep triangular solves (fixed count —
+    jit-static, fully parallel; reference GPU analog: the level-set /
+    colored solves in bda/openclKernels.cpp, here sweeps instead)."""
+    # L z = r, L unit lower: z <- r - L_strict z
+    z = r
+    for _ in range(n_sweeps):
+        lz = jnp.zeros_like(r).at[fact.low_row].add(
+            jnp.einsum("fij,fj->fi", fact.l_blk, z[fact.low_col]))
+        z = r - lz
+    # U x = z: x <- inv(U_ii) (z - U_strict x)
+    x = jnp.einsum("nij,nj->ni", fact.uii_inv, z)
+    for _ in range(n_sweeps):
+        ux = jnp.zeros_like(z).at[fact.low_col].add(
+            jnp.einsum("fij,fj->fi", fact.u_blk, x[fact.low_row]))
+        x = jnp.einsum("nij,nj->ni", fact.uii_inv, z - ux)
+    return x

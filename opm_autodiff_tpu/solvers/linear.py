@@ -380,9 +380,21 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
         return lambda r: cpr_apply(cpr, sys, r, inner_iters=cpr_inner_iters)
     if name == "zline":
         if not isinstance(sys, StructuredSystem):
-            return partial(block_jacobi_apply, inv_diag)
+            # unstructured fallback: Chow-Patel block-ILU0 (the BSR-path
+            # answer to the reference's ILU0; solvers/ilu.py)
+            return _make_precond("ilu0", sys, inv_diag, cpr_inner_iters)
         fact = build_zline(sys)
         return partial(zline_apply, fact)
+    if name == "ilu0":
+        if isinstance(sys, StructuredSystem):
+            # banded layout: the z-line block-Thomas IS the structured
+            # ILU-class smoother (exact in z, Jacobi across columns)
+            fact = build_zline(sys)
+            return partial(zline_apply, fact)
+        from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
+
+        fact = build_cpilu0(sys)
+        return partial(cpilu0_apply, fact)
     if name == "jacobi":
         return partial(block_jacobi_apply, inv_diag)
     raise ValueError(f"unknown preconditioner {name!r}")

@@ -34,6 +34,7 @@ from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_RV, FLAG_SG,
 from opm_autodiff_tpu.solvers.linear import solve_linear
 from opm_autodiff_tpu.wells import multisegment as msw_mod
 from opm_autodiff_tpu.wells import standard as wells_mod
+from opm_autodiff_tpu.wells import standard4 as s4
 from opm_autodiff_tpu.wells.standard import (CTRL_BHP, WellResult, WellSet,
                                              well_contributions)
 
@@ -78,6 +79,10 @@ class NewtonState(NamedTuple):
     active_mode: jnp.ndarray  # [W]
     # multisegment wells: [M,S,4] segment unknowns (None when no MSW)
     msw_x: jnp.ndarray | None = None
+    # 4-DOF StandardWell unknowns [W,4] (WQTotal/WFrac/GFrac/Bhp;
+    # reference StandardWell.hpp:126-133). None selects the 1-DOF
+    # Peaceman research-well path; when present, pbh == xw[:,3]
+    xw: jnp.ndarray | None = None
 
 
 class IterationInfo(NamedTuple):
@@ -92,7 +97,8 @@ class IterationInfo(NamedTuple):
 
 
 def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
-                 wr: WellResult, ws: WellSet, active_mode):
+                 wr: WellResult, ws: WellSet, active_mode,
+                 well_err_ext=None):
     """CNV / MB metrics (BlackoilModelEbos::getReservoirConvergence
     formulas, reference BlackoilModelEbos.hpp:628-904). ``inv_b`` [N,3]
     comes from the single per-iteration intensive evaluation."""
@@ -113,6 +119,17 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
                                  (cnv < params.tol_cnv_relaxed).all())
 
     # well convergence: rate equations scaled by target, bhp by magnitude
+    if well_err_ext is not None:
+        well_err = well_err_ext
+        cnv_ok = jnp.logical_or((cnv < params.tol_cnv).all(), relaxed_ok)
+        mb_ok = (mb < params.tol_mb).all()
+        wells_ok = well_err < params.tol_wells
+        converged = cnv_ok & mb_ok & wells_ok
+        max_res = jnp.abs(r_scaled).max()
+        failed = jnp.logical_or(
+            ~jnp.isfinite(max_res),
+            max_res > params.max_residual_allowed * pv_sum)
+        return cnv, mb, well_err, relaxed_ok, converged, failed
     rate_scale = jnp.where(
         ws.is_injector, jnp.where(jnp.isfinite(ws.inj_rate), ws.inj_rate, 1.0),
         jnp.select([ws.ctrl_mode == wells_mod.CTRL_ORAT,
@@ -280,30 +297,55 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           st: NewtonState, ws: WellSet, acc0, dt,
                           aq: AquiferDevice | None = None,
                           vfp_bank=None, msw=None, x3_cap=None,
-                          relax=1.0, rho_conn=None, drift_vol=None):
+                          relax=1.0, rho_conn=None, drift_vol=None,
+                          well_f0=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer)."""
     if aq is None:
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
+    use4 = st.xw is not None  # 4-DOF StandardWell vs 1-DOF research well
 
     # inverse FVFs for the convergence metrics: the structured packed
     # assembly exposes them for free; other layouts do one vmapped sweep
     inv_b_cells = None
 
-    # --- ONE well assembly: the perforation stage is mode-independent,
-    # so control switching runs on its own rates and only the 1x1
-    # control equations are (re)built for the new mode (reference:
-    # updateWellControls before assembleWellEq,
-    # BlackoilWellModel_impl.hpp:828-834 — same data flow, no extra
-    # rates pass). ``rho_conn`` is the per-substep explicit connection
-    # density (calculateExplicitQuantities analog).
-    pr = wells_mod.well_perf_contributions(fs, u, flag, pbh, ws,
-                                           cells.regs, cells.mob_mult,
-                                           cells.eps, rho_conn)
-    q_tot = pr.q_perf.sum(axis=1)
-    mode = update_well_controls(ws, mode, pbh, q_tot, vfp_bank)
-    wr = wells_mod.well_control_contributions(pr, ws, mode, pbh, vfp_bank)
+    if use4:
+        # 4-DOF path: control switching runs on the primary-variable
+        # rates (free — no perf pass needed), then ONE full assembly
+        # for the updated mode (reference: updateWellControls before
+        # assembleWellEq, BlackoilWellModel_impl.hpp:828-834)
+        q_tot_pv = s4.xw_surface_rates(st.xw, ws)
+        mode = update_well_controls(ws, mode, st.xw[:, 3], q_tot_pv,
+                                    vfp_bank)
+        wr = s4.well4_contributions(fs, u, flag, st.xw, ws, mode,
+                                    vfp_bank, cells.regs, cells.mob_mult,
+                                    cells.eps, rho_conn, well_f0, dt)
+        # reported rates come from the primary variables (reference:
+        # updateWellStateFromPrimaryVariables — WellState rates are the
+        # getQs values, exactly on target under rate control). Inactive
+        # phases report identically zero (two-phase variants: the frozen
+        # fraction unknown may carry roundoff-scale residue).
+        phase_on = jnp.array([params.has_water, True, params.has_gas])
+        q_tot = jnp.where(ws.open_mask[:, None] & phase_on[None, :],
+                          q_tot_pv, 0.0)
+        w_api = s4
+    else:
+        # --- ONE well assembly: the perforation stage is mode-independent,
+        # so control switching runs on its own rates and only the 1x1
+        # control equations are (re)built for the new mode (reference:
+        # updateWellControls before assembleWellEq,
+        # BlackoilWellModel_impl.hpp:828-834 — same data flow, no extra
+        # rates pass). ``rho_conn`` is the per-substep explicit connection
+        # density (calculateExplicitQuantities analog).
+        pr = wells_mod.well_perf_contributions(fs, u, flag, pbh, ws,
+                                               cells.regs, cells.mob_mult,
+                                               cells.eps, rho_conn)
+        q_tot = pr.q_perf.sum(axis=1)
+        mode = update_well_controls(ws, mode, pbh, q_tot, vfp_bank)
+        wr = wells_mod.well_control_contributions(pr, ws, mode, pbh,
+                                                  vfp_bank)
+        w_api = wells_mod
 
     # --- reservoir assembly (banded fast path for structured grids;
     # ACTNUM grids embed into the full box with identity rows) ---
@@ -340,8 +382,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
             fs, u, flag, cells.regs, None, cells.eps)
         inv_b_cells = q_all.inv_b
-    residual = wells_mod.apply_to_residual(sys.residual, wr, ws_sys)
-    diag = wells_mod.apply_to_diag(sys.diag, wr, ws_sys)
+    residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
+    diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)
     # --- multisegment wells (reference: MultisegmentWell assemble +
     # Schur via duneB_/C_/D_, MultisegmentWellEval.hpp:272) ---
     mr = None
@@ -399,8 +441,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # --- convergence (on the active rows) ---
     residual_act = residual[emb.act] if emb is not None else residual
+    well_err4 = None
+    if use4:
+        # flux rows scaled by field-average B factors (reference:
+        # StandardWellEval.cpp:767 getWellConvergence)
+        b_avg = (1.0 / jnp.maximum(inv_b_cells, 1e-30)).mean(axis=0)
+        well_err4 = s4.well_convergence(wr, ws, mode, b_avg)
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
-        params, fs, cells, residual_act, inv_b_cells, dt, wr, ws, mode)
+        params, fs, cells, residual_act, inv_b_cells, dt, wr, ws, mode,
+        well_err_ext=well_err4)
     if msw is not None:
         msw_scale = jnp.where(
             msw.is_injector,
@@ -419,15 +468,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         failed = failed | ~jnp.isfinite(msw_err)
 
     # --- linear solve with well Schur complement fused in ---
-    rhs = -residual + wells_mod.schur_rhs(residual, wr, ws_sys)
+    rhs = -residual + w_api.schur_rhs(residual, wr, ws_sys)
     if msw is not None:
         rhs = rhs + msw_mod.schur_rhs(mr, msw_sys, residual)
 
         def extra_mv(x):
-            return (wells_mod.schur_matvec(wr, ws_sys, x)
+            return (w_api.schur_matvec(wr, ws_sys, x)
                     + msw_mod.schur_matvec(mr, msw_sys, x))
     else:
-        extra_mv = partial(wells_mod.schur_matvec, wr, ws_sys)
+        extra_mv = partial(w_api.schur_matvec, wr, ws_sys)
     lin = solve_linear(sys, rhs,
                        extra_matvec=extra_mv,
                        tol=params.linear_tol, maxiter=params.linear_maxiter,
@@ -444,15 +493,24 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # residual history oscillates (reference: NonlinearSolverEbos
     # stabilizeNonlinearUpdate :315, dampen with relaxMax 0.5)
     dx = dx * relax
-    dpbh = wells_mod.recover_pbh_update(wr, ws_sys, dx)
-    dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
+    xw_new = st.xw
+    if use4:
+        dxw = s4.recover_xw_update(wr, ws_sys, dx)
+        dxw = jnp.where(jnp.isfinite(dxw), dxw, 0.0)
+        xw_new = s4.chop_xw_update(st.xw, dxw, ws)
+    else:
+        dpbh = wells_mod.recover_pbh_update(wr, ws_sys, dx)
+        dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
 
     # --- chopped update + switching (active rows) ---
     dx_act = dx[emb.act] if emb is not None else dx
     u_new, flag_new = _chop_and_update(params, fs, u, flag, dx_act,
                                        cells.regs[:, 1], x3_cap)
-    dpbh = jnp.clip(dpbh, -5e6, 5e6)  # DbhpMaxRel-style damping
-    pbh_new = jnp.clip(pbh + dpbh, 1e5, 2e9)
+    if use4:
+        pbh_new = xw_new[:, 3]
+    else:
+        dpbh = jnp.clip(dpbh, -5e6, 5e6)  # DbhpMaxRel-style damping
+        pbh_new = jnp.clip(pbh + dpbh, 1e5, 2e9)
 
     msw_x_new = st.msw_x
     q_msw = None
@@ -467,7 +525,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                          failed=failed, linear_iters=lin.iterations,
                          linear_ok=lin.converged)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
-                         active_mode=mode, msw_x=msw_x_new)
+                         active_mode=mode, msw_x=msw_x_new, xw=xw_new)
     return new_st, info, (q_tot, wr.q_perf, q_msw, residual_act), q_aq
 
 
@@ -475,6 +533,8 @@ newton_iteration = jax.jit(newton_iteration_impl,
                            static_argnames=("params",))
 
 _conn_rho = jax.jit(wells_mod.connection_densities)
+_solve_well_eq = jax.jit(s4.solve_well_eq,
+                         static_argnames=("max_iter",))
 
 
 @dataclasses.dataclass
@@ -519,12 +579,23 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # calculateExplicitQuantities on iteration 0,
     # BlackoilWellModel_impl.hpp:824)
     rho_conn = _conn_rho(fs, st.u, st.flag, st.pbh, ws, cells.regs)
+    well_f0 = None
+    if st.xw is not None:
+        # inner well solve with the reservoir frozen (reference:
+        # prepareTimeStep -> solveWellEqUntilConverged, MaxWelleqIter=30)
+        xw0 = _solve_well_eq(fs, st.u, st.flag, st.xw, ws,
+                             st.active_mode, vfp_bank, cells.regs,
+                             cells.mob_mult, cells.eps, rho_conn,
+                             jnp.asarray(dt))
+        st = st._replace(xw=xw0, pbh=xw0[:, 3])
+        # wellbore-storage base fractions F0 (StandardWellEval.cpp:710)
+        well_f0 = jax.vmap(s4._surface_fractions)(xw0[:, 1], xw0[:, 2])
     for it in range(params.max_iter + 1):
         new_st, info, (q_tot, q_perf, q_msw, res_act), q_aq = \
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
-                drift_vol)
+                drift_vol, well_f0)
         last_res = res_act
         hist.append(np.asarray(info.cnv))
         if len(hist) >= 3:

@@ -39,6 +39,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.models.blackoil import intensive
@@ -50,11 +51,64 @@ from opm_autodiff_tpu.wells.standard import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT,
 
 # component scaling factors (water, oil, gas) — gas rates are ~100x the
 # liquid rates in surface volume, the 0.01 rebalances the fraction space
-# (reference: WellInterfaceIndices.cpp:99-114 scalingFactor)
-SCAL = jnp.array([1.0, 1.0, 0.01])
+# (reference: WellInterfaceIndices.cpp:99-114 scalingFactor).
+# NumPy, not jnp: a module-level device array would initialize the JAX
+# backend at import time, before the CLI can pick a platform.
+SCAL = np.array([1.0, 1.0, 0.01])
 # wellbore volume for the storage regularization term: 0.1 cu ft
 # (reference: StandardWell_impl.hpp:196)
 WELLBORE_VOLUME = 0.002831684659200
+
+
+def invert44(m):
+    """Branch-free cofactor inverse of [...,4,4] blocks with the
+    determinant as aux.
+
+    TPU-safe: ``jnp.linalg.inv`` lowers to an f64 LU decomposition the
+    TPU backend does not implement; the adjugate formulation is pure
+    mul/add (reference analog: Dune::ISTLUtility::invertMatrix on the
+    4x4 D block, StandardWell_impl.hpp:285).
+    """
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]; d = m[..., 0, 3]
+    e = m[..., 1, 0]; f = m[..., 1, 1]; g = m[..., 1, 2]; h = m[..., 1, 3]
+    i = m[..., 2, 0]; j = m[..., 2, 1]; k = m[..., 2, 2]; ll = m[..., 2, 3]
+    mm = m[..., 3, 0]; n = m[..., 3, 1]; o = m[..., 3, 2]; p = m[..., 3, 3]
+
+    s0 = a * f - b * e
+    s1 = a * g - c * e
+    s2 = a * h - d * e
+    s3 = b * g - c * f
+    s4 = b * h - d * f
+    s5 = c * h - d * g
+    c5 = k * p - ll * o
+    c4 = j * p - ll * n
+    c3 = j * o - k * n
+    c2 = i * p - ll * mm
+    c1 = i * o - k * mm
+    c0 = i * n - j * mm
+
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
+
+    adj = jnp.stack([
+        jnp.stack([f * c5 - g * c4 + h * c3,
+                   -b * c5 + c * c4 - d * c3,
+                   n * s5 - o * s4 + p * s3,
+                   -j * s5 + k * s4 - ll * s3], axis=-1),
+        jnp.stack([-e * c5 + g * c2 - h * c1,
+                   a * c5 - c * c2 + d * c1,
+                   -mm * s5 + o * s2 - p * s1,
+                   i * s5 - k * s2 + ll * s1], axis=-1),
+        jnp.stack([e * c4 - f * c2 + h * c0,
+                   -a * c4 + b * c2 - d * c0,
+                   mm * s4 - n * s2 + p * s0,
+                   -i * s4 + j * s2 - ll * s0], axis=-1),
+        jnp.stack([-e * c3 + f * c1 - g * c0,
+                   a * c3 - b * c1 + c * c0,
+                   -mm * s3 + n * s1 - o * s0,
+                   i * s3 - j * s1 + k * s0], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None], det
 
 
 class Well4Result(NamedTuple):
@@ -340,7 +394,7 @@ def well4_contributions(fs: FluidSystem, u, flag, xw, ws: WellSet,
         [dq_du, jnp.zeros_like(dq_du[:, :, :1, :])], axis=2)   # [W,P,4,3]
 
     # --- singular / closed-well handling: pin the well system ---
-    det = jnp.linalg.det(d_blk)
+    _, det = invert44(d_blk)
     bad = (~jnp.isfinite(det)) | (jnp.abs(det) < 1e-300) | ~ws.open_mask
     eye = jnp.broadcast_to(jnp.eye(4), d_blk.shape)
     d_blk = jnp.where(bad[:, None, None], eye, d_blk)
@@ -354,7 +408,7 @@ def well4_contributions(fs: FluidSystem, u, flag, xw, ws: WellSet,
     dq_du = jnp.where(zero_q[:, None, None, None], 0.0, dq_du)
     dq_dxw = jnp.where(zero_q[:, None, None, None], 0.0, dq_dxw)
 
-    d_inv = jnp.linalg.inv(d_blk)
+    d_inv, _ = invert44(d_blk)
     return Well4Result(q_perf=q_perf, dq_du=dq_du, dq_dxw=dq_dxw,
                        res_well=res_well, b_blk=b_blk, d_inv=d_inv,
                        rho_conn=rho_conn)

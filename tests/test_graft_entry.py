@@ -42,13 +42,13 @@ def test_entry_compiles_and_runs(graft):
     assert bool(jnp.all(jnp.isfinite(cnv)))
 
 
-def test_dryrun_multichip_8(graft):
+def test_dryrun_multichip_8_even(graft):
     assert len(jax.devices()) >= 8
-    graft.dryrun_multichip(8)
+    graft.dryrun_multichip(8, nz=16)
 
 
 def test_dryrun_multichip_uneven_nz(graft):
-    """Norne-shaped grids (nz=22) must shard on 8 devices (VERDICT #6)."""
-    if not getattr(graft, "SUPPORTS_UNEVEN_NZ", False):
-        pytest.skip("uneven-nz sharding not yet wired into the driver entry")
+    """Norne-shaped grids (nz=22) must shard on 8 devices (VERDICT #6):
+    the driver default exercises the padded-z-slab embedded path."""
+    assert getattr(graft, "SUPPORTS_UNEVEN_NZ", False)
     graft.dryrun_multichip(8)
