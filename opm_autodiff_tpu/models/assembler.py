@@ -38,6 +38,9 @@ class BsrSystem(NamedTuple):
     off_rl: jnp.ndarray    # [F,3,3] row=right, col=left
     left: jnp.ndarray      # [F] int32 (static)
     right: jnp.ndarray     # [F] int32
+    # storage Jacobian d acc/du [N,3,3] for true-IMPES CPR weights
+    # (reference: getQuasiImpesWeights.hpp:89)
+    acc_jac: jnp.ndarray | None = None
 
     @property
     def num_cells(self) -> int:
@@ -116,4 +119,5 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     off_rl = -jac_l
 
     return BsrSystem(residual=residual, diag=diag, off_lr=off_lr,
-                     off_rl=off_rl, left=faces.left, right=faces.right)
+                     off_rl=off_rl, left=faces.left, right=faces.right,
+                     acc_jac=acc_jac)

@@ -79,6 +79,10 @@ class StructuredSystem(NamedTuple):
     ex_right: jnp.ndarray | None = None
     ex_lr: jnp.ndarray | None = None   # [Fe,3,3] row=left,  col=right
     ex_rl: jnp.ndarray | None = None   # [Fe,3,3] row=right, col=left
+    # storage (accumulation) Jacobian d acc/du [N,3,3] from the same
+    # packed sweep — feeds the true-IMPES CPR weights (reference:
+    # getQuasiImpesWeights.hpp:89 getTrueImpesWeights)
+    acc_jac: jnp.ndarray | None = None
 
     @property
     def num_cells(self) -> int:
@@ -465,12 +469,14 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
         f64 = u.dtype
         inv_b = jnp.transpose(q5[:, 3:6], (0, 2, 3, 1)).reshape(
             nz * ny * nx, 3).astype(f64)
+        acc_jac = jnp.transpose(dq5[:, 14:17], (0, 3, 4, 1, 2)).reshape(
+            nz * ny * nx, 3, 3).astype(f64)
         return StructuredSystem(
             residual=res.astype(f64), diag=diag.astype(f64),
             x_lr=x_lr.astype(f64), x_rl=x_rl.astype(f64),
             y_lr=y_lr.astype(f64), y_rl=y_rl.astype(f64),
             z_lr=z_lr.astype(f64), z_rl=z_rl.astype(f64),
-            inv_b=inv_b)
+            inv_b=inv_b, acc_jac=acc_jac)
     eps_ax = None if cells.eps is None else 0
 
     def one_cell(uu, ff, pv, rg, mm, ep):
@@ -522,7 +528,7 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
         x_lr=bands[0][0], x_rl=bands[0][1],
         y_lr=bands[1][0], y_rl=bands[1][1],
         z_lr=bands[2][0], z_rl=bands[2][1],
-        inv_b=Q[:, 3:6])
+        inv_b=Q[:, 3:6], acc_jac=dQ[:, 14:17, :])
 
 
 def assemble_structured_ref(fs: FluidSystem, cells: CellStatic,

@@ -26,14 +26,20 @@ import json
 
 
 _PRECOND_MAP = {
-    "ilu0": "zline",
-    "paroverilu0": "zline",
-    "ilun": "zline",
+    # "ilu0" resolves per layout inside _make_precond: zline block-
+    # Thomas on banded grids, Chow-Patel block-ILU0 on the BSR path
+    "ilu0": "ilu0",
+    "paroverilu0": "ilu0",
+    "ilun": "ilu0",
     "jac": "jacobi",
     "gs": "jacobi",
     "sor": "jacobi",
     "cpr": "cpramg",
-    "cprt": "cpramg",
+    "cpr_quasiimpes": "cpramg",
+    # cprt / cpr_trueimpes: weights from the storage Jacobian
+    # (reference: setupPropertyTree.cpp cpr_trueimpes)
+    "cprt": "cpramgt",
+    "cpr_trueimpes": "cpramgt",
     "amg": "cpramg",
     "kamg": "cpramg",
     "famg": "cpramg",
@@ -41,6 +47,7 @@ _PRECOND_MAP = {
     "zline": "zline",
     "jacobi": "jacobi",
     "cpramg": "cpramg",
+    "cpramgt": "cpramgt",
 }
 
 
@@ -76,10 +83,11 @@ def linear_solver_overrides(conf: str) -> dict:
             out["linear_precond"] = _PRECOND_MAP[ptype]
         return out
     name = conf.lower()
-    if name in ("cpr", "cpr_trueimpes", "cpr_quasiimpes", "amg"):
+    if name in ("cpr", "cprt", "cpr_trueimpes", "cpr_quasiimpes", "amg"):
         # reference: CPR configs cap the outer Krylov at 20 iterations
         # (setupPropertyTree.cpp:70-76)
-        return {"linear_precond": "cpramg", "linear_maxiter": 20}
+        return {"linear_precond": _PRECOND_MAP[name],
+                "linear_maxiter": 20}
     if name in _PRECOND_MAP:
         return {"linear_precond": _PRECOND_MAP[name]}
     raise ValueError(

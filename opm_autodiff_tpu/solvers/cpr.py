@@ -47,11 +47,32 @@ def _solve_transpose_3x3(diag, e_idx: int):
     return inv_t[..., :, e_idx]  # [N,3]
 
 
+def trueimpes_weights(acc_jac, pressure_var: int = 0,
+                      pressure_scale: float = 50e5):
+    """True-IMPES weights from the storage-term Jacobian
+    (reference: getQuasiImpesWeights.hpp:89 getTrueImpesWeights —
+    block = d storage/du with the pressure column scaled by 50 bar,
+    w = block^-T e_p, /1000 to land near O(1))."""
+    scale = jnp.ones(3, acc_jac.dtype).at[pressure_var].set(pressure_scale)
+    block = acc_jac * scale[None, None, :]
+    w = _solve_transpose_3x3(block, pressure_var) / 1000.0
+    return jnp.where(jnp.isfinite(w), w, 0.0)
+
+
+def _weights(sys, pressure_var: int, mode: str):
+    """quasiimpes: D^-T e_p from the full diagonal; trueimpes: from the
+    storage Jacobian (falls back to quasi when unavailable)."""
+    if mode == "trueimpes" and sys.acc_jac is not None:
+        return trueimpes_weights(sys.acc_jac, pressure_var)
+    w = _solve_transpose_3x3(sys.diag, pressure_var)
+    return jnp.where(jnp.isfinite(w), w, 0.0)
+
+
 def build_cpr(sys: BsrSystem, inv_diag: jnp.ndarray,
-              pressure_var: int = 0) -> CprData:
-    w = _solve_transpose_3x3(sys.diag, pressure_var)  # [N,3]
-    # normalize: w . diag[:,:,p] == 1 by construction of D^-T e; guard NaN
-    w = jnp.where(jnp.isfinite(w), w, 0.0)
+              pressure_var: int = 0,
+              weights: str = "quasiimpes") -> CprData:
+    # quasi-IMPES: w . diag[:,:,p] == 1 by construction of D^-T e
+    w = _weights(sys, pressure_var, weights)
     p_diag = jnp.einsum("ni,nip->n", w,
                         sys.diag[:, :, pressure_var:pressure_var + 1])
     p_off_lr = jnp.einsum("fi,fi->f", w[sys.left],
@@ -132,10 +153,10 @@ class CprBandedData(NamedTuple):
     inv_diag: jnp.ndarray  # [N,3,3] block-Jacobi of the full system
 
 
-def build_cpr_banded(sys, inv_diag, pressure_var: int = 0) -> CprBandedData:
-    """Quasi-IMPES CPR on the StructuredSystem banded layout."""
-    w = _solve_transpose_3x3(sys.diag, pressure_var)  # [N,3]
-    w = jnp.where(jnp.isfinite(w), w, 0.0)
+def build_cpr_banded(sys, inv_diag, pressure_var: int = 0,
+                     weights: str = "quasiimpes") -> CprBandedData:
+    """Quasi/true-IMPES CPR on the StructuredSystem banded layout."""
+    w = _weights(sys, pressure_var, weights)
     nz, ny, nxm = sys.x_lr.shape[:3]
     nx = nxm + 1
     w3 = w.reshape(nz, ny, nx, 3)
@@ -217,13 +238,21 @@ def cpr_banded_apply_gmg(c: CprBandedData, sys, r, hierarchy,
 
 
 def cpr_apply(c: CprData, sys: BsrSystem, r, inner_iters: int = 12,
-              pressure_var: int = 0):
-    """Two-stage apply: coarse pressure correction + block-Jacobi smoothing."""
+              pressure_var: int = 0, smooth=None):
+    """Two-stage apply: coarse pressure correction + fine smoothing.
+
+    ``smooth(r2) -> x2`` overrides the fine smoother; default is
+    block-Jacobi. The reference's canned cpr uses ParOverILU0 there
+    (setupPropertyTree.cpp:95-120) — pass a Chow-Patel ILU0 apply for
+    the equivalent (wired in solvers/linear.py _make_precond)."""
     # stage 1: pressure correction
     r_p = jnp.einsum("ni,ni->n", c.weights, r)
     dp = _pressure_inner_solve(c, r_p, inner_iters)
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp)
     # stage 2: fine smoothing on the updated residual
     r2 = r - bsr_matvec(sys, x1)
-    x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    if smooth is None:
+        x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    else:
+        x2 = smooth(r2)
     return x1 + x2

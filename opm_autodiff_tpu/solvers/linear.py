@@ -43,6 +43,10 @@ def _scale_system(sys, row, col, dtype):
     from opm_autodiff_tpu.models.structured import StructuredSystem
 
     dscaled = (sys.diag * row[:, :, None] * col[:, None, :]).astype(dtype)
+    # the storage jacobian scales like the diagonal so true-IMPES
+    # weights built from the scaled system stay consistent with it
+    aj = (None if sys.acc_jac is None else
+          (sys.acc_jac * row[:, :, None] * col[:, None, :]).astype(dtype))
     if isinstance(sys, StructuredSystem):
         nz, ny, nxm = sys.x_lr.shape[:3]
         nx = nxm + 1
@@ -58,7 +62,7 @@ def _scale_system(sys, row, col, dtype):
                 ex_lr=sc(sys.ex_lr, row[sys.ex_left], col[sys.ex_right]),
                 ex_rl=sc(sys.ex_rl, row[sys.ex_right], col[sys.ex_left]))
         return sys._replace(
-            diag=dscaled,
+            diag=dscaled, acc_jac=aj,
             x_lr=sc(sys.x_lr, r3[:, :, :-1], c3[:, :, 1:]),
             x_rl=sc(sys.x_rl, r3[:, :, 1:], c3[:, :, :-1]),
             y_lr=sc(sys.y_lr, r3[:, :-1, :], c3[:, 1:, :]),
@@ -67,7 +71,7 @@ def _scale_system(sys, row, col, dtype):
             z_rl=sc(sys.z_rl, r3[1:], c3[:-1]), **ex)
     return BsrSystem(
         residual=sys.residual,
-        diag=dscaled,
+        diag=dscaled, acc_jac=aj,
         off_lr=(sys.off_lr * row[sys.left][:, :, None]
                 * col[sys.right][:, None, :]).astype(dtype),
         off_rl=(sys.off_rl * row[sys.right][:, :, None]
@@ -353,6 +357,12 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
 def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
     from opm_autodiff_tpu.models.structured import StructuredSystem
 
+    # true-IMPES weight variants (reference: --cpr-weights=trueimpes,
+    # ISTLSolverEbos.hpp:447; weights from the storage Jacobian)
+    cpr_weights = "quasiimpes"
+    if name in ("cpramgt", "cprt"):
+        cpr_weights = "trueimpes"
+        name = {"cpramgt": "cpramg", "cprt": "cpr"}[name]
     if name == "cpramg":
         # CPR with a geometric-multigrid coarse pressure solve (the
         # reference default two-level cpr: fine smoother + 1 AMG V-cycle,
@@ -362,7 +372,7 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
                                                       build_gmg_hierarchy,
                                                       cpr_banded_apply_gmg)
 
-            cprb = build_cpr_banded(sys, inv_diag)
+            cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights)
             hier = build_gmg_hierarchy(cprb)
             return lambda r: cpr_banded_apply_gmg(cprb, sys, r, hier)
         name = "cpr"  # unstructured: fall back to Krylov-inner CPR
@@ -371,13 +381,20 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
             from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,
                                                       cpr_banded_apply)
 
-            cprb = build_cpr_banded(sys, inv_diag)
+            cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights)
             return lambda r: cpr_banded_apply(cprb, sys, r,
                                               inner_iters=cpr_inner_iters)
         from opm_autodiff_tpu.solvers.cpr import build_cpr, cpr_apply
+        from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
 
-        cpr = build_cpr(sys, inv_diag)
-        return lambda r: cpr_apply(cpr, sys, r, inner_iters=cpr_inner_iters)
+        cpr = build_cpr(sys, inv_diag, weights=cpr_weights)
+        # fine smoother: Chow-Patel block-ILU0, the BSR-path analog of
+        # the reference's ParOverILU0 finesmoother
+        fact = build_cpilu0(sys)
+        smooth = partial(cpilu0_apply, fact)
+        return lambda r: cpr_apply(cpr, sys, r,
+                                   inner_iters=cpr_inner_iters,
+                                   smooth=smooth)
     if name == "zline":
         if not isinstance(sys, StructuredSystem):
             # unstructured fallback: Chow-Patel block-ILU0 (the BSR-path

@@ -11,10 +11,17 @@ from opm_autodiff_tpu.solvers.newton import NewtonParams
 
 
 def test_canned_names():
-    assert linear_solver_overrides("ilu0") == {"linear_precond": "zline"}
-    for name in ("cpr", "cpr_trueimpes", "cpr_quasiimpes", "amg"):
+    # "ilu0" resolves per layout in _make_precond (zline on banded
+    # grids, Chow-Patel block-ILU0 on the BSR path)
+    assert linear_solver_overrides("ilu0") == {"linear_precond": "ilu0"}
+    for name in ("cpr", "cpr_quasiimpes", "amg"):
         ov = linear_solver_overrides(name)
         assert ov["linear_precond"] == "cpramg"
+        assert ov["linear_maxiter"] == 20
+    # true-IMPES variants select the storage-Jacobian weights
+    for name in ("cprt", "cpr_trueimpes"):
+        ov = linear_solver_overrides(name)
+        assert ov["linear_precond"] == "cpramgt"
         assert ov["linear_maxiter"] == 20
     assert linear_solver_overrides("jacobi") == {"linear_precond": "jacobi"}
 
@@ -26,10 +33,10 @@ def test_json_file(tmp_path):
     p.write_text(json.dumps(cfg))
     ov = linear_solver_overrides(str(p))
     assert ov == {"linear_tol": 5e-3, "linear_maxiter": 123,
-                  "linear_method": "fgmres", "linear_precond": "zline"}
+                  "linear_method": "fgmres", "linear_precond": "ilu0"}
     params = apply_to_params(NewtonParams(), str(p))
     assert params.linear_maxiter == 123
-    assert params.linear_precond == "zline"
+    assert params.linear_precond == "ilu0"
 
 
 def test_unknown_rejected():
