@@ -96,7 +96,7 @@ SINGLE_KEYWORDS = {
     "VFPIDIMS", "AQUDIMS", "FAULTDIM", "PIMTDIMS", "NSTACK", "OPTIONS",
     "SATOPTS", "EHYSTR", "ROCKCOMP", "ROCKOPTS", "MISCIBLE", "NUPCOL",
     "TRACERS", "SMRYDIMS", "REGDIMS", "GRIDOPTS", "RPTONLY", "BIGMODEL",
-    "NETWORK", "LIFTOPT", "GUIDERAT", "WSEGDIMS", "UDQDIMS", "UDADIMS",
+    "NETWORK", "LIFTOPT", "WSEGDIMS", "UDQDIMS", "UDADIMS",
     "ACTDIMS", "RESTART", "RPTRST", "RPTSOL", "RPTSCHED", "RPTGRID",
     "RPTPROPS", "OUTSOL", "TITLE",
 }
@@ -105,6 +105,7 @@ RECORDS_KEYWORDS = {
     "WELSPECS", "COMPDAT", "WCONPROD", "WCONINJE", "WCONHIST", "WCONINJH",
     "WELTARG", "WELOPEN", "COMPLUMP", "WPIMULT", "WEFAC", "WTEST", "WECON", "WELSEGS",
     "COMPSEGS", "WSEGVALV", "GRUPTREE", "GCONPROD", "GCONINJE", "GEFAC",
+    "GUIDERAT", "WGRUPCON",
     "GRUPNET", "NODEPROP", "BRANPROP", "NETBALAN", "EQUALS", "COPY", "ADD",
     "MULTIPLY",
     "MULTIREG", "BOX", "FAULTS", "MULTFLT", "PINCH", "NNC", "EDITNNC",

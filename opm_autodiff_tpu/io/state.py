@@ -777,8 +777,16 @@ def _build_summary(deck: Deck) -> SummaryConfig:
     return SummaryConfig(out)
 
 
+def _well_match(pattern: str, name: str) -> bool:
+    """ECL well-name matching: literal or trailing-* wildcard."""
+    import fnmatch
+
+    return fnmatch.fnmatch(name, pattern)
+
+
 def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
-                         group_inj, liftopt, group_net=None):
+                         group_inj, liftopt, group_net=None,
+                         group_aux=None):
     """Apply one schedule keyword to the mutable well/group state.
 
     Shared between the deck-order schedule builder and runtime ACTIONX
@@ -1079,6 +1087,40 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             child = str(item(r, 0, ""))
             parent = str(item(r, 1, "FIELD"))
             group_tree[child] = parent
+    elif kw.name == "GUIDERAT" and group_aux is not None:
+        # potential-based guide-rate formula
+        # GR = POT^A / (B + C*R1^D + E*R2^F), R1 = water cut,
+        # R2 = GOR of the potentials (Eclipse GUIDERAT; reference:
+        # opm-common GuideRateModel consumed by WellGroupHelpers
+        # updateGuideRates, WellGroupHelpers.hpp:104)
+        r = kw.records[0] if kw.records else []
+        group_aux["guiderat"] = {
+            "interval_days": float(item(r, 0, 0.0)),
+            "phase": str(item(r, 1, "NONE")).upper(),
+            "a": float(item(r, 2, 0.0)),
+            "b": float(item(r, 3, 0.0)),
+            "c": float(item(r, 4, 0.0)),
+            "d": float(item(r, 5, 0.0)),
+            "e": float(item(r, 6, 0.0)),
+            "f": float(item(r, 7, 0.0)),
+            "allow_increase": str(item(r, 8, "YES")).upper() != "NO",
+            "damping": float(item(r, 9, 1.0)),
+        }
+    elif kw.name == "WGRUPCON" and group_aux is not None:
+        # per-well group-control availability + fixed guide rates
+        for r in kw.records:
+            pat = str(item(r, 0, ""))
+            for wname, w in wells.items():
+                if not _well_match(pat, wname):
+                    continue
+                gr = item(r, 2, None)
+                group_aux.setdefault("wgrupcon", {})[wname] = {
+                    "available": str(item(r, 1, "YES")).upper() != "NO",
+                    "guide_rate": (float(gr) if gr is not None
+                                   and float(gr) >= 0 else None),
+                    "phase": str(item(r, 3, "OIL")).upper(),
+                    "scaling": float(item(r, 4, 1.0)),
+                }
     elif kw.name == "GCONPROD":
         for r in kw.records:
             g = str(item(r, 0, ""))
@@ -1243,6 +1285,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     group_prod: dict = {}
     group_inj: dict = {}
     group_net: dict = {}
+    group_aux: dict = {}  # GUIDERAT formula + WGRUPCON per-well entries
     liftopt: dict = {}
     tuning: dict = {}
 
@@ -1256,7 +1299,9 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         return {"tree": dict(group_tree),
                 "prod": copy.deepcopy(group_prod),
                 "inj": copy.deepcopy(group_inj),
-                "net": copy.deepcopy(group_net)}
+                "net": copy.deepcopy(group_net),
+                "guiderat": copy.deepcopy(group_aux.get("guiderat")),
+                "wgrupcon": copy.deepcopy(group_aux.get("wgrupcon", {}))}
 
     def advance(days: float):
         nonlocal t_days
@@ -1274,7 +1319,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
         if not in_schedule:
             continue
         if _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
-                                 group_inj, liftopt, group_net):
+                                 group_inj, liftopt, group_net, group_aux):
             pass
         elif kw.name in ("DRSDT", "DRVDT"):
             # max dissolved-GOR / vaporized-OGR increase rate

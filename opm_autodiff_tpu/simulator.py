@@ -119,6 +119,9 @@ class Simulator:
         self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
                                     self.cells, self.facelist)
         self._shut_wells: dict = {}  # name -> shut time (days)
+        # group-control dynamic state across substeps (GroupState analog:
+        # switched group modes, damped guide rates)
+        self._group_memory: dict = {}
         self.msw_x = None  # multisegment well unknowns [M,S,4]
         from opm_autodiff_tpu.actions import (ActionManager, UdqEngine,
                                               parse_actions)
@@ -222,7 +225,8 @@ class Simulator:
                                 vfp_numbering=self._vfp_numbering,
                                 vfp_inj_numbering=self._vfp_inj_numbering)
         ws_base = self._refresh_voidage(ws_base)
-        gmgr = GroupManager(rstep.groups, std_wells)
+        gmgr = GroupManager(rstep.groups, std_wells,
+                            memory=self._group_memory)
         ws = ws_base
         if gmgr.active:
             lr = getattr(self, "_last_q", None)

@@ -1,17 +1,38 @@
-"""Group controls: target apportioning by guide rates + economic limits.
+"""Group controls: reference-semantics target apportioning.
 
-Rebuild of the slice of the reference's group layer that SPE9-class decks
-exercise (WellGroupHelpers.hpp:104 updateGuideRates /
-checkGroupConstraintsProd :298, TargetCalculator, GroupState): wells whose
-WCONPROD/WCONINJE control is ``GRUP`` receive a share of their group's
-GCONPROD/GCONINJE target, apportioned by guide rates. Guide rates default
-to the wells' most recent production rates of the control phase (falling
-back to equal split before any rates exist) — the reference's default
-guide-rate scheme is likewise potential/rate based.
+Rebuild of the reference's group layer (WellGroupHelpers.{hpp,cpp},
+TargetCalculator, FractionCalculator, GroupState):
 
-Host-side (tiny data), re-evaluated every substep so wells that hit BHP
-limits shed their share to the rest of the group — the reference reaches
-the same fixed point through per-iteration constraint re-checks.
+* **Target reduction** (updateGroupTargetReduction,
+  WellGroupHelpers.cpp:300): a group's apportionable target is its
+  GCONPROD/GCONINJE target minus the efficiency-weighted production of
+  every subtree well NOT under this group's control — wells on their own
+  controls (ORAT/BHP/...), wells whose nearest controlling ancestor is a
+  descendant group with an explicit control, and wells marked
+  unavailable by WGRUPCON.
+* **Chain apportioning** (FractionCalculator, WellGroupHelpers.cpp:931;
+  getGroupProductionControl, WellInterfaceEval.cpp:178): with default
+  (child-sum) group guide rates the per-level local fractions telescope,
+  so a member well's share is gr(well) / sum of gr over the control
+  group's included subtree wells. Reductions are applied at the control
+  level (the reference applies intermediate-level reductions only where
+  explicit group guide rates exist, which GUIDERAT does not define).
+* **Guide rates**: WGRUPCON fixed values, else the GUIDERAT potential
+  formula GR = POT^A / (B + C*WCT^D + E*GOR^F) with damping and
+  allow-increase handling (reference: opm-common GuideRateModel via
+  updateGuideRates, WellGroupHelpers.hpp:104), else the well's current
+  rate of the control phase.
+* **Nested caps** (checkGroupConstraintsProd, WellGroupHelpers.cpp:1055
+  via updateGroupIndividualControl): a group whose GCONPROD mode is FLD
+  but which carries rate targets has those targets enforced as limits —
+  when the subtree rate exceeds one, the group switches to that mode
+  (the most-violated constraint wins) and becomes a control group for
+  its subtree.
+
+Host-side (tiny data), re-evaluated every substep; the well control
+equations enforce the assigned targets on device. Dynamic group control
+switches persist across substeps through the simulator-owned ``memory``
+dict (the reference's GroupState analog).
 
 WECON economic limits shut wells at report-step boundaries
 (reference: BlackoilWellModel WTEST/WECON handling, _impl.hpp:374).
@@ -21,15 +42,32 @@ from __future__ import annotations
 
 import numpy as np
 
-_PHASE_COL = {"ORAT": 1, "WRAT": 0, "GRAT": 2, "LRAT": None, "RESV": None}
+_PHASE_COL = {"ORAT": 1, "WRAT": 0, "GRAT": 2}
+_PROD_MODES = ("ORAT", "WRAT", "GRAT", "LRAT", "RESV")
+
+
+def _mode_rate(row3, mode, vcoef_row=None):
+    """Convert a positive-production [3] rate row to the mode's rate
+    (TargetCalculator::calcModeRateFromRates analog)."""
+    if mode == "LRAT":
+        return row3[0] + row3[1]
+    if mode == "RESV":
+        v = vcoef_row if vcoef_row is not None else np.ones(3)
+        return float(np.dot(v, row3))
+    return row3[_PHASE_COL[mode]]
 
 
 class GroupManager:
-    def __init__(self, groups: dict, wells: list):
+    def __init__(self, groups: dict, wells: list, memory: dict | None = None):
         self.tree = groups.get("tree", {})
         self.prod = groups.get("prod", {})
         self.inj = groups.get("inj", {})
+        self.guiderat = groups.get("guiderat")
+        self.wgrupcon = groups.get("wgrupcon", {})
         self.wells = wells
+        # dynamic state across substeps: ("gmode", group) -> switched
+        # production mode; ("gr", well) -> last guide-rate value
+        self.memory = memory if memory is not None else {}
 
     @property
     def active(self) -> bool:
@@ -37,65 +75,179 @@ class GroupManager:
             return False
         return any(w.control_mode == "GRUP" for w in self.wells)
 
+    # -- tree walking -------------------------------------------------
+    def _parent(self, g: str) -> str:
+        if g == "FIELD":
+            return ""
+        return self.tree.get(g, "FIELD")
+
+    def _in_subtree(self, g: str, group: str) -> bool:
+        while g:
+            if g == group:
+                return True
+            g = self._parent(g)
+        return False
+
+    def _dyn_prod_mode(self, g: str) -> str:
+        dyn = self.memory.get(("gmode", g))
+        if dyn:
+            return dyn
+        return (self.prod.get(g) or {}).get("mode", "NONE")
+
+    def _prod_target(self, g: str, mode: str):
+        gc = self.prod.get(g) or {}
+        return {"ORAT": gc.get("orat"), "WRAT": gc.get("wrat"),
+                "GRAT": gc.get("grat"), "LRAT": gc.get("lrat"),
+                "RESV": gc.get("resv")}.get(mode)
+
+    def _prod_control_group(self, w) -> str | None:
+        """Nearest ancestor with an explicit (non-FLD/NONE) production
+        control — the group whose target the well produces a share of
+        (getGroupProductionControl recursion, WellInterfaceEval.cpp:178)."""
+        g = w.group
+        while g:
+            if self._dyn_prod_mode(g) not in ("NONE", "FLD"):
+                return g
+            g = self._parent(g)
+        return None
+
+    def _available(self, w) -> bool:
+        wc = self.wgrupcon.get(w.name)
+        return wc is None or wc.get("available", True)
+
     def _members(self, group: str, injector: bool,
                  any_mode: bool = False) -> list[int]:
-        """Indices of wells in this group's subtree.
-
-        ``any_mode=False`` keeps only GRUP-controlled wells (target
-        apportioning); ``any_mode=True`` keeps every well (production
-        accounting for REIN/VREP)."""
+        """Indices of open wells in this group's subtree."""
         out = []
         for iw, w in enumerate(self.wells):
             if w.is_injector != injector:
                 continue
+            if w.status != "OPEN":
+                continue
             if not any_mode and w.control_mode != "GRUP":
                 continue
-            g = w.group
-            while g:
-                if g == group:
-                    out.append(iw)
-                    break
-                g = self.tree.get(g, "")
+            if self._in_subtree(w.group, group):
+                out.append(iw)
         return out
 
+    # -- guide rates --------------------------------------------------
+    def _well_guide_rate(self, iw: int, mode: str, prod, pots) -> float:
+        """Producer guide rate in the control mode's phase space."""
+        w = self.wells[iw]
+        wc = self.wgrupcon.get(w.name)
+        if wc is not None and wc.get("guide_rate") is not None:
+            return wc["guide_rate"] * wc.get("scaling", 1.0)
+        p = pots[iw] if pots is not None else prod[iw]
+        gm = self.guiderat
+        if gm and gm.get("phase", "NONE") != "NONE":
+            po, pw, pg = p[1], p[0], p[2]
+            pot = {"OIL": po, "LIQ": po + pw, "GAS": pg,
+                   "RES": po + pw + pg, "COMB": po + pw + pg
+                   }.get(gm["phase"], po)
+            if pot <= 0.0:
+                gr = 0.0
+            else:
+                wct = pw / max(po + pw, 1e-30)
+                gor = pg / max(po, 1e-30)
+                denom = (gm["b"] + gm["c"] * wct ** gm["d"]
+                         + gm["e"] * gor ** gm["f"])
+                gr = pot ** gm["a"] / max(denom, 1e-30)
+            prev = self.memory.get(("gr", w.name))
+            if prev is not None:
+                if not gm.get("allow_increase", True):
+                    gr = min(gr, prev)
+                damp = gm.get("damping", 1.0)
+                gr = prev + damp * (gr - prev)
+            self.memory[("gr", w.name)] = gr
+            return gr
+        # default: current rate of the control phase
+        return _mode_rate(prod[iw], mode if mode in _PHASE_COL
+                          or mode == "LRAT" else "ORAT")
+
+    # -- dynamic group constraint switching ---------------------------
+    def _update_group_modes(self, prod, vcoef):
+        """FLD groups carrying rate targets switch to the most-violated
+        mode (updateGroupIndividualControl analog)."""
+        for g, gc in self.prod.items():
+            if gc.get("mode") != "FLD" or ("gmode", g) in self.memory:
+                continue
+            worst, worst_ratio = None, 1.0
+            members = self._members(g, injector=False, any_mode=True)
+            if not members:
+                continue
+            for mode in _PROD_MODES:
+                t = self._prod_target(g, mode)
+                if t is None or t <= 0:
+                    continue
+                tot = sum(self.wells[iw].efac * _mode_rate(
+                    prod[iw], mode,
+                    vcoef[iw] if vcoef is not None else None)
+                    for iw in members)
+                if tot > t and tot / t > worst_ratio:
+                    worst, worst_ratio = mode, tot / t
+            if worst is not None:
+                self.memory[("gmode", g)] = worst
+
+    # -- main entry ---------------------------------------------------
     def effective_controls(self, last_rates: np.ndarray | None,
-                           voidage_coeff: np.ndarray | None = None):
+                           voidage_coeff: np.ndarray | None = None,
+                           potentials: np.ndarray | None = None):
         """Per-well (mode, target) assignments for GRUP wells.
 
-        last_rates: [W,3] surface rates into cells (negative = production)
-        from the previous substep, or None before the first one.
-        voidage_coeff: [W,3] surface->reservoir-volume coefficients
-        (feeds VREP voidage accounting).
+        last_rates: [W,3] surface rates into cells (negative =
+        production) from the previous substep, or None before the first.
+        voidage_coeff: [W,3] surface->reservoir-volume coefficients.
+        potentials: [W,3] positive production potentials for guide
+        rates (None falls back to current rates).
         Returns {well_index: (mode_str, target_si)}.
         """
         out = {}
         nw = len(self.wells)
-        rates = (np.maximum(-last_rates, 0.0) if last_rates is not None
-                 else np.zeros((nw, 3)))
+        prod = (np.maximum(-last_rates, 0.0) if last_rates is not None
+                else np.zeros((nw, 3)))
+        vc = voidage_coeff
 
-        for gname, gc in self.prod.items():
-            mode = gc.get("mode", "NONE")
-            if mode in ("NONE", "FLD"):
+        if last_rates is not None:
+            self._update_group_modes(prod, vc)
+
+        # ---- producers: group by control group ----
+        by_cg: dict[str, list[int]] = {}
+        for iw, w in enumerate(self.wells):
+            if (w.is_injector or w.status != "OPEN"
+                    or w.control_mode != "GRUP" or not self._available(w)):
                 continue
-            target = {"ORAT": gc.get("orat"), "WRAT": gc.get("wrat"),
-                      "GRAT": gc.get("grat"), "LRAT": gc.get("lrat"),
-                      "RESV": gc.get("resv")}.get(mode)
+            cg = self._prod_control_group(w)
+            if cg is not None:
+                by_cg.setdefault(cg, []).append(iw)
+
+        for gname, members in by_cg.items():
+            mode = self._dyn_prod_mode(gname)
+            target = self._prod_target(gname, mode)
             if target is None:
                 continue
-            members = self._members(gname, injector=False)
-            if not members:
-                continue
-            col = _PHASE_COL[mode]
-            if col is None:  # liquid = oil + water
-                guide = rates[members, 0] + rates[members, 1]
-            else:
-                guide = rates[members, col]
+            # target reduction: efficiency-weighted production of every
+            # open subtree producer that is NOT a member of this
+            # control group (updateGroupTargetReduction)
+            member_set = set(members)
+            red = 0.0
+            for iw in self._members(gname, injector=False, any_mode=True):
+                if iw in member_set:
+                    continue
+                red += self.wells[iw].efac * _mode_rate(
+                    prod[iw], mode, vc[iw] if vc is not None else None)
+            t_eff = max(target - red, 0.0)
+
+            guide = np.array([self._well_guide_rate(iw, mode, prod,
+                                                    potentials)
+                              for iw in members])
             if guide.sum() <= 0:
                 guide = np.ones(len(members))
             guide = guide / guide.sum()
             for gfrac, iw in zip(guide, members):
-                out[iw] = (mode, float(target * gfrac))
+                efac = max(self.wells[iw].efac, 1e-12)
+                out[iw] = (mode, float(t_eff * gfrac / efac))
 
+        # ---- injectors ----
         inj_rates = (np.maximum(last_rates, 0.0) if last_rates is not None
                      else np.zeros((nw, 3)))
         for gname, phases in self.inj.items():
@@ -110,23 +262,21 @@ class GroupManager:
                     assign_mode = "RESV"
                 elif mode == "REIN":
                     # reinjection: fraction of the group's produced rate
-                    # of the injected phase (reference: WellGroupHelpers
-                    # REIN target)
+                    # of the injected phase (WellGroupHelpers REIN)
                     prods = self._members(gname, injector=False,
                                           any_mode=True)
                     target = gc.get("rein_frac", 1.0) * float(
-                        rates[prods, col].sum()) if prods else 0.0
+                        prod[prods, col].sum()) if prods else 0.0
                 elif mode == "VREP":
                     # voidage replacement: fraction of the group's
                     # produced reservoir-volume rate, injected as a
                     # reservoir-volume (RESV) target
                     prods = self._members(gname, injector=False,
                                           any_mode=True)
-                    if voidage_coeff is None or not prods:
+                    if vc is None or not prods:
                         target = None
                     else:
-                        voidage = float(
-                            (voidage_coeff[prods] * rates[prods]).sum())
+                        voidage = float((vc[prods] * prod[prods]).sum())
                         target = gc.get("vrep_frac", 1.0) * voidage
                     assign_mode = "RESV"
                 else:
@@ -134,15 +284,33 @@ class GroupManager:
                 if target is None:
                     continue
                 members = [iw for iw in self._members(gname, injector=True)
-                           if (self.wells[iw].inj_phase or "GAS") == phase]
+                           if (self.wells[iw].inj_phase or "GAS") == phase
+                           and self._available(self.wells[iw])]
                 if not members:
                     continue
-                guide = inj_rates[members, col]
+                # injection target reduction: non-GRUP injectors of the
+                # phase inside the subtree consume part of the target
+                member_set = set(members)
+                red = 0.0
+                for iw in self._members(gname, injector=True,
+                                        any_mode=True):
+                    if iw in member_set:
+                        continue
+                    if (self.wells[iw].inj_phase or "GAS") != phase:
+                        continue
+                    row = inj_rates[iw]
+                    red += self.wells[iw].efac * (
+                        float(np.dot(vc[iw], row)) if assign_mode == "RESV"
+                        and vc is not None else row.sum())
+                t_eff = max(target - red, 0.0)
+
+                guide = inj_rates[np.asarray(members), col]
                 if guide.sum() <= 0:
                     guide = np.ones(len(members))
                 guide = guide / guide.sum()
                 for gfrac, iw in zip(guide, members):
-                    out[iw] = (assign_mode, float(target * gfrac))
+                    efac = max(self.wells[iw].efac, 1e-12)
+                    out[iw] = (assign_mode, float(t_eff * gfrac / efac))
         return out
 
 

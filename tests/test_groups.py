@@ -198,3 +198,170 @@ def test_wecon_item_positions(tmp_path):
     assert w.econ_min_gas == pytest.approx(50 * U.FIELD.gas_rate)
     assert w.econ_max_wct == pytest.approx(0.8)
     assert w.econ_max_gor == pytest.approx(2.5 * U.FIELD.gas_oil_ratio)
+
+
+# ---------------------------------------------------------------------------
+# Reference-semantics group control (round 2: target reduction, chain
+# apportioning, GUIDERAT, WGRUPCON, FLD child-group caps —
+# WellGroupHelpers.cpp:300 updateGroupTargetReduction, :931
+# FractionCalculator, :1055 checkGroupConstraintsProd)
+# ---------------------------------------------------------------------------
+
+def _mk_well(name, group, mode="GRUP", injector=False, efac=1.0):
+    from opm_autodiff_tpu.io.state import WellConfig
+
+    return WellConfig(
+        name=name, group=group, i=0, j=0, ref_depth=None,
+        preferred_phase="OIL", is_injector=injector, status="OPEN",
+        completions=[], control_mode=mode, efac=efac,
+        inj_phase="GAS" if injector else None)
+
+
+def _mgr(groups, wells, memory=None):
+    from opm_autodiff_tpu.wells.groups import GroupManager
+
+    return GroupManager(groups, wells, memory=memory)
+
+
+def test_target_reduction_mixed_members():
+    """Non-GRUP member production subtracts from the apportionable
+    target (VERDICT.md weak #4)."""
+    groups = {"tree": {"PLAT": "FIELD"},
+              "prod": {"PLAT": {"mode": "ORAT", "orat": 100.0}}}
+    wells = [_mk_well("A", "PLAT"), _mk_well("B", "PLAT"),
+             _mk_well("C", "PLAT", mode="ORAT")]
+    # current rates (into cells, negative production): A 30, B 30, C 25
+    q = -np.array([[0, 30.0, 0], [0, 30.0, 0], [0, 25.0, 0]])
+    out = _mgr(groups, wells).effective_controls(q)
+    # apportionable = 100 - 25 = 75, split by rate guides 30:30
+    assert out[0] == ("ORAT", pytest.approx(37.5))
+    assert out[1] == ("ORAT", pytest.approx(37.5))
+    assert 2 not in out  # C keeps its own control
+
+
+def test_efficiency_factor_in_reduction_and_share():
+    """WEFAC-weighted reduction; assigned targets are instantaneous
+    (divided by efac) while accounting is efficiency-weighted."""
+    groups = {"tree": {}, "prod": {"FIELD": {"mode": "ORAT",
+                                             "orat": 100.0}}}
+    wells = [_mk_well("A", "FIELD", efac=0.5),
+             _mk_well("C", "FIELD", mode="ORAT", efac=0.5)]
+    q = -np.array([[0, 40.0, 0], [0, 40.0, 0]])
+    out = _mgr(groups, wells).effective_controls(q)
+    # reduction = 0.5*40 = 20; effective target 80; A alone gets all of
+    # it, instantaneous target = 80/0.5 = 160
+    assert out[0] == ("ORAT", pytest.approx(160.0))
+
+
+def test_nested_control_group_resolution():
+    """A well two levels below the controlling group follows the nearest
+    explicit ancestor; FLD layers are transparent (VERDICT.md weak #5)."""
+    groups = {"tree": {"A1": "PLAT", "PLAT": "FIELD"},
+              "prod": {"FIELD": {"mode": "ORAT", "orat": 60.0},
+                       "PLAT": {"mode": "FLD"},
+                       "A1": {"mode": "NONE"}}}
+    wells = [_mk_well("W1", "A1"), _mk_well("W2", "PLAT")]
+    q = -np.array([[0, 10.0, 0], [0, 30.0, 0]])
+    out = _mgr(groups, wells).effective_controls(q)
+    # both resolve to FIELD's target, split 10:30
+    assert out[0] == ("ORAT", pytest.approx(15.0))
+    assert out[1] == ("ORAT", pytest.approx(45.0))
+
+
+def test_fld_child_group_cap_switches():
+    """A FLD group carrying an ORAT target becomes the control group for
+    its subtree when the subtree exceeds the target
+    (checkGroupConstraintsProd / updateGroupIndividualControl)."""
+    groups = {"tree": {"PLAT": "FIELD"},
+              "prod": {"FIELD": {"mode": "ORAT", "orat": 100.0},
+                       "PLAT": {"mode": "FLD", "orat": 30.0}}}
+    wells = [_mk_well("W1", "PLAT"), _mk_well("W2", "FIELD")]
+    mem = {}
+    # W1 produces 50 > PLAT cap 30 -> PLAT switches to ORAT control
+    q = -np.array([[0, 50.0, 0], [0, 40.0, 0]])
+    out = _mgr(groups, wells, mem).effective_controls(q)
+    assert mem[("gmode", "PLAT")] == "ORAT"
+    # W1 now shares PLAT's 30; W2 gets FIELD's 100 minus PLAT's 50
+    assert out[0] == ("ORAT", pytest.approx(30.0))
+    assert out[1] == ("ORAT", pytest.approx(50.0))
+
+
+def test_wgrupcon_fixed_guide_rates():
+    groups = {"tree": {}, "prod": {"FIELD": {"mode": "ORAT",
+                                             "orat": 80.0}},
+              "wgrupcon": {"A": {"available": True, "guide_rate": 3.0,
+                                 "phase": "OIL", "scaling": 1.0},
+                           "B": {"available": True, "guide_rate": 1.0,
+                                 "phase": "OIL", "scaling": 1.0}}}
+    wells = [_mk_well("A", "FIELD"), _mk_well("B", "FIELD")]
+    q = -np.array([[0, 10.0, 0], [0, 10.0, 0]])
+    out = _mgr(groups, wells).effective_controls(q)
+    assert out[0] == ("ORAT", pytest.approx(60.0))
+    assert out[1] == ("ORAT", pytest.approx(20.0))
+
+
+def test_wgrupcon_unavailable_counts_as_reduction():
+    groups = {"tree": {}, "prod": {"FIELD": {"mode": "ORAT",
+                                             "orat": 100.0}},
+              "wgrupcon": {"B": {"available": False, "guide_rate": None,
+                                 "phase": "OIL", "scaling": 1.0}}}
+    wells = [_mk_well("A", "FIELD"), _mk_well("B", "FIELD")]
+    q = -np.array([[0, 20.0, 0], [0, 30.0, 0]])
+    out = _mgr(groups, wells).effective_controls(q)
+    assert out[0] == ("ORAT", pytest.approx(70.0))  # 100 - 30
+    assert 1 not in out
+
+
+def test_guiderat_formula():
+    """GR = POT^A / (B + C*WCT^D + E*GOR^F) with damping."""
+    gm = {"phase": "OIL", "a": 1.0, "b": 1.0, "c": 2.0, "d": 1.0,
+          "e": 0.0, "f": 0.0, "allow_increase": True, "damping": 1.0}
+    groups = {"tree": {}, "prod": {"FIELD": {"mode": "ORAT",
+                                             "orat": 90.0}},
+              "guiderat": gm}
+    wells = [_mk_well("A", "FIELD"), _mk_well("B", "FIELD")]
+    # A: oil 10, water 10 (wct 0.5 -> denom 2) => gr 5
+    # B: oil 10, water 0  (wct 0   -> denom 1) => gr 10
+    q = -np.array([[10.0, 10.0, 0], [0.0, 10.0, 0]])
+    out = _mgr(groups, wells).effective_controls(q)
+    assert out[0] == ("ORAT", pytest.approx(30.0))
+    assert out[1] == ("ORAT", pytest.approx(60.0))
+
+
+def test_guiderat_allow_increase_no():
+    gm = {"phase": "OIL", "a": 1.0, "b": 1.0, "c": 0.0, "d": 1.0,
+          "e": 0.0, "f": 0.0, "allow_increase": False, "damping": 1.0}
+    groups = {"tree": {}, "prod": {"FIELD": {"mode": "ORAT",
+                                             "orat": 90.0}},
+              "guiderat": gm}
+    wells = [_mk_well("A", "FIELD"), _mk_well("B", "FIELD")]
+    mem = {}
+    q1 = -np.array([[0, 10.0, 0], [0, 20.0, 0]])
+    _mgr(groups, wells, mem).effective_controls(q1)
+    assert mem[("gr", "A")] == pytest.approx(10.0)
+    # A's potential rises to 40 but the guide rate may not increase
+    q2 = -np.array([[0, 40.0, 0], [0, 20.0, 0]])
+    out = _mgr(groups, wells, mem).effective_controls(q2)
+    assert mem[("gr", "A")] == pytest.approx(10.0)
+    assert out[0] == ("ORAT", pytest.approx(90.0 * 10 / 30))
+
+
+def test_guiderat_keyword_parsed(tmp_path):
+    from opm_autodiff_tpu.utils.synthetic import spe1_deck_text
+
+    text = spe1_deck_text(4, 4, 3, tstep_days="1")
+    extra = """GUIDERAT
+ 7.0 OIL 1.0 0.5 2.0 1.0 0.0 0.0 NO 0.75 /
+WGRUPCON
+ 'PROD' YES 5.0 OIL /
+/
+TSTEP"""
+    p = tmp_path / "GR.DATA"
+    p.write_text(text.replace("TSTEP", extra, 1))
+    state = load_state(str(p))
+    g = state.schedule.steps[0].groups
+    assert g["guiderat"]["phase"] == "OIL"
+    assert g["guiderat"]["c"] == 2.0
+    assert g["guiderat"]["allow_increase"] is False
+    assert g["guiderat"]["damping"] == 0.75
+    assert g["wgrupcon"]["PROD"]["guide_rate"] == 5.0
