@@ -301,6 +301,33 @@ class Simulator:
                                        self.active_mode, self.msw_x,
                                        self.xw if use4 else None),
                      "acc0": self.acc0, "q": None, "ws": ws}
+        # consecutive-failure per-well history within this report step
+        fail_history: list[set] = []
+
+        def shut_problem_wells() -> bool:
+            """Force-shut wells that failed the last 3 attempts
+            (reference: AdaptiveTimeSteppingEbos.hpp:549-586 +
+            forceShutWellByNameIfPredictionMode)."""
+            if len(fail_history) < 3:
+                return False
+            names = set.intersection(*fail_history[-3:])
+            idxs = [i for i, w in enumerate(std_wells)
+                    if w.name in names and w.status == "OPEN"]
+            if not idxs:
+                return False
+            for i in idxs:
+                std_wells[i].status = "SHUT"
+                self._shut_wells[std_wells[i].name] = rstep.start_days
+            om = np.asarray(committed["ws"].open_mask).copy()
+            om[idxs] = False
+            committed["ws"] = committed["ws"]._replace(
+                open_mask=jnp.asarray(om))
+            if self.opts.verbose:
+                shut_names = [std_wells[i].name for i in idxs]
+                print(f"  force-shut problematic wells: {shut_names} "
+                      f"(retrying substep)")
+            fail_history.clear()
+            return True
 
         drsdt = rstep.tuning.get("drsdt")
         drvdt = rstep.tuning.get("drvdt")
@@ -349,6 +376,18 @@ class Simulator:
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
                 vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
                 drift_vol=self._drift_vol)
+
+            # track per-well failures for the problematic-well shut
+            # fallback (reference: consistentlyFailingWells,
+            # AdaptiveTimeSteppingEbos.hpp:680)
+            if rep.converged:
+                fail_history.clear()
+            elif rep.well_errors is not None:
+                tol = self.opts.newton.tol_wells
+                bad = {std_wells[i].name
+                       for i in np.nonzero(rep.well_errors > tol)[0]
+                       if i < len(std_wells)}
+                fail_history.append(bad)
 
             def commit():
                 p_old = committed["st"].u[:, 0]
@@ -420,7 +459,7 @@ class Simulator:
                                          rstep.tuning["initial_dt_days"])
         reports, self._suggested_dt = run_report_step(
             step_days, self._suggested_dt, solve_fn, tstep_params,
-            pid_state=self._pid)
+            pid_state=self._pid, shut_problem_wells=shut_problem_wells)
 
         st = committed["st"]
         self.u, self.flag = st.u, st.flag

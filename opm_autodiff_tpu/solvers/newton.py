@@ -94,6 +94,9 @@ class IterationInfo(NamedTuple):
     failed: jnp.ndarray       # bool (NaN / too-large residual)
     linear_iters: jnp.ndarray
     linear_ok: jnp.ndarray
+    # per-well scaled residuals [W] — feeds the timestepper's
+    # problematic-well shut fallback (AdaptiveTimeSteppingEbos.hpp:549)
+    well_err_by_well: jnp.ndarray | None = None
 
 
 def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
@@ -442,11 +445,13 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # --- convergence (on the active rows) ---
     residual_act = residual[emb.act] if emb is not None else residual
     well_err4 = None
+    well_err_vec = None
     if use4:
         # flux rows scaled by field-average B factors (reference:
         # StandardWellEval.cpp:767 getWellConvergence)
         b_avg = (1.0 / jnp.maximum(inv_b_cells, 1e-30)).mean(axis=0)
-        well_err4 = s4.well_convergence(wr, ws, mode, b_avg)
+        well_err_vec = s4.well_convergence(wr, ws, mode, b_avg)
+        well_err4 = well_err_vec.max()
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
         params, fs, cells, residual_act, inv_b_cells, dt, wr, ws, mode,
         well_err_ext=well_err4)
@@ -523,7 +528,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     info = IterationInfo(cnv=cnv, mb=mb, well_err=well_err,
                          relaxed_ok=relaxed_ok, converged=converged,
                          failed=failed, linear_iters=lin.iterations,
-                         linear_ok=lin.converged)
+                         linear_ok=lin.converged,
+                         well_err_by_well=well_err_vec)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
                          active_mode=mode, msw_x=msw_x_new, xw=xw_new)
     return new_st, info, (q_tot, wr.q_perf, q_msw, residual_act), q_aq
@@ -549,6 +555,9 @@ class NewtonReport:
     # device [Na,3] residual of the last assembled iteration — the
     # drift-compensation capture (reference: drift_, eclproblem.hh:1127)
     residual: object = None
+    # per-well scaled residuals [W] of the last iteration (std4 path) —
+    # problematic-well identification for the timestepper shut fallback
+    well_errors: np.ndarray = None
 
 
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
@@ -615,21 +624,25 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             print(f"  newton {it}: cnv={np.asarray(info.cnv)} "
                   f"mb={np.asarray(info.mb)} well={float(info.well_err):.2e} "
                   f"lin={int(info.linear_iters)}")
+        werr = (np.asarray(info.well_err_by_well)
+                if info.well_err_by_well is not None else None)
         if failed:
             return st, NewtonReport(False, it, total_lin, True,
                                     np.asarray(info.cnv),
                                     np.asarray(info.mb),
-                                    float(info.well_err), last_res), \
+                                    float(info.well_err), last_res, werr), \
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         if conv:
             # carry over any control-mode change from the last assembly
             st = st._replace(active_mode=new_st.active_mode)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
-                                    float(info.well_err), last_res), \
+                                    float(info.well_err), last_res, werr), \
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         st = new_st
+    werr = (np.asarray(info.well_err_by_well)
+            if info.well_err_by_well is not None else None)
     return st, NewtonReport(False, params.max_iter, total_lin, False,
                             np.asarray(info.cnv), np.asarray(info.mb),
-                            float(info.well_err), last_res), \
+                            float(info.well_err), last_res, werr), \
         (last_q, last_q_perf, last_q_msw), last_q_aq

@@ -32,6 +32,10 @@ class TimeStepParams:
     min_dt_days: float = 1e-3
     max_dt_days: float = 365.0
     initial_dt_days: float = 1.0
+    # below this chopped dt, shut consistently-failing wells instead of
+    # chopping further (reference: MinTimeStepBeforeShuttingProblematic-
+    # WellsInDays = 0.01, AdaptiveTimeSteppingEbos.hpp:209,:549-586)
+    shut_wells_dt_days: float = 0.01
     control: str = "iterationcount"  # "iterationcount" | "pid"
     # PIDTimeStepControl defaults (reference TimeStepControl.cpp)
     pid_tolerance: float = 3e-2
@@ -69,13 +73,20 @@ class _PidState:
 
 
 def run_report_step(step_days: float, suggested_dt_days: float, solve_fn,
-                    params: TimeStepParams, pid_state: _PidState | None = None):
+                    params: TimeStepParams, pid_state: _PidState | None = None,
+                    shut_problem_wells=None):
     """Advance one report step of length ``step_days``.
 
     ``solve_fn(dt_seconds)`` runs a Newton solve from the current committed
     state and returns (converged, iterations, linear_iterations, commit)
     where ``commit()`` advances the committed state and returns the
     relative solution change of the accepted substep (for PID control).
+
+    ``shut_problem_wells()`` (optional) force-shuts consistently-failing
+    wells and returns True if any were shut; it is tried when the chopped
+    dt would fall below ``shut_wells_dt_days`` — on success the substep
+    retries at the SAME dt instead of chopping (reference:
+    AdaptiveTimeSteppingEbos.hpp:549-586).
     Returns (reports, next_dt).
     """
     t = 0.0
@@ -103,9 +114,15 @@ def run_report_step(step_days: float, suggested_dt_days: float, solve_fn,
                 dt = min(dt * factor, params.max_dt_days)
                 break
             restarts += 1
+            new_dt = dt * params.restart_factor
+            if (new_dt <= params.shut_wells_dt_days
+                    and shut_problem_wells is not None
+                    and shut_problem_wells()):
+                # retry the same dt with the problematic wells shut
+                continue
             if restarts > params.max_restarts or dt <= params.min_dt_days:
                 raise RuntimeError(
                     f"substep failed after {restarts} restarts at "
                     f"t={t:.2f}d dt={dt:.4f}d")
-            dt *= params.restart_factor
+            dt = new_dt
     return reports, dt

@@ -588,9 +588,11 @@ def solve_well_eq(fs: FluidSystem, u, flag, xw, ws: WellSet,
 
 
 def well_convergence(wr: Well4Result, ws: WellSet, active_mode, b_avg=None):
-    """Max scaled well residual (reference: StandardWellEval.cpp:767
+    """Per-well scaled residual [W] (reference: StandardWellEval.cpp:767
     getWellConvergence — flux rows scaled by field-average B factors,
-    control row by its target magnitude)."""
+    control row by its target magnitude). Callers reduce with .max();
+    the per-well vector also feeds the timestepper's problematic-well
+    shut fallback (AdaptiveTimeSteppingEbos.hpp:549-586)."""
     if b_avg is None:
         b_avg = jnp.ones(3)
     flux_err = jnp.abs(wr.res_well[:, :3]) * b_avg[None, :]
@@ -609,4 +611,4 @@ def well_convergence(wr: Well4Result, ws: WellSet, active_mode, b_avg=None):
                            rate_scale)
     ctrl_err = jnp.abs(wr.res_well[:, 3]) / ctrl_scale
     err = jnp.maximum(flux_err.max(axis=1), ctrl_err)
-    return jnp.where(ws.open_mask, err, 0.0).max()
+    return jnp.where(ws.open_mask, err, 0.0)

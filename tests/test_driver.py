@@ -151,3 +151,52 @@ def test_fip_in_summary(spe1_deck_path):
     assert r["FGIP"] > 0
     # production depletes oil in place
     assert r["FOIP"] < r0["FOIP"]
+
+
+def test_shut_fallback_retries_same_dt():
+    """Timestepper tries the problematic-well shut fallback below the
+    threshold dt and retries at the SAME dt (reference:
+    AdaptiveTimeSteppingEbos.hpp:549-586)."""
+    from opm_autodiff_tpu.solvers.timestepper import (TimeStepParams,
+                                                      run_report_step)
+
+    state = {"shut": False, "fails": 0}
+
+    def solve_fn(dt_seconds):
+        ok = state["shut"]
+        if not ok:
+            state["fails"] += 1
+        return ok, 5, 10, (lambda: 1e-3)
+
+    def shut():
+        state["shut"] = True
+        return True
+
+    params = TimeStepParams(initial_dt_days=1.0, shut_wells_dt_days=0.05,
+                            min_dt_days=1e-4, max_restarts=20)
+    reports, _dt = run_report_step(1.0, 1.0, solve_fn, params,
+                                   shut_problem_wells=shut)
+    assert state["shut"]
+    assert state["fails"] >= 3  # chopped until below the threshold
+    assert sum(r.dt_days for r in reports) == pytest.approx(1.0)
+
+
+def test_newton_report_carries_well_errors(spe1_deck_path):
+    """The per-well scaled residual vector reaches the report (feeds
+    problematic-well identification)."""
+    sim = Simulator(load_state(spe1_deck_path), SimulatorOptions())
+    sim.step()
+    # run one explicit newton_solve to inspect the report
+    import jax
+    import jax.numpy as jnp
+
+    from opm_autodiff_tpu.solvers.newton import NewtonState, newton_solve
+    from opm_autodiff_tpu.wells import build_wellset
+
+    ws = build_wellset(sim.geo, sim.state.schedule.steps[0].wells)
+    st = NewtonState(sim.u, sim.flag, sim.pbh, ws.ctrl_mode, None, sim.xw)
+    _st, rep, _q, _aq = newton_solve(sim.opts.newton, sim.fs, sim.cells,
+                                     sim.faces, st, ws, sim.acc0, 86400.0)
+    assert rep.well_errors is not None
+    assert rep.well_errors.shape == (ws.num_wells,)
+    assert np.all(np.isfinite(rep.well_errors))
