@@ -104,25 +104,71 @@ def optimize_alq(fs, u, flag, ws, wells: list, liftopt: dict, vfp_bank,
         alq[iw] = float(np.clip(a, min_alq, max_alq))
 
     # ---- stage 2: group lift-gas caps (GLIFTOPT) ----
+    # reference: GasLiftStage2.cpp:639 redistributeALQ_ — exchange one
+    # increment from the smallest decremental-gradient well to the
+    # largest incremental-gradient well while the exchange profits —
+    # then removeSurplusALQ_ — strip increments from the smallest
+    # decremental gradient while the group cap is exceeded or a
+    # decremental gradient is uneconomic.
+    grad_cache: dict = {}
+
+    def eco_grad(iw, a0):
+        """Weighted economic gradient of the increment [a0, a0+inc]."""
+        key = (iw, round(a0, 6))
+        if key not in grad_cache:
+            w = wells[iw]
+            p0, _ = _well_potential(fs, u, flag, ws, vfp_bank, iw, a0,
+                                    regs, mob_mult)
+            p1, _ = _well_potential(fs, u, flag, ws, vfp_bank, iw,
+                                    a0 + inc, regs, mob_mult)
+            w_oil = max(w.glift_weight, 1e-12)
+            w_gas = w.glift_gas_weight
+            grad_cache[key] = (w_oil * (p1[1] - p0[1]) * oil_scale
+                               - w_gas * (p1[2] - p0[2]) * gas_scale) / inc
+        return grad_cache[key]
+
+    default_max = float(np.asarray(vfp_bank.alq).max())
     for gname, gcfg in (liftopt.get("groups") or {}).items():
         cap = gcfg.get("max_lift_gas")
-        if cap is None:
-            continue
         members = [iw for iw, w in enumerate(wells[:nw])
-                   if getattr(w, "glift_on", False)
+                   if getattr(w, "glift_on", False) and not is_inj[iw]
                    and _in_group(w, gname, liftopt.get("tree", {}))]
         if not members:
             continue
-        total = sum(alq[iw] for iw in members)
-        if total <= cap or total <= 0:
-            continue
-        # proportional cut of the above-minimum part
-        mins = np.asarray([wells[iw].glift_min_alq for iw in members])
-        above = np.asarray([alq[iw] for iw in members]) - mins
-        excess = total - cap
-        scale = max(1.0 - excess / max(above.sum(), 1e-30), 0.0)
-        for k, iw in enumerate(members):
-            alq[iw] = mins[k] + above[k] * scale
+        lo = {iw: wells[iw].glift_min_alq for iw in members}
+        hi = {iw: (wells[iw].glift_max_alq
+                   if wells[iw].glift_max_alq is not None else default_max)
+              for iw in members}
+
+        # (a) redistribution at constant group total
+        for _ in range(200):
+            incs = {iw: eco_grad(iw, alq[iw]) for iw in members
+                    if alq[iw] + inc <= hi[iw]}
+            decs = {iw: eco_grad(iw, alq[iw] - inc) for iw in members
+                    if alq[iw] - inc >= lo[iw]}
+            if not incs or not decs:
+                break
+            wi, gi = max(incs.items(), key=lambda kv: kv[1])
+            wd, gd = min(decs.items(), key=lambda kv: kv[1])
+            if wi == wd or gi <= gd:
+                break
+            alq[wi] += inc
+            alq[wd] -= inc
+
+        # (b) surplus removal: cap violation or uneconomic increments
+        for _ in range(200):
+            decs = {iw: eco_grad(iw, alq[iw] - inc) for iw in members
+                    if alq[iw] - inc >= lo[iw]}
+            if not decs:
+                break
+            total = sum(alq[iw] for iw in members)
+            over_cap = cap is not None and total > cap + 1e-9
+            uneco = {iw: g for iw, g in decs.items() if g < min_grad}
+            if not (over_cap or uneco):
+                break
+            pool = decs if over_cap else uneco
+            wd, _g = min(pool.items(), key=lambda kv: kv[1])
+            alq[wd] -= inc
     return alq
 
 

@@ -26,8 +26,9 @@ TPU design decisions:
 
 Pressure-drop model: 'H--' hydrostatic only, 'HF-' + Darcy-Weisbach
 friction with the Haaland friction factor (laminar 64/Re below Re~2000),
-'HFA' treated as 'HF-' (acceleration term not yet included, as in the
-reference's default CompPressureDrop::HF-).
+'HFA' + the acceleration (velocity-head) term — net mdot^2/(A^2 rho)
+gained across the segment vs its inlets (reference:
+MultisegmentWellEval.cpp:1505 handleAccelerationPressureLoss).
 """
 
 from __future__ import annotations
@@ -78,6 +79,7 @@ class MswSet(NamedTuple):
     bhp_limit: jnp.ndarray
     open_mask: jnp.ndarray
     use_friction: jnp.ndarray  # bool per well (pd_model has 'F')
+    use_accel: jnp.ndarray     # bool per well (pd_model == 'HFA')
 
     @property
     def num_wells(self) -> int:
@@ -137,6 +139,7 @@ def build_mswset(geo: Geometry, wells: list) -> MswSet | None:
     bhp_l = np.zeros(m)
     open_m = np.zeros(m, bool)
     fric = np.zeros(m, bool)
+    accel = np.zeros(m, bool)
 
     for iw, w in enumerate(msw):
         segs = sorted(w.segments, key=lambda s: s.number)
@@ -151,6 +154,7 @@ def build_mswset(geo: Geometry, wells: list) -> MswSet | None:
             sr[iw, k] = max(s.rough, 1e-7)
             sa[iw, k] = max(s.area, 1e-6)
         fric[iw] = "F" in (w.pd_model or "HF-")
+        accel[iw] = "A" in (w.pd_model or "HF-")
 
         # map completions to segments by COMPSEGS length interval midpoint
         comps = [c for c in w.completions if c.open]
@@ -225,6 +229,7 @@ def build_mswset(geo: Geometry, wells: list) -> MswSet | None:
         lrat=jnp.asarray(lrat), inj_rate=jnp.asarray(irate),
         bhp_target=jnp.asarray(bhp_t), bhp_limit=jnp.asarray(bhp_l),
         open_mask=jnp.asarray(open_m), use_friction=jnp.asarray(fric),
+        use_accel=jnp.asarray(accel),
     )
 
 
@@ -265,7 +270,7 @@ def _msw_residual(fs: FluidSystem, msw_row, x, u_perf, flag_perf, reg_perf,
     (seg_outlet, seg_mask, seg_depth, seg_dlen, seg_diam, seg_rough,
      seg_area, perf_cell, perf_seg, perf_wi, perf_depth, perf_mask,
      is_inj, inj_phase, orat, wrat, grat, lrat, inj_rate, bhp_t,
-     use_fric) = msw_row
+     use_fric, use_accel) = msw_row
     S = x.shape[0]
     q = x[:, :3]      # [S,3] surface rates toward outlet
     p = x[:, 3]       # [S]
@@ -337,6 +342,23 @@ def _msw_residual(fs: FluidSystem, msw_row, x, u_perf, flag_perf, reg_perf,
                           seg_rough, seg_area)
     dp_fric = jnp.where(use_fric, dp_fric, 0.0)
     r_p = p - p_out - dp_hydro - dp_fric
+
+    # --- acceleration pressure loss ('HFA' drop model; reference:
+    # MultisegmentWellEval.cpp:1505 handleAccelerationPressureLoss,
+    # velocityHead = mdot^2/(A^2 rho), MSWellHelpers.hpp:255): the
+    # velocity head gained across the segment minus its inlets', signed
+    # so that accelerating producer flow ADDS pressure drop ---
+    vh_seg = mass_flux * mass_flux / (seg_area * seg_area
+                                      * jnp.maximum(rho_mix, 1e-12))
+    area_out = seg_area[seg_outlet]
+    vh_inlet = (mass_flux * mass_flux
+                / (jnp.maximum(seg_area, area_out) ** 2
+                   * jnp.maximum(rho_mix, 1e-12)))
+    inlet_sum = jnp.zeros(S).at[seg_outlet].add(
+        jnp.where(seg_mask & not_top, vh_inlet, 0.0))
+    accel = vh_seg - inlet_sum
+    sign = jnp.where(mass_flux < 0.0, 1.0, -1.0)
+    r_p = r_p + jnp.where(use_accel, sign * accel, 0.0) * (-1.0)
 
     # --- top-segment control equation ---
     q_top = q[0]  # [3] surface rates leaving the well (producer: > 0)
@@ -423,7 +445,8 @@ def msw_contributions(fs: FluidSystem, u, flag, x, msw: MswSet,
            msw.seg_diam, msw.seg_rough, msw.seg_area, msw.perf_cell,
            msw.perf_seg, msw.perf_wi, msw.perf_depth, msw.perf_mask,
            msw.is_injector, msw.inj_phase, msw.orat, msw.wrat, msw.grat,
-           msw.lrat, msw.inj_rate, msw.bhp_target, msw.use_friction)
+           msw.lrat, msw.inj_rate, msw.bhp_target, msw.use_friction,
+           msw.use_accel)
     res, q_cell, d_inv, b_blk, c_blk, dq_du = jax.vmap(one_well)(
         row, x, u_perf, flag_perf, reg_perf, active_mode, mob_perf)
 

@@ -149,3 +149,65 @@ def test_wliftopt_parsed(tmp_path):
     assert w.glift_on
     assert w.glift_max_alq == pytest.approx(2000)
     assert step.liftopt["increment"] == pytest.approx(1000)
+
+
+def test_stage2_recursive_redistribution(monkeypatch):
+    """Stage 2 removes surplus increments from the well with the
+    smallest decremental gradient (GasLiftStage2.cpp:639/removeSurplus),
+    instead of a proportional cut: the strong well keeps its lift gas,
+    the weak well is stripped."""
+    import jax.numpy as jnp
+
+    from opm_autodiff_tpu.wells import gaslift as gl
+    from opm_autodiff_tpu.wells.standard import CTRL_THP, WellSet
+
+    # analytic potentials: oil(alq) = base + slope*alq (diminishing for
+    # the weak well B)
+    slopes = {0: 4e-5, 1: 4e-6}  # well A strong, B weak
+
+    def fake_potential(fs, u, flag, ws, vfp_bank, iw, alq, regs, mob,
+                       iters=4):
+        oil = 0.01 + slopes[iw] * float(alq)
+        return np.array([0.0, oil, 0.0]), 2.0e7
+
+    monkeypatch.setattr(gl, "_well_potential", fake_potential)
+
+    class _W:
+        def __init__(self, name):
+            self.name = name
+            self.group = "G"
+            self.glift_on = True
+            self.glift_max_alq = 4000.0
+            self.glift_min_alq = 0.0
+            self.glift_weight = 1.0
+            self.glift_gas_weight = 0.0
+            self.is_injector = False
+
+    nw = 2
+    z = jnp.zeros(nw)
+    ws = WellSet(
+        cell=jnp.zeros((nw, 1), jnp.int32), wi=jnp.ones((nw, 1)),
+        perf_depth=jnp.zeros((nw, 1)), perf_mask=jnp.ones((nw, 1), bool),
+        ref_depth=z, is_injector=jnp.zeros(nw, bool),
+        inj_phase=jnp.zeros(nw, jnp.int32),
+        ctrl_mode=jnp.full(nw, CTRL_THP, jnp.int32),
+        orat=z, wrat=z, grat=z, lrat=z, inj_rate=z,
+        bhp_target=jnp.full(nw, 2e7), bhp_limit=jnp.full(nw, 1e6),
+        open_mask=jnp.ones(nw, bool), thp_target=jnp.full(nw, 7e6),
+        vfp_idx=jnp.zeros(nw, jnp.int32), resv_rate=z,
+        voidage_coeff=jnp.ones((nw, 3)), alq=jnp.zeros(nw),
+        efac=jnp.ones(nw))
+
+    class _Bank:
+        alq = np.array([0.0, 2000.0, 4000.0])
+
+    liftopt = {"increment": 1000.0, "min_gradient": 1e-9,
+               "groups": {"G": {"max_lift_gas": 4000.0}},
+               "tree": {}}
+    wells = [_W("A"), _W("B")]
+    out = gl.optimize_alq(None, None, None, ws, wells, liftopt, _Bank())
+    # stage 1 maxes both (positive gradients) -> 8000 total; the cap of
+    # 4000 must come ENTIRELY out of the weak well B
+    assert out[0] == pytest.approx(4000.0)
+    assert out[1] == pytest.approx(0.0)
+    assert out.sum() <= 4000.0 + 1e-9

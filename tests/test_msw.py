@@ -158,3 +158,52 @@ def test_msw_injector_and_restart(tmp_path):
     sim.step()
     sim2.step()
     assert np.allclose(np.asarray(sim2.u), np.asarray(sim.u))
+
+
+def test_hfa_acceleration_term(tmp_path):
+    """'HFA' adds the net velocity head to the segment pressure equation
+    (reference: MultisegmentWellEval.cpp:1505). Check the assembled
+    residual difference HFA-vs-HF- against the hand formula
+    mdot^2/(A^2 rho) on a converged HF- state."""
+    import jax.numpy as jnp
+
+    from opm_autodiff_tpu.wells import multisegment as mswm
+
+    p = tmp_path / "MSWA.DATA"
+    p.write_text(MSW_DECK.replace("'ABS' 'HF-'", "'ABS' 'HFA'"))
+    state = load_state(str(p))
+    sim = Simulator(state, SimulatorOptions())
+    sim.run()
+    # converged with the acceleration term active
+    r = sim.summary.rows[-1]
+    assert r["WOPR:P1"] == pytest.approx(80.0, rel=2e-2)
+
+    msw = mswm.build_mswset(sim.geo,
+                            [w for w in state.schedule.steps[0].wells
+                             if w.segments])
+    assert bool(msw.use_accel[0])
+    x = sim.msw_x
+    mr_hfa = mswm.msw_contributions(sim.fs, sim.u, sim.flag, x, msw,
+                                    regs=sim.cells.regs)
+    msw_hf = msw._replace(use_accel=jnp.zeros_like(msw.use_accel))
+    mr_hf = mswm.msw_contributions(sim.fs, sim.u, sim.flag, x, msw_hf,
+                                   regs=sim.cells.regs)
+    # residual difference on the pressure rows = the acceleration term
+    dres = np.asarray(mr_hfa.res[0, :, 3] - mr_hf.res[0, :, 3])
+    # mass-balance rows unchanged
+    np.testing.assert_allclose(np.asarray(mr_hfa.res[0, :, :3]),
+                               np.asarray(mr_hf.res[0, :, :3]))
+    # top segment holds the control equation -> no acceleration there
+    assert dres[0] == 0.0
+    # hand check on the bottom segment (no inlets): producer flow ->
+    # +vh; vh = mdot^2 / (A^2 rho)
+    xw = np.asarray(x)[0]
+    q = xw[3, :3]
+    rho_s = np.asarray(sim.fs.rho_ref(0))
+    mdot = float(q @ rho_s)
+    area = float(np.asarray(msw.seg_area)[0, 3])
+    # rho_mix of the segment stream: bound it with surface densities —
+    # the exact value uses reservoir-condition volumes
+    vh = mdot * mdot / (area * area)
+    assert dres[3] > 0.0
+    assert vh / 1100.0 < dres[3] < vh / 500.0  # rho in [500,1100] kg/m3
