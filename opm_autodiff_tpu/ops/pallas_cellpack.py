@@ -54,24 +54,31 @@ def enabled() -> bool:
 
 
 def supports(fs, cells) -> bool:
-    """Static (trace-time) check for the fused fast path."""
+    """Static (trace-time) check for the fused fast path.
+
+    Live-oil + dry-gas black-oil decks, any SATNUM/PVTNUM region count
+    (masked per-region table interpolation; ~R x interp cost, so huge
+    region counts fall back), with or without end-point scaling.
+    Hysteresis (eps channels beyond 12) keeps the XLA path — the
+    Killough scanning model is not in the kernel.
+    """
     from opm_autodiff_tpu.props.pvt import DryGasPvt, LiveOilPvt
 
     if not isinstance(fs.oil, LiveOilPvt):
         return False
     if not isinstance(fs.gas, DryGasPvt):
         return False
-    if cells.eps is not None:
-        return False
+    if cells.eps is not None and cells.eps.shape[-1] != 12:
+        return False  # hysteresis channels
     sat = fs.sat
-    if sat.sw.shape[0] != 1 or sat.sg.shape[0] != 1:
+    max_r = max(int(sat.sw.shape[0]), int(sat.sg.shape[0]),
+                int(fs.oil.p_sat.shape[0]), int(fs.gas.p.shape[0]),
+                int(fs.water.p_ref.shape[0]), int(fs.rock.p_ref.shape[0]),
+                int(fs.rho_surf.shape[0]))
+    if max_r > 8:
         return False
-    if fs.oil.p_sat.shape[0] != 1 or fs.gas.p.shape[0] != 1:
-        return False
-    if fs.water.p_ref.shape[0] != 1 or fs.rock.p_ref.shape[0] != 1:
-        return False
-    if fs.rho_surf.shape[0] != 1:
-        return False
+    if int(sat.sg.shape[0]) != int(sat.sw.shape[0]):
+        return False  # one SATNUM region count across the sat banks
     return True
 
 
@@ -159,15 +166,9 @@ def _jwhere(mask, a, b):
     return (v, tuple(d))
 
 
-def _jinterp(x, nodes_ref, vals_ref, K, clamp_ends):
-    """Piecewise-linear jet of a jet x through an SMEM table.
-
-    ``K`` is the static node count; ``clamp_ends`` selects the
-    extrapolate=False (end-clamped) semantics of props/tables.interp1d.
-    """
-    xv = x[0]
-    n = [nodes_ref[k] for k in range(K)]
-    v = [vals_ref[k] for k in range(K)]
+def _interp_core(xv, n, v, K, clamp_ends):
+    """Telescoping-clamp interpolation of plane xv through one table
+    given as python lists of K scalars. Returns (value, df/dx) planes."""
     val = v[0] * jnp.ones_like(xv)
     dfdx = jnp.zeros_like(xv)
     for k in range(K - 1):
@@ -204,7 +205,45 @@ def _jinterp(x, nodes_ref, vals_ref, K, clamp_ends):
         # those regions, so mask them off)
         inside = (xv >= n[0]) & (xv < n[K - 1])
         dfdx = jnp.where(inside, dfdx, 0.0)
+    return val, dfdx
+
+
+def _jinterp(x, nodes_ref, vals_ref, K, clamp_ends, R=1, reg=None):
+    """Piecewise-linear jet of a jet x through an SMEM table bank.
+
+    ``K`` is the static node count, ``R`` the static region count: the
+    SMEM arrays hold R tables of K nodes flattened [R*K]; ``reg`` is the
+    per-cell region plane (ignored when R == 1 — no masking cost on
+    single-region decks). ``clamp_ends`` selects the extrapolate=False
+    (end-clamped) semantics of props/tables.interp1d.
+    """
+    xv = x[0]
+    if R == 1:
+        n = [nodes_ref[k] for k in range(K)]
+        v = [vals_ref[k] for k in range(K)]
+        val, dfdx = _interp_core(xv, n, v, K, clamp_ends)
+    else:
+        val = jnp.zeros_like(xv)
+        dfdx = jnp.zeros_like(xv)
+        for r in range(R):
+            n = [nodes_ref[r * K + k] for k in range(K)]
+            v = [vals_ref[r * K + k] for k in range(K)]
+            val_r, dfdx_r = _interp_core(xv, n, v, K, clamp_ends)
+            m = reg == r
+            val = val + jnp.where(m, val_r, 0.0)
+            dfdx = dfdx + jnp.where(m, dfdx_r, 0.0)
     return (val, tuple(_dscale(dfdx, d) for d in x[1]))
+
+
+def _sel(vec_ref, R, reg, like):
+    """Per-cell plane from a per-region SMEM vector (masked select; a
+    compile-time constant broadcast when R == 1)."""
+    if R == 1:
+        return vec_ref[0] * jnp.ones_like(like)
+    out = jnp.zeros_like(like)
+    for r in range(R):
+        out = out + jnp.where(reg == r, vec_ref[r], 0.0)
+    return out
 
 
 def _d3(a):
@@ -213,21 +252,60 @@ def _d3(a):
     return [a[1][i] if a[1][i] is not None else z for i in range(3)]
 
 
-def _make_kernel(Ks: dict):
-    """Build the kernel fn; table sizes are static."""
+def _jremap(s, a_c, b_c, a_t, b_t):
+    """Two-point horizontal EPS remap of a jet: cell interval
+    [a_c,b_c] -> table interval [a_t,b_t] (planes; SatFunc._remap)."""
+    f = (b_t - a_t) / jnp.maximum(b_c - a_c, 1e-12)
+    return (a_t + (s[0] - a_c) * f, tuple(_dscale(f, d) for d in s[1]))
 
-    def kernel(u_ref, flag_ref, pv_ref, mob_ref,
-               sw_n, krw_v, krow_v, pcow_v,
-               sg_n, krg_v, krog_v, pcog_v,
-               psat_n, rs_v, invb_v, musat_v, slb_v, slm_v,
-               pg_n, invbg_v, mug_v, scal_ref,
-               q_ref, dq_ref):
-        # scalar parameter order (SMEM): w_pref w_invb w_comp w_mu
-        # w_visco r_pref r_comp rho_w rho_o rho_g swco krow_swco
-        (w_pref, w_invb, w_comp, w_mu, w_visco, r_pref, r_comp,
-         rho_w_s, rho_o_s, rho_g_s, swco_s, krow_swco) = [
-            scal_ref[i] for i in range(12)]
+
+def _jplane(p):
+    """Constant-plane jet."""
+    return (p, (None, None, None))
+
+
+def _make_kernel(cfg: dict):
+    """Build the kernel fn; table sizes / region counts / EPS presence
+    are static (``cfg``: Ks + R_sat/R_pvt/R_wat/R_rock/R_rho + has_eps).
+    """
+    has_eps = cfg["has_eps"]
+
+    def kernel(*refs):
+        it = iter(refs)
+        u_ref = next(it)
+        flag_ref = next(it)
+        pv_ref = next(it)
+        mob_ref = next(it)
+        sreg_ref = next(it)
+        preg_ref = next(it)
+        eps_ref = next(it) if has_eps else None
+        (sw_n, krw_v, krow_v, pcow_v,
+         sg_n, krg_v, krog_v, pcog_v,
+         psat_n, rs_v, invb_v, musat_v, slb_v, slm_v,
+         pg_n, invbg_v, mug_v) = [next(it) for _ in range(17)]
+        wsc_ref = next(it)   # [5*Rw] p_ref/inv_b/comp/mu/visco
+        rk_ref = next(it)    # [2*Rr] p_ref/comp
+        rho_ref = next(it)   # [3*Rd] rho_w/rho_o/rho_g
+        ep_ref = next(it)    # [11*Rs] sat endpoints (see packing below)
+        q_ref = next(it)
+        dq_ref = next(it)
+
         one = jnp.ones_like(u_ref[0, 0])
+        sreg = sreg_ref[0, 0]
+        preg = preg_ref[0, 0]
+        Rs, Rp = cfg["R_sat"], cfg["R_pvt"]
+        Rw, Rr, Rd = cfg["R_wat"], cfg["R_rock"], cfg["R_rho"]
+
+        def selv(ref, i, R, reg):
+            """Plane from group i of a flattened [G*R] per-region SMEM
+            vector."""
+            if R == 1:
+                return ref[i] * one
+            out = jnp.zeros_like(one)
+            for r in range(R):
+                out = out + jnp.where(reg == r, ref[i * R + r], 0.0)
+            return out
+
         po = (u_ref[0, 0], (one, None, None))
         sw = (u_ref[0, 1], (None, one, None))
         x3 = (u_ref[0, 2], (None, None, one))
@@ -239,58 +317,141 @@ def _make_kernel(Ks: dict):
         sg = _jwhere(is_sg, x3, zero)
         so = _jsub(_jsub(_jconst(one), sw), sg)
 
-        Kp, Kg, Ksw, Ksg = Ks["pvto"], Ks["pvdg"], Ks["swof"], Ks["sgof"]
+        Kp, Kg = cfg["pvto"], cfg["pvdg"]
+        Ksw, Ksg = cfg["swof"], cfg["sgof"]
         # saturated Rs from pressure (linear extrapolation), >= 0,
         # capped by the DRSDT channel
-        rs_sat = _jmax0(_jinterp(po, psat_n, rs_v, Kp, False))
+        rs_sat = _jmax0(_jinterp(po, psat_n, rs_v, Kp, False, Rp, preg))
         rs_sat = _jmin(rs_sat, mob_ref[0, 3])
         rs = _jwhere(is_rs, x3, rs_sat)
 
-        pcow = _jinterp(sw, sw_n, pcow_v, Ksw, True)
-        pcog = _jinterp(sg, sg_n, pcog_v, Ksg, True)
+        # --- end-point scaling planes (SatFunc.krw/krow/... semantics:
+        # horizontal two-point remaps + vertical kr/Pc scaling; NaN
+        # channel = the cell's region table default) ---
+        # ep_ref packing: 0 swl 1 swcr 2 swu 3 sw0w 4 sgcr 5 sgu 6 sg0g
+        #                 7 krw_mx 8 kro_mx 9 krg_mx 10 swco
+        swl_t = selv(ep_ref, 0, Rs, sreg)
+        swcr_t = selv(ep_ref, 1, Rs, sreg)
+        swu_t = selv(ep_ref, 2, Rs, sreg)
+        sw0w_t = selv(ep_ref, 3, Rs, sreg)
+        sgcr_t = selv(ep_ref, 4, Rs, sreg)
+        sgu_t = selv(ep_ref, 5, Rs, sreg)
+        sg0g_t = selv(ep_ref, 6, Rs, sreg)
+        krwmx_t = selv(ep_ref, 7, Rs, sreg)
+        kromx_t = selv(ep_ref, 8, Rs, sreg)
+        krgmx_t = selv(ep_ref, 9, Rs, sreg)
+        swco_t = selv(ep_ref, 10, Rs, sreg)
+
+        if has_eps:
+            def ech(ch, default):
+                v = eps_ref[0, ch]
+                return jnp.where(jnp.isnan(v), default, v)
+
+            swl_c = ech(0, swl_t)
+            swcr_c = ech(1, swcr_t)
+            swu_c = ech(2, swu_t)
+            sw0w_c = ech(3, sw0w_t)
+            sgcr_c = ech(4, sgcr_t)
+            sgu_c = ech(5, sgu_t)
+            sg0g_c = ech(6, sg0g_t)
+            s_krw = ech(7, krwmx_t) / jnp.maximum(krwmx_t, 1e-12)
+            s_kro = ech(8, kromx_t) / jnp.maximum(kromx_t, 1e-12)
+            s_krg = ech(9, krgmx_t) / jnp.maximum(krgmx_t, 1e-12)
+            m_pcw = ech(10, one)
+            m_pcg = ech(11, one)
+            swco_c = ech(0, swco_t)
+        else:
+            swl_c, swcr_c, swu_c = swl_t, swcr_t, swu_t
+            sw0w_c, sgcr_c, sgu_c, sg0g_c = sw0w_t, sgcr_t, sgu_t, sg0g_t
+            s_krw = s_kro = s_krg = one
+            m_pcw = m_pcg = one
+            swco_c = swco_t
+
+        def j_krw(sw_jet):
+            s_in = _jremap(sw_jet, swcr_c, swu_c, swcr_t, swu_t)
+            v = _jmax0(_jinterp(s_in, sw_n, krw_v, Ksw, True, Rs, sreg))
+            return _jmul(_jplane(s_krw), v)
+
+        def j_krow(sw_jet):
+            s_in = _jremap(sw_jet, swl_c, sw0w_c, swl_t, sw0w_t)
+            v = _jmax0(_jinterp(s_in, sw_n, krow_v, Ksw, True, Rs, sreg))
+            return _jmul(_jplane(s_kro), v)
+
+        def j_pcow(sw_jet):
+            s_in = _jremap(sw_jet, swl_c, swu_c, swl_t, swu_t)
+            v = _jinterp(s_in, sw_n, pcow_v, Ksw, True, Rs, sreg)
+            return _jmul(_jplane(m_pcw), v)
+
+        def j_krg(sg_jet):
+            s_in = _jremap(sg_jet, sgcr_c, sgu_c, sgcr_t, sgu_t)
+            v = _jmax0(_jinterp(s_in, sg_n, krg_v, Ksg, True, Rs, sreg))
+            return _jmul(_jplane(s_krg), v)
+
+        def j_krog(sg_jet):
+            zp = jnp.zeros_like(one)
+            s_in = _jremap(sg_jet, zp, sg0g_c, zp, sg0g_t)
+            v = _jmax0(_jinterp(s_in, sg_n, krog_v, Ksg, True, Rs, sreg))
+            return _jmul(_jplane(s_kro), v)
+
+        def j_pcog(sg_jet):
+            v = _jinterp(sg_jet, sg_n, pcog_v, Ksg, True, Rs, sreg)
+            return _jmul(_jplane(m_pcg), v)
+
+        pcow = j_pcow(sw)
+        pcog = j_pcog(sg)
         pw = _jsub(po, pcow)
         pg = _jadd(po, pcog)
 
-        # water PVT (PVTW second-order expansions)
-        xw = _jscale(w_comp,
-                     _jsub(pw, _jconst(w_pref * one)))
-        inv_bw = _jscale(w_invb,
-                         _jadd(_jadd(_jconst(one), xw),
-                               _jscale(0.5, _jmul(xw, xw))))
-        yw = _jscale(-w_visco,
-                     _jsub(pw, _jconst(w_pref * one)))
-        mu_w = _jdiv(_jconst(w_mu * one),
+        # water PVT (PVTW second-order expansions), per PVT region
+        w_pref = selv(wsc_ref, 0, Rw, preg)
+        w_invb = selv(wsc_ref, 1, Rw, preg)
+        w_comp = selv(wsc_ref, 2, Rw, preg)
+        w_mu = selv(wsc_ref, 3, Rw, preg)
+        w_visco = selv(wsc_ref, 4, Rw, preg)
+        xw = _jmul(_jplane(w_comp), _jsub(pw, _jplane(w_pref)))
+        inv_bw = _jmul(_jplane(w_invb),
+                       _jadd(_jadd(_jconst(one), xw),
+                             _jscale(0.5, _jmul(xw, xw))))
+        yw = _jmul(_jplane(-w_visco), _jsub(pw, _jplane(w_pref)))
+        mu_w = _jdiv(_jplane(w_mu),
                      _jadd(_jadd(_jconst(one), yw),
                            _jscale(0.5, _jmul(yw, yw))))
 
         # live oil: bubble point from Rs, undersaturated slopes in Rs
-        pb = _jinterp(rs, rs_v, psat_n, Kp, False)
+        pb = _jinterp(rs, rs_v, psat_n, Kp, False, Rp, preg)
         dp_us = _jmax0(_jsub(po, pb))
-        inv_bo = _jadd(_jinterp(pb, psat_n, invb_v, Kp, False),
-                       _jmul(_jinterp(rs, rs_v, slb_v, Kp, True), dp_us))
-        mu_o = _jadd(_jinterp(pb, psat_n, musat_v, Kp, True),
-                     _jmul(_jinterp(rs, rs_v, slm_v, Kp, True), dp_us))
+        inv_bo = _jadd(
+            _jinterp(pb, psat_n, invb_v, Kp, False, Rp, preg),
+            _jmul(_jinterp(rs, rs_v, slb_v, Kp, True, Rp, preg), dp_us))
+        mu_o = _jadd(
+            _jinterp(pb, psat_n, musat_v, Kp, True, Rp, preg),
+            _jmul(_jinterp(rs, rs_v, slm_v, Kp, True, Rp, preg), dp_us))
 
-        inv_bg = _jinterp(pg, pg_n, invbg_v, Kg, False)
-        mu_g = _jinterp(pg, pg_n, mug_v, Kg, True)
+        inv_bg = _jinterp(pg, pg_n, invbg_v, Kg, False, Rp, preg)
+        mu_g = _jinterp(pg, pg_n, mug_v, Kg, True, Rp, preg)
 
-        krw = _jmax0(_jinterp(sw, sw_n, krw_v, Ksw, True))
-        krow = _jmax0(_jinterp(sw, sw_n, krow_v, Ksw, True))
-        krog = _jmax0(_jinterp(sg, sg_n, krog_v, Ksg, True))
-        krg = _jmax0(_jinterp(sg, sg_n, krg_v, Ksg, True))
+        krw = j_krw(sw)
+        krow = j_krow(sw)
+        krog = j_krog(sg)
+        krg = j_krg(sg)
 
-        # three-phase kro (ECLIPSE default model, satfunc.kro)
-        swn = _jmax0(_jsub(sw, _jconst(swco_s * one)))
+        # three-phase kro (ECLIPSE default model, satfunc.kro); the
+        # degenerate denominator falls back to krow at connate water
+        swn = _jmax0(_jsub(sw, _jplane(swco_c)))
         den = _jadd(sg, swn)
         ok = den[0] > 1e-12
         safe_den = (jnp.where(ok, den[0], 1.0), den[1])
         mixed = _jdiv(_jadd(_jmul(sg, krog), _jmul(swn, krow)), safe_den)
-        kro = _jwhere(ok, mixed, _jconst(krow_swco * one))
+        krow_at_swco = j_krow(_jplane(swco_c))
+        kro = _jwhere(ok, mixed, krow_at_swco)
 
-        rho_w = _jscale(rho_w_s, inv_bw)
-        rho_o = _jmul(_jadd(_jconst(rho_o_s * one),
-                            _jscale(rho_g_s, rs)), inv_bo)
-        rho_g = _jscale(rho_g_s, inv_bg)
+        rho_w_s = selv(rho_ref, 0, Rd, preg)
+        rho_o_s = selv(rho_ref, 1, Rd, preg)
+        rho_g_s = selv(rho_ref, 2, Rd, preg)
+        rho_w = _jmul(_jplane(rho_w_s), inv_bw)
+        rho_o = _jmul(_jadd(_jplane(rho_o_s),
+                            _jmul(_jplane(rho_g_s), rs)), inv_bo)
+        rho_g = _jmul(_jplane(rho_g_s), inv_bg)
 
         mm = [mob_ref[0, i] for i in range(3)]
         mob_w = _jmul(_jdiv(krw, mu_w), _jconst(mm[0]))
@@ -298,8 +459,9 @@ def _make_kernel(Ks: dict):
         mob_g = _jmul(_jdiv(krg, mu_g), _jconst(mm[2]))
 
         # pore volume with rock compaction; accumulation terms (rv = 0)
-        xr = _jscale(r_comp,
-                     _jsub(po, _jconst(r_pref * one)))
+        r_pref = selv(rk_ref, 0, Rr, preg)
+        r_comp = selv(rk_ref, 1, Rr, preg)
+        xr = _jmul(_jplane(r_comp), _jsub(po, _jplane(r_pref)))
         pv = _jmul(_jconst(pv_ref[0, 0]),
                    _jadd(_jadd(_jconst(one), xr),
                          _jscale(0.5, _jmul(xr, xr))))
@@ -332,6 +494,9 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
     ops/pallas_flux.flux_bands without a layout round-trip.
 
     ``dims`` = (nz, ny, nx); cell ordering k-major like everywhere else.
+    Multi-region SATNUM/PVTNUM decks ride region-flattened SMEM table
+    banks with masked per-region interpolation; EPS decks add the
+    12-channel end-point-scaling planes (props/eps.py layout).
     """
     nz, ny, nx = dims
     f32 = jnp.float32
@@ -340,36 +505,62 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
     pv4 = cells.pore_vol_ref.reshape(nz, 1, ny, nx).astype(f32)
     mob4 = jnp.transpose(
         cells.mob_mult.reshape(nz, ny, nx, -1).astype(f32), (0, 3, 1, 2))
+    sreg4 = cells.regs[:, 0].reshape(nz, 1, ny, nx).astype(jnp.int32)
+    preg4 = cells.regs[:, 1].reshape(nz, 1, ny, nx).astype(jnp.int32)
+    has_eps = cells.eps is not None
+    eps_in = ()
+    if has_eps:
+        eps4 = jnp.transpose(
+            cells.eps.reshape(nz, ny, nx, -1).astype(f32), (0, 3, 1, 2))
+        eps_in = (eps4,)
 
     sat = fs.sat
     oil = fs.oil
     gas = fs.gas
+    # region-flattened banks [R*K]
     tables = [
-        sat.sw[0], sat.krw_tab[0], sat.krow_tab[0], sat.pcow_tab[0],
-        sat.sg[0], sat.krg_tab[0], sat.krog_tab[0], sat.pcog_tab[0],
-        oil.p_sat[0], oil.rs_tab[0], oil.inv_b_sat[0], oil.mu_sat[0],
-        oil.slope_inv_b[0], oil.slope_mu[0],
-        gas.p[0], gas.inv_b_tab[0], gas.mu_tab[0],
+        sat.sw, sat.krw_tab, sat.krow_tab, sat.pcow_tab,
+        sat.sg, sat.krg_tab, sat.krog_tab, sat.pcog_tab,
+        oil.p_sat, oil.rs_tab, oil.inv_b_sat, oil.mu_sat,
+        oil.slope_inv_b, oil.slope_mu,
+        gas.p, gas.inv_b_tab, gas.mu_tab,
     ]
-    tables = [t.astype(f32) for t in tables]
-    Ks = {"swof": int(sat.sw.shape[1]), "sgof": int(sat.sg.shape[1]),
-          "pvto": int(oil.p_sat.shape[1]), "pvdg": int(gas.p.shape[1])}
-    scal_arr = jnp.stack([
-        fs.water.p_ref[0], fs.water.inv_b_ref[0], fs.water.comp[0],
-        fs.water.mu_ref[0], fs.water.viscosibility[0],
-        fs.rock.p_ref[0], fs.rock.comp[0],
-        fs.rho_surf[0, 0], fs.rho_surf[0, 1], fs.rho_surf[0, 2],
-        sat.swco[0], sat.krow(sat.swco[0], 0),
+    tables = [t.astype(f32).reshape(-1) for t in tables]
+    cfg = {"swof": int(sat.sw.shape[1]), "sgof": int(sat.sg.shape[1]),
+           "pvto": int(oil.p_sat.shape[1]), "pvdg": int(gas.p.shape[1]),
+           "R_sat": int(sat.sw.shape[0]),
+           "R_pvt": int(oil.p_sat.shape[0]),
+           "R_wat": int(fs.water.p_ref.shape[0]),
+           "R_rock": int(fs.rock.p_ref.shape[0]),
+           "R_rho": int(fs.rho_surf.shape[0]),
+           "has_eps": has_eps}
+    wsc = jnp.concatenate([
+        fs.water.p_ref, fs.water.inv_b_ref, fs.water.comp,
+        fs.water.mu_ref, fs.water.viscosibility]).astype(f32)
+    rk = jnp.concatenate([fs.rock.p_ref, fs.rock.comp]).astype(f32)
+    rho = fs.rho_surf.T.reshape(-1).astype(f32)  # [3*Rd] w then o then g
+    ep = jnp.concatenate([
+        sat.t_swl, sat.t_swcr, sat.t_swu, sat.t_sw0w,
+        sat.t_sgcr, sat.t_sgu, sat.t_sg0g,
+        sat.t_krw_mx, sat.t_kro_mx, sat.t_krg_mx, sat.swco,
     ]).astype(f32)
 
-    kernel = _make_kernel(Ks)
+    kernel = _make_kernel(cfg)
+    smem = [wsc, rk, rho, ep]
     b_in = [
         pl.BlockSpec((1, 3, ny, nx), lambda k: (k, k - k, k - k, k - k)),
         pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
         pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
         pl.BlockSpec((1, mob4.shape[1], ny, nx),
                      lambda k: (k, k - k, k - k, k - k)),
-    ] + [_smem_spec(int(t.shape[0])) for t in tables] + [_smem_spec(12)]
+        pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
+        pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
+    ]
+    if has_eps:
+        b_in.append(pl.BlockSpec((1, eps4.shape[1], ny, nx),
+                                 lambda k: (k, k - k, k - k, k - k)))
+    b_in += [_smem_spec(int(t.shape[0])) for t in tables]
+    b_in += [_smem_spec(int(a.shape[0])) for a in smem]
     q, dq = pl.pallas_call(
         kernel,
         grid=(nz,),
@@ -384,7 +575,7 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
             jax.ShapeDtypeStruct((nz, NQ, 3, ny, nx), f32),
         ],
         interpret=interpret,
-    )(u4, flag4, pv4, mob4, *tables, scal_arr)
+    )(u4, flag4, pv4, mob4, sreg4, preg4, *eps_in, *tables, *smem)
     return q, dq
 
 

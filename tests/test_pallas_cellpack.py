@@ -38,7 +38,10 @@ def _perturbed_state(init, n, seed=0):
 def test_supports_gating(problem):
     (_s, _g, fs, cells, *_rest) = problem
     assert supports(fs, cells)
-    assert not supports(fs, cells._replace(eps=jnp.zeros((120, 12))))
+    # round 2: EPS decks ride the kernel (VERDICT.md #3)
+    assert supports(fs, cells._replace(eps=jnp.zeros((120, 12))))
+    # hysteresis channels (>12) keep the XLA fallback
+    assert not supports(fs, cells._replace(eps=jnp.zeros((120, 14))))
 
 
 def test_matches_xla_pack(problem):
@@ -101,3 +104,104 @@ def test_assembly_with_kernel_matches(problem, monkeypatch):
     d_pal = np.asarray(sys_pal.diag)
     dscale = np.abs(d_ref).max() + 1e-30
     assert np.abs(d_pal - d_ref).max() / dscale < 2e-3
+
+
+def _two_region_fs(fs):
+    """Duplicate every region bank; region 1 carries 1.25x viscosities
+    (endpoints unaffected, so the banks stay self-consistent)."""
+    def dup(a, fac=1.0):
+        return jnp.concatenate([a, a * fac], axis=0)
+
+    sat = fs.sat._replace(**{
+        f: dup(getattr(fs.sat, f)) for f in (
+            "sw", "krw_tab", "krow_tab", "pcow_tab",
+            "sg", "krg_tab", "krog_tab", "pcog_tab",
+            "t_swl", "t_swcr", "t_swu", "t_sw0w", "t_sgcr", "t_sgu",
+            "t_sg0g", "t_krw_mx", "t_kro_mx", "t_krg_mx", "swco")})
+    oil = fs.oil._replace(
+        p_sat=dup(fs.oil.p_sat), rs_tab=dup(fs.oil.rs_tab),
+        inv_b_sat=dup(fs.oil.inv_b_sat),
+        mu_sat=dup(fs.oil.mu_sat, 1.25),
+        slope_inv_b=dup(fs.oil.slope_inv_b),
+        slope_mu=dup(fs.oil.slope_mu, 1.25))
+    gas = fs.gas._replace(p=dup(fs.gas.p),
+                          inv_b_tab=dup(fs.gas.inv_b_tab),
+                          mu_tab=dup(fs.gas.mu_tab, 1.25))
+    water = fs.water._replace(**{
+        f: dup(getattr(fs.water, f), 1.25 if f == "mu_ref" else 1.0)
+        for f in ("p_ref", "inv_b_ref", "comp", "mu_ref",
+                  "viscosibility")})
+    rock = fs.rock._replace(p_ref=dup(fs.rock.p_ref),
+                            comp=dup(fs.rock.comp))
+    return fs._replace(sat=sat, oil=oil, gas=gas, water=water, rock=rock,
+                       rho_surf=dup(fs.rho_surf))
+
+
+def _xla_ref(fs, cells, u, flag):
+    def one_cell(uu, ff, pv, rg, mm, ep):
+        def f(x):
+            q = S._pack_cell(fs, x, ff, pv, rg, mm, ep)
+            return q, q
+
+        jac, val = jax.jacfwd(f, has_aux=True)(uu)
+        return val, jac
+
+    eps_ax = None if cells.eps is None else 0
+    return jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
+        u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult,
+        cells.eps)
+
+
+def _compare(fs, cells, u, flag, dims):
+    Qr, dQr = _xla_ref(fs, cells, u, flag)
+    Qp, dQp = cellpack(fs, cells, u, flag, dims, interpret=True)
+    Qr = np.asarray(Qr)
+    dQr = np.asarray(dQr)
+    scale_q = np.abs(Qr).max(axis=0) + 1e-30
+    np.testing.assert_array_less(
+        np.abs(np.asarray(Qp) - Qr).max(axis=0) / scale_q, 2e-5)
+    scale_d = np.abs(dQr).max(axis=(0, 2))[:, None] + 1e-30
+    np.testing.assert_array_less(
+        np.abs(np.asarray(dQp) - dQr).max(axis=0) / scale_d, 2e-3)
+
+
+def test_matches_xla_multiregion(problem):
+    """Mixed SATNUM/PVTNUM regions: kernel vs XLA (VERDICT.md #3 —
+    'the fast path activates on a multi-region deck')."""
+    (_s, _geo, fs, cells, faces, init, _ws, acc0, _pbh) = problem
+    n = init.u.shape[0]
+    fs2 = _two_region_fs(fs)
+    rng = np.random.default_rng(5)
+    regs = np.zeros((n, 2), np.int32)
+    regs[:, 0] = rng.integers(0, 2, n)
+    regs[:, 1] = rng.integers(0, 2, n)
+    cells2 = cells._replace(regs=jnp.asarray(regs))
+    assert supports(fs2, cells2)
+    u = _perturbed_state(init, n, seed=2)
+    _compare(fs2, cells2, u, init.flag, (4, 5, 6))
+
+
+def test_matches_xla_eps(problem):
+    """End-point-scaled cells: kernel vs XLA."""
+    (_s, _geo, fs, cells, faces, init, _ws, acc0, _pbh) = problem
+    n = init.u.shape[0]
+    rng = np.random.default_rng(9)
+    eps = np.full((n, 12), np.nan)
+    # scatter EPS on ~2/3 of cells; NaN rows exercise table defaults
+    pick = rng.random(n) < 0.67
+    eps[pick, 0] = 0.10 + 0.06 * rng.random(pick.sum())   # SWL
+    eps[pick, 1] = 0.16 + 0.08 * rng.random(pick.sum())   # SWCR
+    eps[pick, 2] = 0.92 + 0.06 * rng.random(pick.sum())   # SWU
+    eps[pick, 3] = 0.75 + 0.10 * rng.random(pick.sum())   # SW0W
+    eps[pick, 4] = 0.02 + 0.05 * rng.random(pick.sum())   # SGCR
+    eps[pick, 5] = 0.80 + 0.10 * rng.random(pick.sum())   # SGU
+    eps[pick, 6] = 0.70 + 0.10 * rng.random(pick.sum())   # SG0G
+    eps[pick, 7] = 0.6 + 0.4 * rng.random(pick.sum())     # KRW max
+    eps[pick, 8] = 0.7 + 0.3 * rng.random(pick.sum())     # KRO max
+    eps[pick, 9] = 0.6 + 0.4 * rng.random(pick.sum())     # KRG max
+    eps[pick, 10] = 0.5 + rng.random(pick.sum())          # PCW mult
+    eps[pick, 11] = 0.5 + rng.random(pick.sum())          # PCG mult
+    cells2 = cells._replace(eps=jnp.asarray(eps))
+    assert supports(fs, cells2)
+    u = _perturbed_state(init, n, seed=3)
+    _compare(fs, cells2, u, init.flag, (4, 5, 6))
