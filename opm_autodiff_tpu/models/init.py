@@ -283,7 +283,11 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx):
             # pure gas zone in a VAPOIL run: Rv is the third variable
             flag[i] = FLAG_RV
             x3[i] = hp.rv_sat(pg[i])
-        elif sg_i > 0.0:
+        elif sg_i > 0.0 or so_i <= 1e-9:
+            # free gas present, OR pure-water cell (So=0, e.g. the water
+            # leg below OWC): the Rs meaning would make the x3 Jacobian
+            # column structurally zero (nothing depends on Rs when So=0),
+            # so water-only cells stay in the Sg state with Sg=0
             flag[i] = FLAG_SG
             x3[i] = sg_i
         else:
@@ -372,9 +376,12 @@ def restart_init(state: EclState, geo: Geometry, deck_dir: str
     sw = np.asarray(b["SWAT"], float)
     sg = np.asarray(b["SGAS"], float)
     rs = np.asarray(b.get("RS", np.zeros_like(po)), float) * u.gas_oil_ratio
-    flag = np.where(sg > 0.0, FLAG_SG, FLAG_RS).astype(np.int32)
+    # water-only cells (So=0) stay in the Sg state — Rs meaning is
+    # structurally singular there (see equil flag assignment above)
+    has_free_gas_or_no_oil = (sg > 0.0) | (1.0 - sw - sg <= 1e-9)
+    flag = np.where(has_free_gas_or_no_oil, FLAG_SG, FLAG_RS).astype(np.int32)
     # RS==0 rows in the file mean "free gas present"; keep saturated Rs
-    x3 = np.where(sg > 0.0, sg, rs)
+    x3 = np.where(has_free_gas_or_no_oil, sg, rs)
     uu = np.stack([po, sw, x3], axis=1)
     return PrimaryState(u=jnp.asarray(uu), flag=jnp.asarray(flag)), step
 
@@ -391,8 +398,9 @@ def explicit_init(state: EclState, geo: Geometry,
           else np.zeros_like(po))
     rs = (np.asarray(sol.rs)[act] if sol.rs is not None
           else np.zeros_like(po))
-    flag = np.where(sg > 0.0, FLAG_SG, FLAG_RS).astype(np.int32)
-    x3 = np.where(sg > 0.0, sg, rs)
+    water_only = (1.0 - sw - sg <= 1e-9) & ~(sg > 0.0)
+    flag = np.where((sg > 0.0) | water_only, FLAG_SG, FLAG_RS).astype(np.int32)
+    x3 = np.where((sg > 0.0) | water_only, sg, rs)
     # VAPOIL: cells with gas and no oil live in the Rv state
     if fs is not None and getattr(fs, "wet_gas", False):
         so = 1.0 - sw - sg

@@ -200,13 +200,19 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
         rs_sat_new = jnp.minimum(rs_sat_new, x3_cap)
         rv_sat_new = jnp.minimum(rv_sat_new, x3_cap)
     gas_on = params.has_gas
+    # oil must actually be present for the Rs meaning to be well-posed:
+    # with So=0 nothing depends on Rs (zero Jacobian column), so
+    # water-only cells stay in / return to the Sg state (matches the
+    # reference's phase-presence switching conditions)
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
-    to_rs = is_sg & (x3_new < 0.0) & gas_on
+    to_rs = is_sg & (x3_new < 0.0) & gas_on & (1.0 - sw_new > 1e-6)
     # SG cell whose So went negative (VAPOIL): oil vaporizes -> RV
     to_rv = is_sg & ~to_rs & (1.0 - sw_new - x3_new < 0.0) & gas_on \
         & fs.wet_gas
-    # RS cell whose Rs exceeds saturation: free gas appears -> SG
-    to_sg_rs = is_rs & (x3_new > rs_sat_new) & gas_on
+    # RS cell whose Rs exceeds saturation (free gas appears) or whose
+    # oil disappeared (water swept the cell) -> SG
+    to_sg_rs = is_rs & ((x3_new > rs_sat_new)
+                        | (1.0 - sw_new <= 1e-6)) & gas_on
     # RV cell whose Rv exceeds saturation: oil condenses -> SG
     to_sg_rv = is_rv & (x3_new > rv_sat_new) & gas_on
 
