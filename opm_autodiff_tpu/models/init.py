@@ -89,6 +89,12 @@ class _HostProps:
             self.o_rs = np.asarray(o.rs_tab[r])
             self.o_invb = np.asarray(o.inv_b_sat[r])
             self.o_slope = np.asarray(o.slope_inv_b[r])
+            self.o_up = np.asarray(o.usat_p[r])        # [nb, m]
+            self.o_ub = np.asarray(o.usat_inv_b[r])    # [nb, m]
+            # real (non-padded) branch count: Rs extrapolation must use
+            # the last two REAL branches (cf. LiveOilPvt._usat)
+            self.o_nb = (int(o.usat_nb[r]) if o.usat_nb is not None
+                         else self.o_up.shape[0])
         else:
             self.o_p = np.asarray(o.p[r])
             self.o_invb = np.asarray(o.inv_b_tab[r])
@@ -125,10 +131,15 @@ class _HostProps:
     def oil_inv_b(self, p, rs):
         if not self.live:
             return self._interp_extrap(p, self.o_p, self.o_invb)
-        pb = self._interp_extrap(rs, self.o_rs, self.o_p)
-        base = self._interp_extrap(pb, self.o_p, self.o_invb)
-        slope = np.interp(rs, self.o_rs, self.o_slope)
-        return base + slope * max(p - pb, 0.0)
+        # same 2-D-always semantics as props/pvt.LiveOilPvt.inv_b: the
+        # branches at constant p blended in Rs, with rs clamped to RsSat
+        # (keeps the equilibrated state an exact no-flow state of the
+        # assembly's property evaluation)
+        rs = min(rs, self.rs_sat(p))
+        nb = self.o_nb
+        bvals = np.array([self._interp_extrap(p, self.o_up[i], self.o_ub[i])
+                          for i in range(nb)])
+        return self._interp_extrap(rs, self.o_rs[:nb], bvals)
 
     def oil_density(self, p, rs):
         return (self.rho_surf[1] + rs * self.rho_surf[2]) * self.oil_inv_b(p, rs)

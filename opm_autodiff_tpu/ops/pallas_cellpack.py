@@ -68,6 +68,8 @@ def supports(fs, cells) -> bool:
         return False
     if not isinstance(fs.gas, DryGasPvt):
         return False
+    if fs.oil.inv_b_mu_sat is None or fs.gas.inv_b_mu_tab is None:
+        return False  # hand-built tables without the 1/(B mu) banks
     if cells.eps is not None and cells.eps.shape[-1] != 12:
         return False  # hysteresis channels
     sat = fs.sat
@@ -79,6 +81,11 @@ def supports(fs, cells) -> bool:
         return False
     if int(sat.sg.shape[0]) != int(sat.sw.shape[0]):
         return False  # one SATNUM region count across the sat banks
+    # unrolled 2-D PVTO cost: R * nb * m interpolation segments per oil
+    # property — bound the kernel size for pathological tables
+    if (int(fs.oil.p_sat.shape[0]) * int(fs.oil.p_sat.shape[1])
+            * int(fs.oil.usat_p.shape[2]) > 1024):
+        return False
     return True
 
 
@@ -235,6 +242,77 @@ def _jinterp(x, nodes_ref, vals_ref, K, clamp_ends, R=1, reg=None):
     return (val, tuple(_dscale(dfdx, d) for d in x[1]))
 
 
+def _jinterp2d(p, rs, rsn_ref, up_ref, uv_ref, NB, M, R=1, reg=None,
+               nb_real=None):
+    """2-D undersaturated PVTO jet: every Rs branch interpolated at the
+    SAME pressure p (linear extrapolation beyond its rows), then blended
+    linearly in Rs with end clamping — the semantics of
+    props/pvt.LiveOilPvt._usat. ``up_ref``/``uv_ref`` are flattened
+    [R*NB*M] SMEM banks of per-branch pressure rows / values; ``rsn_ref``
+    is the [R*NB] Rs node bank."""
+    pv, rsv = p[0], rs[0]
+
+    def one_region(r):
+        # only the region's REAL deck branches participate: padding is
+        # banking filler; beyond-table Rs extrapolates from the last
+        # two real branches (props/pvt.LiveOilPvt._usat semantics)
+        nbr = nb_real[r] if nb_real is not None else NB
+        vs, dps = [], []
+        for i in range(nbr):
+            base = (r * NB + i) * M
+            n = [up_ref[base + k] for k in range(M)]
+            v = [uv_ref[base + k] for k in range(M)]
+            val_i, ddp_i = _interp_core(pv, n, v, M, False)
+            vs.append(val_i)
+            dps.append(ddp_i)
+        n_rs = [rsn_ref[r * NB + i] for i in range(nbr)]
+        val, ddp = vs[0], dps[0]
+        ddrs = jnp.zeros_like(rsv)
+        # telescoping sum with LINEAR EXTRAPOLATION beyond the branch
+        # range (first/last segment unclamped on the outer side) —
+        # matches props/pvt.LiveOilPvt._usat and the Norne region-2
+        # low-Rs reference points
+        for k in range(nbr - 1):
+            lo, hi = n_rs[k], n_rs[k + 1]
+            inv = 1.0 / (hi - lo)
+            sv = (vs[k + 1] - vs[k]) * inv
+            sp = (dps[k + 1] - dps[k]) * inv
+            r_k = rsv
+            if k > 0:
+                r_k = jnp.maximum(r_k, lo)
+            if k < nbr - 2:
+                r_k = jnp.minimum(r_k, hi)
+            t = r_k - lo
+            in_lo = (rsv >= lo) if k > 0 else (rsv == rsv)
+            in_hi = (rsv < hi) if k < nbr - 2 else (rsv == rsv)
+            val = val + sv * t
+            ddp = ddp + sp * t
+            ddrs = ddrs + jnp.where(in_lo & in_hi, sv, 0.0)
+        return val, ddrs, ddp
+
+    if R == 1:
+        val, ddrs, ddp = one_region(0)
+    else:
+        val = jnp.zeros_like(pv)
+        ddrs = jnp.zeros_like(pv)
+        ddp = jnp.zeros_like(pv)
+        for r in range(R):
+            v_r, drs_r, dp_r = one_region(r)
+            m = reg == r
+            val = val + jnp.where(m, v_r, 0.0)
+            ddrs = ddrs + jnp.where(m, drs_r, 0.0)
+            ddp = ddp + jnp.where(m, dp_r, 0.0)
+    douts = []
+    for j in range(3):
+        d = None
+        if rs[1][j] is not None:
+            d = _dadd(d, ddrs * rs[1][j])
+        if p[1][j] is not None:
+            d = _dadd(d, ddp * p[1][j])
+        douts.append(d)
+    return (val, tuple(douts))
+
+
 def _sel(vec_ref, R, reg, like):
     """Per-cell plane from a per-region SMEM vector (masked select; a
     compile-time constant broadcast when R == 1)."""
@@ -281,8 +359,8 @@ def _make_kernel(cfg: dict):
         eps_ref = next(it) if has_eps else None
         (sw_n, krw_v, krow_v, pcow_v,
          sg_n, krg_v, krog_v, pcog_v,
-         psat_n, rs_v, invb_v, musat_v, slb_v, slm_v,
-         pg_n, invbg_v, mug_v) = [next(it) for _ in range(17)]
+         psat_n, rs_v, invb_v, ibmusat_v, up_v, ub_v, ubm_v,
+         pg_n, invbg_v, ibmug_v) = [next(it) for _ in range(18)]
         wsc_ref = next(it)   # [5*Rw] p_ref/inv_b/comp/mu/visco
         rk_ref = next(it)    # [2*Rr] p_ref/comp
         rho_ref = next(it)   # [3*Rd] rho_w/rho_o/rho_g
@@ -318,11 +396,13 @@ def _make_kernel(cfg: dict):
         so = _jsub(_jsub(_jconst(one), sw), sg)
 
         Kp, Kg = cfg["pvto"], cfg["pvdg"]
+        Mp = cfg["pvto_m"]
         Ksw, Ksg = cfg["swof"], cfg["sgof"]
         # saturated Rs from pressure (linear extrapolation), >= 0,
-        # capped by the DRSDT channel
-        rs_sat = _jmax0(_jinterp(po, psat_n, rs_v, Kp, False, Rp, preg))
-        rs_sat = _jmin(rs_sat, mob_ref[0, 3])
+        # capped by the DRSDT channel (the uncapped value drives the
+        # saturated-vs-undersaturated table selection, like pvt.py)
+        rs_sat_raw = _jmax0(_jinterp(po, psat_n, rs_v, Kp, False, Rp, preg))
+        rs_sat = _jmin(rs_sat_raw, mob_ref[0, 3])
         rs = _jwhere(is_rs, x3, rs_sat)
 
         # --- end-point scaling planes (SatFunc.krw/krow/... semantics:
@@ -417,18 +497,25 @@ def _make_kernel(cfg: dict):
                      _jadd(_jadd(_jconst(one), yw),
                            _jscale(0.5, _jmul(yw, yw))))
 
-        # live oil: bubble point from Rs, undersaturated slopes in Rs
-        pb = _jinterp(rs, rs_v, psat_n, Kp, False, Rp, preg)
-        dp_us = _jmax0(_jsub(po, pb))
-        inv_bo = _jadd(
-            _jinterp(pb, psat_n, invb_v, Kp, False, Rp, preg),
-            _jmul(_jinterp(rs, rs_v, slb_v, Kp, True, Rp, preg), dp_us))
-        mu_o = _jadd(
-            _jinterp(pb, psat_n, musat_v, Kp, True, Rp, preg),
-            _jmul(_jinterp(rs, rs_v, slm_v, Kp, True, Rp, preg), dp_us))
+        # live oil: ALWAYS the full 2-D table (branches at constant p
+        # blended in Rs) at rs clamped to RsSat — continuous through
+        # the Rs<->Sg switch; viscosity interpolates 1/(Bo mu) and
+        # divides (props/pvt.LiveOilPvt.inv_b/viscosity semantics,
+        # anchored on test_norne_pvt expectations)
+        rs_ev = _jwhere(rs[0] < rs_sat_raw[0], rs, rs_sat_raw)
+        inv_bo = _jinterp2d(po, rs_ev, rs_v, up_v, ub_v, Kp, Mp, Rp,
+                            preg, cfg["pvto_nb"])
+        ibmu_o = _jinterp2d(po, rs_ev, rs_v, up_v, ubm_v, Kp, Mp, Rp,
+                            preg, cfg["pvto_nb"])
+        ibmu_o = _jwhere(ibmu_o[0] > 1e-12, ibmu_o,
+                         _jconst(1e-12 * one))
+        mu_o = _jdiv(inv_bo, ibmu_o)
 
         inv_bg = _jinterp(pg, pg_n, invbg_v, Kg, False, Rp, preg)
-        mu_g = _jinterp(pg, pg_n, mug_v, Kg, True, Rp, preg)
+        ibmu_g = _jinterp(pg, pg_n, ibmug_v, Kg, False, Rp, preg)
+        ibmu_g = _jwhere(ibmu_g[0] > 1e-12, ibmu_g,
+                         _jconst(1e-12 * one))
+        mu_g = _jdiv(inv_bg, ibmu_g)
 
         krw = j_krw(sw)
         krow = j_krow(sw)
@@ -521,13 +608,18 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
     tables = [
         sat.sw, sat.krw_tab, sat.krow_tab, sat.pcow_tab,
         sat.sg, sat.krg_tab, sat.krog_tab, sat.pcog_tab,
-        oil.p_sat, oil.rs_tab, oil.inv_b_sat, oil.mu_sat,
-        oil.slope_inv_b, oil.slope_mu,
-        gas.p, gas.inv_b_tab, gas.mu_tab,
+        oil.p_sat, oil.rs_tab, oil.inv_b_sat, oil.inv_b_mu_sat,
+        oil.usat_p, oil.usat_inv_b, oil.usat_inv_b_mu,
+        gas.p, gas.inv_b_tab, gas.inv_b_mu_tab,
     ]
     tables = [t.astype(f32).reshape(-1) for t in tables]
     cfg = {"swof": int(sat.sw.shape[1]), "sgof": int(sat.sg.shape[1]),
            "pvto": int(oil.p_sat.shape[1]), "pvdg": int(gas.p.shape[1]),
+           "pvto_m": int(oil.usat_p.shape[2]),
+           "pvto_nb": (tuple(int(x) for x in oil.usat_nb)
+                       if oil.usat_nb is not None
+                       else (int(oil.p_sat.shape[1]),)
+                       * int(oil.p_sat.shape[0])),
            "R_sat": int(sat.sw.shape[0]),
            "R_pvt": int(oil.p_sat.shape[0]),
            "R_wat": int(fs.water.p_ref.shape[0]),

@@ -123,10 +123,17 @@ def _two_region_fs(fs):
         inv_b_sat=dup(fs.oil.inv_b_sat),
         mu_sat=dup(fs.oil.mu_sat, 1.25),
         slope_inv_b=dup(fs.oil.slope_inv_b),
-        slope_mu=dup(fs.oil.slope_mu, 1.25))
+        slope_mu=dup(fs.oil.slope_mu, 1.25),
+        usat_p=dup(fs.oil.usat_p), usat_inv_b=dup(fs.oil.usat_inv_b),
+        usat_mu=dup(fs.oil.usat_mu, 1.25),
+        inv_b_mu_sat=dup(fs.oil.inv_b_mu_sat, 1 / 1.25),
+        usat_inv_b_mu=dup(fs.oil.usat_inv_b_mu, 1 / 1.25),
+        usat_nb=(type(fs.oil.usat_nb)(fs.oil.usat_nb.vals * 2)
+                 if fs.oil.usat_nb is not None else None))
     gas = fs.gas._replace(p=dup(fs.gas.p),
                           inv_b_tab=dup(fs.gas.inv_b_tab),
-                          mu_tab=dup(fs.gas.mu_tab, 1.25))
+                          mu_tab=dup(fs.gas.mu_tab, 1.25),
+                          inv_b_mu_tab=dup(fs.gas.inv_b_mu_tab, 1 / 1.25))
     water = fs.water._replace(**{
         f: dup(getattr(fs.water, f), 1.25 if f == "mu_ref" else 1.0)
         for f in ("p_ref", "inv_b_ref", "comp", "mu_ref",
