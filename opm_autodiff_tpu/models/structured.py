@@ -456,6 +456,19 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
 
     from opm_autodiff_tpu.ops import pallas_cellpack as pcp
 
+    from opm_autodiff_tpu.parallel import shard_kernels as sk
+    from opm_autodiff_tpu.parallel.mesh import get_active_mesh
+
+    mesh = get_active_mesh()
+    if (mesh is not None and sk.kernels_enabled(mesh)
+            and pcp.supports(fs, cells)
+            and nz % mesh.devices.size == 0
+            and nz // mesh.devices.size >= 1):
+        # multi-chip: shard_mapped two-launch assembly with halo
+        # exchange (parallel/shard_kernels.py)
+        return sk.assemble_fast_sharded(mesh, fs, cells, topo, u, flag,
+                                        acc0, dt)
+
     if pcp.enabled() and pcp.supports(fs, cells):
         # two fused launches: property pack (plane layout, f32) feeding
         # the flux/band kernel directly — no [N,..] layout round-trip,

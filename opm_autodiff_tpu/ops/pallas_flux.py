@@ -181,9 +181,6 @@ def flux_bands(q, dq, acc0, topo, dt, interpret: bool = False):
     nz, _, ny, nx = q.shape
     f32 = jnp.float32
 
-    def pad_x(a):  # [nz, ny, nx-1] -> padded? kept as-is, used raw
-        return a.astype(f32)
-
     tx = topo.trans_x.astype(f32)
     gx = topo.gdz_x.astype(f32)
     ty = topo.trans_y.astype(f32)
@@ -195,6 +192,19 @@ def flux_bands(q, dq, acc0, topo, dt, interpret: bool = False):
     gzl = jnp.concatenate([zpad, topo.gdz_z.astype(f32)], axis=0)
     acc0p = jnp.transpose(acc0.reshape(nz, ny, nx, 3).astype(f32),
                           (0, 3, 1, 2))
+    return flux_bands_arrays(q, dq, acc0p, tx, gx, ty, gy,
+                             tzh, gzh, tzl, gzl, dt, interpret)
+
+
+def flux_bands_arrays(q, dq, acc0p, tx, gx, ty, gy, tzh, gzh, tzl, gzl,
+                      dt, interpret: bool = False):
+    """Array-level flux_bands: the caller supplies the per-plane face
+    arrays directly (tzh/gzh [nz]: face above each plane, zero on the
+    last; tzl/gzl [nz]: face below, zero on the first; acc0p in plane
+    layout [nz,3,ny,nx]).  Lets the shard_map path feed halo-extended
+    local slabs through the same kernel."""
+    nz, _, ny, nx = q.shape
+    f32 = jnp.float32
     invdt = (1.0 / jnp.asarray(dt, jnp.float64)).astype(f32).reshape(1)
 
     i4 = lambda shape: pl.BlockSpec(  # noqa: E731

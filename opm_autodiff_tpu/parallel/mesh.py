@@ -33,6 +33,38 @@ def make_mesh(n_devices: int | None = None, axis: str = "z") -> Mesh:
     return Mesh(np.asarray(devices), axis_names=(axis,))
 
 
+# --- active-mesh context -----------------------------------------------------
+# The sharded Pallas fast paths (parallel/shard_kernels.py) need the Mesh
+# at TRACE time to build shard_map regions inside the jitted Newton step;
+# GSPMD alone cannot partition pallas_call. Callers that jit over a mesh
+# (driver dryrun, parallel tests, future multi-chip CLI) register it here.
+_ACTIVE_MESH: list = [None]
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    _ACTIVE_MESH[0] = mesh
+
+
+def get_active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH[0]
+
+
+class use_mesh:
+    """Context manager: ``with use_mesh(mesh): step = jax.jit(fn)(...)``."""
+
+    def __init__(self, mesh: Mesh | None):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = _ACTIVE_MESH[0]
+        _ACTIVE_MESH[0] = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE_MESH[0] = self.prev
+        return False
+
+
 def cell_sharding(mesh: Mesh, ndim_extra: int = 0) -> NamedSharding:
     """Sharding for a [N, ...] cell array: N split over the mesh axis.
 

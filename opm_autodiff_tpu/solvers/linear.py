@@ -290,8 +290,34 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         from opm_autodiff_tpu.models.structured import StructuredSystem
         from opm_autodiff_tpu.ops import pallas_spmv
 
+        from opm_autodiff_tpu.parallel import shard_kernels as sk
+        from opm_autodiff_tpu.parallel.mesh import get_active_mesh
+
+        mesh = get_active_mesh()
+        sharded = (mesh is not None and sk.kernels_enabled(mesh)
+                   and isinstance(scaled, StructuredSystem)
+                   and scaled.diag.shape[0]
+                   % (mesh.devices.size * scaled.x_lr.shape[1]
+                      * (scaled.x_lr.shape[2] + 1)) == 0)
         prec = None
-        if isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
+        if sharded:
+            # multi-chip: shard_mapped SpMV (per-matvec x halo exchange)
+            # + per-slab Schwarz z-line (parallel/shard_kernels.py)
+            prep_ext = sk.prepare_banded_sharded(mesh, scaled)
+            if scaled.ex_left is None:
+                base_mv = partial(sk.banded_spmv_sharded, mesh, prep_ext)
+            else:
+                def base_mv(y, _s=scaled, _p=prep_ext):
+                    z = sk.banded_spmv_sharded(mesh, _p, y)
+                    z = z.at[_s.ex_left].add(
+                        jnp.einsum("fij,fj->fi", _s.ex_lr, y[_s.ex_right]))
+                    z = z.at[_s.ex_right].add(
+                        jnp.einsum("fij,fj->fi", _s.ex_rl, y[_s.ex_left]))
+                    return z
+            if precond == "zline":
+                fact = sk.prepare_zline_sharded(mesh, scaled)
+                prec = partial(sk.zline_apply_sharded, mesh, fact)
+        elif isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
             prep = pallas_spmv.prepare_banded(scaled)
             if scaled.ex_left is None:
                 base_mv = partial(pallas_spmv.banded_spmv_pallas, prep)
