@@ -220,7 +220,12 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
         to_rs, FLAG_RS,
         jnp.where(to_rv, FLAG_RV,
                   jnp.where(to_sg_rs | to_sg_rv, FLAG_SG, flag)))
-    x3_stay = jnp.where(is_sg, jnp.clip(x3_new, 0.0, 1.0 - sw_new),
+    # Sg may overshoot 1-Sw by a small slack (So transiently ~ -1e-3):
+    # kro clamps to zero there, and the slightly negative oil
+    # accumulation lets swept cells absorb drift/flux demands instead of
+    # clip-annihilating the update into a nonzero-residual fixed point
+    # (the reference's primary variables are likewise not hard-clipped)
+    x3_stay = jnp.where(is_sg, jnp.clip(x3_new, 0.0, 1.0 - sw_new + 1e-3),
                         jnp.maximum(x3_new, 0.0))
     x3_new = jnp.select(
         [to_rs, to_rv, to_sg_rs, to_sg_rv],
@@ -416,6 +421,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # handling, eclproblem.hh:1848-1874; capture :1127) ---
     if drift_vol is not None:
         rate = drift_vol / dt  # [Na,3] surface m3/s
+        # a removal demand (positive corr) larger than the mass present
+        # at the start of the substep cannot be absorbed (e.g. oil drift
+        # in water-swept So=0 cells) and pins Newton at a nonzero-
+        # residual fixed point just above the MB tolerance: cap it by
+        # the stored surface volume
+        rate = jnp.minimum(rate, acc0 / dt)
         comp_total = (jnp.abs(rate) * dt
                       / cells.pore_vol_ref[:, None]).sum(axis=1)
         cap = 10.0 * params.tol_cnv

@@ -1,0 +1,120 @@
+"""SPE9 end-to-end acceptance test (Killough, SPE 29110).
+
+The second of the reference's SPE-benchmark regression anchors
+(/root/reference/jenkins/run-spe.sh:45-48, compareECLFiles.cmake SPE9
+cases). The deck (tests/data/SPE9.DATA) is authored from the published
+problem statement: 24x25x15 dipping grid, 25 producers + 1 water
+injector, heterogeneous permeability, undersaturated live oil over a
+water leg. With no opm-tests reference outputs available here, the
+assertions target the published solution features every comparison
+simulator reproduces (the test_spe1 pattern):
+
+  * full-field plateau at 25 x 1500 = 37,500 stb/d,
+  * the schedule's 100 stb/d/well cut window over days 300-360,
+  * return to plateau at day 360 and BHP-limited decline after,
+  * producers landing on the 1000 psia BHP floor,
+  * solution-gas GOR rise as field pressure falls through Pb,
+  * rising water cut from the water leg + injection,
+  * field material balance.
+
+The suite runs a 570-day truncation (all features occur by then); the
+full 900-day schedule is exercised by the CLI/bench tier.
+"""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+DECK = os.path.join(os.path.dirname(__file__), "data", "SPE9.DATA")
+
+
+@pytest.fixture(scope="module")
+def sim_full():
+    # truncate the final 18*30d phase to 7*30d: day 570 end
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "SPE9.DATA")
+    txt = open(DECK).read()
+    assert txt.count("18*30 /") == 1
+    open(path, "w").write(txt.replace("18*30 /", "7*30 /"))
+    shutil.copy(os.path.join(os.path.dirname(DECK), "SPE9_PERM.INC"),
+                os.path.join(tmp, "SPE9_PERM.INC"))
+    sim = Simulator(load_state(path), SimulatorOptions())
+    sim.run()
+    return sim
+
+
+def test_initial_state_and_plateau(sim_full):
+    rows = sim_full.summary.rows
+    r0 = rows[0]
+    # 25 producers x 1500 stb/d
+    assert r0["FOPR"] == pytest.approx(37500, rel=1e-3)
+    # volume-averaged initial pressure around the 3600 psia datum value
+    # (deeper cells are above it hydrostatically)
+    assert 3600 < r0["FPR"] < 3950
+    # initially undersaturated: GOR at the dissolved-gas ratio
+    assert 1.0 < r0["FGOR"] < 1.5
+
+
+def test_rate_cut_window(sim_full):
+    t = sim_full.summary.series("TIME")
+    fopr = sim_full.summary.series("FOPR")
+    cut = (t > 301) & (t <= 360)
+    assert cut.any()
+    np.testing.assert_allclose(fopr[cut], 2500, rtol=1e-3)
+    # returns to (near) plateau right after the cut window
+    after = (t > 360) & (t < 460)
+    assert fopr[after].max() > 35000
+
+
+def test_bhp_floor_and_decline(sim_full):
+    t = sim_full.summary.series("TIME")
+    bhp = sim_full.summary.series("WBHP:PRODU2")
+    # PRODU2 lands on its 1000 psia floor once drawdown can't sustain
+    # the 1500 stb/d target
+    assert bhp[-1] == pytest.approx(1000, rel=1e-4)
+    fopr = sim_full.summary.series("FOPR")
+    # field rate off plateau at the end (BHP-limited wells)
+    assert fopr[-1] < 36000
+    fpr = sim_full.summary.series("FPR")
+    assert fpr[-1] < fpr[0] - 1000  # strong depletion
+
+
+def test_gor_rise(sim_full):
+    t = sim_full.summary.series("TIME")
+    gor = sim_full.summary.series("FGOR")
+    early = gor[t < 100]
+    np.testing.assert_array_less(early, 1.6)
+    # free-gas production once p < Pb around the producers
+    assert gor[-1] > 3.0
+
+
+def test_watercut_rises(sim_full):
+    fwct = sim_full.summary.series("FWCT")
+    assert fwct[-1] > 0.02
+    assert fwct[-1] < 0.5
+
+
+def test_material_balance(sim_full):
+    import jax
+
+    from opm_autodiff_tpu.models.blackoil import accumulation
+    from opm_autodiff_tpu.models.init import equilibrate
+
+    sim = sim_full
+    acc_now = np.asarray(sim.acc0)
+    init = equilibrate(sim.state, sim.geo, sim.fs)
+    acc_init = np.asarray(jax.vmap(accumulation, in_axes=(None, 0, 0, 0))(
+        sim.fs, init.u, init.flag, sim.cells.pore_vol_ref))
+    doil = (acc_now - acc_init)[:, 1].sum()
+    assert -doil == pytest.approx(sim.cum["FOPT"], rel=2e-3)
+    dwat = (acc_now - acc_init)[:, 0].sum()
+    assert dwat == pytest.approx(sim.cum["FWIT"] - sim.cum["FWPT"],
+                                 rel=2e-3)
+    dgas = (acc_now - acc_init)[:, 2].sum()
+    assert -dgas == pytest.approx(sim.cum["FGPT"], rel=2e-3)
