@@ -46,7 +46,11 @@ from opm_autodiff_tpu.solvers.linear import bicgstab
 class ComponentModel:
     """Owns the concentration fields and the mobility feedback."""
 
-    def __init__(self, state, geo, fs, cells, faces):
+    def __init__(self, state, geo, fs, cells, faces,
+                 polymer_external: bool = False):
+        """``polymer_external`` disables the split polymer handling when
+        the simulator runs polymer fully implicitly in the block system
+        (models/polymer.py); brine/foam/solvent still split here."""
         self.fs = fs
         self.cells = cells
         self.faces = faces
@@ -55,7 +59,8 @@ class ComponentModel:
         comp = state.components
         n = geo.num_active
 
-        self.has_polymer = "POLYMER" in ext and "PLYVISC" in comp
+        self.has_polymer = ("POLYMER" in ext and "PLYVISC" in comp
+                            and not polymer_external)
         self.has_brine = "BRINE" in ext and "PVTWSALT" in comp
         self.has_foam = "FOAM" in ext and "FOAMMOB" in comp
         self.has_solvent = "SOLVENT" in ext and "PVDS" in comp

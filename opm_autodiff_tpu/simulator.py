@@ -57,6 +57,11 @@ class SimulatorOptions:
     # production model); "bhp" = 1-DOF Peaceman research well
     # (eclpeacemanwell.hh:77)
     well_model: str = "std4"
+    # solve polymer as a 4th fully-implicit equation in the block system
+    # (models/polymer.py, the reference's flow_ebos_polymer coupling);
+    # False falls back to the operator-split transport
+    # (models/components.py)
+    polymer_implicit: bool = True
 
 
 class Simulator:
@@ -81,6 +86,20 @@ class Simulator:
         # tracers need the explicit face list even on the banded path
         _, self.facelist = statics_from_geometry(self.geo,
                                                  structured="never")
+        # fully-implicit polymer: 4-equation block system on the
+        # face-list layout (models/polymer.py; reference
+        # flow_ebos_polymer's 4x4 blocks)
+        self.poly = None
+        self._poly_no_desorption = False
+        if (self.opts.polymer_implicit
+                and "POLYMER" in ecl_state.runspec.extensions
+                and "PLYVISC" in ecl_state.components):
+            from opm_autodiff_tpu.models.polymer import (
+                accumulation_all4, build_polymer_implicit)
+            self.poly, self._poly_no_desorption = build_polymer_implicit(
+                ecl_state.components, self.geo)
+            self.faces = self.facelist
+            self._acc_fn4 = jax.jit(accumulation_all4)
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
         self._acc_fn = jax.jit(jax.vmap(accumulation,
@@ -114,7 +133,9 @@ class Simulator:
         self.tracers = TracerModel(ecl_state, self.geo, self.fs,
                                    self.cells, self.facelist)
         self.components = ComponentModel(ecl_state, self.geo, self.fs,
-                                         self.cells, self.facelist)
+                                         self.cells, self.facelist,
+                                         polymer_external=self.poly
+                                         is not None)
         from opm_autodiff_tpu.models.thermal import ThermalModel
         self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
                                     self.cells, self.facelist)
@@ -143,6 +164,15 @@ class Simulator:
         if self.thermal.active:
             self.thermal.initialize(self.u, self.flag)
         self._refresh_mob_mult()
+
+    # ------------------------------------------------------------------
+    def _compute_acc0(self, u, flag):
+        """Conserved-quantity sweep (4-wide under implicit polymer)."""
+        if self.poly is not None:
+            return self._acc_fn4(self.fs, self.poly, u, flag,
+                                 self.cells.pore_vol_ref, self.cells.regs)
+        return self._acc_fn(self.fs, u, flag, self.cells.pore_vol_ref,
+                            self.cells.regs)
 
     # ------------------------------------------------------------------
     def _init_state(self):
@@ -183,13 +213,19 @@ class Simulator:
                 eps=jnp.asarray(self._eps_host))
         self.u = ps.u
         self.flag = ps.flag
-        self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
-                                 self.cells.pore_vol_ref, self.cells.regs)
+        if self.poly is not None:
+            # append the polymer concentration column (zero initial;
+            # restarts resume from the saved 4-wide state via npz)
+            if self.u.shape[1] == 3:
+                self.u = jnp.concatenate(
+                    [self.u, jnp.zeros((self.u.shape[0], 1))], axis=1)
+        self.acc0 = self._compute_acc0(self.u, self.flag)
         self.pbh = None
         self.xw = None  # 4-DOF StandardWell unknowns [W,4]
         # drift-compensation capture (zeros, not None, so the jitted
         # Newton kernel compiles once with the array variant)
-        self._drift_vol = (jnp.zeros((self.geo.num_active, 3))
+        neq = 4 if self.poly is not None else 3
+        self._drift_vol = (jnp.zeros((self.geo.num_active, neq))
                            if self.opts.drift_compensation else None)
         self.active_mode = None
         self.cum = {"FOPT": 0.0, "FGPT": 0.0, "FWPT": 0.0, "FGIT": 0.0,
@@ -218,6 +254,14 @@ class Simulator:
         # BlackoilModelParametersEbos.hpp:208)
         std_wells = [w for w in wells if not getattr(w, "segments", None)]
         msw_wells = [w for w in wells if getattr(w, "segments", None)]
+        if self.poly is not None:
+            if msw_wells:
+                raise NotImplementedError(
+                    "implicit polymer + multisegment wells: use "
+                    "SimulatorOptions(polymer_implicit=False)")
+            self.poly = self.poly._replace(inj_conc=jnp.asarray(
+                [getattr(w, "poly_conc", 0.0) for w in std_wells]
+                or [0.0]))
         self._std_well_names = [w.name for w in std_wells]
         self._msw_well_names = [w.name for w in msw_wells]
         msw = build_mswset(self.geo, wells)
@@ -375,7 +419,7 @@ class Simulator:
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
                 vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
-                drift_vol=self._drift_vol)
+                drift_vol=self._drift_vol, poly=self.poly)
 
             # track per-well failures for the problematic-well shut
             # fallback (reference: consistentlyFailingWells,
@@ -396,9 +440,14 @@ class Simulator:
                     # capture drift = leftover residual x dt
                     # (reference: eclproblem.hh:1127-1135)
                     self._drift_vol = rep.residual * dt_seconds
-                committed["acc0"] = self._acc_fn(
-                    self.fs, st.u, st.flag, self.cells.pore_vol_ref,
-                    self.cells.regs)
+                if self.poly is not None and self._poly_no_desorption:
+                    # commit the no-desorption adsorption floor
+                    # (PLYROCK ads_index 1; reference blackoilpolymer-
+                    # modules' PlyadsAdsorbedPolymer max history)
+                    self.poly = self.poly._replace(
+                        ads_prev=self.poly.adsorption(st.u[:, 3],
+                                                      self.poly.ads_prev))
+                committed["acc0"] = self._compute_acc0(st.u, st.flag)
                 committed["q"] = q_tot
                 if self.aquifers is not None and q_aq is not None:
                     self.aquifers.commit(np.asarray(q_aq), dt_seconds)

@@ -60,7 +60,11 @@ class CpIlu0(NamedTuple):
 
 def _inv33(m):
     """Branch-free cofactor inverse of [...,3,3] blocks (same scheme as
-    solvers/linear.py invert_blocks, kept local to avoid a cycle)."""
+    solvers/linear.py invert_blocks, kept local to avoid a cycle).
+    4x4 blocks (implicit polymer) delegate to the bordered form."""
+    if m.shape[-1] == 4:
+        from opm_autodiff_tpu.solvers.linear import invert_blocks
+        return invert_blocks(m)
     a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]
     d = m[..., 1, 0]; e = m[..., 1, 1]; f = m[..., 1, 2]
     g = m[..., 2, 0]; h = m[..., 2, 1]; i = m[..., 2, 2]

@@ -99,6 +99,25 @@ def invert_blocks(diag: jnp.ndarray) -> jnp.ndarray:
     the cofactor form is branch-free and fuses into surrounding code.
     """
     a = diag
+    if a.shape[-1] == 4:
+        # bordered form for the implicit-polymer 4x4 blocks: invert the
+        # 3x3 black-oil block by cofactors, eliminate the polymer
+        # row/column by its scalar Schur complement (branch-free, no LU
+        # — TPU LuDecomposition is f32-only)
+        ainv = invert_blocks(a[..., :3, :3])          # [...,3,3]
+        bcol = a[..., :3, 3:]                          # [...,3,1]
+        crow = a[..., 3:, :3]                          # [...,1,3]
+        d = a[..., 3:, 3:]                             # [...,1,1]
+        aib = ainv @ bcol                              # [...,3,1]
+        cai = crow @ ainv                              # [...,1,3]
+        s = d - crow @ aib                             # [...,1,1]
+        s_inv = 1.0 / s
+        top_left = ainv + aib * s_inv * cai
+        top_right = -aib * s_inv
+        bot_left = -s_inv * cai
+        top = jnp.concatenate([top_left, top_right], axis=-1)
+        bot = jnp.concatenate([bot_left, s_inv], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
     if a.shape[-1] != 3:
         return jnp.linalg.inv(a)
     c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]

@@ -312,13 +312,27 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           aq: AquiferDevice | None = None,
                           vfp_bank=None, msw=None, x3_cap=None,
                           relax=1.0, rho_conn=None, drift_vol=None,
-                          well_f0=None):
+                          well_f0=None, poly=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
-    Returns (new_state, info, q_tot, q_aquifer)."""
+    Returns (new_state, info, q_tot, q_aquifer).
+
+    ``poly`` (models/polymer.PolymerImplicit) switches the reservoir
+    system to the 4-equation fully-implicit polymer assembly: ``u`` is
+    [N,4] (po, sw, x3, c), residual/diag are 4-wide, and the wells see
+    the current iterate's polymer water-mobility factor (value-exact,
+    d q/dc dropped — quasi-Newton). Face-list (BSR) layout only.
+    """
     if aq is None:
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
     use4 = st.xw is not None  # 4-DOF StandardWell vs 1-DOF research well
+    u3 = u[:, :3] if poly is not None else u
+    well_mob = cells.mob_mult
+    if poly is not None:
+        # concatenate, not scatter-mul: see polymer._mob_with_polymer
+        pf = jax.vmap(poly.water_mob_factor)(u[:, 3], poly.ads_prev)
+        well_mob = jnp.concatenate(
+            [well_mob[:, :1] * pf[:, None], well_mob[:, 1:]], axis=1)
 
     # inverse FVFs for the convergence metrics: the structured packed
     # assembly exposes them for free; other layouts do one vmapped sweep
@@ -332,8 +346,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         q_tot_pv = s4.xw_surface_rates(st.xw, ws)
         mode = update_well_controls(ws, mode, st.xw[:, 3], q_tot_pv,
                                     vfp_bank)
-        wr = s4.well4_contributions(fs, u, flag, st.xw, ws, mode,
-                                    vfp_bank, cells.regs, cells.mob_mult,
+        wr = s4.well4_contributions(fs, u3, flag, st.xw, ws, mode,
+                                    vfp_bank, cells.regs, well_mob,
                                     cells.eps, rho_conn, well_f0, dt)
         # reported rates come from the primary variables (reference:
         # updateWellStateFromPrimaryVariables — WellState rates are the
@@ -352,8 +366,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         # BlackoilWellModel_impl.hpp:828-834 — same data flow, no extra
         # rates pass). ``rho_conn`` is the per-substep explicit connection
         # density (calculateExplicitQuantities analog).
-        pr = wells_mod.well_perf_contributions(fs, u, flag, pbh, ws,
-                                               cells.regs, cells.mob_mult,
+        pr = wells_mod.well_perf_contributions(fs, u3, flag, pbh, ws,
+                                               cells.regs, well_mob,
                                                cells.eps, rho_conn)
         q_tot = pr.q_perf.sum(axis=1)
         mode = update_well_controls(ws, mode, pbh, q_tot, vfp_bank)
@@ -367,7 +381,20 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     ws_sys = ws
     msw_sys = msw
     aq_cell_sys = aq.cell
-    if emb is not None:
+    if poly is not None:
+        # 4-equation fully-implicit polymer assembly (face-list only;
+        # the simulator routes polymer decks off the banded fast path)
+        if emb is not None or isinstance(faces, StructuredTopology):
+            raise NotImplementedError(
+                "implicit polymer requires the face-list (BSR) layout")
+        if msw is not None:
+            raise NotImplementedError(
+                "implicit polymer + multisegment wells not supported")
+        from opm_autodiff_tpu.models import polymer as poly_mod
+
+        sys = poly_mod.assemble_system4(fs, poly, cells, faces,
+                                        PrimaryState(u, flag), acc0, dt)
+    elif emb is not None:
         u_f = u[emb.fill]
         flag_f = flag[emb.fill]
         acc0_f = jnp.zeros((emb.mask.shape[0], 3),
@@ -394,10 +421,20 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     if inv_b_cells is None:
         eps_ax = None if cells.eps is None else 0
         q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
-            fs, u, flag, cells.regs, None, cells.eps)
+            fs, u3, flag, cells.regs, None, cells.eps)
         inv_b_cells = q_all.inv_b
-    residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
-    diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)
+    if poly is not None:
+        res3 = w_api.apply_to_residual(sys.residual[:, :3], wr, ws_sys)
+        d33 = w_api.apply_to_diag(sys.diag[:, :3, :3], wr, ws_sys)
+        residual = jnp.concatenate([res3, sys.residual[:, 3:]], axis=1)
+        diag = sys.diag.at[:, :3, :3].set(d33)
+        from opm_autodiff_tpu.models import polymer as poly_mod
+
+        residual, diag = poly_mod.apply_wells4(residual, diag, wr.q_perf,
+                                               ws_sys, u[:, 3], poly)
+    else:
+        residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
+        diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)
     # --- multisegment wells (reference: MultisegmentWell assemble +
     # Schur via duneB_/C_/D_, MultisegmentWellEval.hpp:272) ---
     mr = None
@@ -461,6 +498,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
     # --- convergence (on the active rows) ---
     residual_act = residual[emb.act] if emb is not None else residual
+    res_conv = residual_act
+    inv_b_conv = inv_b_cells
+    if poly is not None:
+        # polymer CNV/MB: the mass residual normalized by PLYMAX gives a
+        # water-volume-rate equivalent, scaled by the water B factor
+        # like the reference's contiPolymerEqIdx row
+        res_conv = residual_act.at[:, 3].multiply(1.0 / poly.c_max)
+        inv_b_conv = jnp.concatenate([inv_b_cells, inv_b_cells[:, :1]],
+                                     axis=1)
     well_err4 = None
     well_err_vec = None
     if use4:
@@ -470,7 +516,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         well_err_vec = s4.well_convergence(wr, ws, mode, b_avg)
         well_err4 = well_err_vec.max()
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(
-        params, fs, cells, residual_act, inv_b_cells, dt, wr, ws, mode,
+        params, fs, cells, res_conv, inv_b_conv, dt, wr, ws, mode,
         well_err_ext=well_err4)
     if msw is not None:
         msw_scale = jnp.where(
@@ -490,14 +536,22 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         failed = failed | ~jnp.isfinite(msw_err)
 
     # --- linear solve with well Schur complement fused in ---
-    rhs = -residual + w_api.schur_rhs(residual, wr, ws_sys)
-    if msw is not None:
-        rhs = rhs + msw_mod.schur_rhs(mr, msw_sys, residual)
+    if poly is not None:
+        rhs = (-residual).at[:, :3].add(
+            w_api.schur_rhs(residual[:, :3], wr, ws_sys))
+
+        def extra_mv(x):
+            y3 = w_api.schur_matvec(wr, ws_sys, x[:, :3])
+            return jnp.pad(y3, ((0, 0), (0, 1)))
+    elif msw is not None:
+        rhs = -residual + w_api.schur_rhs(residual, wr, ws_sys) \
+            + msw_mod.schur_rhs(mr, msw_sys, residual)
 
         def extra_mv(x):
             return (w_api.schur_matvec(wr, ws_sys, x)
                     + msw_mod.schur_matvec(mr, msw_sys, x))
     else:
+        rhs = -residual + w_api.schur_rhs(residual, wr, ws_sys)
         extra_mv = partial(w_api.schur_matvec, wr, ws_sys)
     lin = solve_linear(sys, rhs,
                        extra_matvec=extra_mv,
@@ -515,19 +569,25 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # residual history oscillates (reference: NonlinearSolverEbos
     # stabilizeNonlinearUpdate :315, dampen with relaxMax 0.5)
     dx = dx * relax
+    dx3 = dx[:, :3] if poly is not None else dx
     xw_new = st.xw
     if use4:
-        dxw = s4.recover_xw_update(wr, ws_sys, dx)
+        dxw = s4.recover_xw_update(wr, ws_sys, dx3)
         dxw = jnp.where(jnp.isfinite(dxw), dxw, 0.0)
         xw_new = s4.chop_xw_update(st.xw, dxw, ws)
     else:
-        dpbh = wells_mod.recover_pbh_update(wr, ws_sys, dx)
+        dpbh = wells_mod.recover_pbh_update(wr, ws_sys, dx3)
         dpbh = jnp.where(jnp.isfinite(dpbh), dpbh, 0.0)
 
     # --- chopped update + switching (active rows) ---
     dx_act = dx[emb.act] if emb is not None else dx
     u_new, flag_new = _chop_and_update(params, fs, u, flag, dx_act,
                                        cells.regs[:, 1], x3_cap)
+    if poly is not None:
+        from opm_autodiff_tpu.models import polymer as poly_mod
+
+        c_new = poly_mod.chop_c_update(poly, u[:, 3], dx_act[:, 3])
+        u_new = jnp.concatenate([u_new, c_new[:, None]], axis=1)
     if use4:
         pbh_new = xw_new[:, 3]
     else:
@@ -580,7 +640,7 @@ class NewtonReport:
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
-                 x3_cap=None, drift_vol=None):
+                 x3_cap=None, drift_vol=None, poly=None):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -604,12 +664,13 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # explicit connection densities once per substep (reference:
     # calculateExplicitQuantities on iteration 0,
     # BlackoilWellModel_impl.hpp:824)
-    rho_conn = _conn_rho(fs, st.u, st.flag, st.pbh, ws, cells.regs)
+    u3_host = st.u[:, :3] if poly is not None else st.u
+    rho_conn = _conn_rho(fs, u3_host, st.flag, st.pbh, ws, cells.regs)
     well_f0 = None
     if st.xw is not None:
         # inner well solve with the reservoir frozen (reference:
         # prepareTimeStep -> solveWellEqUntilConverged, MaxWelleqIter=30)
-        xw0 = _solve_well_eq(fs, st.u, st.flag, st.xw, ws,
+        xw0 = _solve_well_eq(fs, u3_host, st.flag, st.xw, ws,
                              st.active_mode, vfp_bank, cells.regs,
                              cells.mob_mult, cells.eps, rho_conn,
                              jnp.asarray(dt))
@@ -621,12 +682,12 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
-                drift_vol, well_f0)
+                drift_vol, well_f0, poly)
         last_res = res_act
         hist.append(np.asarray(info.cnv))
         if len(hist) >= 3:
             osc = sum(
-                1 for p in range(3)
+                1 for p in range(hist[-1].shape[0])
                 if hist[-1][p] > hist[-2][p] * 1.01
                 and hist[-3][p] > hist[-2][p] * 1.01) >= 2
             relax = max(relax - 0.1, 0.5) if osc else min(relax + 0.1, 1.0)

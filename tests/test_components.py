@@ -98,7 +98,11 @@ def _run(tmp_path, name, runspec_extra="", props_extra="", sched_extra=""):
                        sched_extra=sched_extra)
     p = tmp_path / f"{name}.DATA"
     p.write_text(deck)
-    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    # this file tests the operator-SPLIT component transports; the
+    # fully-implicit polymer default is covered by
+    # tests/test_polymer_implicit.py
+    sim = Simulator(load_state(str(p)),
+                    SimulatorOptions(polymer_implicit=False))
     sim.run()
     return sim
 

@@ -1,0 +1,71 @@
+"""Fully-implicit polymer (4th equation in the block system).
+
+Reference parity target: flow_ebos_polymer.cpp solves polymer inside the
+4x4 fully-implicit block system (opm-models blackoilpolymermodules).
+VERDICT round-1 item 8 asked for this as the extended-component pilot,
+with documented split-vs-implicit deltas; the split transport
+(models/components.py) stays the fallback via
+SimulatorOptions(polymer_implicit=False).
+"""
+
+import numpy as np
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+from tests.test_components import BASE, POLYMER_PROPS, POLYMER_SCHED
+
+
+def _run(tmp_path, name, implicit):
+    deck = BASE.format(runspec_extra="POLYMER", props_extra=POLYMER_PROPS,
+                       sched_extra=POLYMER_SCHED)
+    p = tmp_path / f"{name}.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)),
+                    SimulatorOptions(polymer_implicit=implicit))
+    sim.run()
+    return sim
+
+
+def test_implicit_polymer_transport_and_feedback(tmp_path):
+    sim = _run(tmp_path, "IMP", implicit=True)
+    assert sim.poly is not None
+    assert not sim.components.has_polymer  # split path disabled
+    c = np.asarray(sim.u[:, 3])
+    # transported front: injected 2.0 kg/m3 near the injector, far less
+    # at the producer, monotone-ish decay along the 1-D line
+    assert c[0] > 0.5
+    assert c[-1] < c[0]
+    assert np.all(c >= 0.0)
+    assert np.all(c <= 1.1 * float(sim.poly.c_max))
+    # adsorption accumulated (instantaneous Langmuir equilibrium)
+    ads = np.asarray(sim.poly.adsorption(sim.u[:, 3], sim.poly.ads_prev))
+    assert float(ads.max()) > 0.0
+    # polymer thickens water: the well water-mobility factor < 1 at the
+    # injector cell
+    f = float(sim.poly.water_mob_factor(sim.u[0, 3], sim.poly.ads_prev[0]))
+    assert f < 0.6
+
+
+def test_implicit_vs_split_deltas(tmp_path):
+    """The two formulations agree on the physics (same front, same
+    production trend); the implicit one has no operator-splitting lag.
+    The asserted envelopes document the expected deltas."""
+    imp = _run(tmp_path, "IMPC", implicit=True)
+    spl = _run(tmp_path, "SPLC", implicit=False)
+
+    c_imp = np.asarray(imp.u[:, 3])
+    c_spl = np.asarray(spl.components.c_poly)
+    # same qualitative front; pointwise within a front-width tolerance
+    # (the split model lags the mobility feedback by one substep)
+    assert abs(float(c_imp[0]) - float(c_spl[0])) < 0.5
+    assert np.max(np.abs(c_imp - c_spl)) < 1.0
+    # identical trend on production: both see reduced water production
+    # vs the polymer-free base (checked in test_components); the two
+    # answers agree within 10%
+    r_imp = imp.summary.rows[-1]
+    r_spl = spl.summary.rows[-1]
+    assert abs(r_imp["FWPR"] - r_spl["FWPR"]) <= \
+        0.10 * max(r_spl["FWPR"], 1e-12)
+    assert abs(r_imp["FOPR"] - r_spl["FOPR"]) <= \
+        0.10 * max(abs(r_spl["FOPR"]), 1e-12)
