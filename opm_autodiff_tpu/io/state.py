@@ -240,6 +240,9 @@ class WellConfig:
     econ_min_gas: float | None = None
     econ_max_wct: float | None = None
     econ_max_gor: float | None = None
+    econ_max_wgr: float | None = None
+    # WECON item 7 workover procedure: NONE / CON / +CON / WELL
+    econ_workover: str = "NONE"
     vfp_table: int | None = None  # VFPPROD table number (THP control)
     wtest_interval: float | None = None  # days between WTEST retests
     # multisegment well description (None => standard well)
@@ -1239,13 +1242,17 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             w = wells.get(name)
             if w is not None:
                 # WECON items (0-based): 1 min oil rate, 2 min gas
-                # rate, 3 max water cut, 4 max GOR
+                # rate, 3 max water cut, 4 max GOR, 5 max WGR,
+                # 6 workover procedure (NONE/CON/+CON/WELL)
                 w.econ_min_oil = _opt_rate(item(r, 1, None),
                                            u.liquid_rate)
                 w.econ_min_gas = _opt_rate(item(r, 2, None), u.gas_rate)
                 w.econ_max_wct = item(r, 3, None)
                 w.econ_max_gor = _opt_rate(item(r, 4, None),
                                            u.gas_oil_ratio)
+                w.econ_max_wgr = _opt_rate(item(r, 5, None),
+                                           1.0 / u.gas_oil_ratio)
+                w.econ_workover = str(item(r, 6, "NONE")).upper()
     elif kw.name == "WELTARG":
         for r in kw.records:
             name = str(item(r, 0, ""))

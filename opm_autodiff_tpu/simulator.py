@@ -140,6 +140,8 @@ class Simulator:
         self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
                                     self.cells, self.facelist)
         self._shut_wells: dict = {}  # name -> shut time (days)
+        # WECON CON/+CON workovers: name -> {(i,j,k)} closed connections
+        self._closed_conns: dict = {}
         # group-control dynamic state across substeps (GroupState analog:
         # switched group modes, damped guide rates)
         self._group_memory: dict = {}
@@ -249,6 +251,13 @@ class Simulator:
         for w in wells:
             if w.name in self._shut_wells:
                 w.status = "SHUT"
+            # WECON workover: connections closed in earlier steps stay
+            # closed (each report step deep-copies its completions)
+            closed = self._closed_conns.get(w.name)
+            if closed:
+                for c in w.completions:
+                    if (c.i, c.j, c.k) in closed:
+                        c.open = False
         # wells with WELSEGS run through the multisegment model
         # (reference default UseMultisegmentWell=true,
         # BlackoilModelParametersEbos.hpp:208)
@@ -477,6 +486,9 @@ class Simulator:
                     self.cells = self.cells._replace(eps=eps_dev)
                 self._last_q_msw = (np.asarray(q_msw)
                                     if q_msw is not None else None)
+                # per-connection rates for the WECON workover path
+                self._last_q_perf = (np.asarray(q_perf)
+                                     if q_perf is not None else None)
                 self._collect_summary(st, ws, q_tot, dt_seconds)
                 # re-apportion group targets with the fresh rates
                 if gmgr.active or net_nodes:
@@ -523,11 +535,15 @@ class Simulator:
             newton_iterations=sum(r.newton_iterations for r in reports),
             linear_iterations=sum(r.linear_iterations for r in reports),
             substeps=len(reports))
-        # WECON economic limits at the report-step boundary
-        newly_shut = apply_econ_limits(std_wells,
-                                       getattr(self, "_last_q", None))
+        # WECON economic limits at the report-step boundary (per-
+        # connection rates enable the CON/+CON workover path)
+        newly_shut, newly_closed = apply_econ_limits(
+            std_wells, getattr(self, "_last_q", None),
+            getattr(self, "_last_q_perf", None))
         for name in newly_shut:
             self._shut_wells[name] = rstep.end_days
+        for name, conns in newly_closed.items():
+            self._closed_conns.setdefault(name, set()).update(conns)
         self.summary.end_report_step(rstep.end_days, self._field_state(ws))
         # UDQ re-evaluation + ACTIONX triggers at the report boundary, in
         # DECK output units like the reference's SummaryState

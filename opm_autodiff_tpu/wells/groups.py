@@ -314,18 +314,83 @@ class GroupManager:
         return out
 
 
-def apply_econ_limits(wells: list, last_rates: np.ndarray | None) -> list[str]:
-    """Shut wells violating WECON limits; returns names shut."""
+def _worst_connection(w, q_conn: np.ndarray, kind: str) -> int | None:
+    """Index (into the well's OPEN completions) of the connection with
+    the worst violating ratio; None when fewer than two contribute.
+    ``q_conn`` is [P,3] positive production per open connection
+    (reference: WellInterface checkRatioEconLimits ->
+    checkMaxRatioLimitCompletions, worstOffendingCompletion)."""
+    comps = [c for c in w.completions if c.open]
+    p = min(len(comps), q_conn.shape[0])
+    if p < 2:
+        return None
+    wrate = q_conn[:p, 0]
+    orate = q_conn[:p, 1]
+    grate = q_conn[:p, 2]
+    if kind == "wct":
+        liq = orate + wrate
+        ratio = np.where(liq > 0, wrate / np.maximum(liq, 1e-300), 0.0)
+    elif kind == "gor":
+        ratio = np.where(orate > 0, grate / np.maximum(orate, 1e-300),
+                         np.where(grate > 0, np.inf, 0.0))
+    else:  # wgr
+        ratio = np.where(wrate > 0, grate / np.maximum(wrate, 1e-300),
+                         np.where(grate > 0, np.inf, 0.0))
+    if not np.any(ratio > 0):
+        return None
+    return int(np.argmax(ratio))
+
+
+def _do_workover(w, q_conn, kind, closed: dict):
+    """CON / +CON workover: close the worst-ratio connection (and the
+    ones below it for '+CON') instead of shutting the well (reference:
+    WellEconProductionLimits::workover, WellTestState). Returns True if
+    a connection was closed; False means the caller should shut."""
+    wo = getattr(w, "econ_workover", "NONE") or "NONE"
+    if wo not in ("CON", "+CON") or q_conn is None:
+        return False
+    worst = _worst_connection(w, q_conn, kind)
+    if worst is None:
+        return False
+    comps = [c for c in w.completions if c.open]
+    targets = [comps[worst]]
+    if wo == "+CON":
+        # close the offender and every open connection below it
+        # (deeper along the wellbore)
+        targets += [c for c in comps if c.k > comps[worst].k]
+    out = closed.setdefault(w.name, [])
+    for c in targets:
+        c.open = False
+        out.append((c.i, c.j, c.k))
+    return True
+
+
+def apply_econ_limits(wells: list, last_rates: np.ndarray | None,
+                      q_perf: np.ndarray | None = None
+                      ) -> tuple[list[str], dict]:
+    """WECON economic limits at the report boundary.
+
+    Returns (names shut, {well name: [(i,j,k) connections closed]}).
+    Minimum-rate violations shut the well; ratio violations (water cut,
+    GOR, WGR) run the item-7 workover first: 'CON'/'+CON' close the
+    worst-offending connection(s) when per-connection rates are
+    available and the well has more than one open connection
+    (reference: WellInterface_impl.hpp updateWellTestStateEconomic).
+    """
     if last_rates is None:
-        return []
-    shut = []
+        return [], {}
+    shut: list[str] = []
+    closed: dict = {}
     prod = np.maximum(-last_rates, 0.0)
+    qp = (np.maximum(-np.asarray(q_perf), 0.0)
+          if q_perf is not None else None)
     for iw, w in enumerate(wells):
         if w.is_injector or w.status != "OPEN":
             continue
         orate = prod[iw, 1]
         wrate = prod[iw, 0]
         grate = prod[iw, 2]
+        q_conn = qp[iw] if qp is not None and iw < qp.shape[0] else None
         if w.econ_min_oil is not None and 0 < orate < w.econ_min_oil:
             w.status = "SHUT"
             shut.append(w.name)
@@ -337,14 +402,22 @@ def apply_econ_limits(wells: list, last_rates: np.ndarray | None) -> list[str]:
             continue
         if (w.econ_max_wct is not None and orate + wrate > 0
                 and wrate / (orate + wrate) > w.econ_max_wct):
-            w.status = "SHUT"
-            shut.append(w.name)
+            if not _do_workover(w, q_conn, "wct", closed):
+                w.status = "SHUT"
+                shut.append(w.name)
             continue
         if (getattr(w, "econ_max_gor", None) is not None and orate > 0
                 and grate / orate > w.econ_max_gor):
-            w.status = "SHUT"
-            shut.append(w.name)
-    return shut
+            if not _do_workover(w, q_conn, "gor", closed):
+                w.status = "SHUT"
+                shut.append(w.name)
+            continue
+        if (getattr(w, "econ_max_wgr", None) is not None and wrate > 0
+                and grate / wrate > w.econ_max_wgr):
+            if not _do_workover(w, q_conn, "wgr", closed):
+                w.status = "SHUT"
+                shut.append(w.name)
+    return shut, closed
 
 
 def apply_assignments(ws, assigns: dict):

@@ -365,3 +365,106 @@ TSTEP"""
     assert g["guiderat"]["allow_increase"] is False
     assert g["guiderat"]["damping"] == 0.75
     assert g["wgrupcon"]["PROD"]["guide_rate"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# WECON item-7 workover: CON / +CON close the worst-offending connection
+# instead of shutting the well (reference: WellInterface_impl.hpp
+# updateWellTestStateEconomic -> worstOffendingCompletion; VERDICT
+# round-1 weak item 7)
+# ---------------------------------------------------------------------------
+
+_WORKOVER_DECK = """RUNSPEC
+DIMENS
+ 10 1 2 /
+OIL
+WATER
+METRIC
+START
+ 1 'JAN' 2020 /
+GRID
+DX
+ 20*20 /
+DY
+ 20*20 /
+DZ
+ 20*5 /
+TOPS
+ 10*1000 10*1005 /
+PORO
+ 20*0.25 /
+PERMX
+ 20*500 /
+PROPS
+PVTW
+ 200 1.02 4.0E-5 0.5 0 /
+PVDO
+ 100 1.05 2.0
+ 400 1.02 2.0 /
+ROCK
+ 200 4E-5 /
+SWOF
+ 0.15 0.00  0.90 0
+ 0.50 0.20  0.30 0
+ 0.85 0.60  0.0  0
+ 1.00 1.00  0.0  0 /
+DENSITY
+ 850 1000 1 /
+SOLUTION
+PRESSURE
+ 20*200 /
+SWAT
+ 10*0.15 10*0.80 /
+SUMMARY
+FOPR
+SCHEDULE
+WELSPECS
+ 'P1' 'G' 10 1 1000 'OIL' /
+/
+COMPDAT
+ 'P1' 10 1 1 2 'OPEN' 1* 1* 0.2 /
+/
+WCONPROD
+ 'P1' 'OPEN' 'LRAT' 2* 1* 60 1* 100 /
+/
+WECON
+ 'P1' 2* 0.40 2* '{workover}' /
+/
+TSTEP
+ 5 10 10 10 /
+END
+"""
+
+
+def _run_workover(tmp_path, workover):
+    p = tmp_path / f"WO_{workover.replace('+', 'P')}.DATA"
+    p.write_text(_WORKOVER_DECK.format(workover=workover))
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    sim.run()
+    return sim
+
+
+def test_wecon_con_workover_closes_worst_connection(tmp_path):
+    """The bottom (water-leg) connection violates the 0.40 water-cut
+    limit; 'CON' closes it and the well keeps producing oil."""
+    sim = _run_workover(tmp_path, "CON")
+    closed = sim._closed_conns.get("P1")
+    assert closed, "workover should have closed a connection"
+    # the worst connection is the bottom one (k=1, 0-based) in the
+    # water-swept layer
+    assert (9, 0, 1) in closed
+    assert "P1" not in sim._shut_wells
+    # the well still produces oil after the workover
+    assert sim.summary.rows[-1]["WOPR:P1"] > 0
+    # water cut improves once the watered-out connection is gone
+    wct_first = sim.summary.rows[0]["WWCT:P1"]
+    wct_last = sim.summary.rows[-1]["WWCT:P1"]
+    assert wct_last < wct_first
+
+
+def test_wecon_well_shut_without_workover(tmp_path):
+    """Same deck with workover NONE: the whole well shuts (the round-1
+    behavior) — documents the CON delta."""
+    sim = _run_workover(tmp_path, "NONE")
+    assert "P1" in sim._shut_wells
+    assert not sim._closed_conns.get("P1")
