@@ -277,9 +277,11 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         trans=np.concatenate(transs),
         axis=np.concatenate(axes),
     )
-    from opm_autodiff_tpu.grid.geometry import append_nnc, compute_face_thpres
+    from opm_autodiff_tpu.grid.geometry import (append_nnc, apply_editnnc,
+                                                compute_face_thpres)
 
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    apply_editnnc(faces, state, glob_to_act, (nx, ny))
     compute_face_thpres(faces, state, act_to_glob)
 
     # effective dx/dy/dz for Peaceman and output: from corner spans

@@ -157,6 +157,7 @@ def build_geometry(state: EclState) -> Geometry:
         axis=np.concatenate(axes),
     )
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    apply_editnnc(faces, state, glob_to_act, (nx, ny))
     faces = _apply_numerical_aquifers(state, glob_to_act, (nx, ny),
                                       pore_vol, depth, volume, permx,
                                       dx, dy, dz, faces)
@@ -293,6 +294,37 @@ def compute_face_thpres(faces: FaceList, state, geo_act_to_glob) -> None:
     for (r1, r2), dp in table.items():
         sel = (rl == r1) & (rr == r2)
         faces.thpres[sel] = dp
+
+
+def apply_editnnc(faces: FaceList, state, glob_to_act, nxy) -> None:
+    """EDITNNC transmissibility multipliers: scale any connection
+    joining the two named cells — explicit NNC faces and generated
+    cross-pillar/fault connections alike (reference:
+    ecltransmissibility.cc applyEditNncToGridTrans_)."""
+    edits = getattr(state, "editnnc", None)
+    if not edits:
+        return
+    import numpy as _np
+
+    nx, ny = nxy
+    table: dict = {}
+    for (i1, j1, k1), (i2, j2, k2), m in edits:
+        a = glob_to_act[i1 + nx * (j1 + ny * k1)]
+        b = glob_to_act[i2 + nx * (j2 + ny * k2)]
+        if a < 0 or b < 0:
+            continue
+        key = (min(a, b), max(a, b))
+        # repeated records accumulate multiplicatively (reference
+        # EDITNNC semantics: each record scales the current value)
+        table[key] = table.get(key, 1.0) * m
+    if not table:
+        return
+    lo = _np.minimum(faces.left, faces.right)
+    hi = _np.maximum(faces.left, faces.right)
+    for (a, b), m in table.items():
+        sel = (lo == a) & (hi == b)
+        if sel.any():
+            faces.trans[sel] *= m
 
 
 def append_nnc(faces: FaceList, state, glob_to_act, nxy) -> FaceList:

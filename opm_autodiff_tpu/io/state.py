@@ -309,6 +309,10 @@ class EclState:
     vfp_prod_records: list = dataclasses.field(default_factory=list)
     vfp_inj_records: list = dataclasses.field(default_factory=list)
     nnc: list = dataclasses.field(default_factory=list)  # (ijk1, ijk2, trans SI)
+    # EDITNNC multipliers: (ijk1, ijk2, mult) applied to any connection
+    # joining the two cells (reference: ecltransmissibility.cc
+    # applyEditNncToGridTrans_)
+    editnnc: list = dataclasses.field(default_factory=list)
     thpres: list = dataclasses.field(default_factory=list)  # (r1, r2, dp SI)
 
     @property
@@ -1525,6 +1529,14 @@ def build_state(deck: Deck) -> EclState:
                         (int(item(r, 3, 1)) - 1, int(item(r, 4, 1)) - 1,
                          int(item(r, 5, 1)) - 1),
                         float(item(r, 6, 0.0)) * u.transmissibility))
+    editnnc = []
+    for kw in deck.get("EDITNNC"):
+        for r in kw.records:
+            editnnc.append(((int(item(r, 0, 1)) - 1, int(item(r, 1, 1)) - 1,
+                             int(item(r, 2, 1)) - 1),
+                            (int(item(r, 3, 1)) - 1, int(item(r, 4, 1)) - 1,
+                             int(item(r, 5, 1)) - 1),
+                            float(item(r, 6, 1.0))))
     thpres = []
     for kw in deck.get("THPRES"):
         for r in kw.records:
@@ -1537,7 +1549,7 @@ def build_state(deck: Deck) -> EclState:
                     udq_keywords=deck.get("UDQ"),
                     action_keywords=deck.get("ACTIONX"),
                     vfp_prod_records=vfp_prod, vfp_inj_records=vfp_inj,
-                    nnc=nnc, thpres=thpres)
+                    nnc=nnc, editnnc=editnnc, thpres=thpres)
 
 
 def load_state(path: str) -> EclState:

@@ -168,6 +168,55 @@ class Simulator:
         self._refresh_mob_mult()
 
     # ------------------------------------------------------------------
+    def _apply_default_thpres(self, ps):
+        """Defaulted THPRES thresholds from the equilibrated state.
+
+        Reference: EclThresholdPressure's restart of the defaulted
+        records (ebos/eclthresholdpressure.hh:183
+        computeDefaultThresholdPressures_ via computeMaxDp): a record
+        with the threshold left defaulted gets the MAXIMUM initial
+        phase-potential difference over the faces joining the two
+        EQLNUM regions, so equilibrated region pressure offsets do not
+        drive spurious flow. Explicit values are untouched
+        (grid/geometry.py compute_face_thpres)."""
+        pairs = getattr(self.state, "thpres", None)
+        if not pairs or not any(dp is None for (_, _, dp) in pairs):
+            return
+        eqlnum = self.state.regions.get("EQLNUM")
+        if eqlnum is None:
+            return
+        from opm_autodiff_tpu.models.blackoil import intensive
+
+        q = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(
+            self.fs, ps.u, ps.flag, self.cells.regs)
+        p = np.asarray(q.p)      # [N,3] phase pressures
+        rho = np.asarray(q.rho)  # [N,3]
+        f = self.geo.faces
+        L, R = np.asarray(f.left), np.asarray(f.right)
+        depth = np.asarray(self.geo.depth)
+        gdz = U.GRAVITY * (depth[L] - depth[R])
+        dphi = (p[L] - p[R]) - 0.5 * (rho[L] + rho[R]) * gdz[:, None]
+        maxd = np.abs(dphi).max(axis=1)  # [F]
+        eql_act = np.asarray(eqlnum)[self.geo.act_to_glob]
+        rl, rr = eql_act[L], eql_act[R]
+        changed = False
+        for r1, r2, dp in pairs:
+            if dp is not None:
+                continue
+            sel = ((rl == r1) & (rr == r2)) | ((rl == r2) & (rr == r1))
+            if not sel.any():
+                continue
+            f.thpres[sel] = float(maxd[sel].max())
+            changed = True
+        if changed:
+            # rebuild the device statics with the filled thresholds
+            self.cells, self.faces = statics_from_geometry(self.geo)
+            _, self.facelist = statics_from_geometry(self.geo,
+                                                     structured="never")
+            if self.poly is not None:
+                self.faces = self.facelist
+
+    # ------------------------------------------------------------------
     def _compute_acc0(self, u, flag):
         """Conserved-quantity sweep (4-wide under implicit polymer)."""
         if self.poly is not None:
@@ -193,6 +242,9 @@ class Simulator:
                 from opm_autodiff_tpu.models.init import apply_swatinit
                 ps, self._eps_host = apply_swatinit(
                     self.state, self.geo, self.fs, ps, self._eps_host)
+        # defaulted THPRES records: thresholds from the equilibrated
+        # potential differences (rebuilds the device statics if filled)
+        self._apply_default_thpres(ps)
         # hysteresis: EHYSTR + IMBNUM append sg_max/IMBNUM channels
         self._hysteresis = ("EHYSTR" in getattr(self.state, "flags", ())
                             or self.state.regions.get("IMBNUM") is not None)

@@ -95,3 +95,48 @@ def test_thpres_blocks_small_gradient(tmp_path):
     # injection at cell 0 pressurizes region 1; the threshold damps what
     # crosses into region 2
     assert rise_blocked < rise_open - 1.0
+
+
+def test_thpres_defaulted_from_equilibration(tmp_path):
+    """A THPRES record with the threshold defaulted gets the maximum
+    initial phase-potential difference across the region boundary
+    (reference: eclthresholdpressure.hh:183
+    computeDefaultThresholdPressures_), so two-region equilibration
+    offsets do not drive spurious flow."""
+    eql = "REGIONS\nEQLNUM\n 3*1 3*2 /\n"
+    thp = "THPRES\n 1 2 /\n/\n"
+    path = _deck(tmp_path, extra_sol=thp, regions=eql)
+    # second EQUIL record: region 2 sits 100 psi higher at datum
+    text = open(path).read().replace(
+        "EQUIL\n 8400 4800 8500 0 8200 0 1 0 0 /",
+        "EQUIL\n 8400 4800 8500 0 8200 0 1 0 0 /\n"
+        " 8400 4900 8500 0 8200 0 1 0 0 /")
+    open(path, "w").write(text)
+
+    sim = Simulator(load_state(path), SimulatorOptions())
+    f = sim.geo.faces
+    i = np.nonzero((f.left == 2) & (f.right == 3))[0][0]
+    # flat single-layer grid: the max potential difference is the datum
+    # offset (plus small capillary/density detail)
+    assert f.thpres[i] == pytest.approx(100 * U.PSI, rel=0.15)
+    # the device statics carry the filled threshold too
+    import jax.numpy as jnp
+    emb = sim.faces
+    thr = (np.asarray(emb.ex_thpres)
+           if hasattr(emb, "ex_thpres") and emb.ex_thpres is not None
+           else np.asarray(sim.facelist.thpres))
+    assert np.max(thr) == pytest.approx(f.thpres[i], rel=1e-12)
+
+
+def test_editnnc_scales_nnc_trans(tmp_path):
+    """EDITNNC multiplies the transmissibility of the named NNC
+    (reference: ecltransmissibility.cc applyEditNncToGridTrans_);
+    repeated records accumulate multiplicatively."""
+    nnc = ("NNC\n 1 1 1 6 1 1 5.0 /\n/\n"
+           "EDITNNC\n 1 1 1 6 1 1 0.5 /\n 1 1 1 6 1 1 0.4 /\n/\n")
+    deck = _deck(tmp_path, extra_grid=nnc)
+    geo = build_geometry(load_state(deck))
+    f = geo.faces
+    i = np.nonzero(f.axis == 3)[0][0]
+    assert f.trans[i] == pytest.approx(
+        5.0 * 0.5 * 0.4 * U.FIELD.transmissibility)
