@@ -191,6 +191,10 @@ def main(argv=None) -> int:
 
             r_last = sim.summary.rows[-1]
             eb.write_rft_step(rft, sim, r_last["TIME"], unit_name)
+        # drain the deferred event log (reference: gatherDeferredLogger
+        # flush on the I/O rank once per step)
+        for line in sim.deferred.drain():
+            prt.line(line)
         r = sim.summary.rows[-1]
         srep = sim.report.steps[-1]
         prt.line(

@@ -142,6 +142,10 @@ class Simulator:
         self._shut_wells: dict = {}  # name -> shut time (days)
         # WECON CON/+CON workovers: name -> {(i,j,k)} closed connections
         self._closed_conns: dict = {}
+        # deterministic deferred event log (reference: DeferredLogger +
+        # gatherDeferredLogger); the CLI driver drains it into .PRT
+        from opm_autodiff_tpu.utils.deferred_logger import DeferredLogger
+        self.deferred = DeferredLogger()
         # group-control dynamic state across substeps (GroupState analog:
         # switched group modes, damped guide rates)
         self._group_memory: dict = {}
@@ -427,8 +431,12 @@ class Simulator:
             om[idxs] = False
             committed["ws"] = committed["ws"]._replace(
                 open_mask=jnp.asarray(om))
+            shut_names = [std_wells[i].name for i in idxs]
+            for nm in shut_names:
+                self.deferred.log_well_event(
+                    f"Well {nm} force-shut after repeated convergence "
+                    f"failures (dt below shut threshold)")
             if self.opts.verbose:
-                shut_names = [std_wells[i].name for i in idxs]
                 print(f"  force-shut problematic wells: {shut_names} "
                       f"(retrying substep)")
             fail_history.clear()
@@ -482,6 +490,14 @@ class Simulator:
                 vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
                 drift_vol=self._drift_vol, poly=self.poly)
 
+            if not rep.converged:
+                reason = ("non-finite/diverged iterate" if rep.failed
+                          else f"no convergence in {rep.iterations} "
+                               f"iterations (cnv={rep.cnv}, mb={rep.mb}, "
+                               f"well={rep.well_err:.2e})")
+                self.deferred.log_substep_failure(
+                    rstep.start_days + committed.get("t_off", 0.0),
+                    dt_seconds / 86400.0, reason)
             # track per-well failures for the problematic-well shut
             # fallback (reference: consistentlyFailingWells,
             # AdaptiveTimeSteppingEbos.hpp:680)
@@ -496,6 +512,17 @@ class Simulator:
 
             def commit():
                 p_old = committed["st"].u[:, 0]
+                # deferred event derivation: diff device state in fixed
+                # well/cell order (utils/deferred_logger.py)
+                t_here = rstep.start_days + committed.get("t_off", 0.0)
+                st_prev = committed["st"]
+                self.deferred.log_control_switches(
+                    self._std_well_names, st_prev.active_mode,
+                    st.active_mode, t_here)
+                self.deferred.log_flag_switches(st_prev.flag, st.flag,
+                                                t_here)
+                committed["t_off"] = (committed.get("t_off", 0.0)
+                                      + dt_seconds / 86400.0)
                 committed["st"] = st
                 if self.opts.drift_compensation and rep.residual is not None:
                     # capture drift = leftover residual x dt
@@ -594,8 +621,15 @@ class Simulator:
             getattr(self, "_last_q_perf", None))
         for name in newly_shut:
             self._shut_wells[name] = rstep.end_days
+            self.deferred.log_well_event(
+                f"Well {name} shut on WECON economic limits at day "
+                f"{rstep.end_days:.2f}")
         for name, conns in newly_closed.items():
             self._closed_conns.setdefault(name, set()).update(conns)
+            for ijk in conns:
+                self.deferred.log_well_event(
+                    f"Well {name} connection {tuple(x + 1 for x in ijk)} "
+                    f"closed by WECON workover at day {rstep.end_days:.2f}")
         self.summary.end_report_step(rstep.end_days, self._field_state(ws))
         # UDQ re-evaluation + ACTIONX triggers at the report boundary, in
         # DECK output units like the reference's SummaryState
