@@ -131,3 +131,56 @@ def test_embedded_topology_shards(actnum_problem):
     np.testing.assert_allclose(cnv8, cnv1, rtol=1e-5, atol=1e-12)
     np.testing.assert_allclose(q8, q1, rtol=1e-5)
     np.testing.assert_allclose(u8, u1, rtol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def spanning_well_problem():
+    """Producer perforated through ALL 16 z layers — every device's
+    z-slab owns some of the well's perforations. The reference needs
+    ParallelWellInfo (above_/below_ perf communication,
+    ParallelWellInfo.hpp) for this; in the GSPMD single-program design
+    the well arrays are replicated and the perf gathers/scatters into
+    the sharded cell arrays compile to collectives. This fixture is the
+    evidence that the component is genuinely subsumed, not missing."""
+    import os
+    import tempfile
+
+    from opm_autodiff_tpu.grid import build_geometry
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.models.blackoil import (accumulation,
+                                                  statics_from_geometry)
+    from opm_autodiff_tpu.models.init import equilibrate
+    from opm_autodiff_tpu.props import FluidSystem
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+    from opm_autodiff_tpu.wells import build_wellset
+
+    nx, ny, nz = 6, 5, 16
+    path = os.path.join(tempfile.mkdtemp(), "SPE1W.DATA")
+    write_spe1_deck(path, nx, ny, nz)
+    txt = open(path).read()
+    txt = txt.replace(f"'PROD' {nx} {ny} {nz} {nz} 'OPEN'",
+                      f"'PROD' {nx} {ny} 1 {nz} 'OPEN'")
+    open(path, "w").write(txt)
+    state = load_state(path)
+    geo = build_geometry(state)
+    fs = FluidSystem.from_state(state)
+    cells, faces = statics_from_geometry(geo)
+    init = equilibrate(state, geo, fs)
+    ws = build_wellset(geo, state.schedule.steps[0].wells)
+    acc0 = jax.vmap(accumulation, in_axes=(None, 0, 0, 0))(
+        fs, init.u, init.flag, cells.pore_vol_ref)
+    pbh = init.u[ws.cell[:, 0], 0] + jnp.where(ws.is_injector, 1e5, -1e5)
+    return state, geo, fs, cells, faces, init, ws, acc0, pbh
+
+
+def test_distributed_well_spans_all_slabs(spanning_well_problem):
+    """A well whose perforations live on every device matches the
+    single-device answer (ParallelWellInfo subsumption evidence)."""
+    ws = spanning_well_problem[6]
+    # the producer really is perforated in all 16 layers
+    assert int(np.asarray(ws.perf_mask).sum(axis=1).max()) == 16
+    u1, q1, cnv1 = _run(spanning_well_problem, mesh=None)
+    u8, q8, cnv8 = _run(spanning_well_problem, mesh=make_mesh(8))
+    np.testing.assert_allclose(cnv8, cnv1, rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(q8, q1, rtol=1e-5)
+    np.testing.assert_allclose(u8, u1, rtol=5e-3)
