@@ -70,6 +70,12 @@ def linear_solver_overrides(conf: str) -> dict:
                                     "flexgmres": "fgmres",
                                     "loopsolver": "bicgstab"}.get(
                 str(tree["solver"]).lower(), "bicgstab")
+        # reference setup-reuse ladder (ISTLSolverEbos.hpp:401-426):
+        # any nonzero reuse level maps to our per-substep reuse
+        if "reuse_setup" in tree:
+            out["linear_setup_reuse"] = ("substep"
+                                         if int(tree["reuse_setup"])
+                                         else "never")
         prec = tree.get("preconditioner")
         if isinstance(prec, dict):
             ptype = str(prec.get("type", "ilu0")).lower()

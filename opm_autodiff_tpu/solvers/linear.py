@@ -267,7 +267,8 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                  tol: float = 1e-2, maxiter: int = 200,
                  dtype=None, precond: str = "jacobi",
                  cpr_inner_iters: int = 12,
-                 method: str | None = None) -> LinearSolveResult:
+                 method: str | None = None,
+                 setup=None, want_setup: bool = False):
     """Solve J dx = b (default b = -residual) with block-Jacobi BiCGStab.
 
     ``extra_matvec(x)`` adds terms to J@x — the well Schur complement
@@ -281,6 +282,16 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
     residual error. The reference contemplated the same trade
     (BlackoilModelEbos.hpp:330). To scale the system for f32 range, rows
     are equilibrated by the inf-norm of their diagonal block first.
+
+    Setup reuse (reference: FlowLinearSolverParameters
+    linear_solver_reuse-style policies + the CPR reuse ladder,
+    ISTLSolverEbos.hpp:401-426): pass ``setup`` (a factorization pytree
+    returned by an earlier call with ``want_setup=True``) to skip the
+    preconditioner build and apply the stale factors — valid because a
+    preconditioner need not track the Jacobian exactly, only stay
+    spectrally close. Reusable for zline/ilu0/jacobi; the cpr variants
+    always rebuild (their coarse hierarchy closes over the system).
+    With ``want_setup``, returns (result, setup_pytree_or_None).
     """
     if b is None:
         b = -sys.residual
@@ -319,6 +330,7 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                    % (mesh.devices.size * scaled.x_lr.shape[1]
                       * (scaled.x_lr.shape[2] + 1)) == 0)
         prec = None
+        setup_out = None
         if sharded:
             # multi-chip: shard_mapped SpMV (per-matvec x halo exchange)
             # + per-slab Schwarz z-line (parallel/shard_kernels.py)
@@ -334,8 +346,10 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                         jnp.einsum("fij,fj->fi", _s.ex_rl, y[_s.ex_left]))
                     return z
             if precond == "zline":
-                fact = sk.prepare_zline_sharded(mesh, scaled)
+                fact = (setup if setup is not None
+                        else sk.prepare_zline_sharded(mesh, scaled))
                 prec = partial(sk.zline_apply_sharded, mesh, fact)
+                setup_out = fact
         elif isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
             prep = pallas_spmv.prepare_banded(scaled)
             if scaled.ex_left is None:
@@ -353,8 +367,10 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                 # and full-f32 where XLA's einsum rounds through bf16)
                 from opm_autodiff_tpu.ops import pallas_zline
 
-                fact = pallas_zline.prepare_zline(prep)
+                fact = (setup if setup is not None
+                        else pallas_zline.prepare_zline(prep))
                 prec = partial(pallas_zline.zline_apply_pallas, fact)
+                setup_out = fact
         else:
             base_mv = partial(system_matvec, scaled)
 
@@ -366,16 +382,14 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
             return z
 
         if prec is None:
-            inv_diag = invert_blocks(scaled.diag)
-            prec = _make_precond(precond, scaled, inv_diag,
-                                 cpr_inner_iters)
+            prec, setup_out = _setup_and_precond(precond, scaled,
+                                                 cpr_inner_iters, setup)
         res = _run(method, matvec, prec, b_s, tol, maxiter)
-        return LinearSolveResult(x=res.x.astype(f64) * col64,
-                                 iterations=res.iterations,
-                                 rel_residual=res.rel_residual.astype(f64),
-                                 converged=res.converged)
-
-    inv_diag = invert_blocks(sys.diag)
+        out = LinearSolveResult(x=res.x.astype(f64) * col64,
+                                iterations=res.iterations,
+                                rel_residual=res.rel_residual.astype(f64),
+                                converged=res.converged)
+        return (out, setup_out) if want_setup else out
 
     def matvec(x):
         y = system_matvec(sys, x)
@@ -383,8 +397,10 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
             y = y + extra_matvec(x)
         return y
 
-    prec = _make_precond(precond, sys, inv_diag, cpr_inner_iters)
-    return _run(method, matvec, prec, b, tol, maxiter)
+    prec, setup_out = _setup_and_precond(precond, sys, cpr_inner_iters,
+                                         setup)
+    res = _run(method, matvec, prec, b, tol, maxiter)
+    return (res, setup_out) if want_setup else res
 
 
 def _run(method: str, matvec, prec, b, tol, maxiter):
@@ -397,6 +413,37 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
     if method == "bicgstab":
         return bicgstab(matvec, prec, b, tol=tol, maxiter=maxiter)
     raise ValueError(f"unknown method {method!r}")
+
+
+def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup):
+    """Build (or reuse) the preconditioner setup for ``name``.
+
+    Returns (apply_fn, reusable_setup_or_None). The zline / ilu0 /
+    jacobi factorizations are plain array pytrees and can be carried
+    across Newton iterations (reference setup-reuse policies,
+    ISTLSolverEbos.hpp:401-426); the cpr variants close over the system
+    and always rebuild (setup None).
+    """
+    from opm_autodiff_tpu.models.structured import StructuredSystem
+
+    eff = name
+    if eff == "zline" and not isinstance(sys, StructuredSystem):
+        eff = "ilu0"
+    if eff == "ilu0" and isinstance(sys, StructuredSystem):
+        eff = "zline"
+    if eff == "zline":
+        fact = setup if setup is not None else build_zline(sys)
+        return partial(zline_apply, fact), fact
+    if eff == "ilu0":
+        from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
+
+        fact = setup if setup is not None else build_cpilu0(sys)
+        return partial(cpilu0_apply, fact), fact
+    if eff == "jacobi":
+        fact = setup if setup is not None else invert_blocks(sys.diag)
+        return partial(block_jacobi_apply, fact), fact
+    inv_diag = invert_blocks(sys.diag)
+    return _make_precond(name, sys, inv_diag, cpr_inner_iters), None
 
 
 def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):

@@ -63,6 +63,12 @@ class NewtonParams:
     # to block-Jacobi on unstructured (BSR) layouts
     linear_precond: str = "zline"   # "zline" | "jacobi" | "cpr" | "cpramg"
     linear_method: str | None = None  # None = auto (bicgstab/fgmres)
+    # preconditioner setup reuse (reference reuse policies,
+    # ISTLSolverEbos.hpp:401-426): "never" rebuilds the factorization
+    # every Newton iteration; "substep" builds it at iteration 0 and
+    # applies the stale factors for the rest of the substep
+    # (zline/ilu0/jacobi only; cpr variants always rebuild)
+    linear_setup_reuse: str = "never"
     # active phases (static): inactive phases get their equation pinned
     # to the identity (the reference compiles per-phase-set variants,
     # flow/flow_ebos_{gasoil,oilwater,...}.cpp; one masked trace here)
@@ -83,6 +89,10 @@ class NewtonState(NamedTuple):
     # reference StandardWell.hpp:126-133). None selects the 1-DOF
     # Peaceman research-well path; when present, pbh == xw[:,3]
     xw: jnp.ndarray | None = None
+    # carried preconditioner factorization when
+    # NewtonParams.linear_setup_reuse == "substep" (pytree of arrays;
+    # None at the first iteration of each substep)
+    lin_setup: object = None
 
 
 class IterationInfo(NamedTuple):
@@ -553,11 +563,17 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     else:
         rhs = -residual + w_api.schur_rhs(residual, wr, ws_sys)
         extra_mv = partial(w_api.schur_matvec, wr, ws_sys)
+    reuse = params.linear_setup_reuse == "substep"
     lin = solve_linear(sys, rhs,
                        extra_matvec=extra_mv,
                        tol=params.linear_tol, maxiter=params.linear_maxiter,
                        precond=params.linear_precond,
-                       method=params.linear_method)
+                       method=params.linear_method,
+                       setup=st.lin_setup if reuse else None,
+                       want_setup=reuse)
+    lin_setup_out = None
+    if reuse:
+        lin, lin_setup_out = lin
     dx = lin.x
     # a diverged/NaN linear solve is a hard iteration failure (the
     # reference throws LinearSolverProblem and the timestepper chops;
@@ -608,7 +624,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                          linear_ok=lin.converged,
                          well_err_by_well=well_err_vec)
     new_st = NewtonState(u=u_new, flag=flag_new, pbh=pbh_new,
-                         active_mode=mode, msw_x=msw_x_new, xw=xw_new)
+                         active_mode=mode, msw_x=msw_x_new, xw=xw_new,
+                         lin_setup=lin_setup_out)
     return new_st, info, (q_tot, wr.q_perf, q_msw, residual_act), q_aq
 
 
@@ -653,6 +670,8 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     last_q_perf = None
     last_q_aq = None
     last_q_msw = None
+    # setup reuse is per-substep: iteration 0 always (re)builds
+    st = st._replace(lin_setup=None)
     if aq is None:
         aq = empty_device()
     # oscillation detection over the per-phase CNV history (reference:
@@ -705,6 +724,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
         werr = (np.asarray(info.well_err_by_well)
                 if info.well_err_by_well is not None else None)
         if failed:
+            st = st._replace(lin_setup=None)
             return st, NewtonReport(False, it, total_lin, True,
                                     np.asarray(info.cnv),
                                     np.asarray(info.mb),
@@ -712,12 +732,14 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         if conv:
             # carry over any control-mode change from the last assembly
-            st = st._replace(active_mode=new_st.active_mode)
+            st = st._replace(active_mode=new_st.active_mode,
+                             lin_setup=None)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
                                     float(info.well_err), last_res, werr), \
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         st = new_st
+    st = st._replace(lin_setup=None)
     werr = (np.asarray(info.well_err_by_well)
             if info.well_err_by_well is not None else None)
     return st, NewtonReport(False, params.max_iter, total_lin, False,
