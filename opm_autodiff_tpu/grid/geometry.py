@@ -38,6 +38,14 @@ class FaceList:
     trans: np.ndarray  # [nf] f64, SI (m^3)
     axis: np.ndarray   # [nf] int8: 0=X, 1=Y, 2=Z, 3=NNC
     thpres: np.ndarray | None = None  # [nf] threshold pressure (Pa)
+    # thermal half-transmissibilities A/d [m] of the left/right halves
+    # (reference: ecltransmissibility.cc thermalHalfTrans_ — geometric
+    # only, no permeability or MULT*; the energy module multiplies by
+    # each cell's THCONR and combines harmonically). None on layouts
+    # that have not been extended (models/thermal.py then falls back to
+    # the trans/k_face approximation).
+    th_left: np.ndarray | None = None
+    th_right: np.ndarray | None = None
 
     @property
     def num_faces(self) -> int:
@@ -115,14 +123,23 @@ def build_geometry(state: EclState) -> Geometry:
     hy = _half_trans(g.permy, g.dx * g.dz * g.ntg, g.dy / 2)
     hz = _half_trans(g.permz, g.dx * g.dy, g.dz / 2)
 
+    # thermal (geometric) half-transmissibilities A/d — no perm, no
+    # MULT*, NTG on X/Y areas (reference: ecltransmissibility.cc
+    # thermalHalfTrans_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = np.nan_to_num(g.dy * g.dz * g.ntg / (g.dx / 2))
+        ty = np.nan_to_num(g.dx * g.dz * g.ntg / (g.dy / 2))
+        tz = np.nan_to_num(g.dx * g.dy / (g.dz / 2))
+
     shape = (nz, ny, nx)
     act3 = act_mask.reshape(shape)
 
-    lefts, rights, transs, axes = [], [], [], []
+    lefts, rights, transs, axes, th_ls, th_rs = [], [], [], [], [], []
 
-    def add_faces(axis_id, h, mult_pos, mult_neg, np_axis):
+    def add_faces(axis_id, h, th, mult_pos, mult_neg, np_axis):
         """Faces along numpy axis `np_axis` of the (nz,ny,nx) view."""
         h3 = h.reshape(shape)
+        th3 = th.reshape(shape)
         mp3 = mult_pos.reshape(shape)
         mn3 = mult_neg.reshape(shape)
         sl_l = [slice(None)] * 3
@@ -143,18 +160,22 @@ def build_geometry(state: EclState) -> Geometry:
         rights.append(glob_to_act[gr[keep]])
         transs.append(t[keep])
         axes.append(np.full(keep.sum(), axis_id, np.int8))
+        th_ls.append(th3[sl_l][both][keep])
+        th_rs.append(th3[sl_r][both][keep])
 
     ones = np.ones(n)
     # MULT*- keywords default to 1 (not parsed yet -> ones)
-    add_faces(0, hx, g.multx, ones, 2)  # X neighbors: last numpy axis
-    add_faces(1, hy, g.multy, ones, 1)
-    add_faces(2, hz, g.multz, ones, 0)
+    add_faces(0, hx, tx, g.multx, ones, 2)  # X neighbors: last numpy axis
+    add_faces(1, hy, ty, g.multy, ones, 1)
+    add_faces(2, hz, tz, g.multz, ones, 0)
 
     faces = FaceList(
         left=np.concatenate(lefts).astype(np.int32),
         right=np.concatenate(rights).astype(np.int32),
         trans=np.concatenate(transs),
         axis=np.concatenate(axes),
+        th_left=np.concatenate(th_ls),
+        th_right=np.concatenate(th_rs),
     )
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
     apply_editnnc(faces, state, glob_to_act, (nx, ny))
@@ -269,6 +290,11 @@ def _apply_numerical_aquifers(state, glob_to_act, nxy, pore_vol, depth,
         trans=np.concatenate([faces.trans, np.asarray(transs)]),
         axis=np.concatenate([faces.axis,
                              np.full(len(lefts), 3, np.int8)]),
+        # appended connections conduct no heat (zero thermal halves)
+        th_left=(np.concatenate([faces.th_left, np.zeros(len(lefts))])
+                 if faces.th_left is not None else None),
+        th_right=(np.concatenate([faces.th_right, np.zeros(len(lefts))])
+                  if faces.th_right is not None else None),
     )
 
 
@@ -354,6 +380,12 @@ def append_nnc(faces: FaceList, state, glob_to_act, nxy) -> FaceList:
         trans=_np.concatenate([faces.trans, _np.asarray(transs)]),
         axis=_np.concatenate([faces.axis,
                               _np.full(len(lefts), 3, _np.int8)]),
+        th_left=(_np.concatenate([faces.th_left,
+                                  _np.zeros(len(lefts))])
+                 if faces.th_left is not None else None),
+        th_right=(_np.concatenate([faces.th_right,
+                                   _np.zeros(len(lefts))])
+                  if faces.th_right is not None else None),
     )
 
 

@@ -95,13 +95,28 @@ class ThermalModel:
                 * u.energy / (u.length * u.time * u.temperature_scale)
         else:
             k_cond = np.full(n, 2.0)  # W/m/K typical rock
-        permx = np.maximum(np.asarray(geo.permx), 1e-20)
         fl = np.asarray(faces.left)
         fr = np.asarray(faces.right)
-        k_face = 2.0 / (1.0 / permx[fl] + 1.0 / permx[fr])
-        kc_face = 0.5 * (k_cond[fl] + k_cond[fr])
-        self.cond_trans = jnp.asarray(
-            np.asarray(faces.trans) / k_face * kc_face)
+        th_l = getattr(geo.faces, "th_left", None)
+        if th_l is not None and len(th_l) == len(fl):
+            # exact thermal half-transmissibilities (reference:
+            # ecltransmissibility.cc thermalHalfTrans_ — geometric A/d
+            # halves x each cell's conductivity, combined harmonically)
+            hl = np.asarray(th_l) * k_cond[fl]
+            hr = np.asarray(geo.faces.th_right) * k_cond[fr]
+            with np.errstate(divide="ignore"):
+                t_cond = np.where((hl > 0) & (hr > 0),
+                                  hl * hr / np.maximum(hl + hr, 1e-300),
+                                  0.0)
+            self.cond_trans = jnp.asarray(t_cond)
+        else:
+            # fallback (corner-point): recover A/d from the Darcy trans
+            # divided by the harmonic permeability
+            permx = np.maximum(np.asarray(geo.permx), 1e-20)
+            k_face = 2.0 / (1.0 / permx[fl] + 1.0 / permx[fr])
+            kc_face = 0.5 * (k_cond[fl] + k_cond[fr])
+            self.cond_trans = jnp.asarray(
+                np.asarray(faces.trans) / k_face * kc_face)
         self._c_old = None
 
     # ------------------------------------------------------------------
