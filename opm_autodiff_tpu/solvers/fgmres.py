@@ -32,7 +32,10 @@ def fgmres(matvec: Callable, precond: Callable, b: jnp.ndarray,
     m = restart
 
     bnorm = jnp.linalg.norm(bf)
-    target = tol * jnp.where(bnorm > 0, bnorm, 1.0)
+    # absolute floor like solvers/linear.bicgstab: a ~zero equilibrated
+    # rhs means dx = 0 is the converged answer; iterating underflows f32
+    target = jnp.maximum(tol * jnp.where(bnorm > 0, bnorm, 1.0),
+                         jnp.asarray(1e-25, bf.dtype))
 
     def mv(x):
         return matvec(x.reshape(shape)).reshape(-1)

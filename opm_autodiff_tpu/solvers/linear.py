@@ -158,7 +158,11 @@ def bicgstab(matvec: Callable, precond: Callable, b: jnp.ndarray,
         r0 = b - matvec(x0)
     bnorm = jnp.sqrt(jnp.real(_dot(b, b)))
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
-    target = tol * bnorm
+    # absolute floor: an (equilibrated) rhs this small means the Newton
+    # iterate is already converged — dx = 0 is the correct step, and
+    # iterating would only break down on f32-underflowed dot products
+    # (dune-istl's solvers likewise accept on the initial defect)
+    target = jnp.maximum(tol * bnorm, jnp.asarray(1e-25, b.dtype))
 
     eps_breakdown = 1e-140
 

@@ -216,15 +216,20 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
     # reference's phase-presence switching conditions)
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
     to_rs = is_sg & (x3_new < 0.0) & gas_on & (1.0 - sw_new > 1e-6)
-    # SG cell whose So went negative (VAPOIL): oil vaporizes -> RV
+    # SG cell whose So went negative (VAPOIL): oil vaporizes -> RV —
+    # but only while gas is actually present: a water-only cell (sw ~ 1,
+    # sg ~ 0) in the RV state has a zero Rv Jacobian column (every
+    # Rv-coupled term rides sg) and the diagonal block goes singular
     to_rv = is_sg & ~to_rs & (1.0 - sw_new - x3_new < 0.0) & gas_on \
-        & fs.wet_gas
+        & fs.wet_gas & (1.0 - sw_new > 1e-6)
     # RS cell whose Rs exceeds saturation (free gas appears) or whose
     # oil disappeared (water swept the cell) -> SG
     to_sg_rs = is_rs & ((x3_new > rs_sat_new)
                         | (1.0 - sw_new <= 1e-6)) & gas_on
-    # RV cell whose Rv exceeds saturation: oil condenses -> SG
-    to_sg_rv = is_rv & (x3_new > rv_sat_new) & gas_on
+    # RV cell whose Rv exceeds saturation (oil condenses) or whose gas
+    # disappeared (water swept the cell) -> SG
+    to_sg_rv = is_rv & ((x3_new > rv_sat_new)
+                        | (1.0 - sw_new <= 1e-6)) & gas_on
 
     flag_new = jnp.where(
         to_rs, FLAG_RS,
@@ -723,19 +728,23 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                   f"lin={int(info.linear_iters)}")
         werr = (np.asarray(info.well_err_by_well)
                 if info.well_err_by_well is not None else None)
-        if failed:
-            st = st._replace(lin_setup=None)
-            return st, NewtonReport(False, it, total_lin, True,
-                                    np.asarray(info.cnv),
-                                    np.asarray(info.mb),
-                                    float(info.well_err), last_res, werr), \
-                (last_q, last_q_perf, last_q_msw), last_q_aq
+        # convergence is evaluated on the ASSEMBLED (pre-update)
+        # residual, so it takes precedence over a failed update: a
+        # converged state stands even when the (unnecessary) linear
+        # solve broke down on its near-zero rhs
         if conv:
             # carry over any control-mode change from the last assembly
             st = st._replace(active_mode=new_st.active_mode,
                              lin_setup=None)
             return st, NewtonReport(True, it, total_lin, False,
                                     np.asarray(info.cnv), np.asarray(info.mb),
+                                    float(info.well_err), last_res, werr), \
+                (last_q, last_q_perf, last_q_msw), last_q_aq
+        if failed:
+            st = st._replace(lin_setup=None)
+            return st, NewtonReport(False, it, total_lin, True,
+                                    np.asarray(info.cnv),
+                                    np.asarray(info.mb),
                                     float(info.well_err), last_res, werr), \
                 (last_q, last_q_perf, last_q_msw), last_q_aq
         st = new_st
