@@ -62,14 +62,28 @@ def supports(fs, cells) -> bool:
     Hysteresis (eps channels beyond 12) keeps the XLA path — the
     Killough scanning model is not in the kernel.
     """
-    from opm_autodiff_tpu.props.pvt import DryGasPvt, LiveOilPvt
+    from opm_autodiff_tpu.props.pvt import (DryGasPvt, LiveOilPvt,
+                                            WetGasPvt)
 
     if not isinstance(fs.oil, LiveOilPvt):
         return False
-    if not isinstance(fs.gas, DryGasPvt):
+    if isinstance(fs.gas, DryGasPvt):
+        if fs.gas.inv_b_mu_tab is None:
+            return False  # hand-built tables without the 1/(B mu) banks
+    elif isinstance(fs.gas, WetGasPvt):
+        # wet gas (PVTG, the true-Norne configuration): needs the 2-D
+        # undersaturated banks + static line counts, and the unrolled
+        # 2-D jet size bound like PVTO below
+        if (fs.gas.usat_rv is None or fs.gas.usat_inv_b_mu is None
+                or fs.gas.usat_np is None):
+            return False
+        if (int(fs.gas.p.shape[0]) * int(fs.gas.p.shape[1])
+                * int(fs.gas.usat_rv.shape[2]) > 1024):
+            return False
+    else:
         return False
-    if fs.oil.inv_b_mu_sat is None or fs.gas.inv_b_mu_tab is None:
-        return False  # hand-built tables without the 1/(B mu) banks
+    if fs.oil.inv_b_mu_sat is None:
+        return False
     if cells.eps is not None and cells.eps.shape[-1] != 12:
         return False  # hysteresis channels
     sat = fs.sat
@@ -359,8 +373,15 @@ def _make_kernel(cfg: dict):
         eps_ref = next(it) if has_eps else None
         (sw_n, krw_v, krow_v, pcow_v,
          sg_n, krg_v, krog_v, pcog_v,
-         psat_n, rs_v, invb_v, ibmusat_v, up_v, ub_v, ubm_v,
-         pg_n, invbg_v, ibmug_v) = [next(it) for _ in range(18)]
+         psat_n, rs_v, invb_v, ibmusat_v, up_v, ub_v, ubm_v) = \
+            [next(it) for _ in range(15)]
+        if cfg.get("wetgas"):
+            # PVTG banks: pressure nodes, saturated Rv, per-line 2-D
+            # rows (rv / 1/Bg / 1/(Bg mu))
+            pg_n, rvsat_v, urv_v, ugb_v, ugbm_v = \
+                [next(it) for _ in range(5)]
+        else:
+            pg_n, invbg_v, ibmug_v = [next(it) for _ in range(3)]
         wsc_ref = next(it)   # [5*Rw] p_ref/inv_b/comp/mu/visco
         rk_ref = next(it)    # [2*Rr] p_ref/comp
         rho_ref = next(it)   # [3*Rd] rho_w/rho_o/rho_g
@@ -390,9 +411,15 @@ def _make_kernel(cfg: dict):
         flag = flag_ref[0, 0]
         is_sg = flag == 0
         is_rs = flag == 1
+        is_rv = flag == 2
         zero = _jconst(jnp.zeros_like(one))
 
-        sg = _jwhere(is_sg, x3, zero)
+        if cfg.get("wetgas"):
+            # VAPOIL condensate state: x3 means Rv, sg = 1 - sw
+            sg = _jwhere(is_sg, x3,
+                         _jwhere(is_rv, _jsub(_jconst(one), sw), zero))
+        else:
+            sg = _jwhere(is_sg, x3, zero)
         so = _jsub(_jsub(_jconst(one), sw), sg)
 
         Kp, Kg = cfg["pvto"], cfg["pvdg"]
@@ -511,8 +538,26 @@ def _make_kernel(cfg: dict):
                          _jconst(1e-12 * one))
         mu_o = _jdiv(inv_bo, ibmu_o)
 
-        inv_bg = _jinterp(pg, pg_n, invbg_v, Kg, False, Rp, preg)
-        ibmu_g = _jinterp(pg, pg_n, ibmug_v, Kg, False, Rp, preg)
+        if cfg.get("wetgas"):
+            # wet gas (PVTG): rv = x3 in the condensate state, else
+            # RvSat(pg) capped by the DRVDT channel; properties from
+            # the 2-D table — every pressure line interpolated at rv,
+            # blended in p (props/pvt.WetGasPvt._usat; same _jinterp2d
+            # with the roles of the row variable and blend axis swapped)
+            Mg = cfg["pvtg_m"]
+            rv_sat_raw = _jmax0(_jinterp(pg, pg_n, rvsat_v, Kg, False,
+                                         Rp, preg))
+            rv_sat = _jmin(rv_sat_raw, mob_ref[0, 4])
+            rv = _jwhere(is_rv, x3, rv_sat)
+            rv_ev = _jwhere(rv[0] < rv_sat_raw[0], rv, rv_sat_raw)
+            inv_bg = _jinterp2d(rv_ev, pg, pg_n, urv_v, ugb_v, Kg, Mg,
+                                Rp, preg, cfg["pvtg_np"])
+            ibmu_g = _jinterp2d(rv_ev, pg, pg_n, urv_v, ugbm_v, Kg, Mg,
+                                Rp, preg, cfg["pvtg_np"])
+        else:
+            rv = zero
+            inv_bg = _jinterp(pg, pg_n, invbg_v, Kg, False, Rp, preg)
+            ibmu_g = _jinterp(pg, pg_n, ibmug_v, Kg, False, Rp, preg)
         ibmu_g = _jwhere(ibmu_g[0] > 1e-12, ibmu_g,
                          _jconst(1e-12 * one))
         mu_g = _jdiv(inv_bg, ibmu_g)
@@ -538,7 +583,11 @@ def _make_kernel(cfg: dict):
         rho_w = _jmul(_jplane(rho_w_s), inv_bw)
         rho_o = _jmul(_jadd(_jplane(rho_o_s),
                             _jmul(_jplane(rho_g_s), rs)), inv_bo)
-        rho_g = _jmul(_jplane(rho_g_s), inv_bg)
+        if cfg.get("wetgas"):
+            rho_g = _jmul(_jadd(_jplane(rho_g_s),
+                                _jmul(_jplane(rho_o_s), rv)), inv_bg)
+        else:
+            rho_g = _jmul(_jplane(rho_g_s), inv_bg)
 
         mm = [mob_ref[0, i] for i in range(3)]
         mob_w = _jmul(_jdiv(krw, mu_w), _jconst(mm[0]))
@@ -554,11 +603,16 @@ def _make_kernel(cfg: dict):
                          _jscale(0.5, _jmul(xr, xr))))
         aw = _jmul(pv, _jmul(sw, inv_bw))
         so_bo = _jmul(so, inv_bo)
-        ao = _jmul(pv, so_bo)
-        ag = _jmul(pv, _jadd(_jmul(sg, inv_bg), _jmul(rs, so_bo)))
+        sg_bg = _jmul(sg, inv_bg)
+        if cfg.get("wetgas"):
+            # vaporized oil lives in the gas phase
+            ao = _jmul(pv, _jadd(so_bo, _jmul(rv, sg_bg)))
+        else:
+            ao = _jmul(pv, so_bo)
+        ag = _jmul(pv, _jadd(sg_bg, _jmul(rs, so_bo)))
 
         outs = [pw, po, pg, inv_bw, inv_bo, inv_bg, mob_w, mob_o, mob_g,
-                rho_w, rho_o, rho_g, rs, zero, aw, ao, ag]
+                rho_w, rho_o, rho_g, rs, rv, aw, ao, ag]
         for i, jet in enumerate(outs):
             q_ref[0, i] = jet[0]
             d = _d3(jet)
@@ -604,14 +658,20 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
     sat = fs.sat
     oil = fs.oil
     gas = fs.gas
+    from opm_autodiff_tpu.props.pvt import WetGasPvt
+    wet = isinstance(gas, WetGasPvt)
     # region-flattened banks [R*K]
     tables = [
         sat.sw, sat.krw_tab, sat.krow_tab, sat.pcow_tab,
         sat.sg, sat.krg_tab, sat.krog_tab, sat.pcog_tab,
         oil.p_sat, oil.rs_tab, oil.inv_b_sat, oil.inv_b_mu_sat,
         oil.usat_p, oil.usat_inv_b, oil.usat_inv_b_mu,
-        gas.p, gas.inv_b_tab, gas.inv_b_mu_tab,
     ]
+    if wet:
+        tables += [gas.p, gas.rv_tab, gas.usat_rv, gas.usat_inv_b,
+                   gas.usat_inv_b_mu]
+    else:
+        tables += [gas.p, gas.inv_b_tab, gas.inv_b_mu_tab]
     tables = [t.astype(f32).reshape(-1) for t in tables]
     cfg = {"swof": int(sat.sw.shape[1]), "sgof": int(sat.sg.shape[1]),
            "pvto": int(oil.p_sat.shape[1]), "pvdg": int(gas.p.shape[1]),
@@ -625,7 +685,11 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
            "R_wat": int(fs.water.p_ref.shape[0]),
            "R_rock": int(fs.rock.p_ref.shape[0]),
            "R_rho": int(fs.rho_surf.shape[0]),
-           "has_eps": has_eps}
+           "has_eps": has_eps,
+           "wetgas": wet}
+    if wet:
+        cfg["pvtg_m"] = int(gas.usat_rv.shape[2])
+        cfg["pvtg_np"] = tuple(int(x) for x in gas.usat_np)
     wsc = jnp.concatenate([
         fs.water.p_ref, fs.water.inv_b_ref, fs.water.comp,
         fs.water.mu_ref, fs.water.viscosibility]).astype(f32)
