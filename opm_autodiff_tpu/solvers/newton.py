@@ -708,12 +708,17 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
                 drift_vol, well_f0, poly)
         last_res = res_act
-        hist.append(np.asarray(info.cnv))
+        # reference detectOscillations (NonlinearSolverEbos.hpp:278-309):
+        # a phase oscillates when the residual returned to its value two
+        # iterations ago (|F0-F2|/F0 < relaxRelTol 0.2) after a large
+        # excursion (|F0-F1|/F0 > 0.2); >= 2 phases -> dampen
+        hist.append(np.asarray(info.mb))
         if len(hist) >= 3:
-            osc = sum(
-                1 for p in range(hist[-1].shape[0])
-                if hist[-1][p] > hist[-2][p] * 1.01
-                and hist[-3][p] > hist[-2][p] * 1.01) >= 2
+            f0, f1, f2 = hist[-1], hist[-2], hist[-3]
+            denom = np.where(f0 != 0.0, f0, 1.0)
+            d1 = np.abs((f0 - f2) / denom)
+            d2 = np.abs((f0 - f1) / denom)
+            osc = int(((d1 < 0.2) & (d2 > 0.2)).sum()) >= 2
             relax = max(relax - 0.1, 0.5) if osc else min(relax + 0.1, 1.0)
         last_q_aq = q_aq
         last_q_perf = q_perf
