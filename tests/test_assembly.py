@@ -4,6 +4,11 @@ Mirrors SURVEY.md §7 stage 5: "Test: FD-check Jacobian; SPE1-sized
 residual vs reference values."
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,10 @@
 """Deck tokenizer/parser + state builder tests (SPE1 keyword set)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
+
 import datetime
 
 import numpy as np

@@ -7,6 +7,11 @@ real module so any signature drift in ``newton_iteration_impl`` (or the
 sharding plumbing) fails CI instead of the driver.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
+
 import importlib.util
 import os
 import sys

@@ -4,6 +4,11 @@ Mirrors the reference's transmissibility checks (SURVEY.md §7 stage 2:
 "Test: trans values vs hand calculations + INIT-file TRANX/Y/Z on SPE1").
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
+
 import numpy as np
 import pytest
 

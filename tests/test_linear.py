@@ -1,6 +1,11 @@
 """Linear solver tests on synthetic block systems (SURVEY.md §4: solve
 small systems like the reference's test_flexiblesolver on matr33)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -5,6 +5,11 @@ tests/not-unit/test_ad.cpp (forward-AD Evaluation sanity check) per
 SURVEY.md §4: jax.jvp vs central finite differences.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
