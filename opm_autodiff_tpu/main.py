@@ -44,6 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "TensorBoard/xprof) covering the whole run — the "
                         "reference's SimulatorReport timing tree plus "
                         "device-level detail (SURVEY.md §5 tracing)")
+    p.add_argument("--enable-vtk-output", default="false",
+                   choices=("true", "false"),
+                   help="write per-step VTK snapshots + .pvd collection "
+                        "(reference: --enable-vtk-output, default off)")
     p.add_argument("--enable-ecl-output", default="true",
                    choices=["true", "false"],
                    help="write EGRID/INIT/UNRST/SMSPEC/UNSMRY binaries")
@@ -160,6 +164,11 @@ def main(argv=None) -> int:
         eb.write_init(os.path.join(outdir, base + ".INIT"), sim.geo, state,
                       unit_name)
         unrst = eb.EclFileWriter(os.path.join(outdir, base + ".UNRST"))
+    vtk = None
+    if args.enable_vtk_output == "true":
+        from opm_autodiff_tpu.io.vtk import VtkSeries
+
+        vtk = VtkSeries(outdir, base)
     rft = None
     if ecl_out and any(getattr(w, "rft", False)
                        for st in state.schedule.steps for w in st.wells):
@@ -191,6 +200,9 @@ def main(argv=None) -> int:
 
             r_last = sim.summary.rows[-1]
             eb.write_rft_step(rft, sim, r_last["TIME"], unit_name)
+        if vtk is not None:
+            r_now = sim.summary.rows[-1]
+            vtk.write_step(sim.geo, sim.u, sim.flag, r_now["TIME"])
         # drain the deferred event log (reference: gatherDeferredLogger
         # flush on the I/O rank once per step)
         for line in sim.deferred.drain():
@@ -216,6 +228,8 @@ def main(argv=None) -> int:
         unrst.close()
     if rft is not None:
         rft.close()
+    if vtk is not None:
+        vtk.close()
 
     sim.summary.to_csv(os.path.join(outdir, base + ".csv"))
     sim.summary.to_npz(os.path.join(outdir, base + ".npz"))
