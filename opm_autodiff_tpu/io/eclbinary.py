@@ -327,7 +327,8 @@ def write_init(path: str, geo, state, unit_name: str = "FIELD"):
 
 def write_unrst_arrays(writer: EclFileWriter, seqnum: int, u: np.ndarray,
                        flag: np.ndarray, cartdims, num_active: int,
-                       unit_name: str = "FIELD"):
+                       unit_name: str = "FIELD",
+                       next_dt_days: float | None = None):
     """Append one report step's solution (host-snapshotted arrays) to a
     unified restart file. Array-based so the async output thread can
     run it after the simulator state has moved on (reference:
@@ -348,6 +349,11 @@ def write_unrst_arrays(writer: EclFileWriter, seqnum: int, u: np.ndarray,
     writer.write("SWAT    ", u[:, 1].astype(np.float32))
     writer.write("SGAS    ", sg.astype(np.float32))
     writer.write("RS      ", (rs / usys.gas_oil_ratio).astype(np.float32))
+    if next_dt_days is not None:
+        # reference OPMEXTRA: the adaptive stepper's next suggested dt
+        # rides the restart file so a resumed run continues with the
+        # same step size (SimulatorFullyImplicitBlackoilEbos.hpp:180)
+        writer.write("OPMEXTRA", np.asarray([next_dt_days], np.float64))
 
 
 def write_unrst_step(writer: EclFileWriter, seqnum: int, sim,
@@ -355,7 +361,8 @@ def write_unrst_step(writer: EclFileWriter, seqnum: int, sim,
     """Append one report step's solution to a unified restart file."""
     write_unrst_arrays(writer, seqnum, np.asarray(sim.u),
                        np.asarray(sim.flag), sim.geo.cartdims,
-                       sim.geo.num_active, unit_name)
+                       sim.geo.num_active, unit_name,
+                       next_dt_days=getattr(sim, "_suggested_dt", None))
 
 
 def write_rft_step(writer: EclFileWriter, sim, time_days: float,

@@ -190,11 +190,12 @@ def main(argv=None) -> int:
             # snapshot to host now; the write happens off-thread
             u_snap = _np.asarray(sim.u)
             flag_snap = _np.asarray(sim.flag)
-            aout.submit(lambda s=sim._step_index, u=u_snap, f=flag_snap:
+            aout.submit(lambda s=sim._step_index, u=u_snap, f=flag_snap,
+                        d=sim._suggested_dt:
                         eb.write_unrst_arrays(unrst, s, u, f,
                                               sim.geo.cartdims,
                                               sim.geo.num_active,
-                                              unit_name))
+                                              unit_name, next_dt_days=d))
         if rft is not None:
             from opm_autodiff_tpu.io import eclbinary as eb
 

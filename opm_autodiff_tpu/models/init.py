@@ -394,7 +394,12 @@ def restart_init(state: EclState, geo: Geometry, deck_dir: str
     # RS==0 rows in the file mean "free gas present"; keep saturated Rs
     x3 = np.where(has_free_gas_or_no_oil, sg, rs)
     uu = np.stack([po, sw, x3], axis=1)
-    return PrimaryState(u=jnp.asarray(uu), flag=jnp.asarray(flag)), step
+    # OPMEXTRA: the stepper's next suggested dt, if the file carries it
+    # (reference: SimulatorFullyImplicitBlackoilEbos.hpp:180-184)
+    next_dt = (float(np.asarray(b["OPMEXTRA"])[0])
+               if "OPMEXTRA" in b else None)
+    return (PrimaryState(u=jnp.asarray(uu), flag=jnp.asarray(flag)),
+            step, next_dt)
 
 
 def explicit_init(state: EclState, geo: Geometry,

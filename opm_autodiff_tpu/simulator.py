@@ -237,9 +237,12 @@ class Simulator:
 
             from opm_autodiff_tpu.models.init import restart_init
 
-            ps, step = restart_init(self.state, self.geo,
-                                    self._deck_dir)
+            ps, step, next_dt = restart_init(self.state, self.geo,
+                                             self._deck_dir)
             self._step_index = step
+            if next_dt is not None:
+                # OPMEXTRA: resume with the stepper's suggested dt
+                self._suggested_dt = next_dt
         else:
             ps = equilibrate(self.state, self.geo, self.fs)
             if "SWATINIT" in self.state.eps_arrays:

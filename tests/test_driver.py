@@ -123,6 +123,9 @@ def test_ecl_restart_keyword(tmp_path, spe1_deck_path):
 
     resumed = Simulator(load_state(str(rst_deck)), SimulatorOptions())
     assert resumed._step_index == 3
+    # OPMEXTRA: the stepper's suggested dt rides the restart file
+    # (reference: SimulatorFullyImplicitBlackoilEbos.hpp:180-184)
+    assert resumed._suggested_dt > SimulatorOptions().tstep.initial_dt_days
     resumed.run()
 
     # f32 UNRST seed + a different substep sequence diverge the
