@@ -227,3 +227,31 @@ def test_norne_mini_material_balance(mini_norne):
     # drift compensation keeps the books: in-place decline matches
     # cumulative production within 2%
     assert removed == pytest.approx(produced, rel=0.02)
+
+
+def test_norne_mini_cli_outputs(tmp_path):
+    """The CLI runs the mini-Norne deck and writes the full ECL output
+    family + VTK (the reference's Norne jenkins run shape)."""
+    import subprocess
+    import sys
+
+    if not os.path.exists(NORNE_PVT):
+        pytest.skip("Norne PVT data unavailable")
+    path = _deck(tmp_path)
+    # truncate the schedule for the CLI tier
+    txt = open(path).read().replace(
+        "TSTEP\n 5 10 20 30 50 50 50 50 50 50 /", "TSTEP\n 5 10 /")
+    open(path, "w").write(txt)
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "opm_autodiff_tpu.main", path,
+         "--output-dir", str(out), "--platform", "cpu", "--quiet",
+         "--enable-vtk-output", "true"],
+        capture_output=True, text=True, env=env, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for ext in (".EGRID", ".INIT", ".UNRST", ".SMSPEC", ".UNSMRY",
+                ".PRT", ".csv", ".pvd"):
+        assert (out / ("MININORNE" + ext)).exists(), ext
