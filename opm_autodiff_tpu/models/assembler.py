@@ -41,15 +41,33 @@ class BsrSystem(NamedTuple):
     # storage Jacobian d acc/du [N,3,3] for true-IMPES CPR weights
     # (reference: getQuasiImpesWeights.hpp:89)
     acc_jac: jnp.ndarray | None = None
+    # fixed-degree adjacency (models/blackoil.build_ell): gather-only
+    # SpMV on TPU instead of two scatter-adds per matvec
+    ell_face: jnp.ndarray | None = None  # [N,D] int32 (F = padded slot)
+    ell_nbr: jnp.ndarray | None = None   # [N,D] int32
+    ell_left: jnp.ndarray | None = None  # [N,D] bool
 
     @property
     def num_cells(self) -> int:
         return self.residual.shape[0]
 
 
+def _pad_face0(a: jnp.ndarray) -> jnp.ndarray:
+    """Append one zero row on the face axis (the ELL padded slot)."""
+    return jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+
+
 def bsr_matvec(sys: BsrSystem, x: jnp.ndarray) -> jnp.ndarray:
     """y = J @ x with x, y of shape [N,3]."""
     y = jnp.einsum("nij,nj->ni", sys.diag, x)
+    if sys.ell_face is not None:
+        # gather formulation: each cell pulls its <=D off-diagonal
+        # blocks and neighbor values (scatter-adds serialize on TPU)
+        blocks = jnp.where(sys.ell_left[..., None, None],
+                           _pad_face0(sys.off_lr)[sys.ell_face],
+                           _pad_face0(sys.off_rl)[sys.ell_face])
+        return y + jnp.einsum("ndij,ndj->ni", blocks, x[sys.ell_nbr])
     y = y.at[sys.left].add(jnp.einsum("fij,fj->fi", sys.off_lr, x[sys.right]))
     y = y.at[sys.right].add(jnp.einsum("fij,fj->fi", sys.off_rl, x[sys.left]))
     return y
@@ -110,14 +128,27 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
         cells.mob_mult[faces.right], epsL, epsR)
 
     # R_L += flux ; R_R -= flux
-    residual = residual.at[faces.left].add(flux)
-    residual = residual.at[faces.right].add(-flux)
-
-    diag = diag.at[faces.left].add(jac_l)
-    diag = diag.at[faces.right].add(-jac_r)
+    ell = getattr(faces, "ell_face", None)
+    if ell is not None:
+        # gather-only accumulation of face contributions (TPU: scatter-
+        # adds serialize; the fixed-degree gather vectorizes)
+        sgn = jnp.where(faces.ell_left, 1.0, -1.0)
+        residual = residual + (sgn[..., None]
+                               * _pad_face0(flux)[ell]).sum(axis=1)
+        dsel = jnp.where(faces.ell_left[..., None, None],
+                         _pad_face0(jac_l)[ell], -_pad_face0(jac_r)[ell])
+        diag = diag + dsel.sum(axis=1)
+    else:
+        residual = residual.at[faces.left].add(flux)
+        residual = residual.at[faces.right].add(-flux)
+        diag = diag.at[faces.left].add(jac_l)
+        diag = diag.at[faces.right].add(-jac_r)
     off_lr = jac_r
     off_rl = -jac_l
 
     return BsrSystem(residual=residual, diag=diag, off_lr=off_lr,
                      off_rl=off_rl, left=faces.left, right=faces.right,
-                     acc_jac=acc_jac)
+                     acc_jac=acc_jac,
+                     ell_face=ell,
+                     ell_nbr=getattr(faces, "ell_nbr", None),
+                     ell_left=getattr(faces, "ell_left", None))

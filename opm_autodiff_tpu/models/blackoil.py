@@ -69,6 +69,14 @@ class FaceStatic(NamedTuple):
     # gravity potential difference factor: g * (depth_L - depth_R)
     gdz: jnp.ndarray
     thpres: jnp.ndarray  # [F] threshold pressure deadband (Pa)
+    # ELL (fixed-degree) cell->face adjacency for gather-only assembly
+    # and SpMV on TPU (scatter-adds lower to slow serialized updates;
+    # gathers vectorize). Padded slots point at face index F (a zero
+    # dummy row appended at use time). None when the degree is
+    # pathological (models/blackoil.build_ell) — scatters then remain.
+    ell_face: jnp.ndarray | None = None  # [N,D] int32 face id (F = pad)
+    ell_nbr: jnp.ndarray | None = None   # [N,D] int32 neighbor cell
+    ell_left: jnp.ndarray | None = None  # [N,D] bool: cell is face's L
 
 
 class Intensive(NamedTuple):
@@ -207,6 +215,37 @@ def face_flux(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
     return jnp.stack([surf_flux[0], oil_total, gas_total])
 
 
+def build_ell(left: np.ndarray, right: np.ndarray, n_cells: int,
+              max_degree: int = 16):
+    """Fixed-degree cell->face adjacency (ELL layout) from a face list.
+
+    Returns (ell_face [N,D], ell_nbr [N,D], ell_left [N,D]) with padded
+    slots pointing at face index F, or (None, None, None) when the max
+    degree exceeds ``max_degree`` (pathologically connected grids keep
+    the scatter path). Vectorized CSR->ELL construction.
+    """
+    f = len(left)
+    rows = np.concatenate([left, right])
+    nbrs = np.concatenate([right, left])
+    is_left = np.concatenate([np.ones(f, bool), np.zeros(f, bool)])
+    face_id = np.concatenate([np.arange(f), np.arange(f)])
+    order = np.argsort(rows, kind="stable")
+    rows_s = rows[order]
+    counts = np.bincount(rows_s, minlength=n_cells)
+    d = int(counts.max()) if f else 0
+    if d > max_degree:
+        return None, None, None
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(2 * f) - starts[rows_s]
+    ell_face = np.full((n_cells, max(d, 1)), f, np.int32)
+    ell_nbr = np.zeros((n_cells, max(d, 1)), np.int32)
+    ell_left = np.zeros((n_cells, max(d, 1)), bool)
+    ell_face[rows_s, slot] = face_id[order]
+    ell_nbr[rows_s, slot] = nbrs[order]
+    ell_left[rows_s, slot] = is_left[order]
+    return ell_face, ell_nbr, ell_left
+
+
 def gravity_constant() -> float:
     return U.GRAVITY
 
@@ -255,11 +294,16 @@ def statics_from_geometry(geo, structured: str = "auto",
     f = geo.faces
     thp = (f.thpres if getattr(f, "thpres", None) is not None
            else np.zeros(len(f.left)))
+    ef, en, el = build_ell(np.asarray(f.left), np.asarray(f.right),
+                           geo.num_active)
     faces = FaceStatic(
         left=jnp.asarray(f.left),
         right=jnp.asarray(f.right),
         trans=jnp.asarray(f.trans),
         gdz=jnp.asarray(U.GRAVITY * (geo.depth[f.left] - geo.depth[f.right])),
         thpres=jnp.asarray(thp),
+        ell_face=None if ef is None else jnp.asarray(ef),
+        ell_nbr=None if en is None else jnp.asarray(en),
+        ell_left=None if el is None else jnp.asarray(el),
     )
     return cells, faces

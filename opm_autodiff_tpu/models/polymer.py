@@ -241,13 +241,27 @@ def assemble_system4(fs, poly: PolymerImplicit, cells, faces, state,
         cells.mob_mult[lf], cells.mob_mult[rt], epsL, epsR,
         aux[lf], aux[rt])
 
-    residual = residual.at[lf].add(flux)
-    residual = residual.at[rt].add(-flux)
-    diag = diag.at[lf].add(jac_l)
-    diag = diag.at[rt].add(-jac_r)
+    ell = getattr(faces, "ell_face", None)
+    if ell is not None:
+        from opm_autodiff_tpu.models.assembler import _pad_face0
+
+        sgn = jnp.where(faces.ell_left, 1.0, -1.0)
+        residual = residual + (sgn[..., None]
+                               * _pad_face0(flux)[ell]).sum(axis=1)
+        dsel = jnp.where(faces.ell_left[..., None, None],
+                         _pad_face0(jac_l)[ell], -_pad_face0(jac_r)[ell])
+        diag = diag + dsel.sum(axis=1)
+    else:
+        residual = residual.at[lf].add(flux)
+        residual = residual.at[rt].add(-flux)
+        diag = diag.at[lf].add(jac_l)
+        diag = diag.at[rt].add(-jac_r)
 
     return BsrSystem(residual=residual, diag=diag, off_lr=jac_r,
-                     off_rl=-jac_l, left=lf, right=rt, acc_jac=acc_jac)
+                     off_rl=-jac_l, left=lf, right=rt, acc_jac=acc_jac,
+                     ell_face=ell,
+                     ell_nbr=getattr(faces, "ell_nbr", None),
+                     ell_left=getattr(faces, "ell_left", None))
 
 
 # ----------------------------------------------------------------------

@@ -76,7 +76,9 @@ def _scale_system(sys, row, col, dtype):
                 * col[sys.right][:, None, :]).astype(dtype),
         off_rl=(sys.off_rl * row[sys.right][:, :, None]
                 * col[sys.left][:, None, :]).astype(dtype),
-        left=sys.left, right=sys.right)
+        left=sys.left, right=sys.right,
+        ell_face=sys.ell_face, ell_nbr=sys.ell_nbr,
+        ell_left=sys.ell_left)
 
 
 class LinearSolveResult(NamedTuple):

@@ -179,3 +179,48 @@ def test_mass_conservation_of_flux(setup):
     total = np.asarray(sys.residual).sum(axis=0)
     flux_scale = np.abs(np.asarray(sys.residual)).max()
     np.testing.assert_allclose(total, 0.0, atol=1e-10 * flux_scale)
+
+
+def test_ell_matches_scatter(spe1_deck_path):
+    """The ELL (gather-only) assembly and SpMV reproduce the scatter
+    formulation exactly (same adds, different order -> f64 roundoff)."""
+    import jax
+
+    from opm_autodiff_tpu.grid import build_geometry
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.models.assembler import (assemble_system,
+                                                   bsr_matvec)
+    from opm_autodiff_tpu.models.blackoil import (PrimaryState,
+                                                  accumulation,
+                                                  statics_from_geometry)
+    from opm_autodiff_tpu.models.init import equilibrate
+    from opm_autodiff_tpu.props import FluidSystem
+
+    state = load_state(spe1_deck_path)
+    geo = build_geometry(state)
+    fs = FluidSystem.from_state(state)
+    cells, faces = statics_from_geometry(geo, structured="never")
+    assert faces.ell_face is not None
+    init = equilibrate(state, geo, fs)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(np.asarray(init.u)
+                    * (1 + 1e-3 * rng.standard_normal(init.u.shape)))
+    acc0 = jax.vmap(accumulation, in_axes=(None, 0, 0, 0))(
+        fs, init.u, init.flag, cells.pore_vol_ref)
+    ps = PrimaryState(u, init.flag)
+
+    sys_ell = assemble_system(fs, cells, faces, ps, acc0, 86400.0)
+    faces_sc = faces._replace(ell_face=None, ell_nbr=None, ell_left=None)
+    sys_sc = assemble_system(fs, cells, faces_sc, ps, acc0, 86400.0)
+
+    np.testing.assert_allclose(np.asarray(sys_ell.residual),
+                               np.asarray(sys_sc.residual),
+                               rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(sys_ell.diag),
+                               np.asarray(sys_sc.diag),
+                               rtol=1e-12, atol=1e-20)
+    x = jnp.asarray(rng.standard_normal(sys_sc.residual.shape))
+    y_ell = bsr_matvec(sys_ell, x)
+    y_sc = bsr_matvec(sys_sc, x)
+    np.testing.assert_allclose(np.asarray(y_ell), np.asarray(y_sc),
+                               rtol=1e-12, atol=1e-18)
