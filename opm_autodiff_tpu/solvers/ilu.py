@@ -56,6 +56,11 @@ class CpIlu0(NamedTuple):
     l_blk: jnp.ndarray     # [F,3,3] L_{low_row,low_col}
     u_blk: jnp.ndarray     # [F,3,3] U_{low_col,low_row} (strict upper)
     uii_inv: jnp.ndarray   # [N,3,3] inv(U_ii)
+    # ELL adjacency from the system (gather-only sweeps; the L/U sides
+    # are selected by the index order: the strictly-lower entry's row
+    # is the HIGHER cell index of the pair)
+    ell_face: jnp.ndarray | None = None  # [N,D] int32 (F = padded)
+    ell_nbr: jnp.ndarray | None = None   # [N,D] int32
 
 
 def _inv33(m):
@@ -106,14 +111,43 @@ def build_cpilu0(sys: BsrSystem, n_sweeps: int = 3) -> CpIlu0:
         uii = sys.diag - corr
         l_blk = jnp.einsum("fij,fjk->fik", a_low, _inv33(uii[low_col]))
     return CpIlu0(low_row=low_row, low_col=low_col, l_blk=l_blk,
-                  u_blk=u_blk, uii_inv=_inv33(uii))
+                  u_blk=u_blk, uii_inv=_inv33(uii),
+                  ell_face=sys.ell_face, ell_nbr=sys.ell_nbr)
+
+
+def _pad0(a):
+    return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)],
+                           axis=0)
 
 
 def cpilu0_apply(fact: CpIlu0, r: jnp.ndarray,
                  n_sweeps: int = 4) -> jnp.ndarray:
     """x ~= inv(LU) r via Jacobi-sweep triangular solves (fixed count —
     jit-static, fully parallel; reference GPU analog: the level-set /
-    colored solves in bda/openclKernels.cpp, here sweeps instead)."""
+    colored solves in bda/openclKernels.cpp, here sweeps instead).
+
+    With the system's ELL adjacency the sweeps are gather-only: the
+    L (strictly-lower) contribution to cell i comes from its lower-
+    indexed neighbors (i is the pair's low_row iff i > nbr), the U one
+    from higher-indexed neighbors.
+    """
+    if fact.ell_face is not None:
+        n = r.shape[0]
+        idx = jnp.arange(n)[:, None]
+        lower = idx > fact.ell_nbr   # this cell is the low_row
+        l_g = jnp.where(lower[..., None, None],
+                        _pad0(fact.l_blk)[fact.ell_face], 0.0)
+        u_g = jnp.where(lower[..., None, None], 0.0,
+                        _pad0(fact.u_blk)[fact.ell_face])
+        z = r
+        for _ in range(n_sweeps):
+            lz = jnp.einsum("ndij,ndj->ni", l_g, z[fact.ell_nbr])
+            z = r - lz
+        x = jnp.einsum("nij,nj->ni", fact.uii_inv, z)
+        for _ in range(n_sweeps):
+            ux = jnp.einsum("ndij,ndj->ni", u_g, x[fact.ell_nbr])
+            x = jnp.einsum("nij,nj->ni", fact.uii_inv, z - ux)
+        return x
     # L z = r, L unit lower: z <- r - L_strict z
     z = r
     for _ in range(n_sweeps):
