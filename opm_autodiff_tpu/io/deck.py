@@ -135,7 +135,8 @@ DATA_KEYWORDS = {
 TABLES_KEYWORDS = {
     # one sub-table per region (TABDIMS NTSFUN/NTPVT); PVTO/PVTG have nested
     # branch records.
-    "SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SOF2", "SOF3", "PVDG", "PVDO",
+    "SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SGWFN", "SOF2", "SOF3",
+    "PVDG", "PVDO",
     "PVTO", "PVTG", "RSVD", "RVVD", "PBVD", "PDVD", "PVZG", "ROCKTAB",
     "TSTEP", "PLYVISC", "PLYADS", "FOAMMOB", "PVDS", "SSFN", "MSFN",
     "MISC", "PMISC", "SORWMIS", "SGCWMIS",

@@ -131,6 +131,12 @@ class PropsSection:
     # per-SATNUM-region tables (list of [n,4]; entry 0 == swof/sgof)
     swof_regions: list = dataclasses.field(default_factory=list)
     sgof_regions: list = dataclasses.field(default_factory=list)
+    # saturation family II (SWFN/SGFN/SOF3) and the gas-water SGWFN
+    # family — synthesized into SWOF/SGOF banks by _synthesize_satfam
+    swfn_regions: list = dataclasses.field(default_factory=list)
+    sgfn_regions: list = dataclasses.field(default_factory=list)
+    sof3_regions: list = dataclasses.field(default_factory=list)
+    sgwfn_regions: list = dataclasses.field(default_factory=list)
     # per-PVTNUM-region tables/records (entry 0 == the scalar fields)
     pvtw_regions: list = dataclasses.field(default_factory=list)
     rock_regions: list = dataclasses.field(default_factory=list)
@@ -694,6 +700,10 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     swfn = t("SWFN", 3, [1.0, 1.0, u.pressure])
     sgfn = t("SGFN", 3, [1.0, 1.0, u.pressure])
     sof3 = t("SOF3", 3, [1.0, 1.0, 1.0])
+    swfn_regions = t_regions("SWFN", 3, [1.0, 1.0, u.pressure])
+    sgfn_regions = t_regions("SGFN", 3, [1.0, 1.0, u.pressure])
+    sof3_regions = t_regions("SOF3", 3, [1.0, 1.0, 1.0])
+    sgwfn_regions = t_regions("SGWFN", 4, [1.0, 1.0, 1.0, u.pressure])
     pvto_kw = deck.get1("PVTO")
     pvto_regions = _build_pvto_regions(pvto_kw, u) if pvto_kw else []
     pvto = pvto_regions[0] if pvto_regions else None
@@ -701,6 +711,10 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     pvtg_regions = _build_pvtg_regions(pvtg_kw, u) if pvtg_kw else []
     return PropsSection(pvtw, rock, density, pvdg, pvdo, pvto, swof, sgof,
                         swfn, sgfn, sof3,
+                        swfn_regions=swfn_regions,
+                        sgfn_regions=sgfn_regions,
+                        sof3_regions=sof3_regions,
+                        sgwfn_regions=sgwfn_regions,
                         swof_regions=swof_regions,
                         sgof_regions=sgof_regions,
                         pvtw_regions=pvtw_regions,
@@ -710,6 +724,80 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
                         pvdo_regions=pvdo_regions,
                         pvto_regions=pvto_regions,
                         pvtg_regions=pvtg_regions)
+
+
+def _synthesize_satfam(props: PropsSection, phases) -> PropsSection:
+    """Convert saturation-function family II (SWFN/SGFN/SOF3) and the
+    gas-water SGWFN family into the internal SWOF/SGOF banks.
+
+    Reference: opm-common's TableManager does the same family
+    unification; flow's gas-water variant (flow_gaswater) consumes
+    SGWFN. Piecewise-linear resampling on the union of the relevant
+    node sets is exact for these tables.
+    """
+    if props.swof_regions and props.sgof_regions:
+        return props
+
+    def interp(x, t, col):
+        return np.interp(x, t[:, 0], t[:, col])
+
+    swofs, sgofs = [], []
+    if props.sgwfn_regions and "OIL" not in phases:
+        # gas-water: SGWFN columns (Sg, krg, krw, Pcgw); sw = 1 - sg.
+        # Pcgw rides the SGOF pc column: with So == 0 the phase
+        # pressures give pg - pw = pcog(sg) + pcow(sw) = Pcgw + 0.
+        for t in props.sgwfn_regions:
+            sg = t[:, 0]
+            sw = (1.0 - sg)[::-1]
+            swofs.append(np.stack(
+                [sw, t[::-1, 2], np.zeros_like(sw), np.zeros_like(sw)],
+                axis=1))
+            sgofs.append(np.stack(
+                [sg, t[:, 1], np.zeros_like(sg), t[:, 3]], axis=1))
+    elif props.swfn_regions and props.sgfn_regions:
+        nr = max(len(props.swfn_regions), len(props.sgfn_regions),
+                 len(props.sof3_regions) or 1)
+
+        def reg(lst, i):
+            return lst[min(i, len(lst) - 1)] if lst else None
+
+        for i in range(nr):
+            swfn = reg(props.swfn_regions, i)
+            sgfn = reg(props.sgfn_regions, i)
+            sof3 = reg(props.sof3_regions, i)
+            swl = float(swfn[0, 0])
+            if sof3 is not None and "OIL" in phases:
+                # SWOF(sw): krow from SOF3 col 1 at so = 1 - sw
+                sw = np.unique(np.concatenate(
+                    [swfn[:, 0], np.clip(1.0 - sof3[:, 0], swfn[0, 0],
+                                         swfn[-1, 0])]))
+                krow = interp(1.0 - sw, sof3, 1)
+                swofs.append(np.stack(
+                    [sw, interp(sw, swfn, 1), krow,
+                     interp(sw, swfn, 2)], axis=1))
+                # SGOF(sg): krog from SOF3 col 2 at so = 1 - sg - swl
+                sg = np.unique(np.concatenate(
+                    [sgfn[:, 0], np.clip(1.0 - sof3[:, 0] - swl,
+                                         sgfn[0, 0], sgfn[-1, 0])]))
+                krog = interp(1.0 - sg - swl, sof3, 2)
+                sgofs.append(np.stack(
+                    [sg, interp(sg, sgfn, 1), krog,
+                     interp(sg, sgfn, 2)], axis=1))
+            else:
+                # no oil functions: gas-water via SWFN + SGFN
+                sw = swfn[:, 0]
+                sg = sgfn[:, 0]
+                swofs.append(np.stack(
+                    [sw, swfn[:, 1], np.zeros_like(sw), swfn[:, 2]],
+                    axis=1))
+                sgofs.append(np.stack(
+                    [sg, sgfn[:, 1], np.zeros_like(sg), sgfn[:, 2]],
+                    axis=1))
+    else:
+        return props
+    return dataclasses.replace(
+        props, swof=swofs[0], sgof=sgofs[0],
+        swof_regions=swofs, sgof_regions=sgofs)
 
 
 def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
@@ -1543,6 +1631,7 @@ def build_state(deck: Deck) -> EclState:
             thpres.append((int(item(r, 0, 1)), int(item(r, 1, 1)),
                            item(r, 2, None) and
                            float(item(r, 2, 0.0)) * u.pressure))
+    props = _synthesize_satfam(props, rs.phases)
     return EclState(rs, grid, props, regions, solution, summary, schedule,
                     aquifers=aquifers, tracers=tracers,
                     components=components, eps_arrays=eps_arrays,

@@ -414,6 +414,15 @@ def explicit_init(state: EclState, geo: Geometry,
           else np.zeros_like(po))
     rs = (np.asarray(sol.rs)[act] if sol.rs is not None
           else np.zeros_like(po))
+    if "OIL" not in state.runspec.phases:
+        # gas-water run (flow_gaswater analog): every cell lives in the
+        # RV state — sg = 1 - sw structurally, x3 = Rv (0 for dry gas),
+        # the oil equation pinned by NewtonParams.has_oil
+        rv = (np.asarray(sol.rv)[act] if sol.rv is not None
+              else np.zeros_like(po))
+        u = np.stack([po, sw, rv], axis=1)
+        flag = np.full(po.shape, FLAG_RV, np.int32)
+        return PrimaryState(u=jnp.asarray(u), flag=jnp.asarray(flag))
     water_only = (1.0 - sw - sg <= 1e-9) & ~(sg > 0.0)
     flag = np.where((sg > 0.0) | water_only, FLAG_SG, FLAG_RS).astype(np.int32)
     x3 = np.where((sg > 0.0) | water_only, sg, rs)

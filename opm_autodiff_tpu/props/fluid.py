@@ -155,6 +155,12 @@ class FluidSystem(NamedTuple):
             oil = LiveOilPvt.from_tables(oil_tabs)
         elif dead_tabs:
             oil = DeadOilPvt.from_tables(dead_tabs)
+        elif "OIL" not in phases:
+            # gas-water runs (flow_gaswater analog): inert oil stub —
+            # So is identically zero (FLAG_RV carries sg = 1 - sw) and
+            # the oil equation is pinned (NewtonParams.has_oil)
+            oil = DeadOilPvt.from_tables([np.asarray(
+                [[1e5, 1.0, 1e-3], [1e9, 1.0, 1e-3]])] * ntpvt)
         else:
             raise NotImplementedError("need PVTO or PVDO")
         if wet_tabs:

@@ -76,7 +76,8 @@ class Simulator:
         phases = ecl_state.runspec.phases
         self.opts.newton = dataclasses.replace(
             self.opts.newton,
-            has_water="WATER" in phases, has_gas="GAS" in phases)
+            has_water="WATER" in phases, has_gas="GAS" in phases,
+            has_oil="OIL" in phases)
         self.geo = build_geometry(ecl_state)
         self.fs = FluidSystem.from_state(ecl_state)
         self.cells, self.faces = statics_from_geometry(self.geo)

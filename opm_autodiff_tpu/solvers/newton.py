@@ -71,9 +71,12 @@ class NewtonParams:
     linear_setup_reuse: str = "never"
     # active phases (static): inactive phases get their equation pinned
     # to the identity (the reference compiles per-phase-set variants,
-    # flow/flow_ebos_{gasoil,oilwater,...}.cpp; one masked trace here)
+    # flow/flow_ebos_{gasoil,oilwater,gaswater,...}.cpp; one masked
+    # trace here). Gas-water runs (has_oil=False) live in the RV state:
+    # sg = 1 - sw structurally, x3 = Rv pinned through the oil equation
     has_water: bool = True
     has_gas: bool = True
+    has_oil: bool = True
 
 
 class NewtonState(NamedTuple):
@@ -210,26 +213,34 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
         rs_sat_new = jnp.minimum(rs_sat_new, x3_cap)
         rv_sat_new = jnp.minimum(rv_sat_new, x3_cap)
     gas_on = params.has_gas
+    oil_on = params.has_oil
     # oil must actually be present for the Rs meaning to be well-posed:
     # with So=0 nothing depends on Rs (zero Jacobian column), so
     # water-only cells stay in / return to the Sg state (matches the
     # reference's phase-presence switching conditions)
     # SG cell whose Sg went negative: gas dissolves -> switch to RS
-    to_rs = is_sg & (x3_new < 0.0) & gas_on & (1.0 - sw_new > 1e-6)
+    to_rs = is_sg & (x3_new < 0.0) & gas_on & oil_on \
+        & (1.0 - sw_new > 1e-6)
     # SG cell whose So went negative (VAPOIL): oil vaporizes -> RV —
     # but only while gas is actually present: a water-only cell (sw ~ 1,
     # sg ~ 0) in the RV state has a zero Rv Jacobian column (every
-    # Rv-coupled term rides sg) and the diagonal block goes singular
+    # Rv-coupled term rides sg) and the diagonal block goes singular.
+    # Gas-water runs (has_oil False) use the RV state as the normal
+    # gas-bearing meaning (sg = 1 - sw, Rv pinned), wet gas or not.
     to_rv = is_sg & ~to_rs & (1.0 - sw_new - x3_new < 0.0) & gas_on \
-        & fs.wet_gas & (1.0 - sw_new > 1e-6)
+        & (fs.wet_gas or not oil_on) & (1.0 - sw_new > 1e-6)
     # RS cell whose Rs exceeds saturation (free gas appears) or whose
     # oil disappeared (water swept the cell) -> SG
     to_sg_rs = is_rs & ((x3_new > rs_sat_new)
                         | (1.0 - sw_new <= 1e-6)) & gas_on
     # RV cell whose Rv exceeds saturation (oil condenses) or whose gas
-    # disappeared (water swept the cell) -> SG
+    # disappeared (water swept the cell) -> SG. Gas-water runs stay in
+    # RV permanently: sg = 1 - sw is the structural meaning there, and
+    # the oil-equation pinning on the x3 column keeps the water-swept
+    # diagonal block nonsingular (the SG meaning would put the gas
+    # equation and the pinned row on the same column instead)
     to_sg_rv = is_rv & ((x3_new > rv_sat_new)
-                        | (1.0 - sw_new <= 1e-6)) & gas_on
+                        | (1.0 - sw_new <= 1e-6)) & gas_on & oil_on
 
     flag_new = jnp.where(
         to_rs, FLAG_RS,
@@ -369,7 +380,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         # getQs values, exactly on target under rate control). Inactive
         # phases report identically zero (two-phase variants: the frozen
         # fraction unknown may carry roundoff-scale residue).
-        phase_on = jnp.array([params.has_water, True, params.has_gas])
+        phase_on = jnp.array([params.has_water, params.has_oil,
+                              params.has_gas])
         q_tot = jnp.where(ws.open_mask[:, None] & phase_on[None, :],
                           q_tot_pv, 0.0)
         w_api = s4
@@ -491,13 +503,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             residual = residual + corr
 
     # --- inactive-phase equation pinning (two-phase variants) ---
-    if not (params.has_water and params.has_gas):
+    if not (params.has_water and params.has_gas and params.has_oil):
         updates = {}
-        for active, eq in ((params.has_water, 0), (params.has_gas, 2)):
+        for active, eq in ((params.has_water, 0), (params.has_gas, 2),
+                           (params.has_oil, 1)):
             if active:
                 continue
             # equation `eq` becomes the identity on its primary variable
-            # (sw for water, x3 for gas) so the variable stays frozen
+            # (sw for water, x3 for gas, x3 = Rv for the oil equation in
+            # gas-water runs) so the variable stays frozen
             residual = residual.at[:, eq].set(0.0)
             diag = diag.at[:, eq, :].set(0.0)
             diag = diag.at[:, eq, 1 if eq == 0 else 2].set(1.0)
@@ -526,8 +540,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     well_err_vec = None
     if use4:
         # flux rows scaled by field-average B factors (reference:
-        # StandardWellEval.cpp:767 getWellConvergence)
-        b_avg = (1.0 / jnp.maximum(inv_b_cells, 1e-30)).mean(axis=0)
+        # StandardWellEval.cpp:767 getWellConvergence). The 1e-6 floor
+        # keeps a cell whose linearly-extrapolated 1/B crossed zero at
+        # unphysical pressure from blowing the average up to 1e30 and
+        # stalling well convergence on roundoff-size residuals.
+        b_avg = (1.0 / jnp.maximum(inv_b_cells, 1e-6)).mean(axis=0)
         well_err_vec = s4.well_convergence(wr, ws, mode, b_avg)
         well_err4 = well_err_vec.max()
     cnv, mb, well_err, relaxed_ok, converged, failed = _convergence(

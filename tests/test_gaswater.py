@@ -1,0 +1,122 @@
+"""Gas-water (no oil) runs: the flow_gaswater variant.
+
+Reference: flow/flow_ebos_gaswater.cpp + the SGWFN gas-water saturation
+family (opm-common TableManager). Here the variant is one more static
+phase mask: every cell lives in the RV state (sg = 1 - sw
+structurally), the oil equation is pinned, and the SGWFN / SWFN+SGFN
+tables synthesize into the internal SWOF/SGOF banks
+(io/state._synthesize_satfam).
+"""
+
+import numpy as np
+import pytest
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.models.blackoil import FLAG_RV
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+DECK = """RUNSPEC
+DIMENS
+ 10 1 1 /
+WATER
+GAS
+METRIC
+START
+ 1 'JAN' 2020 /
+GRID
+DX
+ 10*30 /
+DY
+ 10*30 /
+DZ
+ 10*10 /
+TOPS
+ 10*1500 /
+PORO
+ 10*0.2 /
+PERMX
+ 10*200 /
+PROPS
+PVTW
+ 150 1.02 4.0E-5 0.4 0 /
+PVDG
+ 50  0.026 0.014
+ 150 0.0085 0.016
+ 250 0.0050 0.019 /
+ROCK
+ 150 4E-5 /
+SGWFN
+-- Sg    krg    krw    Pcgw
+ 0.00  0.000  1.000  0.0
+ 0.20  0.050  0.450  0.0
+ 0.50  0.320  0.100  0.0
+ 0.80  0.900  0.000  0.0 /
+DENSITY
+ 1* 1000 0.9 /
+SOLUTION
+PRESSURE
+ 10*150 /
+SWAT
+ 5*0.25 5*1.0 /
+SUMMARY
+FGPR
+SCHEDULE
+WELSPECS
+ 'G1' 'G' 1 1 1505 'GAS' /
+/
+COMPDAT
+ 'G1' 1 1 1 1 'OPEN' 1* 1* 0.3 /
+/
+WCONPROD
+ 'G1' 'OPEN' 'GRAT' 2* 30000 2* 40 /
+/
+TSTEP
+ 2 5 10 20 30 /
+END
+"""
+
+
+@pytest.fixture(scope="module")
+def gw_sim(tmp_path_factory):
+    p = tmp_path_factory.mktemp("gw") / "GW.DATA"
+    p.write_text(DECK)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    sim.run()
+    return sim
+
+
+def test_gaswater_tables_synthesized(gw_sim):
+    state = gw_sim.state
+    assert state.props.swof is not None
+    assert state.props.sgof is not None
+    # krw from the SGWFN KRW column at sw = 1 - sg
+    assert state.props.swof[-1, 1] == pytest.approx(1.0)  # sw=1 -> krw=1
+    assert np.all(state.props.swof[:, 2] == 0.0)          # krow == 0
+    assert np.all(state.props.sgof[:, 2] == 0.0)          # krog == 0
+
+
+def test_gaswater_runs_in_rv_state(gw_sim):
+    sim = gw_sim
+    assert not sim.opts.newton.has_oil
+    flag = np.asarray(sim.flag)
+    u = np.asarray(sim.u)
+    # gas-bearing cells ride the RV state; water-swept ones may fall to
+    # SG with sg = x3 = 0 (both give so == 0)
+    sg = np.where(flag == FLAG_RV, 1.0 - u[:, 1], u[:, 2])
+    so = 1.0 - u[:, 1] - sg
+    assert np.abs(so).max() < 1e-9
+    assert np.isfinite(u).all()
+
+
+def test_gaswater_production_and_influx(gw_sim):
+    sim = gw_sim
+    rows = sim.summary.rows
+    # the producer delivers gas at (or chopped below) target
+    assert rows[0]["FGPR"] > 0
+    # depletion: pressure near the producer falls
+    u = np.asarray(sim.u)
+    assert u[0, 0] < 150e5
+    # water encroaches toward the depleted gas zone: total water in the
+    # gas half rises
+    sw = u[:5, 1]
+    assert sw.sum() > 5 * 0.25 - 1e-9
