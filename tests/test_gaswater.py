@@ -120,3 +120,42 @@ def test_gaswater_production_and_influx(gw_sim):
     # gas half rises
     sw = u[:5, 1]
     assert sw.sum() > 5 * 0.25 - 1e-9
+
+
+def test_family2_three_phase_synthesis(tmp_path):
+    """SWFN/SGFN/SOF3 (family II) on a 3-phase deck synthesizes into
+    SWOF/SGOF and reproduces the family-I run (same physics, different
+    keyword spelling — the opm-common TableManager unification)."""
+    from tests.test_components import BASE
+
+    fam1 = BASE.format(runspec_extra="", props_extra="", sched_extra="")
+    # translate the SWOF into family II: SWFN (sw, krw, pcow) +
+    # SOF3 (so, krow, krog) + a trivial SGFN (no gas in the deck)
+    swof_rows = [
+        (0.15, 0.00, 0.90), (0.50, 0.20, 0.30),
+        (0.85, 0.60, 0.0), (1.00, 1.00, 0.0)]
+    swfn = "\n".join(f" {sw} {krw} 0" for sw, krw, _ in swof_rows)
+    sof3 = "\n".join(f" {round(1 - sw, 2)} {krow} {krow}"
+                     for sw, _, krow in reversed(swof_rows))
+    sgfn = " 0.0 0.0 0\n 0.85 0.85 0"
+    fam2 = fam1.replace(
+        """SWOF
+ 0.15 0.00  0.90 0
+ 0.50 0.20  0.30 0
+ 0.85 0.60  0.0  0
+ 1.00 1.00  0.0  0 /""",
+        f"SWFN\n{swfn} /\nSGFN\n{sgfn} /\nSOF3\n{sof3} /")
+    assert "SWFN" in fam2 and "SWOF" not in fam2
+
+    p1 = tmp_path / "F1.DATA"
+    p1.write_text(fam1)
+    p2 = tmp_path / "F2.DATA"
+    p2.write_text(fam2)
+    s1 = Simulator(load_state(str(p1)), SimulatorOptions())
+    s1.run()
+    s2 = Simulator(load_state(str(p2)), SimulatorOptions())
+    s2.run()
+    np.testing.assert_allclose(np.asarray(s2.u[:, 0]),
+                               np.asarray(s1.u[:, 0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.u[:, 1]),
+                               np.asarray(s1.u[:, 1]), atol=1e-6)
