@@ -352,10 +352,11 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                         jnp.einsum("fij,fj->fi", _s.ex_rl, y[_s.ex_left]))
                     return z
             if precond == "zline":
-                fact = (setup if setup is not None
-                        else sk.prepare_zline_sharded(mesh, scaled))
+                # no setup reuse here: the sharded fact carries a static
+                # interpret flag that must not round-trip through the
+                # jit boundary as a traced leaf
+                fact = sk.prepare_zline_sharded(mesh, scaled)
                 prec = partial(sk.zline_apply_sharded, mesh, fact)
-                setup_out = fact
         elif isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
             prep = pallas_spmv.prepare_banded(scaled)
             if scaled.ex_left is None:
