@@ -115,6 +115,25 @@ def _actnum_problem(nx, ny, nz):
 
 
 def main():
+    # watchdog: if the TPU tunnel is wedged, backend creation blocks
+    # forever inside jax; emit a diagnosable JSON line instead of
+    # hanging the bench driver
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+
+    def _watchdog():
+        import time as _t
+        _t.sleep(budget)
+        print(json.dumps({
+            "metric": "newton_cell_updates_per_sec", "value": 0.0,
+            "unit": "cell_updates/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {budget}s "
+                     f"(TPU backend unavailable/wedged?)"}), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     import __graft_entry__
