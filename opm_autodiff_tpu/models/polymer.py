@@ -44,97 +44,142 @@ NUM_EQ4 = 4
 class PolymerImplicit(NamedTuple):
     """Device data for the implicit polymer model (pytree).
 
-    Tables are region-1 (PLY* region banking rides the same later-round
-    path as the split model). ``ads_prev`` is the committed adsorbed
-    mass per rock mass — the no-desorption floor (PLYROCK ads_index 1).
+    PLYVISC/PLYADS ride [R,K] banks per PVTNUM region (reference:
+    TABDIMS-banked polymer tables); the PLYROCK constants are gathered
+    to per-cell arrays by SATNUM at build. ``ads_prev`` is the
+    committed adsorbed mass per rock mass — the no-desorption floor
+    (PLYROCK ads_index 1).
     """
 
-    visc_c: jnp.ndarray   # [K] PLYVISC concentration nodes
-    visc_m: jnp.ndarray   # [K] viscosity multipliers
-    ads_c: jnp.ndarray    # [K2] PLYADS nodes
-    ads_a: jnp.ndarray    # [K2] adsorbed mass per rock mass
+    visc_c: jnp.ndarray   # [R,K] PLYVISC concentration nodes
+    visc_m: jnp.ndarray   # [R,K] viscosity multipliers
+    ads_c: jnp.ndarray    # [R,K2] PLYADS nodes
+    ads_a: jnp.ndarray    # [R,K2] adsorbed mass per rock mass
     rock_mass: jnp.ndarray  # [N] rock mass per cell (kg)
     # committed adsorption floor [N]: PLYROCK ads_index 1 means no
     # desorption — the simulator advances this to the committed ads(c)
     # after each substep; with desorption allowed it stays zero and the
     # max() below is a no-op (table values are nonnegative)
     ads_prev: jnp.ndarray
-    dead_pore: jnp.ndarray  # scalar: dead pore volume fraction
-    rrf: jnp.ndarray        # scalar: residual resistance factor
-    max_ads: jnp.ndarray    # scalar: PLYROCK maximum adsorption
+    dead_pore: jnp.ndarray  # [N] dead pore volume fraction (PLYROCK)
+    rrf: jnp.ndarray        # [N] residual resistance factor
+    max_ads: jnp.ndarray    # [N] maximum adsorption
     c_max: jnp.ndarray      # scalar: PLYMAX (chop/clamp scale)
     inj_conc: jnp.ndarray   # [W] WPOLYMER injection concentrations
 
     # ------------------------------------------------------------------
-    def visc_mult(self, c):
-        """PLYVISC viscosity multiplier (>= 1)."""
-        return jnp.maximum(
-            interp1d(c, self.visc_c, self.visc_m, extrapolate=False), 1.0)
+    def visc_mult(self, c, reg=0):
+        """PLYVISC viscosity multiplier (>= 1) for PVTNUM region reg."""
+        from opm_autodiff_tpu.props.pvt import row
 
-    def adsorption(self, c, ads_prev=0.0):
+        return jnp.maximum(
+            interp1d(c, row(self.visc_c, reg), row(self.visc_m, reg),
+                     extrapolate=False), 1.0)
+
+    def adsorption(self, c, ads_prev=0.0, reg=0):
         """Langmuir-table adsorbed mass per rock mass at concentration c
         (instantaneous equilibrium, the reference's PLYADS model), with
         the committed no-desorption floor."""
-        a = interp1d(jnp.maximum(c, 0.0), self.ads_c, self.ads_a,
-                     extrapolate=False)
+        from opm_autodiff_tpu.props.pvt import row
+
+        a = interp1d(jnp.maximum(c, 0.0), row(self.ads_c, reg),
+                     row(self.ads_a, reg), extrapolate=False)
         return jnp.maximum(a, ads_prev)
 
-    def rk(self, c, ads_prev=0.0):
-        """Adsorption-scaled permeability reduction (RRF)."""
-        ads = self.adsorption(c, ads_prev)
-        frac = jnp.where(self.max_ads > 0.0,
-                         jnp.clip(ads / jnp.maximum(self.max_ads, 1e-300),
+    def rk(self, c, ads_prev=0.0, reg=0, rrf=None, max_ads=None):
+        """Adsorption-scaled permeability reduction (RRF). ``rrf`` /
+        ``max_ads`` are the CELL's PLYROCK values (scalars in the
+        per-cell kernels; defaults use cell 0 for hand-built tests)."""
+        rrf = self.rrf[0] if rrf is None else rrf
+        max_ads = self.max_ads[0] if max_ads is None else max_ads
+        ads = self.adsorption(c, ads_prev, reg)
+        frac = jnp.where(max_ads > 0.0,
+                         jnp.clip(ads / jnp.maximum(max_ads, 1e-300),
                                   0.0, 1.0), 0.0)
-        return 1.0 + (self.rrf - 1.0) * frac
+        return 1.0 + (rrf - 1.0) * frac
 
-    def water_mob_factor(self, c, ads_prev=0.0):
+    def water_mob_factor(self, c, ads_prev=0.0, reg=0, rrf=None,
+                         max_ads=None):
         """Water mobility divisor: mob_w -> mob_w * factor, factor =
         1 / (visc_mult(c) * RK(ads(c)))."""
-        return 1.0 / (self.visc_mult(c) * self.rk(c, ads_prev))
+        return 1.0 / (self.visc_mult(c, reg)
+                      * self.rk(c, ads_prev, reg, rrf, max_ads))
+
+
+def _bank(tables: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Pad per-region 2-column tables to one [R,K] node/value bank
+    (nodes extended strictly increasing, values constant — matches the
+    end-clamped interpolation)."""
+    k = max(t.shape[0] for t in tables)
+    nodes = np.empty((len(tables), k))
+    vals = np.empty((len(tables), k))
+    for i, t in enumerate(tables):
+        n = t.shape[0]
+        nodes[i, :n] = t[:, 0]
+        vals[i, :n] = t[:, 1]
+        if n < k:
+            nodes[i, n:] = t[-1, 0] + np.arange(1, k - n + 1)
+            vals[i, n:] = t[-1, 1]
+    return nodes, vals
 
 
 def build_polymer_implicit(comp_tables: dict, geo, n_wells: int = 0
                            ) -> tuple[PolymerImplicit, bool]:
     """Construct from the parsed deck component tables (io/state.py
     layout, same fields the split ComponentModel reads). Returns
-    (device data, no_desorption flag) — the flag (PLYROCK ads_index 1)
-    tells the simulator to advance ``ads_prev`` after each substep."""
-    t = np.asarray(comp_tables["PLYVISC"][0])
-    rock = (comp_tables.get("PLYROCK") or [{}])[0]
-    rho_rock = float(rock.get("rock_density", 0.0))
+    (device data, no_desorption flag) — the flag (PLYROCK ads_index 1,
+    from the first record) tells the simulator to advance ``ads_prev``
+    after each substep."""
+    visc_tabs = [np.asarray(t) for t in comp_tables["PLYVISC"]]
+    rocks = list(comp_tables.get("PLYROCK") or [{}])
     if "PLYADS" in comp_tables:
-        ta = np.asarray(comp_tables["PLYADS"][0])
+        ads_tabs = [np.asarray(t) for t in comp_tables["PLYADS"]]
     else:
-        ta = np.asarray([[0.0, 0.0], [1.0, 0.0]])
+        ads_tabs = [np.asarray([[0.0, 0.0], [1.0, 0.0]])]
     plymax = comp_tables.get("PLYMAX")  # scalar (io/state.py:1429)
-    c_max = float(plymax) if plymax is not None else float(t[-1, 0])
+    c_max = (float(plymax) if plymax is not None
+             else max(float(t[-1, 0]) for t in visc_tabs))
+    n = geo.num_active
+    # PLYROCK constants per cell (records bank by SATNUM)
+    satnum = getattr(geo, "satnum", None)
+    sreg = (np.zeros(n, int) if satnum is None
+            else np.minimum(np.asarray(satnum), len(rocks) - 1))
+    dead_pore = np.asarray([float(r.get("dead_pore", 0.0))
+                            for r in rocks])[sreg]
+    rrf = np.asarray([float(r.get("rrf", 1.0)) for r in rocks])[sreg]
+    max_ads = np.asarray([float(r.get("max_ads", 0.0))
+                          for r in rocks])[sreg]
+    rho_rock = np.asarray([float(r.get("rock_density", 0.0))
+                           for r in rocks])[sreg]
     rock_mass = (rho_rock * (1.0 - np.asarray(geo.poro))
                  * np.asarray(geo.volume))
-    n = geo.num_active
+    vc, vm = _bank(visc_tabs)
+    ac, aa = _bank(ads_tabs)
     poly = PolymerImplicit(
-        visc_c=jnp.asarray(t[:, 0]), visc_m=jnp.asarray(t[:, 1]),
-        ads_c=jnp.asarray(ta[:, 0]), ads_a=jnp.asarray(ta[:, 1]),
+        visc_c=jnp.asarray(vc), visc_m=jnp.asarray(vm),
+        ads_c=jnp.asarray(ac), ads_a=jnp.asarray(aa),
         rock_mass=jnp.asarray(rock_mass),
         ads_prev=jnp.zeros(n),
-        dead_pore=jnp.asarray(float(rock.get("dead_pore", 0.0))),
-        rrf=jnp.asarray(float(rock.get("rrf", 1.0))),
-        max_ads=jnp.asarray(float(rock.get("max_ads", 0.0))),
+        dead_pore=jnp.asarray(dead_pore),
+        rrf=jnp.asarray(rrf),
+        max_ads=jnp.asarray(max_ads),
         c_max=jnp.asarray(max(c_max, 1e-30)),
         inj_conc=jnp.zeros(max(n_wells, 1)))
-    return poly, int(rock.get("ads_index", 2)) == 1
+    return poly, int(rocks[0].get("ads_index", 2)) == 1
 
 
 # ----------------------------------------------------------------------
 # 4-equation scalar kernels (vmapped + jacfwd'd by models/assembler.py)
 # ----------------------------------------------------------------------
 
-def _mob_with_polymer(poly: PolymerImplicit, mob_mult, c, ads_prev):
+def _mob_with_polymer(poly: PolymerImplicit, mob_mult, c, aux, reg):
     """Fold the polymer water-mobility factor into the [5] dynamic
     channel vector (channels [0:3] are phase mobility multipliers).
+    ``aux`` is the cell's PLYROCK row (see _cell_aux).
     Built by concatenation, NOT ``.at[0].multiply``: the scatter-mul JVP
     with a traced factor poisons the tangents of the untouched inf
     channels (inf * 0 = NaN) and with them every phase's flux jacobian."""
-    f = poly.water_mob_factor(c, ads_prev)
+    f = poly.water_mob_factor(c, aux[1], reg, aux[3], aux[4])
     if mob_mult is None:
         return jnp.stack([f, jnp.ones_like(f), jnp.ones_like(f),
                           jnp.full_like(f, jnp.inf),
@@ -142,19 +187,24 @@ def _mob_with_polymer(poly: PolymerImplicit, mob_mult, c, ads_prev):
     return jnp.concatenate([mob_mult[:1] * f, mob_mult[1:]])
 
 
+def _cell_aux(poly: PolymerImplicit):
+    """[N,5] per-cell channels: rock_mass, ads_prev (dynamic floor),
+    dead_pore, rrf, max_ads (PLYROCK by SATNUM)."""
+    return jnp.stack([poly.rock_mass, poly.ads_prev, poly.dead_pore,
+                      poly.rrf, poly.max_ads], axis=1)
+
+
 def make_acc4(fs, poly: PolymerImplicit):
-    """Returns acc_fn(u4, flag, pv_ref, regs, eps, aux) with aux =
-    (rock_mass_cell, ads_prev_cell); signature matches the assembler's
-    per-cell sweep."""
+    """Returns acc_fn(u4, flag, pv_ref, regs, eps, aux) with aux the
+    cell's _cell_aux row; signature matches the assembler's sweep."""
 
     def acc4(u4, flag, pv_ref, regs, eps, aux):
-        rock_mass, ads_prev = aux[0], aux[1]
         base = accumulation(fs, u4[:3], flag, pv_ref, regs, eps)  # [3]
         c = u4[3]
         q = intensive(fs, u4[:3], flag, regs, None, eps)
         vw = pv_ref * fs.rock.mult(u4[0], regs[1]) * q.sat[0] * q.inv_b[0]
-        m_p = (1.0 - poly.dead_pore) * vw * c \
-            + rock_mass * poly.adsorption(c, ads_prev)
+        m_p = (1.0 - aux[2]) * vw * c \
+            + aux[0] * poly.adsorption(c, aux[1], regs[1])
         return jnp.concatenate([base, m_p[None]])
 
     return acc4
@@ -164,13 +214,13 @@ def make_flux4(fs, poly: PolymerImplicit):
     """Returns flux_fn(uL4, uR4, flagL, flagR, trans, gdz, regsL, regsR,
     thpres, mobL, mobR, epsL, epsR, auxL, auxR) -> [4]; polymer-
     viscosified water flux for rows 0-2, upwinded polymer advection for
-    row 3. aux = (rock_mass, ads_prev) per side (only ads_prev used)."""
+    row 3. aux = _cell_aux rows per side."""
 
     def flux4(uL4, uR4, flagL, flagR, trans, gdz, regsL, regsR, thpres,
               mobL, mobR, epsL, epsR, auxL, auxR):
         cL, cR = uL4[3], uR4[3]
-        mobL_eff = _mob_with_polymer(poly, mobL, cL, auxL[1])
-        mobR_eff = _mob_with_polymer(poly, mobR, cR, auxR[1])
+        mobL_eff = _mob_with_polymer(poly, mobL, cL, auxL, regsL[1])
+        mobR_eff = _mob_with_polymer(poly, mobR, cR, auxR, regsR[1])
         base = face_flux(fs, uL4[:3], uR4[:3], flagL, flagR, trans, gdz,
                          regsL, regsR, thpres, mobL_eff, mobR_eff,
                          epsL, epsR)  # [3]
@@ -187,7 +237,7 @@ def accumulation_all4(fs, poly: PolymerImplicit, u4, flag, pore_vol_ref,
     jit with poly as an argument so ads_prev/inj_conc updates retrace
     nothing)."""
     acc4 = make_acc4(fs, poly)
-    aux = jnp.stack([poly.rock_mass, poly.ads_prev], axis=1)
+    aux = _cell_aux(poly)
     eps_ax = None if eps is None else 0
     return jax.vmap(acc4, in_axes=(0, 0, 0, 0, eps_ax, 0))(
         u4, flag, pore_vol_ref, regs, eps, aux)
@@ -203,7 +253,7 @@ def assemble_system4(fs, poly: PolymerImplicit, cells, faces, state,
     u4, flag = state.u, state.flag
     acc4 = make_acc4(fs, poly)
     flux4 = make_flux4(fs, poly)
-    aux = jnp.stack([poly.rock_mass, poly.ads_prev], axis=1)  # [N,2]
+    aux = _cell_aux(poly)  # [N,5]
 
     def acc_vj(u, fl, pv, rg, ep, ax):
         def f(uu):

@@ -537,8 +537,9 @@ class Simulator:
                     # (PLYROCK ads_index 1; reference blackoilpolymer-
                     # modules' PlyadsAdsorbedPolymer max history)
                     self.poly = self.poly._replace(
-                        ads_prev=self.poly.adsorption(st.u[:, 3],
-                                                      self.poly.ads_prev))
+                        ads_prev=jax.vmap(self.poly.adsorption)(
+                            st.u[:, 3], self.poly.ads_prev,
+                            self.cells.regs[:, 1]))
                 committed["acc0"] = self._compute_acc0(st.u, st.flag)
                 committed["q"] = q_tot
                 if self.aquifers is not None and q_aq is not None:

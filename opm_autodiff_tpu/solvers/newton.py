@@ -356,7 +356,9 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     well_mob = cells.mob_mult
     if poly is not None:
         # concatenate, not scatter-mul: see polymer._mob_with_polymer
-        pf = jax.vmap(poly.water_mob_factor)(u[:, 3], poly.ads_prev)
+        pf = jax.vmap(poly.water_mob_factor)(
+            u[:, 3], poly.ads_prev, cells.regs[:, 1], poly.rrf,
+            poly.max_ads)
         well_mob = jnp.concatenate(
             [well_mob[:, :1] * pf[:, None], well_mob[:, 1:]], axis=1)
 

@@ -9,6 +9,7 @@ SimulatorOptions(polymer_implicit=False).
 """
 
 import numpy as np
+import pytest
 
 from opm_autodiff_tpu.io.state import load_state
 from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
@@ -69,3 +70,30 @@ def test_implicit_vs_split_deltas(tmp_path):
         0.10 * max(r_spl["FWPR"], 1e-12)
     assert abs(r_imp["FOPR"] - r_spl["FOPR"]) <= \
         0.10 * max(abs(r_spl["FOPR"]), 1e-12)
+
+
+def test_polymer_region_banking(tmp_path):
+    """Two PLYVISC regions (TABDIMS NTPVT=2): region 2 thickens water
+    4x more — the banked tables give different mobility factors."""
+    deck = BASE.format(runspec_extra="POLYMER\nTABDIMS\n 1 2 /",
+                       props_extra=POLYMER_PROPS, sched_extra=POLYMER_SCHED)
+    # second region tables: PVTW/PVDO/ROCK/DENSITY recycled; PLYVISC
+    # gets an explicit much-thicker second region
+    deck = deck.replace(
+        "PLYVISC\n 0.0  1.0\n 1.0  4.0\n 3.0 10.0 /",
+        "PLYVISC\n 0.0  1.0\n 1.0  4.0\n 3.0 10.0 /\n"
+        " 0.0  1.0\n 1.0 16.0\n 3.0 40.0 /")
+    deck = deck.replace("SOLUTION", "REGIONS\nPVTNUM\n 5*1 5*2 /\nSOLUTION")
+    p = tmp_path / "P2R.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)),
+                    SimulatorOptions(polymer_implicit=True))
+    assert sim.poly.visc_c.shape[0] == 2
+    sim.run()
+    c = np.asarray(sim.u[:, 3])
+    assert c[0] > 0.5  # transported
+    # at equal concentration the region-2 factor is much smaller
+    f1 = float(sim.poly.water_mob_factor(1.0, 0.0, 0))
+    f2 = float(sim.poly.water_mob_factor(1.0, 0.0, 1))
+    assert f1 == pytest.approx(1 / 4.0 / 1.5, rel=0.3)
+    assert f2 < f1 / 3
