@@ -154,13 +154,17 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
     gid3 = np.arange(n).reshape(nz, ny, nx)
 
     lefts, rights, transs, axes = [], [], [], []
+    th_ls, th_rs = [], []
 
-    def add(axis, gl, gr, t):
+    def add(axis, gl, gr, t, th_l=None, th_r=None):
         keep = t > 0
         lefts.append(glob_to_act[gl[keep]])
         rights.append(glob_to_act[gr[keep]])
         transs.append(t[keep])
         axes.append(np.full(keep.sum(), axis, np.int8))
+        zero = np.zeros(int(keep.sum()))
+        th_ls.append(th_l[keep] if th_l is not None else zero)
+        th_rs.append(th_r[keep] if th_r is not None else zero)
 
     # ---- X faces: cells (k,j,i) | (k,j,i+1) --------------------------------
     if nx > 1:
@@ -205,7 +209,16 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
         t *= mult[0][:, :, :-1].reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
-        add(0, gid3[:, :, :-1].reshape(-1), gid3[:, :, 1:].reshape(-1), t)
+        # thermal (geometric) halves: same NEWTRAN factor with unit perm
+        # (reference: ecltransmissibility.cc thermalHalfTrans_)
+        thl = _half_trans(np.ones_like(pl), area_flat,
+                          cent3[:, :, :-1].reshape(-1, 3),
+                          fcent.reshape(-1, 3)) * ntg3[:, :, :-1].reshape(-1)
+        thr = _half_trans(np.ones_like(pr), area_flat,
+                          cent3[:, :, 1:].reshape(-1, 3),
+                          fcent.reshape(-1, 3)) * ntg3[:, :, 1:].reshape(-1)
+        add(0, gid3[:, :, :-1].reshape(-1), gid3[:, :, 1:].reshape(-1), t,
+            thl, thr)
 
     # ---- Y faces: cells (k,j,i) | (k,j+1,i) --------------------------------
     if ny > 1:
@@ -246,7 +259,14 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
         t *= mult[1][:, :-1].reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
-        add(1, gid3[:, :-1].reshape(-1), gid3[:, 1:].reshape(-1), t)
+        thl = _half_trans(np.ones_like(pl), area.reshape(-1, 3),
+                          cent3[:, :-1].reshape(-1, 3),
+                          fcent.reshape(-1, 3)) * ntg3[:, :-1].reshape(-1)
+        thr = _half_trans(np.ones_like(pr), area.reshape(-1, 3),
+                          cent3[:, 1:].reshape(-1, 3),
+                          fcent.reshape(-1, 3)) * ntg3[:, 1:].reshape(-1)
+        add(1, gid3[:, :-1].reshape(-1), gid3[:, 1:].reshape(-1), t,
+            thl, thr)
 
     # ---- Z faces: cells (k,j,i) | (k+1,j,i) --------------------------------
     if nz > 1:
@@ -269,13 +289,19 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
         t *= mult[2][:-1].reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
-        add(2, gid3[:-1].reshape(-1), gid3[1:].reshape(-1), t)
+        thl = _half_trans(np.ones_like(pl), area.reshape(-1, 3),
+                          cent3[:-1].reshape(-1, 3), fcent.reshape(-1, 3))
+        thr = _half_trans(np.ones_like(pr), area.reshape(-1, 3),
+                          cent3[1:].reshape(-1, 3), fcent.reshape(-1, 3))
+        add(2, gid3[:-1].reshape(-1), gid3[1:].reshape(-1), t, thl, thr)
 
     faces = FaceList(
         left=np.concatenate(lefts).astype(np.int32),
         right=np.concatenate(rights).astype(np.int32),
         trans=np.concatenate(transs),
         axis=np.concatenate(axes),
+        th_left=np.concatenate(th_ls),
+        th_right=np.concatenate(th_rs),
     )
     from opm_autodiff_tpu.grid.geometry import (append_nnc, apply_editnnc,
                                                 compute_face_thpres)
