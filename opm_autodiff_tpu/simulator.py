@@ -733,6 +733,14 @@ class Simulator:
         self.cum["FGPT"] += prod[2] * dt
         self.cum["FWIT"] += inj[0] * dt
         self.cum["FGIT"] += inj[2] * dt
+        # implicit polymer: produced polymer mass (water rate x cell
+        # concentration per connection; reference summary FCPR/FCPT)
+        qp = getattr(self, "_last_q_perf", None)
+        if self.poly is not None and qp is not None:
+            cc = np.asarray(st.u[:, 3])[np.asarray(ws.cell)]
+            fcpr = float((np.maximum(-qp[:, :, 0], 0.0) * cc).sum())
+            self._fcpr = fcpr
+            self.cum["FCPT"] = self.cum.get("FCPT", 0.0) + fcpr * dt
         self._last_q = q
 
     def _fip(self):
@@ -776,6 +784,12 @@ class Simulator:
         if self.aquifers is not None:
             out["FAQT"] = self.cum["FAQT"]
             out["FAQR"] = getattr(self, "_last_q_aq", 0.0)
+        if self.poly is not None:
+            # polymer in place: free (water volume x conc) + adsorbed
+            acc = np.asarray(self._compute_acc0(self.u, self.flag))
+            out["FCIP"] = float(acc[:, 3].sum())
+            out["FCPR"] = getattr(self, "_fcpr", 0.0)
+            out["FCPT"] = self.cum.get("FCPT", 0.0)
         if q is not None:
             qm = getattr(self, "_last_q_msw", None)
             q_all = np.concatenate([q, qm]) if qm is not None else q

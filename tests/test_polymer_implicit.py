@@ -97,3 +97,16 @@ def test_polymer_region_banking(tmp_path):
     f2 = float(sim.poly.water_mob_factor(1.0, 0.0, 1))
     assert f1 == pytest.approx(1 / 4.0 / 1.5, rel=0.3)
     assert f2 < f1 / 3
+
+
+def test_polymer_summary_vectors(tmp_path):
+    """FCIP / FCPR / FCPT summary vectors for implicit polymer runs."""
+    sim = _run(tmp_path, "SUMV", implicit=True)
+    row = sim.summary.rows[-1]
+    assert row["FCIP"] > 0           # polymer in place (free + adsorbed)
+    assert row["FCPT"] >= 0          # cumulative produced polymer mass
+    # mass balance: injected == in place + produced (within CNV slack)
+    inj_rate = 40.0 / 86400.0 * 2.0  # 40 m3/d at 2 kg/m3
+    t_days = row["TIME"]
+    injected = inj_rate * t_days * 86400.0
+    assert row["FCIP"] + row["FCPT"] == pytest.approx(injected, rel=0.05)
