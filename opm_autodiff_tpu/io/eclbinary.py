@@ -343,12 +343,22 @@ def write_unrst_arrays(writer: EclFileWriter, seqnum: int, u: np.ndarray,
     ih[8:12] = [nx, ny, nz, num_active]
     ih[14] = 7
     writer.write("INTEHEAD", ih)
-    sg = np.where(flag == 0, u[:, 2], 0.0)
+    sg = np.where(flag == 0, u[:, 2],
+                  np.where(flag == 2, 1.0 - u[:, 1], 0.0))
     rs = np.where(flag == 1, u[:, 2], 0.0)
     writer.write("PRESSURE", (u[:, 0] / usys.pressure).astype(np.float32))
     writer.write("SWAT    ", u[:, 1].astype(np.float32))
     writer.write("SGAS    ", sg.astype(np.float32))
     writer.write("RS      ", (rs / usys.gas_oil_ratio).astype(np.float32))
+    # VAPOIL: condensate cells carry Rv as the primary variable
+    if (flag == 2).any():
+        rv = np.where(flag == 2, u[:, 2], 0.0)
+        writer.write("RV      ",
+                     (rv * usys.gas_oil_ratio).astype(np.float32))
+    # implicit polymer: the concentration column (ECLIPSE's POLYMER
+    # restart array; kg/m3 stays SI-scaled by the deck's own units)
+    if u.shape[1] > 3:
+        writer.write("POLYMER ", u[:, 3].astype(np.float32))
     if next_dt_days is not None:
         # reference OPMEXTRA: the adaptive stepper's next suggested dt
         # rides the restart file so a resumed run continues with the

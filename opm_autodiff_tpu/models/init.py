@@ -393,7 +393,19 @@ def restart_init(state: EclState, geo: Geometry, deck_dir: str
     flag = np.where(has_free_gas_or_no_oil, FLAG_SG, FLAG_RS).astype(np.int32)
     # RS==0 rows in the file mean "free gas present"; keep saturated Rs
     x3 = np.where(has_free_gas_or_no_oil, sg, rs)
+    if "RV" in b:
+        # VAPOIL: gas-bearing cells with no oil resume in the Rv state
+        rv = np.asarray(b["RV"], float) / u.gas_oil_ratio
+        no_oil = (sg > 0.0) & (1.0 - sw - sg <= 1e-9)
+        if "OIL" not in state.runspec.phases:
+            no_oil = np.ones_like(no_oil)  # gas-water: RV everywhere
+        flag = np.where(no_oil, FLAG_RV, flag).astype(np.int32)
+        x3 = np.where(no_oil, rv, x3)
     uu = np.stack([po, sw, x3], axis=1)
+    if "POLYMER" in b:
+        # implicit polymer resumes its concentration column
+        uu = np.concatenate(
+            [uu, np.asarray(b["POLYMER"], float)[:, None]], axis=1)
     # OPMEXTRA: the stepper's next suggested dt, if the file carries it
     # (reference: SimulatorFullyImplicitBlackoilEbos.hpp:180-184)
     next_dt = (float(np.asarray(b["OPMEXTRA"])[0])

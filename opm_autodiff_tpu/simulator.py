@@ -277,10 +277,14 @@ class Simulator:
         self.flag = ps.flag
         if self.poly is not None:
             # append the polymer concentration column (zero initial;
-            # restarts resume from the saved 4-wide state via npz)
+            # .UNRST restarts resume it from the POLYMER array)
             if self.u.shape[1] == 3:
                 self.u = jnp.concatenate(
                     [self.u, jnp.zeros((self.u.shape[0], 1))], axis=1)
+        elif self.u.shape[1] > 3:
+            # restart file carried a POLYMER column but this run solves
+            # polymer split (or not at all): drop it
+            self.u = self.u[:, :3]
         self.acc0 = self._compute_acc0(self.u, self.flag)
         self.pbh = None
         self.xw = None  # 4-DOF StandardWell unknowns [W,4]
