@@ -57,3 +57,26 @@ def test_dryrun_multichip_uneven_nz(graft):
     the driver default exercises the padded-z-slab embedded path."""
     assert getattr(graft, "SUPPORTS_UNEVEN_NZ", False)
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_16(tmp_path):
+    """Scaling evidence beyond the 8-way tier: the full training step
+    jits and runs on a 16-device mesh (subprocess — the in-process
+    backend is pinned to 8 virtual devices by conftest)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+         "import __graft_entry__;\n"
+         "__graft_entry__.dryrun_multichip(16, nz=32)"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "16 devices" in r.stdout or "dryrun" in r.stdout
