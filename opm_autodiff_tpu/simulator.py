@@ -747,6 +747,33 @@ class Simulator:
             self.cum["FCPT"] = self.cum.get("FCPT", 0.0) + fcpr * dt
         self._last_q = q
 
+    def check_conservativeness(self, fip0: dict, rel_tol: float = 0.02
+                               ) -> dict:
+        """Global conservation self-check (reference: the debug-only
+        ``model().checkConservativeness`` sweep, eclproblem.hh:1104):
+        compares the in-place decline of each phase against the
+        cumulative well production minus injection. Returns the per-
+        phase relative errors; raises AssertionError beyond rel_tol.
+
+        Use: fip0 = sim._fip() before run(); sim.check_conservativeness(fip0).
+        """
+        fip1 = self._fip()
+        out = {}
+        for phase, ip, prod, inj in (("water", "FWIP", "FWPT", "FWIT"),
+                                     ("oil", "FOIP", "FOPT", None),
+                                     ("gas", "FGIP", "FGPT", "FGIT")):
+            removed = fip0[ip] - fip1[ip]
+            net = self.cum[prod] - (self.cum[inj] if inj else 0.0)
+            if self.aquifers is not None and phase == "water":
+                net -= self.cum["FAQT"]
+            scale = max(abs(fip0[ip]), abs(net), 1e-12)
+            err = abs(removed - net) / scale
+            out[phase] = err
+            assert err <= rel_tol, (
+                f"{phase} conservation error {err:.3e} > {rel_tol} "
+                f"(in-place change {removed:.4g}, net produced {net:.4g})")
+        return out
+
     def _fip(self):
         """Fluids in place, field + per-FIPNUM region (reference:
         EclGenericOutputBlackoilModule FIP accounting,

@@ -1,0 +1,46 @@
+"""Determinism + conservation aids (SURVEY.md section 5: the
+reference's determinism defenses and its debug-only
+checkConservativeness sweep)."""
+
+import numpy as np
+
+from opm_autodiff_tpu.io.state import load_state
+from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+
+def _short_deck(tmp_path):
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+    import os
+
+    path = os.path.join(str(tmp_path), "DET.DATA")
+    write_spe1_deck(path, 6, 6, 3)
+    txt = open(path).read().split("TSTEP")[0] + "TSTEP\n 1 5 10 /\nEND\n"
+    open(path, "w").write(txt)
+    return path
+
+
+def test_run_to_run_determinism(tmp_path):
+    """Two identical runs produce BITWISE-identical final states
+    (deterministic upwinding, fixed reduction orders — the property the
+    reference only approximates across MPI layouts)."""
+    path = _short_deck(tmp_path)
+
+    def run():
+        sim = Simulator(load_state(path), SimulatorOptions())
+        sim.run()
+        return np.asarray(sim.u), sim.summary.rows[-1]
+
+    u1, row1 = run()
+    u2, row2 = run()
+    assert (u1 == u2).all()  # bitwise
+    assert row1["FOPR"] == row2["FOPR"]
+
+
+def test_conservation_self_check(tmp_path):
+    """check_conservativeness: in-place decline == net production."""
+    path = _short_deck(tmp_path)
+    sim = Simulator(load_state(path), SimulatorOptions())
+    fip0 = sim._fip()
+    sim.run()
+    errs = sim.check_conservativeness(fip0)
+    assert max(errs.values()) < 0.02
