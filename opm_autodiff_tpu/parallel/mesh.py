@@ -79,6 +79,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def partition_report(mesh: Mesh, active_mask) -> str:
+    """Per-slab active-cell balance (the objective Zoltan's weighted
+    hypergraph partition optimizes in the reference,
+    eclgenericcpgridvanguard.cc:76 doLoadBalance_). The fixed equal
+    z-slabs trade optimal balance for GSPMD's equal-shard requirement;
+    this report makes the resulting imbalance observable."""
+    import numpy as np
+
+    m = np.asarray(active_mask).reshape(mesh.devices.size, -1)
+    counts = m.sum(axis=1)
+    mean = max(counts.mean(), 1e-300)
+    return (f"partition balance over {mesh.devices.size} slabs: "
+            f"active/slab min={int(counts.min())} max={int(counts.max())} "
+            f"imbalance={counts.max() / mean:.3f}")
+
+
 def shard_problem(mesh: Mesh, cells, topo, u, flag, acc0):
     """Place the per-cell state/statics on the mesh (Z-slab decomposition).
 
