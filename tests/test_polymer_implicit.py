@@ -110,3 +110,40 @@ def test_polymer_summary_vectors(tmp_path):
     t_days = row["TIME"]
     injected = inj_rate * t_days * 86400.0
     assert row["FCIP"] + row["FCPT"] == pytest.approx(injected, rel=0.05)
+
+
+def test_polymer_ell_matches_scatter(tmp_path):
+    """The gather-only (ELL) 4-equation assembly equals the scatter
+    formulation on the polymer system."""
+    import jax
+    import jax.numpy as jnp
+
+    from opm_autodiff_tpu.models import polymer as pm
+    from opm_autodiff_tpu.models.blackoil import PrimaryState
+
+    deck = BASE.format(runspec_extra="POLYMER", props_extra=POLYMER_PROPS,
+                       sched_extra=POLYMER_SCHED)
+    p = tmp_path / "PELL.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)),
+                    SimulatorOptions(polymer_implicit=True))
+    rng = np.random.default_rng(9)
+    u = np.asarray(sim.u).copy()
+    u[:, 3] = rng.random(u.shape[0])  # nonzero concentrations
+    u = jnp.asarray(u)
+    ps = PrimaryState(u, sim.flag)
+    acc0 = sim._compute_acc0(u, sim.flag)
+
+    assert sim.faces.ell_face is not None
+    s_ell = pm.assemble_system4(sim.fs, sim.poly, sim.cells, sim.faces,
+                                ps, acc0, 86400.0)
+    faces_sc = sim.faces._replace(ell_face=None, ell_nbr=None,
+                                  ell_left=None)
+    s_sc = pm.assemble_system4(sim.fs, sim.poly, sim.cells, faces_sc,
+                               ps, acc0, 86400.0)
+    np.testing.assert_allclose(np.asarray(s_ell.residual),
+                               np.asarray(s_sc.residual),
+                               rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(s_ell.diag),
+                               np.asarray(s_sc.diag),
+                               rtol=1e-12, atol=1e-20)
