@@ -151,6 +151,9 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
     mult = [np.asarray(g.multx).reshape(nz, ny, nx),
             np.asarray(g.multy).reshape(nz, ny, nx),
             np.asarray(g.multz).reshape(nz, ny, nx)]
+    ones3 = np.ones((nz, ny, nx))
+    multm = [np.asarray(m).reshape(nz, ny, nx) if m is not None else ones3
+             for m in (g.multxm, g.multym, g.multzm)]
     gid3 = np.arange(n).reshape(nz, ny, nx)
 
     lefts, rights, transs, axes = [], [], [], []
@@ -207,7 +210,7 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         with np.errstate(divide="ignore"):
             t = np.where((hl > 0) & (hr > 0),
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
-        t *= mult[0][:, :, :-1].reshape(-1)
+        t *= (mult[0][:, :, :-1] * multm[0][:, :, 1:]).reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
         # thermal (geometric) halves: same NEWTRAN factor with unit perm
         # (reference: ecltransmissibility.cc thermalHalfTrans_)
@@ -257,7 +260,7 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         with np.errstate(divide="ignore"):
             t = np.where((hl > 0) & (hr > 0),
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
-        t *= mult[1][:, :-1].reshape(-1)
+        t *= (mult[1][:, :-1] * multm[1][:, 1:]).reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
         thl = _half_trans(np.ones_like(pl), area.reshape(-1, 3),
                           cent3[:, :-1].reshape(-1, 3),
@@ -287,7 +290,7 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         with np.errstate(divide="ignore"):
             t = np.where((hl > 0) & (hr > 0),
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
-        t *= mult[2][:-1].reshape(-1)
+        t *= (mult[2][:-1] * multm[2][1:]).reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
         thl = _half_trans(np.ones_like(pl), area.reshape(-1, 3),
                           cent3[:-1].reshape(-1, 3), fcent.reshape(-1, 3))

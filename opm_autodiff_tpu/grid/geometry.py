@@ -164,10 +164,15 @@ def build_geometry(state: EclState) -> Geometry:
         th_rs.append(th3[sl_r][both][keep])
 
     ones = np.ones(n)
-    # MULT*- keywords default to 1 (not parsed yet -> ones)
-    add_faces(0, hx, tx, g.multx, ones, 2)  # X neighbors: last numpy axis
-    add_faces(1, hy, ty, g.multy, ones, 1)
-    add_faces(2, hz, tz, g.multz, ones, 0)
+    # MULT*- : the RIGHT cell's negative-direction multiplier applies
+    # to the same face as the LEFT cell's positive one (reference:
+    # applyAllZMultipliers_/ multiplier handling, ecltransmissibility.cc)
+    mxm = g.multxm if g.multxm is not None else ones
+    mym = g.multym if g.multym is not None else ones
+    mzm = g.multzm if g.multzm is not None else ones
+    add_faces(0, hx, tx, g.multx, mxm, 2)  # X neighbors: last numpy axis
+    add_faces(1, hy, ty, g.multy, mym, 1)
+    add_faces(2, hz, tz, g.multz, mzm, 0)
 
     faces = FaceList(
         left=np.concatenate(lefts).astype(np.int32),

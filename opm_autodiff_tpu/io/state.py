@@ -66,6 +66,11 @@ class GridSection:
     multy: np.ndarray
     multz: np.ndarray
     multpv: np.ndarray
+    # negative-direction transmissibility multipliers (MULTX- etc.):
+    # cell i's value scales the face on its -X/-Y/-Z side
+    multxm: np.ndarray | None = None
+    multym: np.ndarray | None = None
+    multzm: np.ndarray | None = None
     # corner-point geometry (None for cartesian DX/DY/DZ decks), SI
     coord: np.ndarray | None = None
     zcorn: np.ndarray | None = None
@@ -551,6 +556,9 @@ def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
     multx = _grid_array(deck, "MULTX", n, 1.0)
     multy = _grid_array(deck, "MULTY", n, 1.0)
     multz = _grid_array(deck, "MULTZ", n, 1.0)
+    multxm = _grid_array(deck, "MULTX-", n, 1.0)
+    multym = _grid_array(deck, "MULTY-", n, 1.0)
+    multzm = _grid_array(deck, "MULTZ-", n, 1.0)
     multpv = _grid_array(deck, "MULTPV", n, 1.0)
     # zero-porosity cells are inactive
     actnum = np.where(poro <= 0.0, 0, actnum)
@@ -566,6 +574,7 @@ def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
         actnum = np.where(pv < minpv * u.reservoir_volume, 0, actnum)
     return GridSection(dx, dy, dz, depth, poro, permx, permy, permz, ntg,
                        actnum, multx, multy, multz, multpv,
+                       multxm=multxm, multym=multym, multzm=multzm,
                        coord=coord, zcorn=zcorn)
 
 

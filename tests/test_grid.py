@@ -128,3 +128,32 @@ def test_minpv_deactivates_cells(tmp_path, spe1_deck_path):
     dropped = geo0.num_active - geo.num_active
     assert dropped == int((pv < thr_si).sum())
     assert dropped >= 100  # at least the thinnest layer
+
+
+def test_mult_minus_keywords(tmp_path):
+    """MULTX-: the cell's negative-side face is scaled (reference
+    multiplier semantics, ecltransmissibility.cc)."""
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    import os
+
+    base = os.path.join(str(tmp_path), "MM0.DATA")
+    write_spe1_deck(base, 6, 1, 1)
+    geo0 = build_geometry(load_state(base))
+
+    path = os.path.join(str(tmp_path), "MM.DATA")
+    write_spe1_deck(path, 6, 1, 1)
+    txt = open(path).read().replace(
+        "PROPS", "MULTX-\n 1 1 1 0.5 1 1 /\n\nPROPS", 1)
+    open(path, "w").write(txt)
+    geo = build_geometry(load_state(path))
+
+    f0, f = geo0.faces, geo.faces
+    # face between cells (i=2) and (i=3): scaled by cell 3's MULTX-
+    i0 = np.nonzero((f0.left == 2) & (f0.right == 3))[0][0]
+    i1 = np.nonzero((f.left == 2) & (f.right == 3))[0][0]
+    assert f.trans[i1] == pytest.approx(0.5 * f0.trans[i0])
+    # other faces untouched
+    j0 = np.nonzero((f0.left == 0) & (f0.right == 1))[0][0]
+    j1 = np.nonzero((f.left == 0) & (f.right == 1))[0][0]
+    assert f.trans[j1] == pytest.approx(f0.trans[j0])
