@@ -307,9 +307,11 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         th_right=np.concatenate(th_rs),
     )
     from opm_autodiff_tpu.grid.geometry import (append_nnc, apply_editnnc,
+                                                apply_multflt,
                                                 compute_face_thpres)
 
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    apply_multflt(faces, state, glob_to_act, (nx, ny))
     apply_editnnc(faces, state, glob_to_act, (nx, ny))
     compute_face_thpres(faces, state, act_to_glob)
 

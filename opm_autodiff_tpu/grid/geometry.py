@@ -183,6 +183,7 @@ def build_geometry(state: EclState) -> Geometry:
         th_right=np.concatenate(th_rs),
     )
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
+    apply_multflt(faces, state, glob_to_act, (nx, ny))
     apply_editnnc(faces, state, glob_to_act, (nx, ny))
     faces = _apply_numerical_aquifers(state, glob_to_act, (nx, ny),
                                       pore_vol, depth, volume, permx,
@@ -325,6 +326,50 @@ def compute_face_thpres(faces: FaceList, state, geo_act_to_glob) -> None:
     for (r1, r2), dp in table.items():
         sel = (rl == r1) & (rr == r2)
         faces.thpres[sel] = dp
+
+
+def apply_multflt(faces: FaceList, state, glob_to_act, nxy) -> None:
+    """MULTFLT: scale the faces of the named FAULTS face sets
+    (reference: applyMultipliers via the FaultCollection,
+    ecltransmissibility.cc). A FAULTS record names cell-face ranges
+    ('X' = the face toward i+1, 'X-' = toward i-1, same for Y/Z); every
+    matching interior connection is multiplied."""
+    fault_defs = getattr(state, "faults", None)
+    mults = getattr(state, "multflt", None)
+    if not fault_defs or not mults:
+        return
+    import numpy as _np
+
+    nx, ny = nxy
+    nz_max = 10 ** 9
+    pair_mult: dict = {}
+    for name, m in mults.items():
+        for (i1, i2, j1, j2, k1, k2, face) in fault_defs.get(name, []):
+            ax = {"X": 0, "I": 0, "Y": 1, "J": 1, "Z": 2, "K": 2}[
+                face.rstrip("-")]
+            neg = face.endswith("-")
+            step = {0: 1, 1: nx, 2: nx * ny}[ax]
+            for k in range(max(k1, 0), min(k2, nz_max) + 1):
+                for j in range(j1, j2 + 1):
+                    for i in range(i1, i2 + 1):
+                        g = i + nx * (j + ny * k)
+                        ga, gb = (g - step, g) if neg else (g, g + step)
+                        a = glob_to_act[ga] if 0 <= ga < len(glob_to_act) \
+                            else -1
+                        b = glob_to_act[gb] if 0 <= gb < len(glob_to_act) \
+                            else -1
+                        if a < 0 or b < 0:
+                            continue
+                        key = (min(a, b), max(a, b))
+                        pair_mult[key] = pair_mult.get(key, 1.0) * m
+    if not pair_mult:
+        return
+    lo = _np.minimum(faces.left, faces.right)
+    hi = _np.maximum(faces.left, faces.right)
+    for (a, b), m in pair_mult.items():
+        sel = (lo == a) & (hi == b)
+        if sel.any():
+            faces.trans[sel] *= m
 
 
 def apply_editnnc(faces: FaceList, state, glob_to_act, nxy) -> None:

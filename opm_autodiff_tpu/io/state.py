@@ -325,6 +325,10 @@ class EclState:
     # applyEditNncToGridTrans_)
     editnnc: list = dataclasses.field(default_factory=list)
     thpres: list = dataclasses.field(default_factory=list)  # (r1, r2, dp SI)
+    # named fault faces (FAULTS): name -> [(i1,i2,j1,j2,k1,k2,face)],
+    # 0-based inclusive ranges; MULTFLT: name -> multiplier
+    faults: dict = dataclasses.field(default_factory=dict)
+    multflt: dict = dataclasses.field(default_factory=dict)
 
     @property
     def cartdims(self):
@@ -1626,6 +1630,26 @@ def build_state(deck: Deck) -> EclState:
                         (int(item(r, 3, 1)) - 1, int(item(r, 4, 1)) - 1,
                          int(item(r, 5, 1)) - 1),
                         float(item(r, 6, 0.0)) * u.transmissibility))
+    faults: dict = {}
+    for kw in deck.get("FAULTS"):
+        for r in kw.records:
+            if not r:
+                continue
+            name = str(item(r, 0, "")).upper()
+            faults.setdefault(name, []).append((
+                int(item(r, 1, 1)) - 1, int(item(r, 2, 1)) - 1,
+                int(item(r, 3, 1)) - 1, int(item(r, 4, 1)) - 1,
+                int(item(r, 5, 1)) - 1, int(item(r, 6, 1)) - 1,
+                str(item(r, 7, "X")).upper()))
+    multflt: dict = {}
+    for kw in deck.get("MULTFLT"):
+        for r in kw.records:
+            if not r:
+                continue
+            name = str(item(r, 0, "")).upper()
+            # repeated records compose multiplicatively (ECLIPSE
+            # MULTFLT semantics within one keyword occurrence set)
+            multflt[name] = multflt.get(name, 1.0) * float(item(r, 1, 1.0))
     editnnc = []
     for kw in deck.get("EDITNNC"):
         for r in kw.records:
@@ -1647,7 +1671,8 @@ def build_state(deck: Deck) -> EclState:
                     udq_keywords=deck.get("UDQ"),
                     action_keywords=deck.get("ACTIONX"),
                     vfp_prod_records=vfp_prod, vfp_inj_records=vfp_inj,
-                    nnc=nnc, editnnc=editnnc, thpres=thpres)
+                    nnc=nnc, editnnc=editnnc, thpres=thpres,
+                    faults=faults, multflt=multflt)
 
 
 def load_state(path: str) -> EclState:

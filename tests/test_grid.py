@@ -157,3 +157,40 @@ def test_mult_minus_keywords(tmp_path):
     j0 = np.nonzero((f0.left == 0) & (f0.right == 1))[0][0]
     j1 = np.nonzero((f.left == 0) & (f.right == 1))[0][0]
     assert f.trans[j1] == pytest.approx(f0.trans[j0])
+
+
+def test_faults_multflt(tmp_path):
+    """FAULTS + MULTFLT: the named fault's faces are scaled
+    (reference: FaultCollection multipliers in EclTransmissibility)."""
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    import os
+
+    base = os.path.join(str(tmp_path), "FL0.DATA")
+    write_spe1_deck(base, 6, 4, 1)
+    geo0 = build_geometry(load_state(base))
+
+    path = os.path.join(str(tmp_path), "FL.DATA")
+    write_spe1_deck(path, 6, 4, 1)
+    txt = open(path).read().replace(
+        "PROPS",
+        "FAULTS\n 'FLT1' 3 3 1 4 1 1 'X' /\n/\n"
+        "MULTFLT\n 'FLT1' 0.01 /\n/\n\nPROPS", 1)
+    open(path, "w").write(txt)
+    geo = build_geometry(load_state(path))
+
+    f0, f = geo0.faces, geo.faces
+    # the i=3 'X' faces (cells (3,j) | (4,j), 1-based) are scaled for
+    # all j in 1..4
+    for j in range(4):
+        a = geo.act_index(2, j, 0)
+        b = geo.act_index(3, j, 0)
+        i0 = np.nonzero((f0.left == a) & (f0.right == b))[0][0]
+        i1 = np.nonzero((f.left == a) & (f.right == b))[0][0]
+        assert f.trans[i1] == pytest.approx(0.01 * f0.trans[i0])
+    # neighbor faces untouched
+    a = geo.act_index(0, 0, 0)
+    b = geo.act_index(1, 0, 0)
+    i0 = np.nonzero((f0.left == a) & (f0.right == b))[0][0]
+    i1 = np.nonzero((f.left == a) & (f.right == b))[0][0]
+    assert f.trans[i1] == pytest.approx(f0.trans[i0])
