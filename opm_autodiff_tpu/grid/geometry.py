@@ -182,6 +182,9 @@ def build_geometry(state: EclState) -> Geometry:
         th_left=np.concatenate(th_ls),
         th_right=np.concatenate(th_rs),
     )
+    if "PINCH" in getattr(state, "flags", ()):
+        faces = _append_pinch(faces, act3, hz.reshape(shape),
+                              glob_to_act, (nx, ny, nz))
     faces = append_nnc(faces, state, glob_to_act, (nx, ny))
     apply_multflt(faces, state, glob_to_act, (nx, ny))
     apply_editnnc(faces, state, glob_to_act, (nx, ny))
@@ -326,6 +329,49 @@ def compute_face_thpres(faces: FaceList, state, geo_act_to_glob) -> None:
     for (r1, r2), dp in table.items():
         sel = (rl == r1) & (rr == r2)
         faces.thpres[sel] = dp
+
+
+def _append_pinch(faces: FaceList, act3, hz3, glob_to_act,
+                  dims) -> FaceList:
+    """PINCH: connect active cells vertically across pinched-out
+    (inactive) thin layers (reference: PINCH handling in the vanguard's
+    transmissibility setup; default GAP/TOPBOT options). The connection
+    carries the harmonic mean of the two active cells' z
+    half-transmissibilities."""
+    nx, ny, nz = dims
+    lefts, rights, transs = [], [], []
+    for j in range(ny):
+        for i in range(nx):
+            col = act3[:, j, i]
+            ks = np.nonzero(col)[0]
+            for a, b in zip(ks[:-1], ks[1:]):
+                if b == a + 1:
+                    continue  # adjacent: the normal z face exists
+                hl, hr = hz3[a, j, i], hz3[b, j, i]
+                if hl <= 0 or hr <= 0:
+                    continue
+                t = hl * hr / (hl + hr)
+                ga = i + nx * (j + ny * a)
+                gb = i + nx * (j + ny * b)
+                lefts.append(glob_to_act[ga])
+                rights.append(glob_to_act[gb])
+                transs.append(t)
+    if not lefts:
+        return faces
+    zeros = np.zeros(len(lefts))
+    return FaceList(
+        left=np.concatenate([faces.left,
+                             np.asarray(lefts, np.int32)]),
+        right=np.concatenate([faces.right,
+                              np.asarray(rights, np.int32)]),
+        trans=np.concatenate([faces.trans, np.asarray(transs)]),
+        axis=np.concatenate([faces.axis,
+                             np.full(len(lefts), 3, np.int8)]),
+        th_left=(np.concatenate([faces.th_left, zeros])
+                 if faces.th_left is not None else None),
+        th_right=(np.concatenate([faces.th_right, zeros])
+                  if faces.th_right is not None else None),
+    )
 
 
 def apply_multflt(faces: FaceList, state, glob_to_act, nxy) -> None:

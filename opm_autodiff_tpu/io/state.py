@@ -329,6 +329,8 @@ class EclState:
     # 0-based inclusive ranges; MULTFLT: name -> multiplier
     faults: dict = dataclasses.field(default_factory=dict)
     multflt: dict = dataclasses.field(default_factory=dict)
+    # presence flags for option keywords (PINCH, EHYSTR, ...)
+    flags: frozenset = frozenset()
 
     @property
     def cartdims(self):
@@ -1672,7 +1674,10 @@ def build_state(deck: Deck) -> EclState:
                     action_keywords=deck.get("ACTIONX"),
                     vfp_prod_records=vfp_prod, vfp_inj_records=vfp_inj,
                     nnc=nnc, editnnc=editnnc, thpres=thpres,
-                    faults=faults, multflt=multflt)
+                    faults=faults, multflt=multflt,
+                    flags=frozenset(
+                        k for k in ("PINCH", "EHYSTR")
+                        if deck.get1(k) is not None))
 
 
 def load_state(path: str) -> EclState:

@@ -194,3 +194,36 @@ def test_faults_multflt(tmp_path):
     i0 = np.nonzero((f0.left == a) & (f0.right == b))[0][0]
     i1 = np.nonzero((f.left == a) & (f.right == b))[0][0]
     assert f.trans[i1] == pytest.approx(f0.trans[i0])
+
+
+def test_pinch_connects_across_inactive_layer(tmp_path):
+    """PINCH: a zero-porosity middle layer still lets the column flow
+    (reference: PINCH in the vanguard transmissibility setup)."""
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    import os
+
+    path = os.path.join(str(tmp_path), "PN.DATA")
+    write_spe1_deck(path, 2, 1, 3)
+    txt = open(path).read()
+    # deactivate the middle layer via ACTNUM; PINCH bridges it
+    txt = txt.replace("PROPS",
+                      "ACTNUM\n 1 1 0 0 1 1 /\nPINCH\n/\n\nPROPS", 1)
+    open(path, "w").write(txt)
+    geo = build_geometry(load_state(path))
+    assert geo.num_active == 4
+    a = geo.act_index(0, 0, 0)
+    b = geo.act_index(0, 0, 2)
+    f = geo.faces
+    sel = ((f.left == a) & (f.right == b)) | ((f.left == b) & (f.right == a))
+    assert sel.sum() == 1
+    assert f.trans[sel][0] > 0
+    # without PINCH there is no such connection
+    txt2 = txt.replace("PINCH\n/\n", "")
+    p2 = os.path.join(str(tmp_path), "PN2.DATA")
+    open(p2, "w").write(txt2)
+    geo2 = build_geometry(load_state(p2))
+    f2 = geo2.faces
+    sel2 = (((f2.left == a) & (f2.right == b))
+            | ((f2.left == b) & (f2.right == a)))
+    assert sel2.sum() == 0
