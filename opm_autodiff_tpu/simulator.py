@@ -842,8 +842,36 @@ class Simulator:
                          self.state.schedule.steps[self._step_index].wells]
             pbh = np.asarray(self.pbh)
             alq = getattr(self, "_last_alq", None)
+            cells_w = np.asarray(ws.cell)
+            pmask_w = np.asarray(ws.perf_mask)
+            nx_c, ny_c, _nz_c = self.geo.cartdims
+            pv_cells = np.asarray(self.cells.pore_vol_ref)
+
+            def _wbp(iw, ring):
+                """WBP/WBP9: pore-volume-weighted average pressure of
+                the perf cells (ring=0) or their 3x3 areal neighborhood
+                (ring=1) — reference WPAVE/WBPn vectors (default
+                pv-weighted connection-factor variant approximated by
+                pv weighting)."""
+                ps, ws_ = [], []
+                for c in cells_w[iw][pmask_w[iw]]:
+                    i, j, k = self.geo.ijk(int(c))
+                    for dj in range(-ring, ring + 1):
+                        for di in range(-ring, ring + 1):
+                            ii, jj = i + di, j + dj
+                            if 0 <= ii < nx_c and 0 <= jj < ny_c:
+                                a = self.geo.act_index(ii, jj, k)
+                                if a >= 0:
+                                    ps.append(u[a, 0])
+                                    ws_.append(pv_cells[a])
+                if not ps:
+                    return 0.0
+                return float(np.average(ps, weights=ws_))
+
             for iw, name in enumerate(names):
                 out[f"WBHP:{name}"] = float(pbh[iw])
+                out[f"WBP:{name}"] = _wbp(iw, 0)
+                out[f"WBP9:{name}"] = _wbp(iw, 1)
                 if alq is not None and iw < len(alq):
                     out[f"WALQ:{name}"] = float(alq[iw])
                 out[f"WOPR:{name}"] = float(prod[iw, 1])

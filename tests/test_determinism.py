@@ -44,3 +44,19 @@ def test_conservation_self_check(tmp_path):
     sim.run()
     errs = sim.check_conservativeness(fip0)
     assert max(errs.values()) < 0.02
+
+
+def test_wbp_vectors(tmp_path):
+    """WBP / WBP9 well block-average pressures (reference WPAVE/WBPn)."""
+    path = _short_deck(tmp_path)
+    sim = Simulator(load_state(path), SimulatorOptions())
+    sim.run()
+    row = sim.summary.rows[-1]
+    wbp = row["WBP:PROD"]
+    wbp9 = row["WBP9:PROD"]
+    assert wbp > 0 and wbp9 > 0
+    # the 3x3 ring reaches less-drawn-down cells: WBP9 >= WBP around a
+    # producer
+    assert wbp9 >= wbp - 1e-6
+    # a plausible reservoir pressure (same magnitude as the field avg)
+    assert 0.5 * row["FPR"] <= wbp <= 1.5 * row["FPR"]
