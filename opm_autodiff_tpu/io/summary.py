@@ -23,6 +23,7 @@ _RATE_KIND = {
     "OPT": "liquid_volume", "WPT": "liquid_volume", "GPT": "gas_volume",
     "OIT": "liquid_volume", "WIT": "liquid_volume", "GIT": "gas_volume",
     "BHP": "pressure", "THP": "pressure", "PR": "pressure",
+    "BP": "pressure", "BP9": "pressure",  # WPAVE block averages
     "GOR": "gas_oil_ratio",
     "AQR": "liquid_rate", "AQT": "liquid_volume",
 }
