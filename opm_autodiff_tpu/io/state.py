@@ -256,6 +256,10 @@ class WellConfig:
     econ_workover: str = "NONE"
     vfp_table: int | None = None  # VFPPROD table number (THP control)
     wtest_interval: float | None = None  # days between WTEST retests
+    # WELPI: rescale the well's total productivity index to this target
+    # (SI rate/pressure; reference: WellProdIndexCalculator + the
+    # BlackoilWellModel WELPI handling)
+    welpi_target: float | None = None
     # multisegment well description (None => standard well)
     segments: list | None = None   # list[Segment]
     compsegs: list | None = None   # list[CompSeg]
@@ -710,6 +714,16 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
                     if swof_kw else [])
     sgof_regions = (_table_2d_regions(sgof_kw, 4, [1.0, 1.0, 1.0, u.pressure])
                     if sgof_kw else [])
+    if not sgof_regions:
+        # SLGOF: the family-I alternative tabulated against LIQUID
+        # saturation (SL = 1 - Sg); reversed it IS an SGOF table
+        slgof_kw = deck.get1("SLGOF")
+        if slgof_kw:
+            for tab in _table_2d_regions(slgof_kw, 4,
+                                         [1.0, 1.0, 1.0, u.pressure]):
+                tt = tab[::-1].copy()
+                tt[:, 0] = 1.0 - tt[:, 0]
+                sgof_regions.append(tt)
     swof = swof_regions[0] if swof_regions else None
     sgof = sgof_regions[0] if sgof_regions else None
     swfn = t("SWFN", 3, [1.0, 1.0, u.pressure])
@@ -718,6 +732,12 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     swfn_regions = t_regions("SWFN", 3, [1.0, 1.0, u.pressure])
     sgfn_regions = t_regions("SGFN", 3, [1.0, 1.0, u.pressure])
     sof3_regions = t_regions("SOF3", 3, [1.0, 1.0, 1.0])
+    if not sof3_regions:
+        # SOF2 (two-phase oil functions): one kro column serves both
+        # the oil-water and oil-gas roles of SOF3
+        sof2 = t_regions("SOF2", 2, [1.0, 1.0])
+        sof3_regions = [np.column_stack([t[:, 0], t[:, 1], t[:, 1]])
+                        for t in sof2]
     sgwfn_regions = t_regions("SGWFN", 4, [1.0, 1.0, 1.0, u.pressure])
     pvto_kw = deck.get1("PVTO")
     pvto_regions = _build_pvto_regions(pvto_kw, u) if pvto_kw else []
@@ -1143,6 +1163,14 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             w = wells.get(str(item(r, 0, "")))
             if w is not None:
                 w.rft = str(item(r, 1, "YES")).upper().startswith("Y")
+    elif kw.name == "WELPI":
+        for r in kw.records:
+            w = wells.get(str(item(r, 0, "")))
+            if w is not None:
+                v = item(r, 1, None)
+                if v is not None:
+                    w.welpi_target = (float(v) * u.liquid_rate
+                                      / u.pressure)
     elif kw.name == "WPIMULT":
         # reference: WellProdIndexCalculator WELPI/WPIMULT rescaling
         for r in kw.records:

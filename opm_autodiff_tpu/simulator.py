@@ -376,6 +376,27 @@ class Simulator:
             self._net_pressures = press
             return apply_network_thp(w_set, std_wells, tree, press)
 
+        # WELPI: rescale connection factors so the well's computed PI
+        # (sum of WI x total mobility over perforations, at the current
+        # state) matches the target (reference: BlackoilWellModel's
+        # WELPI handling via WellProdIndexCalculator)
+        welpi = {iw: w.welpi_target for iw, w in enumerate(std_wells)
+                 if getattr(w, "welpi_target", None)}
+        if welpi:
+            from opm_autodiff_tpu.models.blackoil import intensive
+            q_int = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(
+                self.fs, self.u, self.flag, self.cells.regs)
+            lam = np.asarray(q_int.mob).sum(axis=1)  # [N] total mobility
+            wi = np.asarray(ws.wi).copy()
+            cells_w = np.asarray(ws.cell)
+            pmask = np.asarray(ws.perf_mask)
+            for iw, target in welpi.items():
+                cur = (wi[iw] * lam[cells_w[iw]] * pmask[iw]).sum()
+                if cur > 0:
+                    wi[iw] *= target / cur
+            ws = ws._replace(wi=jnp.asarray(wi))
+            ws_base = ws_base._replace(wi=jnp.asarray(wi))
+
         ws = with_network(ws)
         # gas-lift ALQ optimization at report-step start (reference:
         # BlackoilWellModel::gasLiftOptimizationStage1, _impl.hpp:895)

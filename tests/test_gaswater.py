@@ -159,3 +159,35 @@ def test_family2_three_phase_synthesis(tmp_path):
                                np.asarray(s1.u[:, 0]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s2.u[:, 1]),
                                np.asarray(s1.u[:, 1]), atol=1e-6)
+
+
+def test_slgof_equals_sgof(tmp_path):
+    """SLGOF (liquid-saturation spelling) reproduces the SGOF run."""
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+    import os
+
+    p1 = os.path.join(str(tmp_path), "SG.DATA")
+    write_spe1_deck(p1, 5, 5, 3)
+    state1 = load_state(p1)
+    sgof = state1.props.sgof
+
+    p2 = os.path.join(str(tmp_path), "SL.DATA")
+    write_spe1_deck(p2, 5, 5, 3)
+    txt = open(p2).read()
+    import re
+    m = re.search(r"SGOF\n(.*?)/", txt, re.S)
+    rows = [ln.split() for ln in m.group(1).strip().splitlines()]
+    sl_rows = [" ".join([f"{1.0 - float(r[0]):.6g}"] + r[1:])
+               for r in reversed(rows)]
+    txt = txt[:m.start()] + "SLGOF\n" + "\n".join(sl_rows) + " /" \
+        + txt[m.end():]
+    open(p2, "w").write(txt)
+    state2 = load_state(p2)
+    np.testing.assert_allclose(state2.props.sgof, sgof, rtol=1e-12)
+
+    s1 = Simulator(state1, SimulatorOptions())
+    s1.run()
+    s2 = Simulator(state2, SimulatorOptions())
+    s2.run()
+    np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
+                               rtol=1e-10)

@@ -122,3 +122,29 @@ def test_bhp_control_equation(setup):
     np.testing.assert_allclose(np.asarray(wr.res_well), 7.0)
     np.testing.assert_allclose(np.asarray(wr.d_diag), 1.0)
     np.testing.assert_allclose(np.asarray(wr.b_blk), 0.0)
+
+
+def test_welpi_rescales_productivity(tmp_path):
+    """WELPI scales the connection factors so the well PI (WI x total
+    mobility) hits the target — a larger target must produce more at
+    the same BHP limit (reference: WellProdIndexCalculator WELPI)."""
+    import os
+
+    from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    def run(pi):
+        p = os.path.join(str(tmp_path), f"WP{pi}.DATA")
+        write_spe1_deck(p, 6, 6, 3, tstep_days="1 2 5")
+        txt = open(p).read().replace(
+            "WCONPROD\n 'PROD' 'OPEN' 'ORAT' 20000 4* 1000 /",
+            "WELPI\n 'PROD' %s /\n/\n"
+            "WCONPROD\n 'PROD' 'OPEN' 'BHP' 5* 3500 /" % pi)
+        open(p, "w").write(txt)
+        sim = Simulator(load_state(p), SimulatorOptions())
+        sim.run()
+        return sim.summary.rows[0]["WOPR:PROD"]
+
+    lo = run(1.0)
+    hi = run(20.0)
+    assert hi > 3 * lo
