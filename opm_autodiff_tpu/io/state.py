@@ -175,6 +175,9 @@ class SolutionSection:
     rs: np.ndarray | None
     rv: np.ndarray | None = None
     restart: tuple | None = None  # (basename, report_step)
+    rvvd_regions: list = dataclasses.field(default_factory=list)
+    pbvd_regions: list = dataclasses.field(default_factory=list)
+    pdvd_regions: list = dataclasses.field(default_factory=list)
     # per-EQLNUM-region records/tables (entry 0 == equil/rsvd)
     equil_regions: list = dataclasses.field(default_factory=list)
     rsvd_regions: list = dataclasses.field(default_factory=list)
@@ -866,6 +869,24 @@ def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
                     vals * np.asarray([u.length, u.gas_oil_ratio]))
     rsvd = rsvd_regions[0] if rsvd_regions else None
 
+    def _depth_tables(name, col_scale):
+        out = []
+        kw2 = deck.get1(name)
+        if kw2 and kw2.records:
+            for r2 in kw2.records:
+                vals = np.asarray([v for v in r2 if v is not DEFAULT],
+                                  float).reshape(-1, 2)
+                if len(vals):
+                    out.append(vals * np.asarray([u.length, col_scale]))
+        return out
+
+    # initial-composition depth tables: RVVD (Rv vs depth), PBVD
+    # (bubble point vs depth, the RSVD alternative), PDVD (dew point
+    # vs depth, the RVVD alternative)
+    rvvd_regions = _depth_tables("RVVD", 1.0 / u.gas_oil_ratio)
+    pbvd_regions = _depth_tables("PBVD", u.pressure)
+    pdvd_regions = _depth_tables("PDVD", u.pressure)
+
     def arr(name, scale=1.0):
         a = _grid_array(deck, name, ncells)
         return a * scale if a is not None else None
@@ -879,6 +900,9 @@ def _build_solution(deck: Deck, rs: Runspec, ncells: int) -> SolutionSection:
     return SolutionSection(
         equil=equil,
         rsvd=rsvd,
+        rvvd_regions=rvvd_regions,
+        pbvd_regions=pbvd_regions,
+        pdvd_regions=pdvd_regions,
         equil_regions=equil_regions,
         rsvd_regions=rsvd_regions,
         pressure=arr("PRESSURE", u.pressure),

@@ -187,14 +187,20 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
         mask = reg_cells == ireg
         if not mask.any():
             continue
-        rsvds = sol.rsvd_regions
-        rsvd = (rsvds[ireg] if ireg < len(rsvds)
-                else (rsvds[-1] if rsvds else None))
+        def pick(lst):
+            return (lst[ireg] if ireg < len(lst)
+                    else (lst[-1] if lst else None))
+
+        rsvd = pick(sol.rsvd_regions)
+        rvvd = pick(getattr(sol, "rvvd_regions", []))
+        pbvd = pick(getattr(sol, "pbvd_regions", []))
+        pdvd = pick(getattr(sol, "pdvd_regions", []))
         # the region's dominant PVT table drives the integration
         pvt_r = int(np.bincount(pvtnum[mask]).argmax())
         idx = np.nonzero(mask)[0]
         po, sw, x3, flag = _equilibrate_region(
-            state, geo, fs, eq, rsvd, pvt_r, idx)
+            state, geo, fs, eq, rsvd, pvt_r, idx,
+            rvvd=rvvd, pbvd=pbvd, pdvd=pdvd)
         u_out[idx, 0] = po
         u_out[idx, 1] = sw
         u_out[idx, 2] = x3
@@ -202,8 +208,14 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
     return PrimaryState(u=jnp.asarray(u_out), flag=jnp.asarray(flag_out))
 
 
-def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx):
+def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
+                        rvvd=None, pbvd=None, pdvd=None):
     """Equilibrate the cells in ``idx`` against one EQUIL record.
+
+    Initial-composition tables (reference: initstateequil's RsVD/RvVD/
+    PbVD/PdVD functions, tested by equil_rsvd_and_rvvd.DATA and
+    equil_pbvd_and_pdvd.DATA): RSVD caps Rs directly; PBVD caps it at
+    RsSat(Pb(depth)); RVVD/PDVD do the same for the condensate Rv.
 
     Returns (po, sw, x3, flag) arrays over idx (unsorted order)."""
     depths = np.asarray(geo.depth)[idx]
@@ -216,7 +228,20 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx):
         rs_sat = hp.rs_sat(p)
         if rsvd is not None:
             return min(rs_sat, float(np.interp(d, rsvd[:, 0], rsvd[:, 1])))
+        if pbvd is not None:
+            pb = float(np.interp(d, pbvd[:, 0], pbvd[:, 1]))
+            return min(rs_sat, hp.rs_sat(pb))
         return rs_sat
+
+    def rv_at(pg_i, d):
+        rv_sat = hp.rv_sat(pg_i)
+        if rvvd is not None:
+            return min(rv_sat, float(np.interp(d, rvvd[:, 0],
+                                               rvvd[:, 1])))
+        if pdvd is not None:
+            pd = float(np.interp(d, pdvd[:, 0], pdvd[:, 1]))
+            return min(rv_sat, hp.rv_sat(pd))
+        return rv_sat
 
     def rho_oil(p, d):
         return hp.oil_density(p, rs_at(p, d))
@@ -291,9 +316,10 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx):
         po_out[i] = po[i]
         so_i = 1.0 - sw_i - sg_i
         if sg_i > 0.0 and so_i <= 1e-9 and hp.wet_gas:
-            # pure gas zone in a VAPOIL run: Rv is the third variable
+            # pure gas zone in a VAPOIL run: Rv is the third variable,
+            # capped by the RVVD/PDVD depth tables
             flag[i] = FLAG_RV
-            x3[i] = hp.rv_sat(pg[i])
+            x3[i] = rv_at(pg[i], d)
         elif sg_i > 0.0 or so_i <= 1e-9:
             # free gas present, OR pure-water cell (So=0, e.g. the water
             # leg below OWC): the Rs meaning would make the x3 Jacobian

@@ -92,3 +92,38 @@ def test_two_equil_regions(tmp_path):
     p1 = u[0, 0, 0]
     p2 = u[0, 9, 0]
     assert p2 - p1 > 10e5  # ~15 bar heavier in block 2
+
+
+def test_pbvd_caps_initial_rs(tmp_path):
+    """PBVD: the initial Rs follows RsSat(Pb(depth)) (reference:
+    equil_pbvd_and_pdvd.DATA family)."""
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    import os
+
+    base = os.path.join(str(tmp_path), "PB0.DATA")
+    write_spe1_deck(base, 4, 4, 3)
+    st0 = load_state(base)
+    sim0 = Simulator(st0, SimulatorOptions())
+
+    path = os.path.join(str(tmp_path), "PB.DATA")
+    write_spe1_deck(path, 4, 4, 3)
+    # replace the RSVD table with a PBVD at a LOW bubble point
+    # (2000 psia << initial ~4800): Rs must drop accordingly
+    txt = open(path).read().replace(
+        "RSVD\n 8200 1.270\n 8500 1.270 /",
+        "PBVD\n 8200 2000\n 8500 2000 /")
+    open(path, "w").write(txt)
+    sim = Simulator(load_state(path), SimulatorOptions())
+
+    from opm_autodiff_tpu.models.blackoil import FLAG_RS
+    flag = np.asarray(sim.flag)
+    rs = np.asarray(sim.u)[:, 2]
+    rs0 = np.asarray(sim0.u)[:, 2]
+    assert (flag == FLAG_RS).all()  # undersaturated everywhere
+    # capped well below the RSVD-based initial Rs
+    assert rs.max() < 0.8 * rs0.max()
+    # and equal to RsSat at the 2000-psia bubble point
+    from opm_autodiff_tpu import units as U
+    expect = float(sim.fs.rs_sat(2000 * U.PSI))
+    np.testing.assert_allclose(rs, expect, rtol=1e-6)
