@@ -116,7 +116,7 @@ RECORDS_KEYWORDS = {
     "WLIFTOPT", "GLIFTOPT", "MESSAGES", "DATES", "THPRES", "WRFTPLT",
     "COMPORD", "WSEGITER", "PIMULTAB", "WPAVE", "WELPI", "MULTPV",
     "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
-    "FOAMFSC", "PVTWSALT", "SALTVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
+    "FOAMFSC", "PVTWSALT", "SALTVD", "TEMPVD", "RTEMPVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
     "UDQ", "ACTIONX", "WTEMP", "WINJTEMP", "VISCREF", "DRSDT", "DRVDT",
 }
 

@@ -1615,6 +1615,11 @@ def build_state(deck: Deck) -> EclState:
     if kw:
         components["SALTVD"] = _table_2d_regions(
             kw, 2, [u.length, cscale])
+    kw = deck.get1("TEMPVD")
+    if kw:
+        # temperature vs depth (deck temperature units; the thermal
+        # model converts to K)
+        components["TEMPVD"] = _table_2d_regions(kw, 2, [u.length, 1.0])
     kw = deck.get1("PVDS")
     if kw:
         components["PVDS"] = _table_2d_regions(

@@ -53,10 +53,16 @@ class ThermalModel:
             return (np.asarray(t_deck, float) * u.temperature_scale
                     + u.temperature_offset)
 
-        # initial temperature: TEMPI array or a uniform default
+        # initial temperature: TEMPI array, TEMPVD depth table, or a
+        # uniform default (reference: EclThermal initial conditions)
         tempi = comp.get("TEMPI")
+        tempvd = comp.get("TEMPVD")
         if tempi is not None:
             self.T = jnp.asarray(to_K(np.asarray(tempi)[geo.act_to_glob]))
+        elif tempvd is not None:
+            t0 = np.asarray(tempvd[0])
+            self.T = jnp.asarray(to_K(np.interp(
+                np.asarray(geo.depth), t0[:, 0], t0[:, 1])))
         else:
             self.T = jnp.full(n, 366.48)  # 200 F default
         self.T0 = self.T

@@ -206,3 +206,19 @@ def test_hot_waterflood(tmp_path):
     mm = np.asarray(sim.cells.mob_mult)
     assert mm[0, 1] > 2.0
     assert mm[-1, 1] == pytest.approx(1.0, abs=0.2)
+
+
+def test_tempvd_initial_temperature(tmp_path):
+    """TEMPVD: initial temperature from the depth table (reference:
+    EclThermal initial conditions)."""
+    deck = THERMAL_DECK.replace(
+        "TEMPI\n 8*20 /",
+        "TEMPVD\n 900 120\n 1100 180 /\n/")
+    p = tmp_path / "TV.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.thermal.active
+    T = np.asarray(sim.thermal.T)
+    d = np.asarray(sim.geo.depth)
+    expect_c = 120 + (180 - 120) * (d - 900) / 200.0
+    np.testing.assert_allclose(T, expect_c + 273.15, rtol=1e-6)
