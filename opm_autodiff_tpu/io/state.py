@@ -690,11 +690,22 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
     rock = rock_regions[0]
 
     dens_kw = deck.get1("DENSITY")
+    grav_kw = deck.get1("GRAVITY")
     if dens_kw and dens_kw.records:
         density_regions = [DensityRecord(item(r, 0, 600.0) * u.density,
                                          item(r, 1, 1000.0) * u.density,
                                          item(r, 2, 1.0) * u.density)
                            for r in dens_kw.records if r]
+    elif grav_kw and grav_kw.records:
+        # GRAVITY: oil API gravity, water specific gravity, gas specific
+        # gravity (vs air) — the DENSITY alternative (dimensionless, so
+        # no unit scaling; standard freshwater 999.014 kg/m3, air
+        # 1.22 kg/m3)
+        density_regions = [DensityRecord(
+            141.5 / (131.5 + item(r, 0, 35.0)) * 999.014,
+            item(r, 1, 1.0) * 999.014,
+            item(r, 2, 0.7773) * 1.22)
+            for r in grav_kw.records if r]
     else:
         density_regions = [DensityRecord(600.0, 1000.0, 1.0)]
     density = density_regions[0]

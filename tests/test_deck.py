@@ -236,3 +236,23 @@ END
     rec = d.get1("PORO").records[0]
     assert rec[0] == 0.25
     assert rec[1] is DEFAULT
+
+
+def test_gravity_converts_to_densities(tmp_path):
+    """GRAVITY (API / specific gravities) is the DENSITY alternative."""
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    import os
+
+    p = os.path.join(str(tmp_path), "GR.DATA")
+    write_spe1_deck(p, 3, 3, 3)
+    txt = open(p).read()
+    import re
+    txt = re.sub(r"DENSITY\n[^/]*/", "GRAVITY\n 30.0 1.05 0.75 /", txt)
+    open(p, "w").write(txt)
+    state = load_state(p)
+    d = state.props.density
+    assert d.oil == pytest.approx(141.5 / 161.5 * 999.014, rel=1e-6)
+    assert d.water == pytest.approx(1.05 * 999.014, rel=1e-6)
+    assert d.gas == pytest.approx(0.75 * 1.22, rel=1e-6)
