@@ -720,6 +720,27 @@ def _build_props(deck: Deck, rs: Runspec) -> PropsSection:
 
     pvdg_regions = t_regions("PVDG", 3, [u.pressure, u.gas_fvf, u.viscosity])
     pvdo_regions = t_regions("PVDO", 3, [u.pressure, u.oil_fvf, u.viscosity])
+    if not pvdo_regions:
+        # PVCDO: dead oil with constant compressibility/viscosibility
+        # (the PVTW-shaped record); synthesize a dense PVDO table from
+        # the analytic second-order expansions — exact to interpolation
+        # tolerance over the sampled range
+        kw = deck.get1("PVCDO")
+        if kw and kw.records:
+            for r in kw.records:
+                if not r:
+                    continue
+                p_ref = item(r, 0, 1.0) * u.pressure
+                b_ref = item(r, 1, 1.0) * u.oil_fvf
+                comp = item(r, 2, 0.0) / u.pressure
+                mu_ref = item(r, 3, 1.0) * u.viscosity
+                visco = item(r, 4, 0.0) / u.pressure
+                p = np.linspace(1e5, 1.0e9, 200)
+                x = comp * (p - p_ref)
+                b = b_ref / (1.0 + x + 0.5 * x * x)
+                y = -visco * (p - p_ref)
+                mu = mu_ref / (1.0 + y + 0.5 * y * y)
+                pvdo_regions.append(np.stack([p, b, mu], axis=1))
     pvdg = pvdg_regions[0] if pvdg_regions else None
     pvdo = pvdo_regions[0] if pvdo_regions else None
     swof_kw = deck.get1("SWOF")

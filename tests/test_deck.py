@@ -256,3 +256,32 @@ def test_gravity_converts_to_densities(tmp_path):
     assert d.oil == pytest.approx(141.5 / 161.5 * 999.014, rel=1e-6)
     assert d.water == pytest.approx(1.05 * 999.014, rel=1e-6)
     assert d.gas == pytest.approx(0.75 * 1.22, rel=1e-6)
+
+
+def test_pvcdo_synthesizes_pvdo(tmp_path):
+    """PVCDO (constant-compressibility dead oil) stands in for PVDO."""
+    from opm_autodiff_tpu.io.state import load_state
+
+    import os
+
+    p = os.path.join(str(tmp_path), "PC.DATA")
+    from tests.test_components import BASE
+    deck = BASE.format(runspec_extra="", props_extra="", sched_extra="")
+    deck = deck.replace(
+        "PVDO\n 100 1.05 2.0\n 400 1.02 2.0 /",
+        "PVCDO\n 200 1.04 1.0E-4 2.0 0.0 /")
+    open(p, "w").write(deck)
+    state = load_state(p)
+    t = state.props.pvdo
+    assert t is not None and t.shape[0] >= 100
+    # B at reference pressure == B_ref; decreasing in p
+    import numpy as np
+    bar = 1e5
+    b_at_ref = np.interp(200 * bar, t[:, 0], t[:, 1])
+    assert b_at_ref == pytest.approx(1.04, rel=1e-4)
+    assert t[-1, 1] < t[0, 1]
+    # and the deck runs end-to-end
+    from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+    sim = Simulator(state, SimulatorOptions())
+    sim.run()
+    assert np.isfinite(np.asarray(sim.u)).all()
