@@ -191,3 +191,36 @@ def test_slgof_equals_sgof(tmp_path):
     s2.run()
     np.testing.assert_allclose(np.asarray(s2.u), np.asarray(s1.u),
                                rtol=1e-10)
+
+
+def test_sof2_stands_in_for_sof3(tmp_path):
+    """SOF2 (two-phase oil functions) drives the family-II synthesis on
+    an oil-water deck."""
+    from tests.test_components import BASE
+
+    fam1 = BASE.format(runspec_extra="", props_extra="", sched_extra="")
+    swof_rows = [
+        (0.15, 0.00, 0.90), (0.50, 0.20, 0.30),
+        (0.85, 0.60, 0.0), (1.00, 1.00, 0.0)]
+    swfn = "\n".join(f" {sw} {krw} 0" for sw, krw, _ in swof_rows)
+    sof2 = "\n".join(f" {round(1 - sw, 2)} {krow}"
+                     for sw, _, krow in reversed(swof_rows))
+    sgfn = " 0.0 0.0 0\n 0.85 0.85 0"
+    fam2 = fam1.replace(
+        """SWOF
+ 0.15 0.00  0.90 0
+ 0.50 0.20  0.30 0
+ 0.85 0.60  0.0  0
+ 1.00 1.00  0.0  0 /""",
+        f"SWFN\n{swfn} /\nSGFN\n{sgfn} /\nSOF2\n{sof2} /")
+    p1 = tmp_path / "S2A.DATA"
+    p1.write_text(fam1)
+    p2 = tmp_path / "S2B.DATA"
+    p2.write_text(fam2)
+    s1 = Simulator(load_state(str(p1)), SimulatorOptions())
+    s1.run()
+    s2 = Simulator(load_state(str(p2)), SimulatorOptions())
+    s2.run()
+    np.testing.assert_allclose(np.asarray(s2.u[:, :2]),
+                               np.asarray(s1.u[:, :2]), rtol=1e-6,
+                               atol=1e-9)
