@@ -18,7 +18,6 @@ import numpy as np
 UNSUPPORTED = {
     "API": "API tracking is not implemented",
     "GASFIELD": "field gas options are not implemented",
-    "WPAVE": "block-average well pressures are not implemented",
 }
 
 # Supported with caveats (warn-grade).
@@ -26,7 +25,8 @@ PARTIAL = {
     "EHYSTR": "hysteresis applies Killough scanning to gas relperm only",
     "MISCIBLE": "MISC/PMISC/SSFN/MSFN miscibility with SORWMIS/SGCWMIS "
                 "endpoint shifts (relperm effects as lagged multipliers)",
-    "HFA": "the multisegment acceleration pressure-drop term is ignored",
+    "WPAVE": "WBP/WBP9 use pore-volume weighting regardless of the "
+             "WPAVE weighting options",
     "PVTWSALT": "brine feedback covers water viscosity (not Bw/density)",
     "ROCKCOMP": "rock compaction uses the ROCK second-order expansion",
     "TUNING": "only TSINIT/TSMAXZ/TSMINZ are honored",

@@ -155,7 +155,7 @@ def test_keyword_validation_and_diagnostics(tmp_path):
     from opm_autodiff_tpu.io.state import build_state
     d = read_deck(str(p))
     msgs = validate_deck(d)
-    assert any("WPAVE" in m and m.startswith("ERROR") for m in msgs)
+    assert any("WPAVE" in m and m.startswith("WARN") for m in msgs)
     assert any("TUNING" in m and m.startswith("WARN") for m in msgs)
     st = build_state(d)
     # clean SPE1 tables produce no relperm errors
