@@ -129,7 +129,7 @@ DATA_KEYWORDS = {
     "SWCR", "SGL", "SGU", "SGCR", "SOWCR", "SOGCR", "KRW", "KRO", "KRG",
     "KRWR", "KRORW", "KRORG", "KRGR", "PCW", "PCG", "TRANX", "TRANY",
     "TRANZ", "DIFFX", "DIFFY", "DIFFZ", "THCONR", "DISPERC", "MULTNUM",
-    "OPERNUM", "ROCKNUM", "MISCNUM", "TEMPI", "RSW", "SWATINIT",
+    "OPERNUM", "FLUXNUM", "ROCKNUM", "MISCNUM", "TEMPI", "RSW", "SWATINIT",
 }
 
 TABLES_KEYWORDS = {

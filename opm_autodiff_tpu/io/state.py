@@ -478,6 +478,18 @@ def _apply_box_operations(deck: Deck, cartdims) -> dict:
                 name = str(item(r, 0, "")).upper()
                 val = float(item(r, 1, 0.0))
                 get(name)[sel(rec_box(r, 2))] *= val
+        elif kw.name == "MULTIREG":
+            # region-based multiply: (array, value, region number,
+            # region keyword selector M/F/O -> MULTNUM/FLUXNUM/OPERNUM)
+            for r in kw.records:
+                name = str(item(r, 0, "")).upper()
+                val = float(item(r, 1, 1.0))
+                regno = int(item(r, 2, 0))
+                which = str(item(r, 3, "M")).upper()[:1]
+                regkw = {"M": "MULTNUM", "F": "FLUXNUM",
+                         "O": "OPERNUM"}.get(which, "MULTNUM")
+                m = get(regkw) == regno
+                get(name)[m] *= val
     return arrays
 
 

@@ -74,3 +74,26 @@ def test_add_in_record_box(grid):
 def test_copy_full_grid(grid):
     np.testing.assert_allclose(grid.permy, grid.permx)
     np.testing.assert_allclose(grid.permz, grid.permx)
+
+
+def test_multireg(tmp_path):
+    """MULTIREG: multiply an array within a MULTNUM region."""
+    from opm_autodiff_tpu.grid import build_geometry
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    import os
+
+    p = os.path.join(str(tmp_path), "MR.DATA")
+    write_spe1_deck(p, 4, 1, 2)
+    txt = open(p).read().replace(
+        "PROPS",
+        "MULTNUM\n 4*1 4*2 /\nMULTIREG\n 'PERMX' 10.0 2 'M' /\n/\n\nPROPS",
+        1)
+    open(p, "w").write(txt)
+    base = os.path.join(str(tmp_path), "MR0.DATA")
+    write_spe1_deck(base, 4, 1, 2)
+    px0 = np.asarray(build_geometry(load_state(base)).permx)
+    px = np.asarray(build_geometry(load_state(p)).permx)
+    # layer 2 (MULTNUM 2) scaled x10; layer 1 untouched
+    np.testing.assert_allclose(px[:4], px0[:4], rtol=1e-12)
+    np.testing.assert_allclose(px[4:], 10 * px0[4:], rtol=1e-12)
