@@ -1554,6 +1554,14 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                 tuning["max_dt_days"] = float(ts_max) * u.time / U.DAY
             if ts_min is not None:
                 tuning["min_dt_days"] = float(ts_min) * u.time / U.DAY
+            # items 5/6: TSFMAX max dt growth factor, TSFMIN chop
+            # factor after a failed substep (dimensionless)
+            tsfmax = item(r, 4, None)
+            tsfmin = item(r, 5, None)
+            if tsfmax is not None:
+                tuning["growth_factor"] = float(tsfmax)
+            if tsfmin is not None:
+                tuning["restart_factor"] = float(tsfmin)
         elif kw.name == "TSTEP":
             for v in kw.records[0]:
                 if v is not DEFAULT:

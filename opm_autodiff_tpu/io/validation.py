@@ -29,7 +29,7 @@ PARTIAL = {
              "WPAVE weighting options",
     "PVTWSALT": "brine feedback covers water viscosity (not Bw/density)",
     "ROCKCOMP": "rock compaction uses the ROCK second-order expansion",
-    "TUNING": "only TSINIT/TSMAXZ/TSMINZ are honored",
+    "TUNING": "TSINIT/TSMAXZ/TSMINZ/TSFMAX/TSFMIN are honored; the record-2/3 solver knobs are not",
     "UDQ": "UDQ division is unsupported (tokenizer limitation); "
            "+ - * comparisons and AND/OR are evaluated",
 }

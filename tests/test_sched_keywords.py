@@ -213,3 +213,24 @@ def test_welopen_whole_well_form_unchanged(tmp_path):
     w1 = state.schedule.steps[1].wells[0]
     assert w1.status == "SHUT"
     assert all(c.open for c in w1.completions)
+
+
+def test_tuning_growth_and_chop_factors(tmp_path):
+    """TUNING items 5/6 (TSFMAX/TSFMIN) map onto the adaptive stepper's
+    growth and restart factors."""
+    import os
+
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    p = os.path.join(str(tmp_path), "TU.DATA")
+    write_spe1_deck(p, 3, 3, 3)
+    txt = open(p).read().replace(
+        "TSTEP", "TUNING\n 0.5 10 0.01 1* 2.0 0.25 /\n/\n/\nTSTEP", 1)
+    open(p, "w").write(txt)
+    state = load_state(p)
+    t = state.schedule.steps[0].tuning
+    assert t["initial_dt_days"] == 0.5
+    assert t["max_dt_days"] == 10
+    assert t["growth_factor"] == 2.0
+    assert t["restart_factor"] == 0.25
