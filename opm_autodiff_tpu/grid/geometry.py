@@ -8,8 +8,8 @@ during a run, so everything downstream jit-compiles once against these
 shapes (reference relies on the same invariant:
 opm/simulators/linalg/ISTLSolverEbos.hpp:209-219).
 
-Cartesian (DX/DY/DZ/TOPS) geometry only in this round; corner-point
-COORD/ZCORN follows the same interface later.
+Cartesian (DX/DY/DZ/TOPS) grids build here; COORD/ZCORN decks route to
+grid/cornerpoint.py, which produces the same Geometry container.
 
 Transmissibility semantics mirror ecltransmissibility.cc:
   half-trans per cell/axis  T_h = k_axis * A_eff / d_half
@@ -25,7 +25,6 @@ import dataclasses
 
 import numpy as np
 
-from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.io.state import EclState, GridSection
 
 

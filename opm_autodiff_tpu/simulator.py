@@ -23,13 +23,13 @@ from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.grid import build_geometry
 from opm_autodiff_tpu.io.state import EclState, load_state
 from opm_autodiff_tpu.io.summary import SummaryWriter
-from opm_autodiff_tpu.models.blackoil import (PrimaryState, accumulation,
+from opm_autodiff_tpu.models.blackoil import (accumulation,
                                               statics_from_geometry)
 from opm_autodiff_tpu.models.init import equilibrate
 from opm_autodiff_tpu.props import FluidSystem
 from opm_autodiff_tpu.solvers.newton import (NewtonParams, NewtonState,
                                              newton_solve)
-from opm_autodiff_tpu.solvers.timestepper import (SubStepReport,
+from opm_autodiff_tpu.solvers.timestepper import (
                                                   TimeStepParams, _PidState,
                                                   run_report_step)
 from opm_autodiff_tpu.models.aquifer import build_from_state as build_aquifers
@@ -234,8 +234,6 @@ class Simulator:
     def _init_state(self):
         restart = self.state.solution.restart
         if restart is not None:
-            import os
-
             from opm_autodiff_tpu.models.init import restart_init
 
             ps, step, next_dt = restart_init(self.state, self.geo,

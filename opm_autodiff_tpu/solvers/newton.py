@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opm_autodiff_tpu.models.assembler import assemble_system, bsr_matvec
+from opm_autodiff_tpu.models.assembler import assemble_system
 from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
                                                 StructuredTopology,
                                                 add_extra_faces,
@@ -29,14 +29,12 @@ from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
                                                 embed_cells, pin_inactive)
 from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
 from opm_autodiff_tpu.models.blackoil import (FLAG_RS, FLAG_RV, FLAG_SG,
-                                              PrimaryState, accumulation,
-                                              intensive)
+                                              PrimaryState, intensive)
 from opm_autodiff_tpu.solvers.linear import solve_linear
 from opm_autodiff_tpu.wells import multisegment as msw_mod
 from opm_autodiff_tpu.wells import standard as wells_mod
 from opm_autodiff_tpu.wells import standard4 as s4
-from opm_autodiff_tpu.wells.standard import (CTRL_BHP, WellResult, WellSet,
-                                             well_contributions)
+from opm_autodiff_tpu.wells.standard import CTRL_BHP, WellResult, WellSet
 
 
 @dataclasses.dataclass(frozen=True)
