@@ -153,3 +153,26 @@ def test_setup_reuse_matches_rebuild():
     it_n = sum(s.linear_iterations for s in rep_never.steps)
     it_s = sum(s.linear_iterations for s in rep_sub.steps)
     assert it_s <= max(2 * it_n, it_n + 20)
+
+
+def test_setup_reuse_with_cpr_rebuilds():
+    """linear_setup_reuse='substep' with a CPR preconditioner: the CPR
+    hierarchy is not reusable and must silently rebuild each iteration
+    (setup None round-trips through the Newton state)."""
+    import os
+    import tempfile
+
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+    from opm_autodiff_tpu.solvers.newton import NewtonParams
+    from opm_autodiff_tpu.utils.synthetic import write_spe1_deck
+
+    path = os.path.join(tempfile.mkdtemp(), "SPE1RC.DATA")
+    write_spe1_deck(path, 5, 5, 3)
+    text = open(path).read().split("TSTEP")[0] + "TSTEP\n 1 3 /\nEND\n"
+    open(path, "w").write(text)
+    sim = Simulator(load_state(path), SimulatorOptions(
+        newton=NewtonParams(linear_precond="cpramg",
+                            linear_setup_reuse="substep")))
+    sim.run()
+    assert np.isfinite(np.asarray(sim.u)).all()

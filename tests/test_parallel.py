@@ -184,3 +184,31 @@ def test_distributed_well_spans_all_slabs(spanning_well_problem):
     np.testing.assert_allclose(cnv8, cnv1, rtol=1e-5, atol=1e-12)
     np.testing.assert_allclose(q8, q1, rtol=1e-5)
     np.testing.assert_allclose(u8, u1, rtol=5e-3)
+
+
+def test_ell_matvec_sharded(problem):
+    """The gather-only (ELL) BSR SpMV runs under GSPMD sharding and
+    matches the single-device result (cross-slab neighbor gathers
+    compile to collectives)."""
+    import jax
+
+    from opm_autodiff_tpu.models.assembler import (assemble_system,
+                                                   bsr_matvec)
+    from opm_autodiff_tpu.models.blackoil import (PrimaryState,
+                                                  statics_from_geometry)
+
+    (state, geo, fs, cells, _faces, init, _ws, acc0, _pbh) = problem
+    _, faces = statics_from_geometry(geo, structured="never")
+    assert faces.ell_face is not None
+    sys_ = assemble_system(fs, cells, faces,
+                           PrimaryState(init.u, init.flag), acc0, 86400.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(sys_.residual.shape))
+    y_ref = np.asarray(bsr_matvec(sys_, x))
+
+    mesh = make_mesh(8)
+    x_sh = jax.device_put(x, cell_sharding(mesh, 1))
+    with mesh:
+        y_sh = jax.jit(lambda v: bsr_matvec(sys_, v))(x_sh)
+        jax.block_until_ready(y_sh)
+    np.testing.assert_allclose(np.asarray(y_sh), y_ref, rtol=1e-12)
