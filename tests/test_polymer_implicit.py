@@ -147,3 +147,29 @@ def test_polymer_ell_matches_scatter(tmp_path):
     np.testing.assert_allclose(np.asarray(s_ell.diag),
                                np.asarray(s_sc.diag),
                                rtol=1e-12, atol=1e-20)
+
+
+def test_polymer_with_group_control(tmp_path):
+    """Implicit polymer under GCONPROD group apportioning (interplay of
+    the 4-equation system with the group-control layer)."""
+    deck = BASE.format(runspec_extra="POLYMER", props_extra=POLYMER_PROPS,
+                       sched_extra=POLYMER_SCHED)
+    deck = deck.replace(
+        "WELSPECS\n 'I1' 'G' 1 1 1000 'WATER' /\n 'P1' 'G' 10 1 1000 'OIL' /",
+        "GRUPTREE\n 'G' 'FIELD' /\n/\n"
+        "WELSPECS\n 'I1' 'G' 1 1 1000 'WATER' /\n 'P1' 'G' 10 1 1000 'OIL' /")
+    deck = deck.replace(
+        "WCONPROD\n 'P1' 'OPEN' 'BHP' 5* 150 /",
+        "GCONPROD\n 'G' 'LRAT' 3* 35 /\n/\n"
+        "WCONPROD\n 'P1' 'OPEN' 'GRUP' 5* 120 /")
+    p = tmp_path / "PGC.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)),
+                    SimulatorOptions(polymer_implicit=True))
+    sim.run()
+    c = np.asarray(sim.u[:, 3])
+    assert np.isfinite(np.asarray(sim.u)).all()
+    assert c[0] > 0.3  # polymer transported under group-driven rates
+    row = sim.summary.rows[0]
+    liq = row["WOPR:P1"] + row["WWPR:P1"]
+    assert liq == pytest.approx(35, rel=0.05)  # group LRAT honored
