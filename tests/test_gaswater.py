@@ -224,3 +224,24 @@ def test_sof2_stands_in_for_sof3(tmp_path):
     np.testing.assert_allclose(np.asarray(s2.u[:, :2]),
                                np.asarray(s1.u[:, :2]), rtol=1e-6,
                                atol=1e-9)
+
+
+def test_gaswater_npz_restart_roundtrip(tmp_path):
+    """Gas-water runs resume exactly from the npz checkpoint (the RV
+    state round-trips)."""
+    p = tmp_path / "GWR.DATA"
+    p.write_text(DECK)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    sim.step()
+    ckpt = str(tmp_path / "gw.npz")
+    sim.save_restart(ckpt)
+    u_mid = np.asarray(sim.u).copy()
+    sim.step()
+    u_end = np.asarray(sim.u).copy()
+
+    sim2 = Simulator(load_state(str(p)), SimulatorOptions())
+    sim2.load_restart(ckpt)
+    np.testing.assert_array_equal(np.asarray(sim2.u), u_mid)
+    sim2.step()
+    np.testing.assert_allclose(np.asarray(sim2.u), u_end,
+                               rtol=1e-12, atol=1e-14)
