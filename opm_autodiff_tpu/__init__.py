@@ -20,4 +20,6 @@ jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 
-from opm_autodiff_tpu.simulator import Simulator, run_deck  # noqa: E402,F401
+from opm_autodiff_tpu.simulator import (Simulator,  # noqa: E402,F401
+                                        SimulatorOptions, run_deck)
+from opm_autodiff_tpu.io.state import load_state  # noqa: E402,F401
