@@ -255,3 +255,11 @@ def test_norne_mini_cli_outputs(tmp_path):
     for ext in (".EGRID", ".INIT", ".UNRST", ".SMSPEC", ".UNSMRY",
                 ".PRT", ".csv", ".pvd"):
         assert (out / ("MININORNE" + ext)).exists(), ext
+
+
+def test_norne_mini_conservation(mini_norne):
+    """Water and gas books also balance on the mini-Norne case (the
+    conservation self-check API over a corner-point multi-region run)."""
+    sim, fip0 = mini_norne
+    errs = sim.check_conservativeness(fip0, rel_tol=0.03)
+    assert max(errs.values()) < 0.03
