@@ -6,9 +6,12 @@ framework needs (reference: ebos/ecltransmissibility.cc:146 update,
 corners, exact hexahedron volumes/centroids via tetrahedral
 decomposition, and NEWTRAN-style half-transmissibilities
 T_h = k * (A . c)/(c . c) with mutual-face z-overlap handling for
-stair-case faults (per-pillar 1-D overlap of the two cell faces — the
-same approximation simple corner-point processors use; full polygon
-clipping arrives with NNC support).
+stair-case faults: per-pillar 1-D overlap of the two cell faces, both
+for same-layer neighbors and for the CROSS-LAYER pairs a fault throw
+creates (cell (k,j,i) against (k+-d,j,i+1) until the offset scan finds
+no overlap — the face set CpGrid derives from its full geometry
+processing). Cross-layer connections land as COO extras on the
+embedded banded layout downstream.
 
 All host-side vectorized numpy producing the same ``Geometry`` container
 as the cartesian path, so everything downstream is unchanged.
@@ -169,107 +172,90 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
         th_ls.append(th_l[keep] if th_l is not None else zero)
         th_rs.append(th_r[keep] if th_r is not None else zero)
 
-    # ---- X faces: cells (k,j,i) | (k,j,i+1) --------------------------------
-    if nx > 1:
-        L = corners3[:, :, :-1]   # left cell corners
-        R = corners3[:, :, 1:]
-        both = act3[:, :, :-1] & act3[:, :, 1:]
-        # mutual face on the two shared pillars (j, i+1) and (j+1, i+1):
-        # per pillar, z-overlap of [Ltop, Lbot] and [Rtop, Rbot]
-        shape = L.shape[:3]
+    def _interp_on(seg_t, seg_b, z):
+        dz = seg_b[..., 2] - seg_t[..., 2]
+        safe = np.abs(dz) > 1e-12
+        t = np.where(safe, (z - seg_t[..., 2]) /
+                     np.where(safe, dz, 1.0), 0.0)
+        return seg_t + t[..., None] * (seg_b - seg_t)
+
+    def lateral_faces(axis, kL, kR):
+        """Mutual faces between the axis+ side of cells (kL, j, i) and
+        the axis- side of cells (kR, j, i+1) (axis 0) / (kR, j+1, i)
+        (axis 1): per shared pillar, the 1-D z-overlap of the two cell
+        faces. kL == kR gives the ordinary same-layer neighbors; kL !=
+        kR gives the CROSS-LAYER connections a stair-case fault creates
+        (reference: CpGrid builds faces between every vertically
+        overlapping cell pair across a faulted pillar; these become COO
+        extras on the embedded banded layout). Returns True when any
+        face with positive transmissibility was added."""
+        if axis == 0:
+            sL, sR = (slice(None), slice(None, -1)), (slice(None), slice(1, None))
+        else:
+            sL, sR = (slice(None, -1), slice(None)), (slice(1, None), slice(None))
+        L = corners3[kL][:, sL[0], sL[1]]
+        R = corners3[kR][:, sR[0], sR[1]]
+        both = act3[kL][:, sL[0], sL[1]] & act3[kR][:, sR[0], sR[1]]
+        # the two shared pillars: (j, j+1) at i+1 for x faces,
+        # (i, i+1) at j+1 for y faces
         f = {}
-        for dj in (0, 1):
-            lt = L[:, :, :, 0, dj, 1]   # [.., 3] top corner on that pillar
-            lb = L[:, :, :, 1, dj, 1]
-            rt = R[:, :, :, 0, dj, 0]
-            rb = R[:, :, :, 1, dj, 0]
+        for dp in (0, 1):
+            if axis == 0:
+                lt = L[:, :, :, 0, dp, 1]   # [.., 3] top corner, pillar dp
+                lb = L[:, :, :, 1, dp, 1]
+                rt = R[:, :, :, 0, dp, 0]
+                rb = R[:, :, :, 1, dp, 0]
+            else:
+                lt = L[:, :, :, 0, 1, dp]
+                lb = L[:, :, :, 1, 1, dp]
+                rt = R[:, :, :, 0, 0, dp]
+                rb = R[:, :, :, 1, 0, dp]
             ztop = np.maximum(lt[..., 2], rt[..., 2])
             zbot = np.minimum(lb[..., 2], rb[..., 2])
             zbot = np.maximum(zbot, ztop)  # empty overlap -> zero height
-
-            def interp_on(seg_t, seg_b, z):
-                dz = seg_b[..., 2] - seg_t[..., 2]
-                safe = np.abs(dz) > 1e-12
-                t = np.where(safe, (z - seg_t[..., 2]) /
-                             np.where(safe, dz, 1.0), 0.0)
-                return seg_t + t[..., None] * (seg_b - seg_t)
-
-            f[(dj, 0)] = interp_on(lt, lb, ztop)
-            f[(dj, 1)] = interp_on(lt, lb, zbot)
+            f[(dp, 0)] = _interp_on(lt, lb, ztop)
+            f[(dp, 1)] = _interp_on(lt, lb, zbot)
         area, fcent = _quad_area_centroid(f[(0, 0)], f[(1, 0)],
                                           f[(1, 1)], f[(0, 1)])
-        pl = perm_by_axis[0][:, :, :-1].reshape(-1)
-        pr = perm_by_axis[0][:, :, 1:].reshape(-1)
+        pl = perm_by_axis[axis][kL][:, sL[0], sL[1]].reshape(-1)
+        pr = perm_by_axis[axis][kR][:, sR[0], sR[1]].reshape(-1)
         area_flat = area.reshape(-1, 3)
-        hl = _half_trans(pl, area_flat,
-                         cent3[:, :, :-1].reshape(-1, 3),
-                         fcent.reshape(-1, 3)) * ntg3[:, :, :-1].reshape(-1)
-        hr = _half_trans(pr, area_flat,
-                         cent3[:, :, 1:].reshape(-1, 3),
-                         fcent.reshape(-1, 3)) * ntg3[:, :, 1:].reshape(-1)
+        cL = cent3[kL][:, sL[0], sL[1]].reshape(-1, 3)
+        cR = cent3[kR][:, sR[0], sR[1]].reshape(-1, 3)
+        nL = ntg3[kL][:, sL[0], sL[1]].reshape(-1)
+        nR = ntg3[kR][:, sR[0], sR[1]].reshape(-1)
+        fc = fcent.reshape(-1, 3)
+        hl = _half_trans(pl, area_flat, cL, fc) * nL
+        hr = _half_trans(pr, area_flat, cR, fc) * nR
         with np.errstate(divide="ignore"):
             t = np.where((hl > 0) & (hr > 0),
                          hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
-        t *= (mult[0][:, :, :-1] * multm[0][:, :, 1:]).reshape(-1)
+        t *= (mult[axis][kL][:, sL[0], sL[1]]
+              * multm[axis][kR][:, sR[0], sR[1]]).reshape(-1)
         t = np.where(both.reshape(-1), t, 0.0)
+        if not (t > 0).any():
+            return False
         # thermal (geometric) halves: same NEWTRAN factor with unit perm
         # (reference: ecltransmissibility.cc thermalHalfTrans_)
-        thl = _half_trans(np.ones_like(pl), area_flat,
-                          cent3[:, :, :-1].reshape(-1, 3),
-                          fcent.reshape(-1, 3)) * ntg3[:, :, :-1].reshape(-1)
-        thr = _half_trans(np.ones_like(pr), area_flat,
-                          cent3[:, :, 1:].reshape(-1, 3),
-                          fcent.reshape(-1, 3)) * ntg3[:, :, 1:].reshape(-1)
-        add(0, gid3[:, :, :-1].reshape(-1), gid3[:, :, 1:].reshape(-1), t,
-            thl, thr)
+        thl = _half_trans(np.ones_like(pl), area_flat, cL, fc) * nL
+        thr = _half_trans(np.ones_like(pr), area_flat, cR, fc) * nR
+        add(axis, gid3[kL][:, sL[0], sL[1]].reshape(-1),
+            gid3[kR][:, sR[0], sR[1]].reshape(-1), t, thl, thr)
+        return True
 
-    # ---- Y faces: cells (k,j,i) | (k,j+1,i) --------------------------------
-    if ny > 1:
-        L = corners3[:, :-1]
-        R = corners3[:, 1:]
-        both = act3[:, :-1] & act3[:, 1:]
-        f = {}
-        for di in (0, 1):
-            lt = L[:, :, :, 0, 1, di]
-            lb = L[:, :, :, 1, 1, di]
-            rt = R[:, :, :, 0, 0, di]
-            rb = R[:, :, :, 1, 0, di]
-            ztop = np.maximum(lt[..., 2], rt[..., 2])
-            zbot = np.minimum(lb[..., 2], rb[..., 2])
-            zbot = np.maximum(zbot, ztop)
-
-            def interp_on(seg_t, seg_b, z):
-                dz = seg_b[..., 2] - seg_t[..., 2]
-                safe = np.abs(dz) > 1e-12
-                t = np.where(safe, (z - seg_t[..., 2]) /
-                             np.where(safe, dz, 1.0), 0.0)
-                return seg_t + t[..., None] * (seg_b - seg_t)
-
-            f[(di, 0)] = interp_on(lt, lb, ztop)
-            f[(di, 1)] = interp_on(lt, lb, zbot)
-        area, fcent = _quad_area_centroid(f[(0, 0)], f[(1, 0)],
-                                          f[(1, 1)], f[(0, 1)])
-        pl = perm_by_axis[1][:, :-1].reshape(-1)
-        pr = perm_by_axis[1][:, 1:].reshape(-1)
-        hl = _half_trans(pl, area.reshape(-1, 3),
-                         cent3[:, :-1].reshape(-1, 3),
-                         fcent.reshape(-1, 3)) * ntg3[:, :-1].reshape(-1)
-        hr = _half_trans(pr, area.reshape(-1, 3),
-                         cent3[:, 1:].reshape(-1, 3),
-                         fcent.reshape(-1, 3)) * ntg3[:, 1:].reshape(-1)
-        with np.errstate(divide="ignore"):
-            t = np.where((hl > 0) & (hr > 0),
-                         hl * hr / np.maximum(hl + hr, 1e-300), 0.0)
-        t *= (mult[1][:, :-1] * multm[1][:, 1:]).reshape(-1)
-        t = np.where(both.reshape(-1), t, 0.0)
-        thl = _half_trans(np.ones_like(pl), area.reshape(-1, 3),
-                          cent3[:, :-1].reshape(-1, 3),
-                          fcent.reshape(-1, 3)) * ntg3[:, :-1].reshape(-1)
-        thr = _half_trans(np.ones_like(pr), area.reshape(-1, 3),
-                          cent3[:, 1:].reshape(-1, 3),
-                          fcent.reshape(-1, 3)) * ntg3[:, 1:].reshape(-1)
-        add(1, gid3[:, :-1].reshape(-1), gid3[:, 1:].reshape(-1), t,
-            thl, thr)
+    # ---- X faces: cells (k,j,i) | (k',j,i+1);  Y: (k,j,i) | (k',j+1,i).
+    # k' == k is the conforming stencil; k' = k +- d are the fault-throw
+    # cross-layer connections, scanned with increasing offset until a
+    # whole offset produces no overlap anywhere (throw is bounded).
+    for axis, extent in ((0, nx), (1, ny)):
+        if extent <= 1:
+            continue
+        lateral_faces(axis, slice(None), slice(None))
+        for d in range(1, nz):
+            up = lateral_faces(axis, slice(0, nz - d), slice(d, nz))
+            dn = lateral_faces(axis, slice(d, nz), slice(0, nz - d))
+            if not (up or dn):
+                break
 
     # ---- Z faces: cells (k,j,i) | (k+1,j,i) --------------------------------
     if nz > 1:
@@ -298,13 +284,17 @@ def build_cornerpoint_geometry(state: EclState) -> Geometry:
                           cent3[1:].reshape(-1, 3), fcent.reshape(-1, 3))
         add(2, gid3[:-1].reshape(-1), gid3[1:].reshape(-1), t, thl, thr)
 
+    def _cat(parts, dtype=np.float64):
+        return (np.concatenate(parts).astype(dtype) if parts
+                else np.zeros(0, dtype))
+
     faces = FaceList(
-        left=np.concatenate(lefts).astype(np.int32),
-        right=np.concatenate(rights).astype(np.int32),
-        trans=np.concatenate(transs),
-        axis=np.concatenate(axes),
-        th_left=np.concatenate(th_ls),
-        th_right=np.concatenate(th_rs),
+        left=_cat(lefts, np.int32),
+        right=_cat(rights, np.int32),
+        trans=_cat(transs),
+        axis=_cat(axes, np.int8),
+        th_left=_cat(th_ls),
+        th_right=_cat(th_rs),
     )
     from opm_autodiff_tpu.grid.geometry import (append_nnc, apply_editnnc,
                                                 apply_multflt,

@@ -308,8 +308,10 @@ def _apply_numerical_aquifers(state, glob_to_act, nxy, pore_vol, depth,
 
 def compute_face_thpres(faces: FaceList, state, geo_act_to_glob) -> None:
     """Fill faces.thpres from THPRES records + EQLNUM regions
-    (reference: eclthresholdpressure.hh; explicit values only — the
-    defaulted-from-equilibration variant lands with multi-region EQUIL)."""
+    (reference: eclthresholdpressure.hh). Defaulted records enter as 0
+    here and are filled from the equilibrated initial state by
+    ``Simulator._apply_default_thpres`` (reference:
+    eclgenericthresholdpressure.cc:194 computeDefaultThresholdPressures_)."""
     nf = len(faces.left)
     faces.thpres = np.zeros(nf)
     thpres = getattr(state, "thpres", None)

@@ -404,12 +404,17 @@ def read_deck(path: str) -> Deck:
             emit(DeckKeyword(name, [rec], loc))
         elif mode in (RECORDS, TABLES):
             recs = []
+            # box-operation records legitimately START with array-keyword
+            # names (COPY: "PERMX PERMY /") — only a section header may
+            # break them; they always carry their terminating "/"
+            ops = name in ("COPY", "EQUALS", "ADD", "MULTIPLY", "MULTIREG")
+            breakers = SECTION_KEYWORDS if ops else all_known
             while True:
                 # stop when the next line begins with a known keyword and we
                 # are between records (handles keywords without terminating
                 # empty record, which is legal in ECL decks)
                 first = stream.peek_line_first()
-                if first is not None and first.upper() in all_known:
+                if first is not None and first.upper() in breakers:
                     break
                 rec = stream.read_record()
                 if rec is None:

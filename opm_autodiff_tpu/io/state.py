@@ -47,6 +47,10 @@ class Runspec:
     # NOSIM: initialize + write output, skip time stepping
     # (reference: FlowMainEbos.hpp:507-524)
     nosim: bool = False
+    # NUPCOL: group-control targets re-apportioned inside the Newton
+    # loop up to this iteration, then frozen (reference:
+    # BlackoilWellModel_impl.hpp:828 iterationIdx < nupcol)
+    nupcol: int = 12
 
 
 @dataclasses.dataclass
@@ -338,6 +342,10 @@ class EclState:
     multflt: dict = dataclasses.field(default_factory=dict)
     # presence flags for option keywords (PINCH, EHYSTR, ...)
     flags: frozenset = frozenset()
+    # EHYSTR record (curvature parameter, model flag): model 1 =
+    # Killough kr + pc, 2 = Killough kr only (the default mirrors
+    # ECLIPSE: 0.1, 2 -> relative-permeability hysteresis only)
+    ehystr: tuple = (0.1, 2)
 
     @property
     def cartdims(self):
@@ -401,6 +409,8 @@ def _build_runspec(deck: Deck) -> Runspec:
         start=start,
         extensions=frozenset(ext),
         nosim="NOSIM" in deck,
+        nupcol=(int(item(deck.get1("NUPCOL").records[0], 0, 12))
+                if deck.get1("NUPCOL") is not None else 12),
     )
 
 
@@ -1786,7 +1796,13 @@ def build_state(deck: Deck) -> EclState:
                     faults=faults, multflt=multflt,
                     flags=frozenset(
                         k for k in ("PINCH", "EHYSTR")
-                        if deck.get1(k) is not None))
+                        if deck.get1(k) is not None),
+                    ehystr=((float(item(deck.get1("EHYSTR").records[0],
+                                        0, 0.1) or 0.1),
+                             int(item(deck.get1("EHYSTR").records[0],
+                                      1, 2) or 2))
+                            if deck.get1("EHYSTR") is not None
+                            else (0.1, 2)))
 
 
 def load_state(path: str) -> EclState:

@@ -37,15 +37,19 @@ def _integrate_pressure(depths, d0, p0, rho_fn, step: float = 0.5):
     span = np.linspace(lo, hi, n_nodes)
 
     def march(seq, p_start):
-        """Integrate along a sequence of depth nodes starting at seq[0]."""
+        """RK4 along a sequence of depth nodes starting at seq[0]
+        (reference: RK4IVP, initstateequil.hh:80)."""
         ps = np.empty(len(seq))
         p = p_start
         ps[0] = p
         for i in range(1, len(seq)):
-            dd = seq[i] - seq[i - 1]
-            k1 = rho_fn(p, seq[i - 1]) * g
-            k2 = rho_fn(p + 0.5 * dd * k1, seq[i - 1] + 0.5 * dd) * g
-            p = p + dd * k2
+            d0 = seq[i - 1]
+            dd = seq[i] - d0
+            k1 = rho_fn(p, d0) * g
+            k2 = rho_fn(p + 0.5 * dd * k1, d0 + 0.5 * dd) * g
+            k3 = rho_fn(p + 0.5 * dd * k2, d0 + 0.5 * dd) * g
+            k4 = rho_fn(p + dd * k3, d0 + dd) * g
+            p = p + dd * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
             ps[i] = p
         return ps
 
@@ -101,12 +105,24 @@ class _HostProps:
         self.wet_gas = fs.wet_gas
         self.g_p = np.asarray(fs.gas.p[r])
         if self.wet_gas:
-            # wet gas (PVTG): saturated curve; density uses rv_sat
+            # wet gas (PVTG): saturated curve + the full undersaturated
+            # banks (exact 2-D eval, like WetGasPvt._usat); the per-line
+            # slope stays as the fallback for hand-built tables
             self.g_invb = np.asarray(fs.gas.inv_b_sat[r])
             self.g_rv = np.asarray(fs.gas.rv_tab[r])
+            self.g_slope = np.asarray(fs.gas.slope_inv_b[r])
+            g = fs.gas
+            if g.usat_rv is not None:
+                self.g_usat_rv = np.asarray(g.usat_rv[r])      # [np, m]
+                self.g_usat_invb = np.asarray(g.usat_inv_b[r])
+                self.g_np = (int(g.usat_np[r]) if g.usat_np is not None
+                             else self.g_usat_rv.shape[0])
+            else:
+                self.g_usat_rv = None
         else:
             self.g_invb = np.asarray(fs.gas.inv_b_tab[r])
             self.g_rv = np.zeros_like(self.g_p)
+            self.g_slope = np.zeros_like(self.g_p)
         w = fs.water
         self.w_pref = float(w.p_ref[r])
         self.w_invb = float(w.inv_b_ref[r])
@@ -149,10 +165,29 @@ class _HostProps:
             return 0.0
         return max(self._interp_extrap(p, self.g_p, self.g_rv), 0.0)
 
-    def gas_density(self, p):
-        rv = self.rv_sat(p)
-        return (self.rho_surf[2] + rv * self.rho_surf[1]) \
-            * self._interp_extrap(p, self.g_p, self.g_invb)
+    def gas_density(self, p, rv=None):
+        """Gas density at (p, rv); rv defaults to saturated. Below the
+        saturated curve the 1/Bg uses the per-line dRv linearization
+        (reference: PhasePressODE::Gas::density,
+        initstateequil.hh:266-280 — undersaturated inv B at the rv the
+        evaporation calculator returns)."""
+        if rv is None:
+            rv = self.rv_sat(p)
+        b = self._interp_extrap(p, self.g_p, self.g_invb)
+        if self.wet_gas and rv < self.rv_sat(p):
+            if getattr(self, "g_usat_rv", None) is not None:
+                # exact 2-D eval: every pressure line at this rv, then
+                # blend in p (WetGasPvt._usat semantics)
+                npl = self.g_np
+                lvals = np.array([
+                    self._interp_extrap(rv, self.g_usat_rv[i],
+                                        self.g_usat_invb[i])
+                    for i in range(npl)])
+                b = self._interp_extrap(p, self.g_p[:npl], lvals)
+            else:
+                b = b + self._interp_extrap(p, self.g_p, self.g_slope) \
+                    * (rv - self.rv_sat(p))
+        return (self.rho_surf[2] + rv * self.rho_surf[1]) * b
 
     def water_density(self, p):
         x = self.w_comp * (p - self.w_pref)
@@ -224,6 +259,26 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
 
     hp = _HostProps(fs, pvt_reg)
 
+    # contact-capped mixing when no depth table is given (reference:
+    # RsSatAtContact/RvSatAtContact, equilibrationhelpers.hh:227-438,
+    # constructed at initstateequil.hh:1651,1698 with pContact = the
+    # datum pressure (+ pcgo for Rv); the reference requires datum ==
+    # GOC there — when they differ we integrate the uncapped oil curve
+    # to the GOC instead of refusing)
+    rs_cap = rv_cap = None
+    if (hp.live or hp.wet_gas) and not (rsvd is not None
+                                        and rvvd is not None):
+        if abs(eq.goc_depth - eq.datum_depth) < 1e-9:
+            p_goc = eq.datum_pressure
+        else:
+            p_goc = _integrate_pressure(
+                [eq.goc_depth], eq.datum_depth, eq.datum_pressure,
+                lambda p, d: hp.oil_density(p, hp.rs_sat(p)))[0]
+        if hp.live and rsvd is None and pbvd is None:
+            rs_cap = hp.rs_sat(p_goc)
+        if hp.wet_gas and rvvd is None and pdvd is None:
+            rv_cap = hp.rv_sat(p_goc + eq.goc_pc)
+
     def rs_at(p, d):
         rs_sat = hp.rs_sat(p)
         if rsvd is not None:
@@ -231,6 +286,8 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
         if pbvd is not None:
             pb = float(np.interp(d, pbvd[:, 0], pbvd[:, 1]))
             return min(rs_sat, hp.rs_sat(pb))
+        if rs_cap is not None:
+            return min(rs_sat, rs_cap)
         return rs_sat
 
     def rv_at(pg_i, d):
@@ -241,6 +298,8 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
         if pdvd is not None:
             pd = float(np.interp(d, pdvd[:, 0], pdvd[:, 1]))
             return min(rv_sat, hp.rv_sat(pd))
+        if rv_cap is not None:
+            return min(rv_sat, rv_cap)
         return rv_sat
 
     def rho_oil(p, d):
@@ -250,7 +309,10 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
         return hp.water_density(p)
 
     def rho_gas(p, d):
-        return hp.gas_density(p)
+        # the evaporation calculator's rv (RVVD/PDVD table or contact
+        # cap), not raw rv_sat (reference: GasPressODE uses the rv
+        # function with satGas=0)
+        return hp.gas_density(p, rv_at(p, d))
 
     # oil pressure from datum
     po = _integrate_pressure(d_sorted, eq.datum_depth, eq.datum_pressure,
@@ -308,12 +370,44 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
         s = _invert_pc(pg[i] - po[i], sg_nodes, pcog_nodes, increasing=True)
         if s is None:
             s = (1.0 - swco) if d <= eq.goc_depth else 0.0
-        sg_i = min(max(s, 0.0), sg_max, 1.0 - sw_i)
+        sg_raw = min(max(s, 0.0), sg_max)
+        po_i = po[i]
+        # overlapping gas/oil and oil/water transition zones: recompute
+        # from the implied gas/water capillary pressure Pg - Pw, then
+        # take the oil pressure off the gas curve (reference:
+        # fixUnphysicalTransition, initstateequil.hh:1217 +
+        # satFromSumOfPcs; the unclamped inverted saturations detect
+        # the overlap)
+        if (sw_i + sg_raw > 1.0
+                and len(sg_nodes) > 1 and len(sw_nodes) > 1):
+            # breakpoints of the sum live on BOTH tables' node sets
+            s_u = np.union1d(sw_nodes, 1.0 - sg_nodes)
+            s_u = s_u[(s_u >= sw_nodes[0]) & (s_u <= sw_nodes[-1])]
+            pcgw = (np.interp(s_u, sw_nodes, pcow_nodes)
+                    + np.interp(1.0 - s_u, sg_nodes, pcog_nodes))
+            s2 = _invert_pc(pg[i] - pw[i], s_u, pcgw,
+                            increasing=False)
+            if s2 is not None:
+                sw_i = min(max(s2, swco), 1.0)
+                sg_raw = 1.0 - sw_i
+                po_i = pg[i] - float(np.interp(sg_raw, sg_nodes,
+                                               pcog_nodes))
+        sg_i = min(sg_raw, 1.0 - sw_i)
         if sw_i >= 1.0 - 1e-12:
             sg_i = 0.0
         sw[i] = sw_i
         sg[i] = sg_i
-        po_out[i] = po[i]
+        # saturation-corrected oil pressure (reference:
+        # accountForScaledSaturations, initstateequil.hh:1253-1306): a
+        # cell at the water/gas saturation ceiling takes its oil
+        # pressure from that phase's hydrostatic curve so the initial
+        # state is a no-flow equilibrium of the dominant phase
+        swu = float(sw_nodes[-1])
+        if sw_i + 1e-6 > swu:
+            po_i = pw[i] + float(pcow_nodes[-1])
+        elif len(sg_nodes) > 1 and sg_i + 1e-6 > sg_max:
+            po_i = pg[i] - float(pcog_nodes[-1])
+        po_out[i] = po_i
         so_i = 1.0 - sw_i - sg_i
         if sg_i > 0.0 and so_i <= 1e-9 and hp.wet_gas:
             # pure gas zone in a VAPOIL run: Rv is the third variable,
@@ -329,7 +423,7 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
             x3[i] = sg_i
         else:
             flag[i] = FLAG_RS
-            x3[i] = rs_at(po[i], d)
+            x3[i] = rs_at(po_i, d)
 
     # scatter back to the incoming (unsorted) cell order
     inv = np.empty(n, np.int64)

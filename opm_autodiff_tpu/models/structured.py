@@ -14,10 +14,13 @@ assumption baked into its GPU backends' reorderings (bda/, SURVEY.md
 
 Cells are kept on the FULL cartesian grid (inactive cells pinned to
 identity equations) — dense padded arrays beat compressed gathers on
-TPU. Fully-active grids use the plain path (``structured_ok``); ACTNUM
-grids whose connections are all cartesian-neighbor embed through
-``EmbeddedTopology`` (``embedded_ok``); NNC/fault/thpres grids fall back
-to the face-list (BSR) layout.
+TPU. Fully-active grids use the plain path (``structured_ok``); every
+other cartesian-box grid embeds through ``EmbeddedTopology``
+(``embedded_ok``): inactive cells become identity rows and non-neighbor
+connections (fault throw, NNC, thpres faces) become COO extras riding
+on top of the bands. The face-list (BSR) layout remains for grids that
+are not cartesian-box-indexable and for the 4-equation implicit-polymer
+system.
 """
 
 from __future__ import annotations
@@ -72,9 +75,10 @@ class StructuredSystem(NamedTuple):
     inv_b: jnp.ndarray | None = None
     # extra (non-neighbor) connections: fault throw, NNC, numerical
     # aquifers. COO blocks over full-box indices; None when absent. The
-    # few extra gathers ride on top of the banded hot path (the
-    # preconditioners ignore them, like the reference masks overlap rows,
-    # ISTLSolverEbos.hpp:479).
+    # few extra gathers ride on top of the banded hot path; the CPR
+    # pressure stage restricts them through its GMG hierarchy
+    # (solvers/cpr.py build_cpr_banded / solvers/gmg.py), while the
+    # z-line smoother ignores them (they are never z-band entries).
     ex_left: jnp.ndarray | None = None
     ex_right: jnp.ndarray | None = None
     ex_lr: jnp.ndarray | None = None   # [Fe,3,3] row=left,  col=right

@@ -91,10 +91,12 @@ def build_eps(state, geo, fs):
     return eps
 
 
-def extend_with_hysteresis(eps, state, geo, sg_init):
+def extend_with_hysteresis(eps, state, geo, sg_init, sw_init=None):
     """Append the Killough hysteresis channels [12]=sg_max, [13]=IMBNUM
-    (zero-based) to the EPS array; activates when the deck has EHYSTR +
-    IMBNUM (reference: EclHysteresisConfig)."""
+    (zero-based), [14]=sw_min (historical minimum water saturation —
+    drives the oil-phase scanning curve of the oil/water system) to the
+    EPS array; activates when the deck has EHYSTR + IMBNUM (reference:
+    EclHysteresisConfig)."""
     imb = state.regions.get("IMBNUM")
     if imb is None:
         return eps
@@ -102,8 +104,13 @@ def extend_with_hysteresis(eps, state, geo, sg_init):
     if eps is None:
         eps = np.full((n, 12), np.nan)
     imb_c = np.maximum(np.asarray(imb)[geo.act_to_glob] - 1, 0)
+    if sw_init is None:
+        sw_min = np.full(n, np.nan)
+    else:
+        sw_min = np.asarray(sw_init, float)
     out = np.concatenate(
         [np.asarray(eps),
          np.asarray(sg_init, float)[:, None],
-         imb_c[:, None].astype(float)], axis=1)
+         imb_c[:, None].astype(float),
+         sw_min[:, None]], axis=1)
     return out

@@ -177,7 +177,10 @@ class FluidSystem(NamedTuple):
             water=water_pvt_from_props(props),
             oil=oil,
             gas=gas,
-            sat=SatFunc.from_props(props, phases),
+            sat=SatFunc.from_props(props, phases,
+                                   ehystr=getattr(state, "ehystr", None)
+                                   if "EHYSTR" in getattr(state, "flags",
+                                                          ()) else None),
             rock=RockParams(jnp.asarray([r.p_ref for r in rocks]),
                             jnp.asarray([r.comp for r in rocks])),
             rho_surf=jnp.asarray([[d.water, d.oil, d.gas] for d in denss]),

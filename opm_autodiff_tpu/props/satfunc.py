@@ -63,6 +63,9 @@ class SatFunc(NamedTuple):
     t_krw_mx: jnp.ndarray  # krw at swu
     t_kro_mx: jnp.ndarray  # krow at swl
     t_krg_mx: jnp.ndarray  # krg at sgu
+    # Killough capillary-pressure hysteresis curvature (EHYSTR item 1)
+    # — None disables Pc scanning (EHYSTR model flag != 1)
+    hyst_pc_curv: jnp.ndarray | None = None
 
     @property
     def num_regions(self) -> int:
@@ -105,7 +108,7 @@ class SatFunc(NamedTuple):
                                             self._row(self.krw_tab, reg),
                                             extrapolate=False), 0.0)
 
-    def krow(self, sw, reg=0, eps=None):
+    def _krow_raw(self, sw, reg, eps):
         if eps is not None:
             swl_t = self._row(self.t_swl, reg)
             sw0_t = self._row(self.t_sw0w, reg)
@@ -121,20 +124,94 @@ class SatFunc(NamedTuple):
                                             self._row(self.krow_tab, reg),
                                             extrapolate=False), 0.0)
 
-    def pcow(self, sw, reg=0, eps=None):
-        """Capillary pressure Po - Pw."""
-        if eps is not None:
+    def _ow_land(self, reg, imb, sw_min):
+        """Land trapping of the oil/water system's non-wetting phase
+        (oil): returns (so_tr, so_max, socr_i, sou_i). so_max is the
+        historical maximum oil saturation 1 - sw_min; so_tr the trapped
+        oil from Land's relation between the drainage and imbibition
+        residual-oil end points."""
+        so_max = 1.0 - sw_min
+        socr_d = 1.0 - self._row(self.t_sw0w, reg)   # residual oil, drainage
+        socr_i = 1.0 - self.t_sw0w[imb]              # max trapped, imbibition
+        so_mx_d = 1.0 - self._row(self.t_swl, reg)   # max oil in the table
+        denom_tr = jnp.maximum(socr_i - socr_d, 1e-6)
+        denom_mx = jnp.maximum(so_mx_d - socr_d, 1e-6)
+        c_land = jnp.maximum(1.0 / denom_tr - 1.0 / denom_mx, 1e-6)
+        dso = jnp.maximum(so_max - socr_d, 0.0)
+        so_tr = socr_d + dso / (1.0 + c_land * dso)
+        sou_i = 1.0 - self.t_swl[imb]
+        return so_tr, so_max, socr_i, sou_i
+
+    def krow(self, sw, reg=0, eps=None):
+        """Oil relperm vs water; with hysteresis channels present (eps
+        has >= 15 entries: [13] = IMBNUM, [14] = historical min Sw) the
+        Killough scanning-curve model applies to the non-wetting (oil)
+        phase on rising water saturation — the oil/water twin of the gas
+        model below (reference: opm-material EclHysteresisTwoPhaseLaw
+        applied by EclMaterialLawManager to both two-phase systems;
+        trapped oil from Land's relation)."""
+        drain = self._krow_raw(sw, reg, eps)
+        if eps is None or eps.shape[-1] < 15:
+            return drain
+        sw_min = eps[14]
+        imb = jnp.asarray(eps[13], jnp.int32)
+        so = 1.0 - sw
+        so_tr, so_max, socr_i, sou_i = self._ow_land(reg, imb, sw_min)
+        span = jnp.maximum(so_max - so_tr, 1e-6)
+        so_norm = socr_i + (so - so_tr) * (sou_i - socr_i) / span
+        krow_i = jnp.maximum(
+            interp1d(1.0 - so_norm, self.sw[imb], self.krow_tab[imb],
+                     extrapolate=False), 0.0)
+        krow_i_mx = jnp.maximum(self.t_kro_mx[imb], 1e-12)
+        krow_at_max = self._krow_raw(sw_min, reg, eps)
+        scan = krow_i * krow_at_max / krow_i_mx
+        socr_d = 1.0 - self._row(self.t_sw0w, reg)
+        on_drainage = (sw <= sw_min + 1e-9) | jnp.isnan(sw_min) \
+            | (so_max <= socr_d + 1e-9)
+        return jnp.where(on_drainage, drain, jnp.clip(scan, 0.0, drain))
+
+    def _pcow_raw(self, sw, reg, eps, imb_row=None):
+        if imb_row is None:
+            sw_bank = self._row(self.sw, reg)
+            pc_bank = self._row(self.pcow_tab, reg)
             swl_t = self._row(self.t_swl, reg)
             swu_t = self._row(self.t_swu, reg)
+        else:
+            sw_bank = self.sw[imb_row]
+            pc_bank = self.pcow_tab[imb_row]
+            swl_t = self.t_swl[imb_row]
+            swu_t = self.t_swu[imb_row]
+        if eps is not None:
             swl_c = self._e(eps, 0, swl_t)
             swu_c = self._e(eps, 2, swu_t)
             sw = self._remap(sw, swl_c, swu_c, swl_t, swu_t)
             mult = self._e(eps, 10, 1.0)
         else:
             mult = 1.0
-        return mult * interp1d(sw, self._row(self.sw, reg),
-                               self._row(self.pcow_tab, reg),
-                               extrapolate=False)
+        return mult * interp1d(sw, sw_bank, pc_bank, extrapolate=False)
+
+    def pcow(self, sw, reg=0, eps=None):
+        """Capillary pressure Po - Pw; with EHYSTR model 1 and the
+        hysteresis channels present, Killough's wetting-phase scanning
+        interpolates between the drainage and imbibition curves with
+        the EHYSTR curvature parameter (F-factor form of Killough 1976;
+        reference: EclHysteresisTwoPhaseLaw pcnw scanning)."""
+        drain = self._pcow_raw(sw, reg, eps)
+        if (self.hyst_pc_curv is None or eps is None
+                or eps.shape[-1] < 15):
+            return drain
+        sw_min = eps[14]
+        imb = jnp.asarray(eps[13], jnp.int32)
+        imbc = self._pcow_raw(sw, reg, eps, imb_row=imb)
+        so_tr, _so_max, _ci, _ui = self._ow_land(reg, imb, sw_min)
+        sw_mx = 1.0 - so_tr  # scanning terminates at the trapped-oil end
+        e = self.hyst_pc_curv
+        num = 1.0 / (jnp.maximum(sw - sw_min, 0.0) + e) - 1.0 / e
+        den = 1.0 / (jnp.maximum(sw_mx - sw_min, 1e-6) + e) - 1.0 / e
+        f = jnp.clip(num / jnp.where(jnp.abs(den) > 0, den, 1.0), 0.0, 1.0)
+        scan = drain + f * (imbc - drain)
+        on_drainage = (sw <= sw_min + 1e-9) | jnp.isnan(sw_min)
+        return jnp.where(on_drainage, drain, scan)
 
     def _krg_raw(self, sg, reg, eps):
         if eps is not None:
@@ -230,7 +307,8 @@ class SatFunc(NamedTuple):
         return jnp.where(den > 1e-12, mixed, self.krow(swco, reg, eps))
 
     @staticmethod
-    def from_props(props: PropsSection, phases=None) -> "SatFunc":
+    def from_props(props: PropsSection, phases=None,
+                   ehystr=None) -> "SatFunc":
         phases = phases or frozenset({"OIL", "WATER", "GAS"})
         swof_regions = list(props.swof_regions)
         sgof_regions = list(props.sgof_regions)
@@ -289,4 +367,8 @@ class SatFunc(NamedTuple):
             t_sgcr=jnp.asarray(t_sgcr), t_sgu=jnp.asarray(t_sgu),
             t_sg0g=jnp.asarray(t_sg0g), t_krw_mx=jnp.asarray(t_krw_mx),
             t_kro_mx=jnp.asarray(t_kro_mx), t_krg_mx=jnp.asarray(t_krg_mx),
+            # Killough Pc scanning only for EHYSTR model flag 1
+            hyst_pc_curv=(jnp.asarray(float(ehystr[0]))
+                          if ehystr is not None and int(ehystr[1]) == 1
+                          else None),
         )

@@ -260,7 +260,8 @@ class Simulator:
             sg0 = np.where(np.asarray(ps.flag) == FLAG_SG,
                            np.asarray(ps.u)[:, 2], 0.0)
             self._eps_host = extend_with_hysteresis(
-                self._eps_host, self.state, self.geo, sg0)
+                self._eps_host, self.state, self.geo, sg0,
+                sw_init=np.asarray(ps.u)[:, 1])
         # miscible SORWMIS/SGCWMIS endpoint shifts write into EPS
         # channels each substep: make sure the channel array exists
         if (self._eps_host is None and self.components.active
@@ -510,12 +511,26 @@ class Simulator:
                 x3_caps = jnp.where(st0.flag == FLAG_RS, rs_cap,
                                     jnp.where(st0.flag == FLAG_RV, rv_cap,
                                               jnp.inf))
+            # NUPCOL: re-apportion group targets inside the Newton loop
+            # from the current iterate's rates until iteration NUPCOL
+            # (reference: BlackoilWellModel_impl.hpp:828)
+            group_update = None
+            if gmgr.active or net_nodes:
+                def group_update(q_now):
+                    new_ws = (apply_assignments(
+                        ws_base, gmgr.effective_controls(
+                            q_now, np.asarray(ws_base.voidage_coeff)))
+                        if gmgr.active else ws_base)
+                    return with_network(new_ws)
+
             st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve(
                 self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
                 committed["acc0"], dt_seconds,
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
                 vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
-                drift_vol=self._drift_vol, poly=self.poly)
+                drift_vol=self._drift_vol, poly=self.poly,
+                group_update=group_update,
+                nupcol=self.state.runspec.nupcol)
 
             if not rep.converged:
                 reason = ("non-finite/diverged iterate" if rep.failed
@@ -590,6 +605,10 @@ class Simulator:
                     eps_dev = self.cells.eps
                     eps_dev = eps_dev.at[:, 12].set(
                         jnp.maximum(eps_dev[:, 12], sg_now))
+                    if eps_dev.shape[1] > 14:
+                        # oil/water scanning state: historical min Sw
+                        eps_dev = eps_dev.at[:, 14].set(
+                            jnp.minimum(eps_dev[:, 14], st.u[:, 1]))
                     self.cells = self.cells._replace(eps=eps_dev)
                 self._last_q_msw = (np.asarray(q_msw)
                                     if q_msw is not None else None)

@@ -44,6 +44,14 @@ class GmgLevel(NamedTuple):
     # z-line (tridiagonal Thomas) factorization of (diag, pz_lr, pz_rl):
     inv_d: jnp.ndarray   # [nz, ny, nx] inverse pivot
     cp: jnp.ndarray      # [nz, ny, nx] eliminated upper band (last row 0)
+    # non-band (fault/NNC) couplings as COO over flat level indices
+    # (VERDICT r2 #2: the coarse operator must see the extras; they are
+    # Galerkin-restricted level to level, folding into the diagonal /
+    # z bands when an aggregate absorbs them)
+    ex_left: jnp.ndarray | None = None   # [Fe] int32
+    ex_right: jnp.ndarray | None = None  # [Fe] int32
+    ex_lr: jnp.ndarray | None = None     # [Fe] row=left,  col=right
+    ex_rl: jnp.ndarray | None = None     # [Fe] row=right, col=left
 
 
 def _factor_zlines(diag, pz_lr, pz_rl):
@@ -99,6 +107,12 @@ def level_matvec(lvl: GmgLevel, x):
     y = y.at[:, 1:, :].add(lvl.py_rl * x[:, :-1, :])
     y = y.at[:-1].add(lvl.pz_lr * x[1:])
     y = y.at[1:].add(lvl.pz_rl * x[:-1])
+    if lvl.ex_left is not None:
+        xf = x.reshape(-1)
+        yf = y.reshape(-1)
+        yf = yf.at[lvl.ex_left].add(lvl.ex_lr * xf[lvl.ex_right])
+        yf = yf.at[lvl.ex_right].add(lvl.ex_rl * xf[lvl.ex_left])
+        y = yf.reshape(y.shape)
     return y
 
 
@@ -152,6 +166,58 @@ def _coarsen(lvl: GmgLevel) -> GmgLevel:
     pz_lr_c = agg_z(pz_lr) if nz > 1 else jnp.zeros((0, nyc, nxc), d.dtype)
     pz_rl_c = agg_z(pz_rl) if nz > 1 else pz_lr_c
 
+    # non-band extras: piecewise-constant Galerkin restriction = map both
+    # endpoints to their aggregates. An entry whose endpoints join the
+    # same aggregate folds into the diagonal; endpoints that become
+    # z-adjacent in one column fold into the z bands (keeping the
+    # coarsest-level line solve exact); the rest stay COO (same static
+    # count, folded entries zeroed).
+    ex = {}
+    if lvl.ex_left is not None:
+        nzf, nyf, nxf = lvl.diag.shape
+        kl = lvl.ex_left // (nyf * nxf)
+        jl = (lvl.ex_left // nxf) % nyf
+        il = lvl.ex_left % nxf
+        kr = lvl.ex_right // (nyf * nxf)
+        jr = (lvl.ex_right // nxf) % nyf
+        ir = lvl.ex_right % nxf
+        jlc, ilc, jrc, irc = jl // 2, il // 2, jr // 2, ir // 2
+        lc = (kl * nyc + jlc) * nxc + ilc
+        rc = (kr * nyc + jrc) * nxc + irc
+        v_lr, v_rl = lvl.ex_lr, lvl.ex_rl
+        same_col = (jlc == jrc) & (ilc == irc)
+        fold_d = same_col & (kl == kr)
+        df = diag_c.reshape(-1)
+        df = df.at[jnp.where(fold_d, lc, 0)].add(
+            jnp.where(fold_d, v_lr + v_rl, 0.0))
+        diag_c = df.reshape(diag_c.shape)
+        fold_zu = jnp.zeros_like(fold_d)
+        fold_zd = jnp.zeros_like(fold_d)
+        if nz > 1:
+            fold_zu = same_col & (kr == kl + 1)
+            fold_zd = same_col & (kr == kl - 1)
+            zu_pos = (kl * nyc + jlc) * nxc + ilc            # row k, col k+1
+            zd_pos = ((kl - 1) * nyc + jlc) * nxc + ilc      # row k, col k-1
+            zlr = pz_lr_c.reshape(-1)
+            zrl = pz_rl_c.reshape(-1)
+            zlr = zlr.at[jnp.where(fold_zu, zu_pos, 0)].add(
+                jnp.where(fold_zu, v_lr, 0.0))
+            zrl = zrl.at[jnp.where(fold_zu, zu_pos, 0)].add(
+                jnp.where(fold_zu, v_rl, 0.0))
+            # l is one layer BELOW r: row l col r enters pz_rl at k-1,
+            # row r col l enters pz_lr at k-1
+            zrl = zrl.at[jnp.where(fold_zd, zd_pos, 0)].add(
+                jnp.where(fold_zd, v_lr, 0.0))
+            zlr = zlr.at[jnp.where(fold_zd, zd_pos, 0)].add(
+                jnp.where(fold_zd, v_rl, 0.0))
+            pz_lr_c = zlr.reshape(pz_lr_c.shape)
+            pz_rl_c = zrl.reshape(pz_rl_c.shape)
+        keep = ~(fold_d | fold_zu | fold_zd)
+        ex = dict(ex_left=jnp.where(keep, lc, 0).astype(jnp.int32),
+                  ex_right=jnp.where(keep, rc, 0).astype(jnp.int32),
+                  ex_lr=jnp.where(keep, v_lr, 0.0),
+                  ex_rl=jnp.where(keep, v_rl, 0.0))
+
     # dummy (padding-only) aggregates get identity rows; they never see a
     # nonzero restricted residual, so their correction stays zero
     diag_c = jnp.where(jnp.abs(diag_c) > 0, diag_c, 1.0)
@@ -159,16 +225,25 @@ def _coarsen(lvl: GmgLevel) -> GmgLevel:
     inv_d, cp, _ = _factor_zlines(diag_c, pz_lr_c, pz_rl_c)
     return GmgLevel(diag=diag_c, px_lr=px_lr_c, px_rl=px_rl_c,
                     py_lr=py_lr_c, py_rl=py_rl_c,
-                    pz_lr=pz_lr_c, pz_rl=pz_rl_c, inv_d=inv_d, cp=cp)
+                    pz_lr=pz_lr_c, pz_rl=pz_rl_c, inv_d=inv_d, cp=cp,
+                    **ex)
 
 
 def build_hierarchy(diag, px_lr, px_rl, py_lr, py_rl, pz_lr, pz_rl,
-                    max_levels: int = 12) -> list[GmgLevel]:
-    """Semi-coarsened hierarchy down to single-column (1x1xnz) grids."""
+                    max_levels: int = 12, ex_left=None, ex_right=None,
+                    ex_lr=None, ex_rl=None) -> list[GmgLevel]:
+    """Semi-coarsened hierarchy down to single-column (1x1xnz) grids.
+
+    ``ex_*`` carry non-band (fault throw / NNC) scalar couplings as COO
+    over flat fine-grid indices; they are Galerkin-restricted through
+    every level (VERDICT r2 #2 — the coarse operator sees the faults)."""
+    if ex_left is not None and int(ex_left.shape[0]) == 0:
+        ex_left = ex_right = ex_lr = ex_rl = None
     inv_d, cp, _ = _factor_zlines(diag, pz_lr, pz_rl)
     lvl = GmgLevel(diag=diag, px_lr=px_lr, px_rl=px_rl, py_lr=py_lr,
                    py_rl=py_rl, pz_lr=pz_lr, pz_rl=pz_rl,
-                   inv_d=inv_d, cp=cp)
+                   inv_d=inv_d, cp=cp, ex_left=ex_left, ex_right=ex_right,
+                   ex_lr=ex_lr, ex_rl=ex_rl)
     levels = [lvl]
     while len(levels) < max_levels:
         nz, ny, nx = lvl.diag.shape

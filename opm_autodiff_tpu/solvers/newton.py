@@ -679,13 +679,23 @@ class NewtonReport:
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
-                 x3_cap=None, drift_vol=None, poly=None):
+                 x3_cap=None, drift_vol=None, poly=None,
+                 group_update=None, nupcol: int = 12):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
     update is returned on convergence (the converged check applies to the
     assembled residual of the incoming state, matching the reference where
     convergence is evaluated pre-update each iteration).
+
+    ``group_update(q_tot) -> WellSet | None`` re-apportions group
+    targets from the current iterate's well rates; it is invoked before
+    every assembly while the iteration index is < ``nupcol``, then the
+    apportioning freezes (reference: BlackoilWellModel::assemble
+    updating group controls for iterationIdx < nupcol,
+    BlackoilWellModel_impl.hpp:828; NUPCOL consumed from the deck).
+    Host-side only — the returned WellSet must keep array shapes, so
+    the jitted iteration does not retrace.
     """
     total_lin = 0
     last_q = None
@@ -719,6 +729,13 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
         # wellbore-storage base fractions F0 (StandardWellEval.cpp:710)
         well_f0 = jax.vmap(s4._surface_fractions)(xw0[:, 1], xw0[:, 2])
     for it in range(params.max_iter + 1):
+        # NUPCOL-gated per-iteration group re-apportioning: rates from
+        # the previous iteration feed the group chains, then freeze
+        if group_update is not None and 1 <= it < nupcol \
+                and last_q is not None:
+            ws_new = group_update(np.asarray(last_q))
+            if ws_new is not None:
+                ws = ws_new
         new_st, info, (q_tot, q_perf, q_msw, res_act), q_aq = \
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,

@@ -148,3 +148,230 @@ def write_spe1_deck(path: str, nx: int = 10, ny: int = 10, nz: int = 3,
     with open(path, "w") as f:
         f.write(spe1_deck_text(nx, ny, nz, **kw))
     return path
+
+
+# ---------------------------------------------------------------------------
+# Norne-class deck: the BENCH "north-star layout" configuration
+# ---------------------------------------------------------------------------
+
+NORNE_PVT_PATH = "/root/reference/tests/norne_pvt.data"
+
+
+def coord_zcorn_text(nx: int, ny: int, nz: int, dx: float, dy: float,
+                     layer_tops, layer_bots, dip_per_i: float = 0.0,
+                     fault_after_i: int | None = None,
+                     fault_throw: float = 0.0) -> str:
+    """COORD/ZCORN for a box grid with optional dip and a stair-case
+    fault (vectorized; the test-suite helper is the readable twin)."""
+    import numpy as np
+
+    xs = np.arange(nx + 1) * dx
+    ys = np.arange(ny + 1) * dy
+    coord = np.empty(((ny + 1) * (nx + 1), 6))
+    gx, gy = np.meshgrid(xs, ys)  # [ny+1, nx+1]
+    coord[:, 0] = coord[:, 3] = gx.reshape(-1)
+    coord[:, 1] = coord[:, 4] = gy.reshape(-1)
+    coord[:, 2] = 0.0
+    coord[:, 5] = 10000.0
+
+    tops = np.asarray(layer_tops)
+    bots = np.asarray(layer_bots)
+    i_cell = np.arange(nx)                       # [nx]
+    # corner z per (k, top/bot, j, jj, i, ii)
+    zc = np.empty((nz, 2, ny, 2, nx, 2))
+    for k in range(nz):
+        for t, zk in ((0, tops[k]), (1, bots[k])):
+            base = zk + dip_per_i * (i_cell[None, :] + np.array([[0], [1]])
+                                     ).T * dx  # [nx,2] per (i, ii)
+            if fault_after_i is not None:
+                base = base + np.where(i_cell[:, None] > fault_after_i,
+                                       fault_throw, 0.0)
+            zc[k, t] = np.broadcast_to(base[None, None], (ny, 2, nx, 2))
+    vals = zc.reshape(-1)
+    body = "\n".join(" " + " ".join(f"{v:.6g}" for v in vals[s:s + 12])
+                     for s in range(0, len(vals), 12))
+    lines = ["COORD"]
+    lines += [" " + " ".join(f"{v:g}" for v in row) for row in coord]
+    lines += ["/", "ZCORN", body, "/"]
+    return "\n".join(lines) + "\n"
+
+
+def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
+                          pvt_path: str = NORNE_PVT_PATH,
+                          tstep_days: str = "1 5 10") -> str:
+    """A scalable deck with the Norne regression family's characteristic
+    feature set (reference: jenkins run-norne.sh + test_norne_pvt.cpp):
+    corner-point geometry with dip and a stair-case fault, ~8% ACTNUM
+    inactive cells, two SATNUM/PVTNUM regions, end-point scaling (SWL),
+    NTG, heterogeneous layered permeability, the REAL Norne live-oil
+    PVTO + wet-gas PVTG tables (read from ``pvt_path`` at call time —
+    Open Database License data, never vendored), and DISGAS+VAPOIL
+    equilibration against RSVD/RVVD. Raises FileNotFoundError when the
+    Norne PVT fixture is unavailable."""
+    import numpy as np
+
+    pvt = open(pvt_path).read()
+    pvt = pvt[pvt.index("DENSITY"):]
+
+    n = nx * ny * nz
+    nxy = nx * ny
+    dz = 15.0
+    tops = [2550.0 + dz * k for k in range(nz)]
+    bots = [t + dz for t in tops]
+    grid = coord_zcorn_text(nx, ny, nz, 100.0, 100.0, tops, bots,
+                            dip_per_i=0.02, fault_after_i=nx // 2 - 1,
+                            fault_throw=0.5 * dz)
+
+    # deterministic ~8% inactive, keeping the well columns alive
+    rng = np.random.default_rng(42)
+    act = np.ones(n, int)
+    dead = rng.choice(n, size=n // 12, replace=False)
+    act[dead] = 0
+    for (wi, wj) in _norne_well_ij(nx, ny):
+        col = wj * nx + wi
+        act[col::nxy] = 1
+
+    half = nz // 2
+
+    def layered(vals_top, vals_bot):
+        """Cycle values over layers: top half from vals_top etc."""
+        out = []
+        for k in range(nz):
+            src = vals_top if k < half else vals_bot
+            out.append(f"{nxy}*{src[k % len(src)]}")
+        return " ".join(out)
+
+    satnum = " ".join(f"{nxy}*{1 if k < half else 2}" for k in range(nz))
+    permx = layered([800, 400, 100, 600], [50, 300, 150, 20])
+    permz = layered([80, 40, 10, 60], [5, 30, 15, 2])
+    poro = layered([0.28, 0.25, 0.20, 0.27], [0.15, 0.22, 0.18, 0.12])
+    swl = layered([0.12], [0.18])
+
+    wells = _norne_wells_text(nx, ny, nz)
+    return f"""RUNSPEC
+TITLE
+ NORNECLASS {nx}x{ny}x{nz}
+DIMENS
+ {nx} {ny} {nz} /
+OIL
+WATER
+GAS
+DISGAS
+VAPOIL
+METRIC
+TABDIMS
+ 2 2 /
+WELLDIMS
+ 8 {nz} 2 8 /
+START
+ 1 'JAN' 2020 /
+GRID
+{grid}ACTNUM
+ {' '.join(map(str, act))} /
+PORO
+ {poro} /
+PERMX
+ {permx} /
+PERMY
+ {permx} /
+PERMZ
+ {permz} /
+NTG
+ {n}*0.9 /
+SWL
+ {swl} /
+REGIONS
+SATNUM
+ {satnum} /
+PVTNUM
+ {satnum} /
+PROPS
+PVTW
+ 277.0 1.038 4.67E-5 0.318 0 /
+ 277.0 1.038 4.67E-5 0.318 0 /
+ROCK
+ 277.0 4.84E-5 /
+ 277.0 4.84E-5 /
+SWOF
+ 0.12  0.000  0.95  0.0
+ 0.35  0.056  0.38  0.0
+ 0.60  0.270  0.07  0.0
+ 0.85  0.710  0.00  0.0
+ 1.00  1.000  0.00  0.0 /
+ 0.18  0.000  0.90  0.0
+ 0.40  0.040  0.32  0.0
+ 0.65  0.210  0.05  0.0
+ 0.90  0.650  0.00  0.0
+ 1.00  1.000  0.00  0.0 /
+SGOF
+ 0.00  0.000  1.00  0.0
+ 0.10  0.012  0.70  0.0
+ 0.30  0.130  0.33  0.0
+ 0.55  0.480  0.07  0.0
+ 0.88  0.950  0.00  0.0 /
+ 0.00  0.000  1.00  0.0
+ 0.12  0.010  0.65  0.0
+ 0.35  0.150  0.28  0.0
+ 0.60  0.500  0.05  0.0
+ 0.82  0.900  0.00  0.0 /
+{pvt}
+SOLUTION
+EQUIL
+ {tops[half]:.1f} 270 {tops[half] + 3 * dz:.1f} 0 {tops[0] - dz:.1f} 0 1 1 0 /
+RSVD
+ {tops[0] - dz:.1f} 90.0
+ {bots[-1] + dz:.1f} 70.0 /
+RVVD
+ {tops[0] - dz:.1f} 0.0003
+ {bots[-1] + dz:.1f} 0.0001 /
+SUMMARY
+FOPR
+FPR
+SCHEDULE
+{wells}TSTEP
+ {tstep_days} /
+END
+"""
+
+
+def _norne_well_ij(nx, ny):
+    """Well columns (0-based i,j): 3 producers spread + 1 injector."""
+    return [(nx // 4, ny // 4), (3 * nx // 4, ny // 4),
+            (nx // 2, 3 * ny // 4), (1, ny - 2)]
+
+
+def _norne_wells_text(nx, ny, nz):
+    (p1, p2, p3, inj) = _norne_well_ij(nx, ny)
+    k1, k2 = 1, max(nz // 3, 1)
+    ki1, ki2 = max(2 * nz // 3, 1), nz
+    def one(i, j):
+        return i + 1, j + 1
+    p1, p2, p3, inj = one(*p1), one(*p2), one(*p3), one(*inj)
+    return f"""WELSPECS
+ 'P-1'   'G1' {p1[0]} {p1[1]} 2600 'OIL' /
+ 'P-2'   'G1' {p2[0]} {p2[1]} 2600 'OIL' /
+ 'P-3'   'G1' {p3[0]} {p3[1]} 2600 'OIL' /
+ 'W-INJ' 'G2' {inj[0]} {inj[1]} 2850 'WATER' /
+/
+COMPDAT
+ 'P-1'   {p1[0]} {p1[1]} {k1} {k2} 'OPEN' 1* 1* 0.216 /
+ 'P-2'   {p2[0]} {p2[1]} {k1} {k2} 'OPEN' 1* 1* 0.216 /
+ 'P-3'   {p3[0]} {p3[1]} {k1} {k2} 'OPEN' 1* 1* 0.216 /
+ 'W-INJ' {inj[0]} {inj[1]} {ki1} {ki2} 'OPEN' 1* 1* 0.216 /
+/
+WCONPROD
+ 'P-1' 'OPEN' 'ORAT' 1200 4* 150 /
+ 'P-2' 'OPEN' 'ORAT' 1200 4* 150 /
+ 'P-3' 'OPEN' 'ORAT' 1200 4* 150 /
+/
+WCONINJE
+ 'W-INJ' 'WATER' 'OPEN' 'RATE' 3500 1* 400 /
+/
+"""
+
+
+def write_norne_class_deck(path: str, nx: int = 46, ny: int = 56,
+                           nz: int = 22, **kw) -> str:
+    with open(path, "w") as f:
+        f.write(norne_class_deck_text(nx, ny, nz, **kw))
+    return path

@@ -130,6 +130,8 @@ def parse_vfpprod(records: list, unit) -> VfpProdTable:
     nf, nt, nw, ng, na = len(flo), len(thp), len(wfr), len(gfr), len(alq)
     bhp = np.zeros((nt, nw, ng, na, nf))
     for rec in records[6:]:
+        if rec and isinstance(rec[0], str):
+            continue  # absorbed trailing keyword (lexer artifact)
         v = vals(rec)
         it, iw, ig, ia = (int(v[0]) - 1, int(v[1]) - 1, int(v[2]) - 1,
                           int(v[3]) - 1)
@@ -350,3 +352,39 @@ class VfpTables:
         t = self.prod[table_num]
         return t.eval_bhp(t.flo_of(prod_rates), thp, t.wfr_of(prod_rates),
                           t.gfr_of(prod_rates))
+
+    def thp_from_bhp(self, table_num: int, bhp, prod_rates, alq=0.0):
+        return thp_from_bhp(self.prod[table_num], bhp, prod_rates, alq)
+
+
+def thp_from_bhp(t: VfpProdTable, bhp_target, prod_rates, alq=0.0):
+    """Inverse THP lookup (reference: VFPProdProperties::thp via
+    VFPHelpers::findTHP, VFPHelpers.cpp:387): sample the bhp(thp)
+    curve at the table's thp nodes for the given rates, then invert
+    linearly on the first bracketing segment (edge segments
+    extrapolate). Used for WTHP reporting and THP-limit checks."""
+    import jax
+
+    flo = t.flo_of(prod_rates)
+    wfr = t.wfr_of(prod_rates)
+    gfr = t.gfr_of(prod_rates)
+    bhp_i = jax.vmap(lambda th: t.eval_bhp(flo, th, wfr, gfr, alq))(t.thp)
+    return _find_thp(bhp_i, t.thp, bhp_target)
+
+
+def _find_thp(bhp_arr, thp_arr, bhp):
+    n = int(thp_arr.shape[0])
+    if n < 2:
+        return thp_arr[0]
+    y0 = bhp_arr[:-1]
+    y1 = bhp_arr[1:]
+    hit = (y0 < bhp) & (bhp <= y1)
+    found = jnp.any(hit)
+    below = bhp <= bhp_arr[0]
+    i = jnp.where(found, jnp.argmax(hit),
+                  jnp.where(below, 0, n - 2))
+    x0, x1 = thp_arr[i], thp_arr[i + 1]
+    b0, b1 = bhp_arr[i], bhp_arr[i + 1]
+    db = b1 - b0
+    slope = (x1 - x0) / jnp.where(jnp.abs(db) > 0, db, 1.0)
+    return x0 + (bhp - b0) * slope

@@ -120,3 +120,102 @@ def test_cpramg_solves_spe1_system(spe1_deck_path):
 
     res_j = solve_linear(sys_s, tol=1e-3, maxiter=150, precond="jacobi")
     assert int(res.iterations) <= int(res_j.iterations)
+
+
+# ---------------------------------------------------------------------------
+# Fault (COO extras) handling: VERDICT r2 #2 — the coarse operator must
+# see the non-band connections
+# ---------------------------------------------------------------------------
+
+
+def _with_fault(lvl, i0, t_scale=1.0, seed=9):
+    """Sever the conforming x band at plane i0 and reconnect with
+    cross-layer COO extras (k,j,i0) <-> (k+1,j,i0+1): the stair-case
+    fault shape the corner-point builder produces."""
+    nz, ny, nx = lvl.diag.shape
+    rng = np.random.default_rng(seed)
+    tx = -np.asarray(lvl.px_lr).copy()
+    diag = np.asarray(lvl.diag).copy()
+    sever = tx[:, :, i0].copy()
+    diag[:, :, i0] -= sever
+    diag[:, :, i0 + 1] -= sever
+    tx[:, :, i0] = 0.0
+    t = t_scale * np.exp(rng.standard_normal((nz - 1, ny)))
+    k, j = np.meshgrid(np.arange(nz - 1), np.arange(ny), indexing="ij")
+    left = ((k * ny + j) * nx + i0).reshape(-1)
+    right = (((k + 1) * ny + j) * nx + i0 + 1).reshape(-1)
+    tv = t.reshape(-1)
+    np.add.at(diag.reshape(-1), left, tv)
+    np.add.at(diag.reshape(-1), right, tv)
+    inv_d, cp, _ = _factor_zlines(jnp.asarray(diag), lvl.pz_lr, lvl.pz_rl)
+    return lvl._replace(
+        diag=jnp.asarray(diag), px_lr=jnp.asarray(-tx),
+        px_rl=jnp.asarray(-tx), inv_d=inv_d, cp=cp,
+        ex_left=jnp.asarray(left, jnp.int32),
+        ex_right=jnp.asarray(right, jnp.int32),
+        ex_lr=jnp.asarray(-tv), ex_rl=jnp.asarray(-tv))
+
+
+@pytest.mark.parametrize("i0", [3, 4])
+def test_galerkin_coarse_with_extras(i0):
+    """A_c x_c == R (A (P x_c)) with fault extras in the operator —
+    validates the extras restriction incl. diag / z-band folding (i0
+    even folds into z bands at the first coarse level, i0 odd keeps
+    COO entries alive)."""
+    lvl = _with_fault(_poisson_level(8, 6, 5, seed=11), i0)
+    lc = _coarsen(lvl)
+    nzc, nyc, nxc = lc.diag.shape
+    xc = jnp.asarray(
+        np.random.default_rng(13).standard_normal((nzc, nyc, nxc)))
+    lhs = level_matvec(lc, xc)
+    rhs = _restrict(level_matvec(lvl, _prolong(xc, 6, 8)), nyc, nxc)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_galerkin_two_levels_with_extras():
+    """Same identity one level deeper (extras survive re-restriction)."""
+    lvl = _with_fault(_poisson_level(9, 7, 4, seed=17), 3)
+    l1 = _coarsen(lvl)
+    l2 = _coarsen(l1)
+    ny1, nx1 = l1.diag.shape[1:]
+    nz2, ny2, nx2 = l2.diag.shape
+    xc = jnp.asarray(
+        np.random.default_rng(19).standard_normal((nz2, ny2, nx2)))
+    lhs = level_matvec(l2, xc)
+    rhs = _restrict(level_matvec(l1, _prolong(xc, ny1, nx1)), ny2, nx2)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_vcycle_fault_aware_beats_fault_blind():
+    """On a strongly faulted problem, the hierarchy that restricts the
+    extras converges the Krylov loop at least as fast as one that drops
+    them (and contracts on its own)."""
+    from opm_autodiff_tpu.solvers.linear import bicgstab
+
+    lvl = _with_fault(_poisson_level(16, 12, 8, seed=21), 7, t_scale=3.0)
+    aware = build_hierarchy(lvl.diag, lvl.px_lr, lvl.px_rl, lvl.py_lr,
+                            lvl.py_rl, lvl.pz_lr, lvl.pz_rl,
+                            ex_left=lvl.ex_left, ex_right=lvl.ex_right,
+                            ex_lr=lvl.ex_lr, ex_rl=lvl.ex_rl)
+    blind = build_hierarchy(lvl.diag, lvl.px_lr, lvl.px_rl, lvl.py_lr,
+                            lvl.py_rl, lvl.pz_lr, lvl.pz_rl)
+    b = jnp.asarray(np.random.default_rng(23).standard_normal((8, 12, 16)))
+
+    def mv(x):
+        return level_matvec(lvl, x)
+
+    # the V-cycle contracts on the faulted operator
+    x = jnp.zeros_like(b)
+    n0 = float(jnp.linalg.norm(b))
+    for _ in range(6):
+        x = x + vcycle(aware, b - mv(x))
+    assert float(jnp.linalg.norm(b - mv(x))) / n0 < 0.1
+
+    res_a = bicgstab(mv, lambda r: vcycle(aware, r), b, tol=1e-8,
+                     maxiter=100)
+    res_b = bicgstab(mv, lambda r: vcycle(blind, r), b, tol=1e-8,
+                     maxiter=100)
+    assert bool(res_a.converged)
+    assert int(res_a.iterations) <= int(res_b.iterations)

@@ -468,3 +468,71 @@ def test_wecon_well_shut_without_workover(tmp_path):
     sim = _run_workover(tmp_path, "NONE")
     assert "P1" in sim._shut_wells
     assert not sim._closed_conns.get("P1")
+
+
+def _nupcol_deck(tmp_path, nupcol=None):
+    """Group target one well cannot carry: PROD2's BHP floor binds, so
+    the group must re-apportion to PROD *within* the substep to hit the
+    target (reference: per-iteration group updates gated by NUPCOL,
+    BlackoilWellModel_impl.hpp:828)."""
+    from opm_autodiff_tpu.utils.synthetic import spe1_deck_text
+
+    text = spe1_deck_text(8, 8, 3, tstep_days="2")
+    head = text.split("SCHEDULE")[0]
+    if nupcol is not None:
+        head = head.replace("WELLDIMS", f"NUPCOL\n {nupcol} /\nWELLDIMS")
+    sched = """SCHEDULE
+GRUPTREE
+ 'PLAT' 'FIELD' /
+/
+WELSPECS
+ 'PROD'  'PLAT' 8 8 8400 'OIL' /
+ 'PROD2' 'PLAT' 1 8 8400 'OIL' /
+ 'INJ'   'G1'   1 1 8335 'GAS' /
+/
+COMPDAT
+ 'PROD'  8 8 3 3 'OPEN' 1* 1* 0.5 /
+ 'PROD2' 1 8 3 3 'OPEN' 1* 1* 0.5 /
+/
+GCONPROD
+ 'PLAT' 'ORAT' 12000 /
+/
+WCONPROD
+ 'PROD'  'OPEN' 'GRUP' 5* 1000 /
+ 'PROD2' 'OPEN' 'GRUP' 5* 4700 /
+/
+TSTEP
+ 2 2 /
+END
+"""
+    p = tmp_path / f"NUP{nupcol}.DATA"
+    p.write_text(head + sched)
+    return str(p)
+
+
+def test_nupcol_same_substep_reapportioning(tmp_path):
+    """With NUPCOL active (default 12), a member hitting its BHP floor
+    mid-substep is compensated by the others in the SAME substep; with
+    NUPCOL 1 the re-apportioning waits for the next substep. Also pins
+    that the deck's NUPCOL keyword is consumed."""
+    from opm_autodiff_tpu.io.state import load_state as _ls
+
+    st_active = _ls(_nupcol_deck(tmp_path, nupcol=None))
+    st_lagged = _ls(_nupcol_deck(tmp_path, nupcol=1))
+    assert st_active.runspec.nupcol == 12
+    assert st_lagged.runspec.nupcol == 1
+
+    sim_a = Simulator(st_active, SimulatorOptions())
+    sim_a.run()
+    sim_l = Simulator(st_lagged, SimulatorOptions())
+    sim_l.run()
+
+    target = 12000.0
+    r0_a = sim_a.summary.rows[0]
+    r0_l = sim_l.summary.rows[0]
+    # if the scenario actually constrained a member in substep 1, the
+    # NUPCOL-active run must sit closer to (at) the group target
+    gap_a = abs(r0_a["FOPR"] - target)
+    gap_l = abs(r0_l["FOPR"] - target)
+    assert gap_a <= gap_l + 1e-9
+    assert r0_a["FOPR"] == pytest.approx(target, rel=2e-2)
