@@ -27,8 +27,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cpr_quasiimpes/amg) or a .json property tree "
                         "(reference: setupPropertyTree.cpp:36)")
     p.add_argument("--linear-solver", default="zline",
-                   choices=["zline", "jacobi", "cpr"],
-                   help="preconditioner (reference --linear-solver)")
+                   choices=["zline", "jacobi", "ilu0", "cpr", "cprt",
+                            "cpramg", "cpramgt"],
+                   help="preconditioner (reference --linear-solver; the "
+                        "*t variants use true-IMPES CPR weights, cpramg "
+                        "adds the GMG/AMG coarse pressure stage)")
     p.add_argument("--tolerance-cnv", type=float, default=1e-2)
     p.add_argument("--tolerance-mb", type=float, default=1e-6)
     p.add_argument("--newton-max-iterations", type=int, default=20)

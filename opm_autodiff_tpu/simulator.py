@@ -62,6 +62,10 @@ class SimulatorOptions:
     # False falls back to the operator-split transport
     # (models/components.py)
     polymer_implicit: bool = True
+    # solve energy (temperature) as a 4th fully-implicit equation
+    # (models/energy.py, the reference's flow_ebos_energy coupling);
+    # False falls back to the operator-split ThermalModel
+    energy_implicit: bool = True
 
 
 class Simulator:
@@ -101,6 +105,20 @@ class Simulator:
                 ecl_state.components, self.geo)
             self.faces = self.facelist
             self._acc_fn4 = jax.jit(accumulation_all4)
+        # fully-implicit energy: temperature as the 4th block unknown
+        # (models/energy.py; reference flow_ebos_energy). Falls back to
+        # the operator-split ThermalModel when disabled or when polymer
+        # already owns the 4th equation.
+        self.energy = None
+        if (self.opts.energy_implicit and self.poly is None
+                and "THERMAL" in ecl_state.runspec.extensions):
+            from opm_autodiff_tpu.models.energy import (
+                accumulation_all4 as en_accumulation_all4,
+                build_energy_implicit)
+            self.energy, self._T_init = build_energy_implicit(
+                ecl_state, self.geo, self.fs, self.facelist)
+            self.faces = self.facelist
+            self._en_acc_fn4 = jax.jit(en_accumulation_all4)
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
         self._acc_fn = jax.jit(jax.vmap(accumulation,
@@ -140,6 +158,10 @@ class Simulator:
         from opm_autodiff_tpu.models.thermal import ThermalModel
         self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
                                     self.cells, self.facelist)
+        if self.energy is not None:
+            # implicit energy owns temperature: the split transport and
+            # its lagged viscosity feedback must not double-apply
+            self.thermal.active = False
         self._shut_wells: dict = {}  # name -> shut time (days)
         # WECON CON/+CON workovers: name -> {(i,j,k)} closed connections
         self._closed_conns: dict = {}
@@ -223,10 +245,15 @@ class Simulator:
 
     # ------------------------------------------------------------------
     def _compute_acc0(self, u, flag):
-        """Conserved-quantity sweep (4-wide under implicit polymer)."""
+        """Conserved-quantity sweep (4-wide under implicit polymer or
+        implicit energy)."""
         if self.poly is not None:
             return self._acc_fn4(self.fs, self.poly, u, flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
+        if self.energy is not None:
+            return self._en_acc_fn4(self.fs, self.energy, u, flag,
+                                    self.cells.pore_vol_ref,
+                                    self.cells.regs)
         return self._acc_fn(self.fs, u, flag, self.cells.pore_vol_ref,
                             self.cells.regs)
 
@@ -280,6 +307,11 @@ class Simulator:
             if self.u.shape[1] == 3:
                 self.u = jnp.concatenate(
                     [self.u, jnp.zeros((self.u.shape[0], 1))], axis=1)
+        elif self.energy is not None:
+            # append the temperature column (TEMPI/TEMPVD initial)
+            if self.u.shape[1] == 3:
+                self.u = jnp.concatenate(
+                    [self.u, self._T_init[:, None]], axis=1)
         elif self.u.shape[1] > 3:
             # restart file carried a POLYMER column but this run solves
             # polymer split (or not at all): drop it
@@ -289,7 +321,8 @@ class Simulator:
         self.xw = None  # 4-DOF StandardWell unknowns [W,4]
         # drift-compensation capture (zeros, not None, so the jitted
         # Newton kernel compiles once with the array variant)
-        neq = 4 if self.poly is not None else 3
+        neq = 4 if (self.poly is not None or self.energy is not None) \
+            else 3
         self._drift_vol = (jnp.zeros((self.geo.num_active, neq))
                            if self.opts.drift_compensation else None)
         self.active_mode = None
@@ -326,6 +359,15 @@ class Simulator:
         # BlackoilModelParametersEbos.hpp:208)
         std_wells = [w for w in wells if not getattr(w, "segments", None)]
         msw_wells = [w for w in wells if getattr(w, "segments", None)]
+        if self.energy is not None:
+            if msw_wells:
+                raise NotImplementedError(
+                    "implicit energy + multisegment wells: use "
+                    "SimulatorOptions(energy_implicit=False)")
+            t_def = float(np.asarray(self.energy.t0).mean())
+            self.energy = self.energy._replace(inj_temp=jnp.asarray(
+                [float(getattr(w, "temp_inj", None) or t_def)
+                 for w in std_wells] or [t_def]))
         if self.poly is not None:
             if msw_wells:
                 raise NotImplementedError(
@@ -529,7 +571,7 @@ class Simulator:
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
                 vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
                 drift_vol=self._drift_vol, poly=self.poly,
-                group_update=group_update,
+                energy=self.energy, group_update=group_update,
                 nupcol=self.state.runspec.nupcol)
 
             if not rep.converged:

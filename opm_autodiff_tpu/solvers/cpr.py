@@ -280,3 +280,35 @@ def cpr_apply(c: CprData, sys: BsrSystem, r, inner_iters: int = 12,
     else:
         x2 = smooth(r2)
     return x1 + x2
+
+
+def build_amg_hierarchy(c: CprData):
+    """Aggregation-AMG hierarchy of the scalar pressure system on the
+    face-list (BSR) layout (reference: amgcpr.hh's AMG V-cycle —
+    solvers/amg.py holds the TPU-shaped rebuild). Used by the 'cpramg'
+    preconditioner when the system is not banded."""
+    from opm_autodiff_tpu.solvers.amg import build_amg
+
+    return build_amg(c.p_diag, c.left, c.right, c.p_off_lr, c.p_off_rl)
+
+
+def cpr_apply_amg(c: CprData, sys: BsrSystem, r, hierarchy,
+                  cycles: int = 1, pressure_var: int = 0, smooth=None):
+    """Two-stage apply with aggregation-AMG V-cycles as the coarse
+    pressure solve (the BSR twin of cpr_banded_apply_gmg). Linear in
+    r, so plain BiCGStab can wrap it."""
+    from opm_autodiff_tpu.solvers.amg import level_matvec, vcycle
+
+    levels, lvl_n = hierarchy
+    r_p = jnp.einsum("ni,ni->n", c.weights, r)
+    dp = vcycle(levels, lvl_n, r_p)
+    for _ in range(cycles - 1):
+        res = r_p - level_matvec(levels[0], dp)
+        dp = dp + vcycle(levels, lvl_n, res)
+    x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp)
+    r2 = r - bsr_matvec(sys, x1)
+    if smooth is None:
+        x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    else:
+        x2 = smooth(r2)
+    return x1 + x2

@@ -463,8 +463,8 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
         cpr_weights = "trueimpes"
         name = {"cpramgt": "cpramg", "cprt": "cpr"}[name]
     if name == "cpramg":
-        # CPR with a geometric-multigrid coarse pressure solve (the
-        # reference default two-level cpr: fine smoother + 1 AMG V-cycle,
+        # CPR with a multigrid coarse pressure solve (the reference
+        # default two-level cpr: fine smoother + 1 AMG V-cycle,
         # setupPropertyTree.cpp:95-120). Linear apply -> BiCGStab-safe.
         if isinstance(sys, StructuredSystem):
             from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,
@@ -474,7 +474,18 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
             cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights)
             hier = build_gmg_hierarchy(cprb)
             return lambda r: cpr_banded_apply_gmg(cprb, sys, r, hier)
-        name = "cpr"  # unstructured: fall back to Krylov-inner CPR
+        # face-list (BSR) layout: aggregation-AMG coarse stage +
+        # Chow-Patel ILU0 fine smoothing (solvers/amg.py; the
+        # reference's amgcpr.hh analog for general sparsity)
+        from opm_autodiff_tpu.solvers.cpr import (build_amg_hierarchy,
+                                                  build_cpr, cpr_apply_amg)
+        from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
+
+        cpr = build_cpr(sys, inv_diag, weights=cpr_weights)
+        hier = build_amg_hierarchy(cpr)
+        fact = build_cpilu0(sys)
+        smooth = partial(cpilu0_apply, fact)
+        return lambda r: cpr_apply_amg(cpr, sys, r, hier, smooth=smooth)
     if name == "cpr":
         if isinstance(sys, StructuredSystem):
             from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,

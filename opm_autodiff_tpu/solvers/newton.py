@@ -336,7 +336,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           aq: AquiferDevice | None = None,
                           vfp_bank=None, msw=None, x3_cap=None,
                           relax=1.0, rho_conn=None, drift_vol=None,
-                          well_f0=None, poly=None):
+                          well_f0=None, poly=None, energy=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer).
 
@@ -345,12 +345,17 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     [N,4] (po, sw, x3, c), residual/diag are 4-wide, and the wells see
     the current iterate's polymer water-mobility factor (value-exact,
     d q/dc dropped — quasi-Newton). Face-list (BSR) layout only.
+
+    ``energy`` (models/energy.EnergyImplicit) does the same with
+    temperature as the 4th unknown (reference: flow_ebos_energy's
+    fully-implicit energy equation); mutually exclusive with ``poly``.
     """
     if aq is None:
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
     use4 = st.xw is not None  # 4-DOF StandardWell vs 1-DOF research well
-    u3 = u[:, :3] if poly is not None else u
+    extra4 = poly if poly is not None else energy
+    u3 = u[:, :3] if extra4 is not None else u
     well_mob = cells.mob_mult
     if poly is not None:
         # concatenate, not scatter-mul: see polymer._mob_with_polymer
@@ -359,6 +364,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             poly.max_ads)
         well_mob = jnp.concatenate(
             [well_mob[:, :1] * pf[:, None], well_mob[:, 1:]], axis=1)
+    elif energy is not None:
+        # temperature-dependent viscosity at the perforated cells
+        # (value-exact, d q/dT dropped — quasi-Newton, like polymer)
+        vf = jax.vmap(energy.visc_factor)(u[:, 3], energy.t0)  # [N,3]
+        well_mob = jnp.concatenate(
+            [well_mob[:, :3] * vf, well_mob[:, 3:]], axis=1)
 
     # inverse FVFs for the convergence metrics: the structured packed
     # assembly exposes them for free; other layouts do one vmapped sweep
@@ -408,19 +419,29 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     ws_sys = ws
     msw_sys = msw
     aq_cell_sys = aq.cell
-    if poly is not None:
-        # 4-equation fully-implicit polymer assembly (face-list only;
-        # the simulator routes polymer decks off the banded fast path)
+    if extra4 is not None:
+        # 4-equation fully-implicit assembly (face-list only; the
+        # simulator routes these decks off the banded fast path)
         if emb is not None or isinstance(faces, StructuredTopology):
             raise NotImplementedError(
-                "implicit polymer requires the face-list (BSR) layout")
+                "implicit polymer/energy requires the face-list (BSR) "
+                "layout")
         if msw is not None:
             raise NotImplementedError(
-                "implicit polymer + multisegment wells not supported")
-        from opm_autodiff_tpu.models import polymer as poly_mod
+                "implicit polymer/energy + multisegment wells not "
+                "supported")
+        if poly is not None:
+            from opm_autodiff_tpu.models import polymer as poly_mod
 
-        sys = poly_mod.assemble_system4(fs, poly, cells, faces,
-                                        PrimaryState(u, flag), acc0, dt)
+            sys = poly_mod.assemble_system4(fs, poly, cells, faces,
+                                            PrimaryState(u, flag), acc0,
+                                            dt)
+        else:
+            from opm_autodiff_tpu.models import energy as energy_mod
+
+            sys = energy_mod.assemble_system4(fs, energy, cells, faces,
+                                              PrimaryState(u, flag),
+                                              acc0, dt)
     elif emb is not None:
         u_f = u[emb.fill]
         flag_f = flag[emb.fill]
@@ -450,15 +471,23 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
             fs, u3, flag, cells.regs, None, cells.eps)
         inv_b_cells = q_all.inv_b
-    if poly is not None:
+    if extra4 is not None:
         res3 = w_api.apply_to_residual(sys.residual[:, :3], wr, ws_sys)
         d33 = w_api.apply_to_diag(sys.diag[:, :3, :3], wr, ws_sys)
         residual = jnp.concatenate([res3, sys.residual[:, 3:]], axis=1)
         diag = sys.diag.at[:, :3, :3].set(d33)
-        from opm_autodiff_tpu.models import polymer as poly_mod
+        if poly is not None:
+            from opm_autodiff_tpu.models import polymer as poly_mod
 
-        residual, diag = poly_mod.apply_wells4(residual, diag, wr.q_perf,
-                                               ws_sys, u[:, 3], poly)
+            residual, diag = poly_mod.apply_wells4(residual, diag,
+                                                   wr.q_perf, ws_sys,
+                                                   u[:, 3], poly)
+        else:
+            from opm_autodiff_tpu.models import energy as energy_mod
+
+            residual, diag = energy_mod.apply_wells4(fs, residual, diag,
+                                                     wr.q_perf, ws_sys,
+                                                     u[:, 3], energy)
     else:
         residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
         diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)
@@ -491,8 +520,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         # residual fixed point just above the MB tolerance: cap it by
         # the stored surface volume
         rate = jnp.minimum(rate, acc0 / dt)
-        comp_total = (jnp.abs(rate) * dt
-                      / cells.pore_vol_ref[:, None]).sum(axis=1)
+        vols = jnp.abs(rate) * dt
+        if energy is not None:
+            # the energy row is in J, not surface m3: normalize it to a
+            # water-volume equivalent so it doesn't crush the cap
+            vols = vols.at[:, 3].multiply(1.0 / energy.res_scale)
+        comp_total = (vols / cells.pore_vol_ref[:, None]).sum(axis=1)
         cap = 10.0 * params.tol_cnv
         comp_scale = jnp.where(
             comp_total > cap, cap / jnp.maximum(comp_total, 1e-300), 1.0)
@@ -536,6 +569,13 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         res_conv = residual_act.at[:, 3].multiply(1.0 / poly.c_max)
         inv_b_conv = jnp.concatenate([inv_b_cells, inv_b_cells[:, :1]],
                                      axis=1)
+    elif energy is not None:
+        # energy CNV/MB: the J/s residual scaled to a water-volume-rate
+        # equivalent (reference: the energy equation's own relaxed
+        # tolerance in EclNewtonMethod; res_scale ~ rho_w cp_w T)
+        res_conv = residual_act.at[:, 3].multiply(1.0 / energy.res_scale)
+        inv_b_conv = jnp.concatenate(
+            [inv_b_cells, jnp.ones_like(inv_b_cells[:, :1])], axis=1)
     well_err4 = None
     well_err_vec = None
     if use4:
@@ -568,7 +608,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         failed = failed | ~jnp.isfinite(msw_err)
 
     # --- linear solve with well Schur complement fused in ---
-    if poly is not None:
+    if extra4 is not None:
         rhs = (-residual).at[:, :3].add(
             w_api.schur_rhs(residual[:, :3], wr, ws_sys))
 
@@ -607,7 +647,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # residual history oscillates (reference: NonlinearSolverEbos
     # stabilizeNonlinearUpdate :315, dampen with relaxMax 0.5)
     dx = dx * relax
-    dx3 = dx[:, :3] if poly is not None else dx
+    dx3 = dx[:, :3] if extra4 is not None else dx
     xw_new = st.xw
     if use4:
         dxw = s4.recover_xw_update(wr, ws_sys, dx3)
@@ -626,6 +666,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
         c_new = poly_mod.chop_c_update(poly, u[:, 3], dx_act[:, 3])
         u_new = jnp.concatenate([u_new, c_new[:, None]], axis=1)
+    elif energy is not None:
+        from opm_autodiff_tpu.models import energy as energy_mod
+
+        t_new = energy_mod.chop_T_update(energy, u[:, 3], dx_act[:, 3])
+        u_new = jnp.concatenate([u_new, t_new[:, None]], axis=1)
     if use4:
         pbh_new = xw_new[:, 3]
     else:
@@ -679,7 +724,7 @@ class NewtonReport:
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
-                 x3_cap=None, drift_vol=None, poly=None,
+                 x3_cap=None, drift_vol=None, poly=None, energy=None,
                  group_update=None, nupcol: int = 12):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
@@ -715,7 +760,8 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # explicit connection densities once per substep (reference:
     # calculateExplicitQuantities on iteration 0,
     # BlackoilWellModel_impl.hpp:824)
-    u3_host = st.u[:, :3] if poly is not None else st.u
+    u3_host = (st.u[:, :3] if (poly is not None or energy is not None)
+               else st.u)
     rho_conn = _conn_rho(fs, u3_host, st.flag, st.pbh, ws, cells.regs)
     well_f0 = None
     if st.xw is not None:
@@ -740,7 +786,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
-                drift_vol, well_f0, poly)
+                drift_vol, well_f0, poly, energy)
         last_res = res_act
         # reference detectOscillations (NonlinearSolverEbos.hpp:278-309):
         # a phase oscillates when the residual returned to its value two

@@ -212,3 +212,106 @@ def test_ell_matvec_sharded(problem):
         y_sh = jax.jit(lambda v: bsr_matvec(sys_, v))(x_sh)
         jax.block_until_ready(y_sh)
     np.testing.assert_allclose(np.asarray(y_sh), y_ref, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (z, y) mesh prototype: areal+vertical decomposition (VERDICT r2 #9)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh2_banded_spmv_matches_single():
+    """Banded SpMV sharded over a 2-D (z, y) mesh equals the
+    single-device result; GSPMD lowers the y/z band shifts to
+    collective-permutes on both mesh axes."""
+    import __graft_entry__
+    from opm_autodiff_tpu.models.blackoil import statics_from_geometry
+    from opm_autodiff_tpu.models.structured import (assemble_structured,
+                                                    structured_matvec)
+    from opm_autodiff_tpu.parallel.mesh import banded_sharding2, make_mesh2
+
+    (_s, _g, fs, cells, topo, init, _ws, acc0, _p) = (
+        __graft_entry__._build_problem(nx=6, ny=8, nz=4))
+    sys_s = assemble_structured(fs, cells, topo, init, acc0, 86400.0)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (init.u.shape[0], 3)))
+    y_ref = np.asarray(structured_matvec(sys_s, x))
+
+    mesh = make_mesh2(2, 4)
+    nz, ny, nxm = sys_s.x_lr.shape[:3]
+    nx = nxm + 1
+    sh2 = banded_sharding2(mesh)
+
+    def put_band(a):
+        # bands with full z/y planes shard on both axes; the y/z bands
+        # have ny-1 / nz-1 leading planes -> replicate those
+        if a is None:
+            return None
+        if a.ndim >= 2 and a.shape[0] % 2 == 0 and a.shape[1] % 4 == 0:
+            return jax.device_put(a, banded_sharding2(
+                mesh, extra_dims=a.ndim - 3))
+        return jax.device_put(a, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+
+    sys_sh = jax.tree.map(put_band, sys_s)
+    x3 = x.reshape(nz, ny, nx, 3)
+    x3_sh = jax.device_put(x3, banded_sharding2(mesh, extra_dims=1))
+
+    @jax.jit
+    def mv(s, x3v):
+        return structured_matvec(s, x3v.reshape(-1, 3))
+
+    with mesh:
+        y2 = np.asarray(mv(sys_sh, x3_sh))
+    np.testing.assert_allclose(y2, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_weak_scaling_collective_budget():
+    """Collective budget at scale (VERDICT r2 #7): a ~100k-cell sharded
+    Newton iteration compiles to O(1) halo collective-permutes plus
+    O(Krylov-iteration) all-reduces — communication does not grow with
+    problem size, only with solver iterations. Executes one real step
+    and checks per-slab work balance."""
+    import __graft_entry__
+    from opm_autodiff_tpu.parallel.mesh import use_mesh
+
+    # 32 x 32 x 96 = 98,304 cells over 8 z-slabs
+    (_s, _g, fs, cells, topo, init, ws, acc0, pbh) = (
+        __graft_entry__._build_problem(nx=32, ny=32, nz=96))
+    mesh = make_mesh(8)
+    cells_sh, topo_sh, u, flag, acc0_sh = shard_problem(
+        mesh, cells, topo, init.u, init.flag, acc0)
+    r = replicated(mesh)
+    ws_r = jax.tree.map(lambda a: jax.device_put(a, r), ws)
+    pbh_r = jax.device_put(pbh, r)
+    mode_r = jax.device_put(ws.ctrl_mode, r)
+    params = NewtonParams()
+
+    def fn(u, flag, pbh, mode, acc0):
+        st = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode)
+        new_st, info, _q, _qa = newton_iteration_impl(
+            params, fs, cells_sh, topo_sh, st, ws_r, acc0, 86400.0)
+        return new_st.u, info.cnv, info.linear_iters
+
+    with use_mesh(None), mesh:  # pure GSPMD path (no shard_map kernels)
+        jitted = jax.jit(fn)
+        lowered = jitted.lower(u, flag, pbh_r, mode_r, acc0_sh)
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+        n_cp = hlo.count("collective-permute(")
+        n_ar = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
+        # halo exchanges: a fixed handful per iteration (assembly z-shift
+        # + SpMV/preconditioner shifts inside the Krylov while-loop body
+        # — the loop body appears ONCE in the HLO), never O(cells)
+        assert 0 < n_cp < 64, n_cp
+        # all-reduces: Krylov dots + convergence norms, a fixed count in
+        # the HLO text (the while loop re-executes them, the TEXT stays
+        # constant-size)
+        assert 0 < n_ar < 96, n_ar
+        out_u, cnv, lin_iters = jitted(u, flag, pbh_r, mode_r, acc0_sh)
+        assert bool(jnp.all(jnp.isfinite(out_u)))
+        assert int(lin_iters) < 200
+    # per-slab work balance: fully-active grid, equal slabs
+    from opm_autodiff_tpu.parallel.mesh import partition_report
+
+    rep = partition_report(mesh, np.ones(u.shape[0], bool))
+    assert "imbalance=1.000" in rep

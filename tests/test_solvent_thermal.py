@@ -189,11 +189,14 @@ END
 """
 
 
-def test_hot_waterflood(tmp_path):
+def test_hot_waterflood_split(tmp_path):
+    """Operator-split fallback (SimulatorOptions.energy_implicit=False):
+    the original post-step transport with lagged viscosity feedback."""
     p = tmp_path / "T.DATA"
     p.write_text(THERMAL_DECK)
-    sim = Simulator(load_state(str(p)), SimulatorOptions())
-    assert sim.thermal.active
+    sim = Simulator(load_state(str(p)),
+                    SimulatorOptions(energy_implicit=False))
+    assert sim.thermal.active and sim.energy is None
     T0 = np.asarray(sim.thermal.T).copy()
     assert T0[0] == pytest.approx(293.15, abs=0.1)  # TEMPI 20 C
     sim.run()
@@ -208,17 +211,59 @@ def test_hot_waterflood(tmp_path):
     assert mm[-1, 1] == pytest.approx(1.0, abs=0.2)
 
 
+def test_hot_waterflood_implicit(tmp_path):
+    """Fully-implicit energy (the default; reference
+    flow_ebos_energy's 4-equation block system): temperature is the 4th
+    primary variable, the viscosity(T) coupling sits in the Jacobian."""
+    p = tmp_path / "TI.DATA"
+    p.write_text(THERMAL_DECK)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.energy is not None
+    assert not sim.thermal.active  # split transport disabled
+    assert sim.u.shape[1] == 4
+    T0 = np.asarray(sim.u[:, 3]).copy()
+    assert T0[0] == pytest.approx(293.15, abs=0.1)  # TEMPI 20 C
+    sim.run()
+    T = np.asarray(sim.u[:, 3])
+    assert T[0] > 350.0
+    assert T[-1] < T[0]
+    assert T.max() < 413.2 + 1.0  # never above injection temp (140 C)
+
+
+def test_implicit_matches_split_at_small_dt(tmp_path):
+    """At resolved timesteps the implicit and split answers agree
+    (VERDICT r2 #4 comparison half): the split model's lagged coupling
+    error vanishes as dt -> 0, so both must land on the same
+    temperature field."""
+    deck = THERMAL_DECK.replace("TSTEP\n 2 5 10 20 /",
+                                "TSTEP\n 8*0.5 /")
+    p = tmp_path / "TC.DATA"
+    p.write_text(deck)
+    sim_i = Simulator(load_state(str(p)), SimulatorOptions())
+    sim_i.run()
+    sim_s = Simulator(load_state(str(p)),
+                      SimulatorOptions(energy_implicit=False))
+    sim_s.run()
+    T_i = np.asarray(sim_i.u[:, 3])
+    T_s = np.asarray(sim_s.thermal.T)
+    np.testing.assert_allclose(T_i, T_s, atol=6.0)  # K
+    # and the flow answers stay consistent too
+    np.testing.assert_allclose(np.asarray(sim_i.u[:, 0]),
+                               np.asarray(sim_s.u[:, 0]), rtol=2e-2)
+
+
 def test_tempvd_initial_temperature(tmp_path):
     """TEMPVD: initial temperature from the depth table (reference:
-    EclThermal initial conditions)."""
+    EclThermal initial conditions) — feeds both the split model and the
+    implicit temperature column."""
     deck = THERMAL_DECK.replace(
         "TEMPI\n 8*20 /",
         "TEMPVD\n 900 120\n 1100 180 /\n/")
     p = tmp_path / "TV.DATA"
     p.write_text(deck)
     sim = Simulator(load_state(str(p)), SimulatorOptions())
-    assert sim.thermal.active
-    T = np.asarray(sim.thermal.T)
+    assert sim.energy is not None
+    T = np.asarray(sim.u[:, 3])
     d = np.asarray(sim.geo.depth)
     expect_c = 120 + (180 - 120) * (d - 900) / 200.0
     np.testing.assert_allclose(T, expect_c + 273.15, rtol=1e-6)
