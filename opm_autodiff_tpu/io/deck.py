@@ -190,6 +190,59 @@ def _expand_token(tok: str) -> list:
     return [_convert(tok)]
 
 
+_EXPR_OPS = set("()+-*/^")
+_NUM_EXP_TAIL = re.compile(r"^[0-9][0-9.]*[EeDd]$")
+
+
+def _tokenize_expr(text: str) -> list:
+    """Expression tokenizer for UDQ DEFINE bodies (and ACTIONX
+    conditions): operators are their own tokens even without
+    whitespace (``FOPR+FWPR``, ``MAX(WOPR)``), '/' is division (the
+    record terminator was stripped by the caller), and scientific
+    literals like ``1.5E+5`` survive the +/- split."""
+    out: list = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+        elif c in "'\"":
+            j = text.find(c, i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(text[i + 1:j + 1].rstrip(c))
+            i = j + 1
+        elif c in _EXPR_OPS:
+            # exponent continuation: "1.5E" "+" "5" -> "1.5E+5"
+            if (c in "+-" and out and isinstance(out[-1], str)
+                    and _NUM_EXP_TAIL.match(out[-1])
+                    and i + 1 < n and text[i + 1].isdigit()):
+                j = i + 1
+                while j < n and (text[j].isdigit() or text[j] == "."):
+                    j += 1
+                out[-1] = _convert(out[-1] + text[i:j])
+                i = j
+                continue
+            out.append(c)
+            i += 1
+        elif c in "<>=!":
+            two = text[i:i + 2]
+            if two in (">=", "<=", "==", "!=", "<>"):
+                out.append(two)
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        else:
+            j = i
+            while (j < n and not text[j].isspace()
+                   and text[j] not in _EXPR_OPS
+                   and text[j] not in "<>=!'\""):
+                j += 1
+            out.append(_convert(text[i:j]))
+            i = j
+    return out
+
+
 def _tokenize_line(line: str) -> list[str]:
     # strip comments
     idx = line.find("--")
@@ -271,6 +324,41 @@ class _TokenStream:
             if tok == "/":
                 return items
             items.extend(_expand_token(tok))
+
+    def read_expr_records(self, known: set[str]) -> list:
+        """UDQ-style expression records (reference: opm-common's UDQ
+        parser). Unlike normal records, a '/' mid-line is DIVISION;
+        only the '/' ending a line terminates the record. A bare '/'
+        line (or a line starting a known keyword) closes the keyword."""
+        recs: list = []
+        cur: list = []
+        self._buf = []  # records start on the following line
+        while self._li < len(self._lines):
+            text, loc = self._lines[self._li]
+            idx = text.find("--")
+            if idx >= 0:
+                text = text[:idx]
+            stripped = text.strip()
+            if not stripped:
+                self._li += 1
+                continue
+            first = stripped.split(None, 1)[0].upper().strip("'\"")
+            if not cur and first in known:
+                break  # unterminated keyword: next keyword starts
+            self._li += 1
+            self.location = loc
+            ends = stripped.endswith("/")
+            if ends:
+                stripped = stripped[:-1].rstrip()
+            cur.extend(_tokenize_expr(stripped))
+            if ends:
+                if not cur:
+                    break  # bare '/' closes the keyword
+                recs.append(cur)
+                cur = []
+        if cur:
+            recs.append(cur)
+        return recs
 
     def read_data_fast(self):
         """Native bulk-number fast path for DATA keyword bodies
@@ -369,6 +457,11 @@ def read_deck(path: str) -> Deck:
             continue
         if name == "END":
             break
+
+        if name == "UDQ":
+            emit(DeckKeyword(name, stream.read_expr_records(all_known),
+                             loc))
+            continue
 
         mode = MODE_OVERRIDE.get(name)
         if mode is None:
