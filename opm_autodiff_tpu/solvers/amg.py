@@ -40,6 +40,12 @@ import jax.numpy as jnp
 class AmgLevel(NamedTuple):
     diag: jnp.ndarray    # [N] (padded rows carry 1.0)
     inv_diag: jnp.ndarray
+    # l1-Jacobi smoothing diagonal 1 / (|a_ii| + sum_j |a_ij|): bounded
+    # below by the row's total coupling, so the smoother stays
+    # contractive when quasi-IMPES weighting at large dt destroys
+    # diagonal dominance, and near-cancelled coarse Galerkin diagonals
+    # cannot blow the correction up (the f32 failure mode)
+    inv_l1: jnp.ndarray
     left: jnp.ndarray    # [F] int32
     right: jnp.ndarray   # [F] int32
     v_lr: jnp.ndarray    # [F] row=left,  col=right
@@ -60,7 +66,13 @@ def _pad_to(a, n, fill=0.0):
 def _make_level(n_pad, diag, left, right, v_lr, v_rl):
     diag = _pad_to(diag, n_pad)
     diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
-    return AmgLevel(diag=diag, inv_diag=1.0 / diag,
+    l1 = jnp.abs(diag)
+    l1 = l1.at[left].add(jnp.abs(v_lr))
+    l1 = l1.at[right].add(jnp.abs(v_rl))
+    # carry the diagonal's sign so the smoother still steps downhill on
+    # rows the quasi-IMPES reduction made negative
+    l1 = jnp.where(diag < 0, -l1, l1)
+    return AmgLevel(diag=diag, inv_diag=1.0 / diag, inv_l1=1.0 / l1,
                     left=left, right=right, v_lr=v_lr, v_rl=v_rl)
 
 
@@ -117,21 +129,28 @@ def _coarse_solve(lvl: AmgLevel, b, iters: int = 20):
         lambda x: level_matvec(lvl, x), lvl.diag, b, iters)
 
 
-def vcycle(levels, lvl_n, r, level: int = 0, omega: float = 0.7,
+def vcycle(levels, lvl_n, r, level: int = 0, omega: float = 0.9,
            block: int = 4, nu: int = 2):
-    """V(nu,nu) with damped-Jacobi smoothing; returns x ~ A^-1 r."""
+    """V(nu,nu) with l1-Jacobi smoothing; returns x ~ A^-1 r.
+
+    l1-Jacobi (Baker/Falgout-style: divide by |a_ii| + sum_j |a_ij|)
+    instead of plain damped Jacobi: provably contractive for SPD rows
+    and robust on the upwinded nonsymmetric pressure operator — plain
+    0.7-damped Jacobi DIVERGED in f32 on a 1e4-contrast faulted system
+    at dt=365d (tests/test_f32_scale.py) where large-dt quasi-IMPES
+    rows lose diagonal dominance."""
     lvl = levels[level]
     n = lvl_n[level]
     if level == len(levels) - 1:
         return _coarse_solve(lvl, r)
     x = jnp.zeros_like(r)
     for _ in range(nu):
-        x = x + omega * lvl.inv_diag * (r - level_matvec(lvl, x))
+        x = x + omega * lvl.inv_l1 * (r - level_matvec(lvl, x))
     res = r - level_matvec(lvl, x)
     nc = lvl_n[level + 1]
     rc = _restrict(res, nc, block)
     xc = vcycle(levels, lvl_n, rc, level + 1, omega, block, nu)
     x = x + _prolong(xc, n, block)
     for _ in range(nu):
-        x = x + omega * lvl.inv_diag * (r - level_matvec(lvl, x))
+        x = x + omega * lvl.inv_l1 * (r - level_matvec(lvl, x))
     return x

@@ -37,6 +37,16 @@ class CprData(NamedTuple):
     inv_diag: jnp.ndarray     # [N,3,3] block-Jacobi of the full system
     left: jnp.ndarray
     right: jnp.ndarray
+    # f32 de-similarity map: the Krylov-level row+column equilibration
+    # turns the pressure operator into Γ^-1 A_p Γ with γ the pressure-
+    # column factors — a similarity that wrecks its near-symmetry and
+    # diagonal dominance (off-diag rows up to 4.4x the unit diagonal on
+    # a 1e4-contrast faulted case, diverging the AMG V-cycle;
+    # tests/test_f32_scale.py). When set, p_off_* store the DE-SCALED
+    # (raw-similarity) entries and the pressure stage solves
+    # A_p y = γ·r_p, dp = y/γ — exact in exact arithmetic, and the
+    # hierarchy sees the well-behaved raw operator.
+    gamma: jnp.ndarray | None = None
 
 
 def _solve_transpose_3x3(diag, e_idx: int):
@@ -70,7 +80,11 @@ def _weights(sys, pressure_var: int, mode: str):
 
 def build_cpr(sys: BsrSystem, inv_diag: jnp.ndarray,
               pressure_var: int = 0,
-              weights: str = "quasiimpes") -> CprData:
+              weights: str = "quasiimpes",
+              col_p: jnp.ndarray | None = None) -> CprData:
+    """``col_p`` [N]: the pressure-column equilibration factors of a
+    row+column-scaled ``sys`` (solve_linear's f32 path). See
+    CprData.gamma."""
     # quasi-IMPES: w . diag[:,:,p] == 1 by construction of D^-T e
     w = _weights(sys, pressure_var, weights)
     p_diag = jnp.einsum("ni,nip->n", w,
@@ -79,9 +93,13 @@ def build_cpr(sys: BsrSystem, inv_diag: jnp.ndarray,
                           sys.off_lr[:, :, pressure_var])
     p_off_rl = jnp.einsum("fi,fi->f", w[sys.right],
                           sys.off_rl[:, :, pressure_var])
+    if col_p is not None:
+        # undo the similarity: raw_ij = (γ_i / γ_j) scaled_ij
+        p_off_lr = p_off_lr * (col_p[sys.left] / col_p[sys.right])
+        p_off_rl = p_off_rl * (col_p[sys.right] / col_p[sys.left])
     return CprData(weights=w, p_diag=p_diag, p_off_lr=p_off_lr,
                    p_off_rl=p_off_rl, inv_diag=inv_diag,
-                   left=sys.left, right=sys.right)
+                   left=sys.left, right=sys.right, gamma=col_p)
 
 
 def _pressure_matvec(c: CprData, x):
@@ -98,11 +116,14 @@ def _pressure_inner_solve(c: CprData, b, iters: int):
                                          c.p_diag, b, iters)
 
 
-def _pressure_inner_solve_generic(mv, diag, b, iters: int):
-    inv_d = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+def _pressure_inner_solve_generic(mv, diag, b, iters: int, prec=None):
+    """Fixed-iteration preconditioned BiCGStab; ``prec`` defaults to
+    Jacobi. The fori_loop keeps the whole solve one XLA computation."""
+    if prec is None:
+        inv_d = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
 
-    def prec(x):
-        return inv_d * x
+        def prec(x):
+            return inv_d * x
 
     x = jnp.zeros_like(b)
     r = b
@@ -158,11 +179,16 @@ class CprBandedData(NamedTuple):
     ex_right: jnp.ndarray | None = None
     p_ex_lr: jnp.ndarray | None = None
     p_ex_rl: jnp.ndarray | None = None
+    # f32 de-similarity map [nz,ny,nx] (see CprData.gamma)
+    gamma: jnp.ndarray | None = None
 
 
 def build_cpr_banded(sys, inv_diag, pressure_var: int = 0,
-                     weights: str = "quasiimpes") -> CprBandedData:
-    """Quasi/true-IMPES CPR on the StructuredSystem banded layout."""
+                     weights: str = "quasiimpes",
+                     col_p: jnp.ndarray | None = None) -> CprBandedData:
+    """Quasi/true-IMPES CPR on the StructuredSystem banded layout.
+    ``col_p`` [N]: pressure-column equilibration factors (see
+    CprData.gamma)."""
     w = _weights(sys, pressure_var, weights)
     nz, ny, nxm = sys.x_lr.shape[:3]
     nx = nxm + 1
@@ -181,16 +207,36 @@ def build_cpr_banded(sys, inv_diag, pressure_var: int = 0,
             ex_left=sys.ex_left, ex_right=sys.ex_right,
             p_ex_lr=contract(sys.ex_lr, w[sys.ex_left]),
             p_ex_rl=contract(sys.ex_rl, w[sys.ex_right]))
-    return CprBandedData(
-        weights=w,
-        p_diag=p_diag,
+    bands = dict(
         px_lr=contract(sys.x_lr, w3[:, :, :-1]),
         px_rl=contract(sys.x_rl, w3[:, :, 1:]),
         py_lr=contract(sys.y_lr, w3[:, :-1, :]),
         py_rl=contract(sys.y_rl, w3[:, 1:, :]),
         pz_lr=contract(sys.z_lr, w3[:-1]),
         pz_rl=contract(sys.z_rl, w3[1:]),
+    )
+    g = None
+    if col_p is not None:
+        # undo the similarity: raw_ij = (γ_i / γ_j) scaled_ij
+        g = col_p.reshape(nz, ny, nx)
+        bands["px_lr"] *= g[:, :, :-1] / g[:, :, 1:]
+        bands["px_rl"] *= g[:, :, 1:] / g[:, :, :-1]
+        bands["py_lr"] *= g[:, :-1, :] / g[:, 1:, :]
+        bands["py_rl"] *= g[:, 1:, :] / g[:, :-1, :]
+        bands["pz_lr"] *= g[:-1] / g[1:]
+        bands["pz_rl"] *= g[1:] / g[:-1]
+        if ex:
+            gf = col_p
+            ex["p_ex_lr"] = ex["p_ex_lr"] * (gf[sys.ex_left]
+                                             / gf[sys.ex_right])
+            ex["p_ex_rl"] = ex["p_ex_rl"] * (gf[sys.ex_right]
+                                             / gf[sys.ex_left])
+    return CprBandedData(
+        weights=w,
+        p_diag=p_diag,
         inv_diag=inv_diag,
+        gamma=g,
+        **bands,
         **ex,
     )
 
@@ -219,8 +265,12 @@ def cpr_banded_apply(c: CprBandedData, sys, r, inner_iters: int = 12,
 
     nz, ny, nx = c.p_diag.shape
     r_p = jnp.einsum("ni,ni->n", c.weights, r).reshape(nz, ny, nx)
+    if c.gamma is not None:
+        r_p = r_p * c.gamma
     dp = _pressure_inner_solve_generic(
         lambda v: _pressure_matvec_banded(c, v), c.p_diag, r_p, inner_iters)
+    if c.gamma is not None:
+        dp = dp / c.gamma
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp.reshape(-1))
     r2 = r - structured_matvec(sys, x1)
     x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
@@ -251,10 +301,14 @@ def cpr_banded_apply_gmg(c: CprBandedData, sys, r, hierarchy,
 
     nz, ny, nx = c.p_diag.shape
     r_p = jnp.einsum("ni,ni->n", c.weights, r).reshape(nz, ny, nx)
+    if c.gamma is not None:
+        r_p = r_p * c.gamma
     dp = vcycle(hierarchy, r_p)
     for _ in range(cycles - 1):
         res = r_p - level_matvec(hierarchy[0], dp)
         dp = dp + vcycle(hierarchy, res)
+    if c.gamma is not None:
+        dp = dp / c.gamma
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp.reshape(-1))
     r2 = r - structured_matvec(sys, x1)
     x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
@@ -269,9 +323,14 @@ def cpr_apply(c: CprData, sys: BsrSystem, r, inner_iters: int = 12,
     block-Jacobi. The reference's canned cpr uses ParOverILU0 there
     (setupPropertyTree.cpp:95-120) — pass a Chow-Patel ILU0 apply for
     the equivalent (wired in solvers/linear.py _make_precond)."""
-    # stage 1: pressure correction
+    # stage 1: pressure correction (through the de-similarity map when
+    # the f32 equilibration is active — see CprData.gamma)
     r_p = jnp.einsum("ni,ni->n", c.weights, r)
+    if c.gamma is not None:
+        r_p = r_p * c.gamma
     dp = _pressure_inner_solve(c, r_p, inner_iters)
+    if c.gamma is not None:
+        dp = dp / c.gamma
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp)
     # stage 2: fine smoothing on the updated residual
     r2 = r - bsr_matvec(sys, x1)
@@ -293,18 +352,28 @@ def build_amg_hierarchy(c: CprData):
 
 
 def cpr_apply_amg(c: CprData, sys: BsrSystem, r, hierarchy,
-                  cycles: int = 1, pressure_var: int = 0, smooth=None):
-    """Two-stage apply with aggregation-AMG V-cycles as the coarse
-    pressure solve (the BSR twin of cpr_banded_apply_gmg). Linear in
-    r, so plain BiCGStab can wrap it."""
-    from opm_autodiff_tpu.solvers.amg import level_matvec, vcycle
+                  inner_iters: int = 4, pressure_var: int = 0,
+                  smooth=None):
+    """Two-stage apply with an aggregation-AMG-preconditioned inner
+    Krylov as the coarse pressure solve (the BSR twin of
+    cpr_banded_apply_gmg; reference: amgcpr.hh's V-cycle precondition-
+    ing the pressure stage). A BARE V-cycle of piecewise-constant
+    aggregation is not a strong enough standalone solve here: in f32 on
+    a 1e4-contrast faulted system at dt=365d the outer Krylov stagnated
+    (tests/test_f32_scale.py); 4 V-cycle-preconditioned BiCGStab
+    iterations converge it. The inner Krylov makes the apply nonlinear
+    in r — solve_linear wraps every cpr variant in FGMRES."""
+    from opm_autodiff_tpu.solvers.amg import vcycle
 
     levels, lvl_n = hierarchy
     r_p = jnp.einsum("ni,ni->n", c.weights, r)
-    dp = vcycle(levels, lvl_n, r_p)
-    for _ in range(cycles - 1):
-        res = r_p - level_matvec(levels[0], dp)
-        dp = dp + vcycle(levels, lvl_n, res)
+    if c.gamma is not None:
+        r_p = r_p * c.gamma
+    dp = _pressure_inner_solve_generic(
+        lambda x: _pressure_matvec(c, x), c.p_diag, r_p, inner_iters,
+        prec=lambda x: vcycle(levels, lvl_n, x))
+    if c.gamma is not None:
+        dp = dp / c.gamma
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp)
     r2 = r - bsr_matvec(sys, x1)
     if smooth is None:

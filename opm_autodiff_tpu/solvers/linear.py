@@ -303,9 +303,11 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         b = -sys.residual
     f64 = sys.residual.dtype
     if method is None:
-        # CPR's inner Krylov is a nonlinear operator: use the flexible
-        # outer solver with it (see solvers/fgmres.py)
-        method = "fgmres" if precond == "cpr" else "bicgstab"
+        # Every CPR variant's apply contains an inner Krylov somewhere
+        # (the pressure stage or the AMG coarsest level) — a NONLINEAR
+        # operator: use the flexible outer solver (see solvers/fgmres.py)
+        method = ("fgmres" if precond in ("cpr", "cprt", "cpramg",
+                                          "cpramgt") else "bicgstab")
     if dtype is None:
         # f32 roundoff ~1e-7; pick it automatically for loose reductions
         dtype = jnp.float32 if tol >= 1e-5 else f64
@@ -389,8 +391,9 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
             return z
 
         if prec is None:
-            prec, setup_out = _setup_and_precond(precond, scaled,
-                                                 cpr_inner_iters, setup)
+            prec, setup_out = _setup_and_precond(
+                precond, scaled, cpr_inner_iters, setup,
+                col_p=col64[:, 0].astype(dtype))
         res = _run(method, matvec, prec, b_s, tol, maxiter)
         out = LinearSolveResult(x=res.x.astype(f64) * col64,
                                 iterations=res.iterations,
@@ -422,7 +425,8 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
     raise ValueError(f"unknown method {method!r}")
 
 
-def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup):
+def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup,
+                       col_p=None):
     """Build (or reuse) the preconditioner setup for ``name``.
 
     Returns (apply_fn, reusable_setup_or_None). The zline / ilu0 /
@@ -450,10 +454,12 @@ def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup):
         fact = setup if setup is not None else invert_blocks(sys.diag)
         return partial(block_jacobi_apply, fact), fact
     inv_diag = invert_blocks(sys.diag)
-    return _make_precond(name, sys, inv_diag, cpr_inner_iters), None
+    return _make_precond(name, sys, inv_diag, cpr_inner_iters,
+                         col_p=col_p), None
 
 
-def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
+def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int,
+                  col_p=None):
     from opm_autodiff_tpu.models.structured import StructuredSystem
 
     # true-IMPES weight variants (reference: --cpr-weights=trueimpes,
@@ -471,7 +477,8 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
                                                       build_gmg_hierarchy,
                                                       cpr_banded_apply_gmg)
 
-            cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights)
+            cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights,
+                                    col_p=col_p)
             hier = build_gmg_hierarchy(cprb)
             return lambda r: cpr_banded_apply_gmg(cprb, sys, r, hier)
         # face-list (BSR) layout: aggregation-AMG coarse stage +
@@ -481,7 +488,8 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
                                                   build_cpr, cpr_apply_amg)
         from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
 
-        cpr = build_cpr(sys, inv_diag, weights=cpr_weights)
+        cpr = build_cpr(sys, inv_diag, weights=cpr_weights,
+                        col_p=col_p)
         hier = build_amg_hierarchy(cpr)
         fact = build_cpilu0(sys)
         smooth = partial(cpilu0_apply, fact)
@@ -491,13 +499,15 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int):
             from opm_autodiff_tpu.solvers.cpr import (build_cpr_banded,
                                                       cpr_banded_apply)
 
-            cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights)
+            cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights,
+                                    col_p=col_p)
             return lambda r: cpr_banded_apply(cprb, sys, r,
                                               inner_iters=cpr_inner_iters)
         from opm_autodiff_tpu.solvers.cpr import build_cpr, cpr_apply
         from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
 
-        cpr = build_cpr(sys, inv_diag, weights=cpr_weights)
+        cpr = build_cpr(sys, inv_diag, weights=cpr_weights,
+                        col_p=col_p)
         # fine smoother: Chow-Patel block-ILU0, the BSR-path analog of
         # the reference's ParOverILU0 finesmoother
         fact = build_cpilu0(sys)

@@ -198,7 +198,8 @@ def coord_zcorn_text(nx: int, ny: int, nz: int, dx: float, dy: float,
 
 def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
                           pvt_path: str = NORNE_PVT_PATH,
-                          tstep_days: str = "1 5 10") -> str:
+                          tstep_days: str = "1 5 10",
+                          perm_range: tuple | None = None) -> str:
     """A scalable deck with the Norne regression family's characteristic
     feature set (reference: jenkins run-norne.sh + test_norne_pvt.cpp):
     corner-point geometry with dip and a stair-case fault, ~8% ACTNUM
@@ -242,8 +243,16 @@ def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
         return " ".join(out)
 
     satnum = " ".join(f"{nxy}*{1 if k < half else 2}" for k in range(nz))
-    permx = layered([800, 400, 100, 600], [50, 300, 150, 20])
-    permz = layered([80, 40, 10, 60], [5, 30, 15, 2])
+    if perm_range is not None:
+        # per-cell log-uniform permeability (fp32-robustness probes:
+        # VERDICT r2 weak #6 asks for >=1e4 contrast at ~1e5 cells)
+        lo, hi = perm_range
+        kx = np.exp(rng.uniform(np.log(lo), np.log(hi), size=n))
+        permx = " ".join(f"{v:.5g}" for v in kx)
+        permz = " ".join(f"{0.1 * v:.5g}" for v in kx)
+    else:
+        permx = layered([800, 400, 100, 600], [50, 300, 150, 20])
+        permz = layered([80, 40, 10, 60], [5, 30, 15, 2])
     poro = layered([0.28, 0.25, 0.20, 0.27], [0.15, 0.22, 0.18, 0.12])
     swl = layered([0.12], [0.18])
 
