@@ -47,10 +47,13 @@ class ComponentModel:
     """Owns the concentration fields and the mobility feedback."""
 
     def __init__(self, state, geo, fs, cells, faces,
-                 polymer_external: bool = False):
-        """``polymer_external`` disables the split polymer handling when
-        the simulator runs polymer fully implicitly in the block system
-        (models/polymer.py); brine/foam/solvent still split here."""
+                 polymer_external: bool = False,
+                 brine_external: bool = False,
+                 foam_external: bool = False):
+        """``polymer_external`` / ``brine_external`` / ``foam_external``
+        disable the split handling of that component when the simulator
+        runs it fully implicitly in the block system (models/polymer.py,
+        models/transport4.py); the others still split here."""
         self.fs = fs
         self.cells = cells
         self.faces = faces
@@ -61,8 +64,10 @@ class ComponentModel:
 
         self.has_polymer = ("POLYMER" in ext and "PLYVISC" in comp
                             and not polymer_external)
-        self.has_brine = "BRINE" in ext and "PVTWSALT" in comp
-        self.has_foam = "FOAM" in ext and "FOAMMOB" in comp
+        self.has_brine = ("BRINE" in ext and "PVTWSALT" in comp
+                          and not brine_external)
+        self.has_foam = ("FOAM" in ext and "FOAMMOB" in comp
+                         and not foam_external)
         self.has_solvent = "SOLVENT" in ext and "PVDS" in comp
 
         # --- polymer tables (region 1; PLY* region banking later) ---

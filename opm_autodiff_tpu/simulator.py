@@ -66,6 +66,13 @@ class SimulatorOptions:
     # (models/energy.py, the reference's flow_ebos_energy coupling);
     # False falls back to the operator-split ThermalModel
     energy_implicit: bool = True
+    # solve brine salt / foam surfactant as a 4th fully-implicit
+    # equation (models/transport4.py, the reference's flow_ebos_brine /
+    # flow_ebos_foam couplings); False falls back to the operator-split
+    # transport (models/components.py). One 4th equation at a time:
+    # priority polymer > energy > brine > foam; the rest stay split.
+    brine_implicit: bool = True
+    foam_implicit: bool = True
 
 
 class Simulator:
@@ -119,6 +126,31 @@ class Simulator:
                 ecl_state, self.geo, self.fs, self.facelist)
             self.faces = self.facelist
             self._en_acc_fn4 = jax.jit(en_accumulation_all4)
+        # fully-implicit brine / foam: a carrier-phase component as the
+        # 4th block unknown (models/transport4.py; reference
+        # flow_ebos_brine / flow_ebos_foam). One 4th equation at a time.
+        self.trans4 = None
+        self._trans4_kind = None
+        self._c4_init = None
+        if self.poly is None and self.energy is None:
+            from opm_autodiff_tpu.models.transport4 import (
+                accumulation_all4 as t4_accumulation_all4,
+                build_brine_implicit, build_foam_implicit)
+            if (self.opts.brine_implicit
+                    and "BRINE" in ecl_state.runspec.extensions
+                    and "PVTWSALT" in ecl_state.components):
+                self.trans4, self._c4_init = build_brine_implicit(
+                    ecl_state, self.geo)
+                self._trans4_kind = "brine"
+            elif (self.opts.foam_implicit
+                    and "FOAM" in ecl_state.runspec.extensions
+                    and "FOAMMOB" in ecl_state.components):
+                self.trans4, self._c4_init = build_foam_implicit(
+                    ecl_state, self.geo)
+                self._trans4_kind = "foam"
+            if self.trans4 is not None:
+                self.faces = self.facelist
+                self._t4_acc_fn4 = jax.jit(t4_accumulation_all4)
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
         self._acc_fn = jax.jit(jax.vmap(accumulation,
@@ -154,7 +186,11 @@ class Simulator:
         self.components = ComponentModel(ecl_state, self.geo, self.fs,
                                          self.cells, self.facelist,
                                          polymer_external=self.poly
-                                         is not None)
+                                         is not None,
+                                         brine_external=self._trans4_kind
+                                         == "brine",
+                                         foam_external=self._trans4_kind
+                                         == "foam")
         from opm_autodiff_tpu.models.thermal import ThermalModel
         self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
                                     self.cells, self.facelist)
@@ -240,18 +276,24 @@ class Simulator:
             self.cells, self.faces = statics_from_geometry(self.geo)
             _, self.facelist = statics_from_geometry(self.geo,
                                                      structured="never")
-            if self.poly is not None:
+            if (self.poly is not None or self.energy is not None
+                    or self.trans4 is not None):
+                # every 4-equation model assembles on the face list
                 self.faces = self.facelist
 
     # ------------------------------------------------------------------
     def _compute_acc0(self, u, flag):
-        """Conserved-quantity sweep (4-wide under implicit polymer or
-        implicit energy)."""
+        """Conserved-quantity sweep (4-wide under implicit polymer,
+        energy, or brine/foam)."""
         if self.poly is not None:
             return self._acc_fn4(self.fs, self.poly, u, flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
         if self.energy is not None:
             return self._en_acc_fn4(self.fs, self.energy, u, flag,
+                                    self.cells.pore_vol_ref,
+                                    self.cells.regs)
+        if self.trans4 is not None:
+            return self._t4_acc_fn4(self.fs, self.trans4, u, flag,
                                     self.cells.pore_vol_ref,
                                     self.cells.regs)
         return self._acc_fn(self.fs, u, flag, self.cells.pore_vol_ref,
@@ -312,6 +354,12 @@ class Simulator:
             if self.u.shape[1] == 3:
                 self.u = jnp.concatenate(
                     [self.u, self._T_init[:, None]], axis=1)
+        elif self.trans4 is not None:
+            # append the component column (brine: SALTVD initial;
+            # foam: zero)
+            if self.u.shape[1] == 3:
+                self.u = jnp.concatenate(
+                    [self.u, jnp.asarray(self._c4_init)[:, None]], axis=1)
         elif self.u.shape[1] > 3:
             # restart file carried a POLYMER column but this run solves
             # polymer split (or not at all): drop it
@@ -321,8 +369,8 @@ class Simulator:
         self.xw = None  # 4-DOF StandardWell unknowns [W,4]
         # drift-compensation capture (zeros, not None, so the jitted
         # Newton kernel compiles once with the array variant)
-        neq = 4 if (self.poly is not None or self.energy is not None) \
-            else 3
+        neq = 4 if (self.poly is not None or self.energy is not None
+                    or self.trans4 is not None) else 3
         self._drift_vol = (jnp.zeros((self.geo.num_active, neq))
                            if self.opts.drift_compensation else None)
         self.active_mode = None
@@ -376,6 +424,16 @@ class Simulator:
             self.poly = self.poly._replace(inj_conc=jnp.asarray(
                 [getattr(w, "poly_conc", 0.0) for w in std_wells]
                 or [0.0]))
+        if self.trans4 is not None:
+            if msw_wells:
+                raise NotImplementedError(
+                    "implicit brine/foam + multisegment wells: use "
+                    "SimulatorOptions(brine_implicit=False, "
+                    "foam_implicit=False)")
+            attr = ("salt_conc" if self._trans4_kind == "brine"
+                    else "foam_conc")
+            self.trans4 = self.trans4._replace(inj_conc=jnp.asarray(
+                [getattr(w, attr, 0.0) for w in std_wells] or [0.0]))
         self._std_well_names = [w.name for w in std_wells]
         self._msw_well_names = [w.name for w in msw_wells]
         msw = build_mswset(self.geo, wells)
@@ -571,7 +629,8 @@ class Simulator:
                 verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
                 vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
                 drift_vol=self._drift_vol, poly=self.poly,
-                energy=self.energy, group_update=group_update,
+                energy=self.energy, trans4=self.trans4,
+                group_update=group_update,
                 nupcol=self.state.runspec.nupcol)
 
             if not rep.converged:

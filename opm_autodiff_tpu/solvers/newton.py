@@ -336,7 +336,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           aq: AquiferDevice | None = None,
                           vfp_bank=None, msw=None, x3_cap=None,
                           relax=1.0, rho_conn=None, drift_vol=None,
-                          well_f0=None, poly=None, energy=None):
+                          well_f0=None, poly=None, energy=None,
+                          trans4=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer).
 
@@ -349,12 +350,18 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     ``energy`` (models/energy.EnergyImplicit) does the same with
     temperature as the 4th unknown (reference: flow_ebos_energy's
     fully-implicit energy equation); mutually exclusive with ``poly``.
+
+    ``trans4`` (models/transport4.TransportImplicit) does the same with
+    a carrier-phase component concentration — brine salt or foam
+    surfactant (reference: flow_ebos_brine/_foam); mutually exclusive
+    with both.
     """
     if aq is None:
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
     use4 = st.xw is not None  # 4-DOF StandardWell vs 1-DOF research well
-    extra4 = poly if poly is not None else energy
+    extra4 = next((x for x in (poly, energy, trans4) if x is not None),
+                  None)
     u3 = u[:, :3] if extra4 is not None else u
     well_mob = cells.mob_mult
     if poly is not None:
@@ -370,6 +377,13 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         vf = jax.vmap(energy.visc_factor)(u[:, 3], energy.t0)  # [N,3]
         well_mob = jnp.concatenate(
             [well_mob[:, :3] * vf, well_mob[:, 3:]], axis=1)
+    elif trans4 is not None:
+        # carrier-phase mobility factor at the perforated cells
+        # (value-exact, d q/dc dropped — quasi-Newton, like polymer)
+        tf = jax.vmap(trans4.mob_factor)(u[:, 3], cells.regs[:, 1])
+        m3 = jnp.where(trans4.phase_mask[None, :] > 0.0,
+                       well_mob[:, :3] * tf[:, None], well_mob[:, :3])
+        well_mob = jnp.concatenate([m3, well_mob[:, 3:]], axis=1)
 
     # inverse FVFs for the convergence metrics: the structured packed
     # assembly exposes them for free; other layouts do one vmapped sweep
@@ -436,12 +450,18 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             sys = poly_mod.assemble_system4(fs, poly, cells, faces,
                                             PrimaryState(u, flag), acc0,
                                             dt)
-        else:
+        elif energy is not None:
             from opm_autodiff_tpu.models import energy as energy_mod
 
             sys = energy_mod.assemble_system4(fs, energy, cells, faces,
                                               PrimaryState(u, flag),
                                               acc0, dt)
+        else:
+            from opm_autodiff_tpu.models import transport4 as t4_mod
+
+            sys = t4_mod.assemble_system4(fs, trans4, cells, faces,
+                                          PrimaryState(u, flag), acc0,
+                                          dt)
     elif emb is not None:
         u_f = u[emb.fill]
         flag_f = flag[emb.fill]
@@ -482,12 +502,18 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             residual, diag = poly_mod.apply_wells4(residual, diag,
                                                    wr.q_perf, ws_sys,
                                                    u[:, 3], poly)
-        else:
+        elif energy is not None:
             from opm_autodiff_tpu.models import energy as energy_mod
 
             residual, diag = energy_mod.apply_wells4(fs, residual, diag,
                                                      wr.q_perf, ws_sys,
                                                      u[:, 3], energy)
+        else:
+            from opm_autodiff_tpu.models import transport4 as t4_mod
+
+            residual, diag = t4_mod.apply_wells4(residual, diag,
+                                                 wr.q_perf, ws_sys,
+                                                 u[:, 3], trans4)
     else:
         residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
         diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)
@@ -576,6 +602,17 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         res_conv = residual_act.at[:, 3].multiply(1.0 / energy.res_scale)
         inv_b_conv = jnp.concatenate(
             [inv_b_cells, jnp.ones_like(inv_b_cells[:, :1])], axis=1)
+    elif trans4 is not None:
+        # brine/foam CNV/MB: the component residual normalized by the
+        # table span gives a carrier-volume-rate equivalent, scaled by
+        # the carrier's B factor (reference: contiBrineEqIdx /
+        # contiFoamEqIdx rows)
+        res_conv = residual_act.at[:, 3].multiply(1.0 / trans4.c_max)
+        inv_b_carrier = jnp.where(trans4.phase_mask[None, :] > 0.0,
+                                  inv_b_cells, 0.0).sum(axis=1,
+                                                        keepdims=True)
+        inv_b_conv = jnp.concatenate([inv_b_cells, inv_b_carrier],
+                                     axis=1)
     well_err4 = None
     well_err_vec = None
     if use4:
@@ -671,6 +708,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
         t_new = energy_mod.chop_T_update(energy, u[:, 3], dx_act[:, 3])
         u_new = jnp.concatenate([u_new, t_new[:, None]], axis=1)
+    elif trans4 is not None:
+        from opm_autodiff_tpu.models import transport4 as t4_mod
+
+        c_new = t4_mod.chop_c_update(trans4, u[:, 3], dx_act[:, 3])
+        u_new = jnp.concatenate([u_new, c_new[:, None]], axis=1)
     if use4:
         pbh_new = xw_new[:, 3]
     else:
@@ -725,7 +767,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
                  x3_cap=None, drift_vol=None, poly=None, energy=None,
-                 group_update=None, nupcol: int = 12):
+                 trans4=None, group_update=None, nupcol: int = 12):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -760,8 +802,9 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # explicit connection densities once per substep (reference:
     # calculateExplicitQuantities on iteration 0,
     # BlackoilWellModel_impl.hpp:824)
-    u3_host = (st.u[:, :3] if (poly is not None or energy is not None)
-               else st.u)
+    u3_host = (st.u[:, :3]
+               if (poly is not None or energy is not None
+                   or trans4 is not None) else st.u)
     rho_conn = _conn_rho(fs, u3_host, st.flag, st.pbh, ws, cells.regs)
     well_f0 = None
     if st.xw is not None:
@@ -786,7 +829,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
-                drift_vol, well_f0, poly, energy)
+                drift_vol, well_f0, poly, energy, trans4)
         last_res = res_act
         # reference detectOscillations (NonlinearSolverEbos.hpp:278-309):
         # a phase oscillates when the residual returned to its value two

@@ -102,7 +102,9 @@ def _run(tmp_path, name, runspec_extra="", props_extra="", sched_extra=""):
     # fully-implicit polymer default is covered by
     # tests/test_polymer_implicit.py
     sim = Simulator(load_state(str(p)),
-                    SimulatorOptions(polymer_implicit=False))
+                    SimulatorOptions(polymer_implicit=False,
+                                     brine_implicit=False,
+                                     foam_implicit=False))
     sim.run()
     return sim
 
