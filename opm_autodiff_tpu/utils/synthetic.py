@@ -199,7 +199,8 @@ def coord_zcorn_text(nx: int, ny: int, nz: int, dx: float, dy: float,
 def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
                           pvt_path: str = NORNE_PVT_PATH,
                           tstep_days: str = "1 5 10",
-                          perm_range: tuple | None = None) -> str:
+                          perm_range: tuple | None = None,
+                          fault: bool = True) -> str:
     """A scalable deck with the Norne regression family's characteristic
     feature set (reference: jenkins run-norne.sh + test_norne_pvt.cpp):
     corner-point geometry with dip and a stair-case fault, ~8% ACTNUM
@@ -220,8 +221,9 @@ def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
     tops = [2550.0 + dz * k for k in range(nz)]
     bots = [t + dz for t in tops]
     grid = coord_zcorn_text(nx, ny, nz, 100.0, 100.0, tops, bots,
-                            dip_per_i=0.02, fault_after_i=nx // 2 - 1,
-                            fault_throw=0.5 * dz)
+                            dip_per_i=0.02,
+                            fault_after_i=(nx // 2 - 1) if fault else None,
+                            fault_throw=0.5 * dz if fault else 0.0)
 
     # deterministic ~8% inactive, keeping the well columns alive
     rng = np.random.default_rng(42)
