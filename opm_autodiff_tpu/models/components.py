@@ -49,11 +49,13 @@ class ComponentModel:
     def __init__(self, state, geo, fs, cells, faces,
                  polymer_external: bool = False,
                  brine_external: bool = False,
-                 foam_external: bool = False):
+                 foam_external: bool = False,
+                 solvent_external: bool = False):
         """``polymer_external`` / ``brine_external`` / ``foam_external``
-        disable the split handling of that component when the simulator
-        runs it fully implicitly in the block system (models/polymer.py,
-        models/transport4.py); the others still split here."""
+        / ``solvent_external`` disable the split handling of that
+        component when the simulator runs it fully implicitly in the
+        block system (models/polymer.py, models/transport4.py); the
+        others still split here."""
         self.fs = fs
         self.cells = cells
         self.faces = faces
@@ -68,7 +70,8 @@ class ComponentModel:
                           and not brine_external)
         self.has_foam = ("FOAM" in ext and "FOAMMOB" in comp
                          and not foam_external)
-        self.has_solvent = "SOLVENT" in ext and "PVDS" in comp
+        self.has_solvent = ("SOLVENT" in ext and "PVDS" in comp
+                            and not solvent_external)
 
         # --- polymer tables (region 1; PLY* region banking later) ---
         if self.has_polymer:

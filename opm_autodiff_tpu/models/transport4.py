@@ -50,6 +50,21 @@ from opm_autodiff_tpu.props.tables import interp1d
 NUM_EQ4 = 4
 
 
+class TlMix(NamedTuple):
+    """Todd-Longstaff mixing data for the implicit solvent variant
+    (reference: blackoilsolventmodules' effective viscosities; the
+    immiscible PVDS + TLMIXPAR + SSFN core — MISCIBLE decks route to
+    the operator-split model which owns the full MISC/PMISC/MSFN
+    machinery)."""
+
+    pvds_p: jnp.ndarray   # [K] pressure nodes
+    pvds_mu: jnp.ndarray  # [K] solvent viscosity
+    ssfn_c: jnp.ndarray   # [K2] solvent-fraction nodes
+    ssfn_kg: jnp.ndarray  # [K2] gas relperm multiplier
+    ssfn_ks: jnp.ndarray  # [K2] solvent relperm multiplier
+    omega: jnp.ndarray    # TLMIXPAR mixing exponent
+
+
 class TransportImplicit(NamedTuple):
     """Device data for an implicit carrier-phase component (pytree).
 
@@ -57,23 +72,57 @@ class TransportImplicit(NamedTuple):
     phase's mobility at concentration node ``mob_c`` (brine:
     mu_w(salt_ref)/mu_w(c) <= 1 from PVTWSALT col 3; foam: the FOAMMOB
     reduction in [1e-3, 1]). Tables ride [R,K] banks per PVTNUM region.
+    With ``tl`` set (solvent), the factor is the Todd-Longstaff
+    gas-stream mobility multiplier instead and depends on pressure too.
     """
 
     mob_c: jnp.ndarray      # [R,K] concentration nodes
     mob_m: jnp.ndarray      # [R,K] carrier mobility factors
     phase_mask: jnp.ndarray  # [3] one-hot carrier phase (w=0, g=2)
     c_max: jnp.ndarray      # scalar: chop/convergence scale
-    inj_conc: jnp.ndarray   # [W] WSALT / WFOAM injection concentrations
+    inj_conc: jnp.ndarray   # [W] WSALT/WFOAM/WSOLVENT injection values
+    tl: TlMix | None = None
 
     # ------------------------------------------------------------------
     def mob_factor(self, c, reg=0):
         """Carrier-phase mobility factor at concentration c (clamped to
-        (0, inf); tables are end-clamped)."""
+        (0, inf); tables are end-clamped). Table variant only — the TL
+        (solvent) factor needs pressure: use ``carrier_factor``."""
         from opm_autodiff_tpu.props.pvt import row
 
         return jnp.maximum(
             interp1d(c, row(self.mob_c, reg), row(self.mob_m, reg),
                      extrapolate=False), 1e-3)
+
+
+def tl_factor(fs, tl: TlMix, c, p, reg=0):
+    """Todd-Longstaff total gas-stream mobility multiplier on
+    krg(Sg_total)/mu_g: mu_g * (kg/mu_g_eff + ks/mu_s_eff) with the
+    quarter-power mixed viscosity (matches the split implementation,
+    models/components.py mobility_multipliers, sans MISC scaling)."""
+    c = jnp.clip(c, 0.0, 1.0)
+    mu_g = fs.gas_viscosity(p, 0.0, reg)
+    mu_s = jnp.maximum(
+        interp1d(p, tl.pvds_p, tl.pvds_mu, extrapolate=False), 1e-12)
+    w = tl.omega
+    inv4 = (1.0 - c) * mu_g ** -0.25 + c * mu_s ** -0.25
+    mu_mix = inv4 ** -4.0
+    mu_g_eff = jnp.maximum(mu_g ** (1.0 - w) * mu_mix ** w, 1e-12)
+    mu_s_eff = jnp.maximum(mu_s ** (1.0 - w) * mu_mix ** w, 1e-12)
+    kg = jnp.clip(interp1d(c, tl.ssfn_c, tl.ssfn_kg,
+                           extrapolate=False), 0.0, 1.0)
+    ks = jnp.clip(interp1d(c, tl.ssfn_c, tl.ssfn_ks,
+                           extrapolate=False), 0.0, 1.0)
+    return jnp.maximum(mu_g * (kg / mu_g_eff + ks / mu_s_eff), 1e-3)
+
+
+def carrier_factor(fs, trans: TransportImplicit, c, p, reg=0):
+    """The carrier-phase mobility factor — TL (pressure-dependent) for
+    solvent, table interp otherwise. Static branch on the pytree
+    structure."""
+    if trans.tl is not None:
+        return tl_factor(fs, trans.tl, c, p, reg)
+    return trans.mob_factor(c, reg)
 
 
 def build_brine_implicit(state, geo, n_wells: int = 0
@@ -84,9 +133,17 @@ def build_brine_implicit(state, geo, n_wells: int = 0
     SALTVD or zeros)."""
     ps = state.components["PVTWSALT"]
     tab = np.asarray(ps["table"])
-    nodes = tab[:, 0]
-    mu = np.maximum(tab[:, 3], 1e-12)
-    factor = mu[0] / mu  # viscosity rise -> mobility drop
+    raw_nodes = tab[:, 0]
+    raw_mu = np.maximum(tab[:, 3], 1e-12)
+    # the reference (and the split model) interpolate mu(c) linearly and
+    # take mu0/mu; interpolating the precomputed FACTOR linearly is a
+    # different interpolant between nodes (1/x vs x). Resample the
+    # factor densely from the linear-in-mu curve so the implicit and
+    # split paths share the same physics to ~1e-4.
+    nodes = np.linspace(raw_nodes[0], raw_nodes[-1],
+                        max(64, 8 * len(raw_nodes)))
+    mu = np.interp(nodes, raw_nodes, raw_mu)
+    factor = raw_mu[0] / mu  # viscosity rise -> mobility drop
     n = geo.num_active
     if "SALTVD" in state.components:
         t = np.asarray(state.components["SALTVD"][0])
@@ -128,16 +185,55 @@ def build_foam_implicit(state, geo, n_wells: int = 0
     return trans, np.zeros(n)
 
 
+def build_solvent_implicit(state, geo, n_wells: int = 0
+                           ) -> tuple[TransportImplicit, np.ndarray]:
+    """Immiscible Todd-Longstaff solvent: the solvent fraction of the
+    gas stream conserved in gas, the gas-stream mobility multiplied by
+    the TL factor (reference: flow/flow_ebos_solvent.cpp + opm-models
+    blackoilsolventmodules, the immiscible PVDS+TLMIXPAR+SSFN core).
+    Semantics match the operator-split model (models/components.py):
+    the black-oil gas equation conserves the combined gas+solvent
+    stream at the gas surface basis and ``c`` in [0,1] is the solvent
+    fraction. MISCIBLE decks route to the split model, which owns
+    MISC/PMISC/MSFN. Returns (device data, zero initial fraction)."""
+    comp = state.components
+    t = np.asarray(comp["PVDS"][0])
+    if "SSFN" in comp:
+        ts = np.asarray(comp["SSFN"][0])
+        ssfn_c, ssfn_kg, ssfn_ks = ts[:, 0], ts[:, 1], ts[:, 2]
+    else:
+        # default: linear split of the gas-stream relperm
+        ssfn_c = np.asarray([0.0, 1.0])
+        ssfn_kg = np.asarray([1.0, 0.0])
+        ssfn_ks = np.asarray([0.0, 1.0])
+    tl = TlMix(
+        pvds_p=jnp.asarray(t[:, 0]),
+        pvds_mu=jnp.asarray(np.maximum(t[:, 2], 1e-12)),
+        ssfn_c=jnp.asarray(ssfn_c),
+        ssfn_kg=jnp.asarray(ssfn_kg),
+        ssfn_ks=jnp.asarray(ssfn_ks),
+        omega=jnp.asarray(float(comp.get("TLMIXPAR", 1.0))))
+    n = geo.num_active
+    trans = TransportImplicit(
+        mob_c=jnp.asarray([0.0, 1.0])[None, :],
+        mob_m=jnp.ones((1, 2)),
+        phase_mask=jnp.asarray([0.0, 0.0, 1.0]),
+        c_max=jnp.asarray(1.0),
+        inj_conc=jnp.zeros(max(n_wells, 1)),
+        tl=tl)
+    return trans, np.zeros(n)
+
+
 # ----------------------------------------------------------------------
 # 4-equation scalar kernels (vmapped + jacfwd'd like models/polymer.py)
 # ----------------------------------------------------------------------
 
-def _mob_with_factor(trans: TransportImplicit, mob_mult, c, reg):
+def _mob_with_factor(fs, trans: TransportImplicit, mob_mult, c, p, reg):
     """Fold the carrier mobility factor into the [5] dynamic channel
     vector. The select is a where on the finite channels [0:3] only —
     the inf miscibility channels [3:5] pass through a concatenation so
     their tangents stay clean (see polymer._mob_with_polymer)."""
-    f = trans.mob_factor(c, reg)
+    f = carrier_factor(fs, trans, c, p, reg)
     if mob_mult is None:
         m3 = jnp.where(trans.phase_mask > 0.0, f, 1.0)
         return jnp.concatenate([m3, jnp.full((2,), jnp.inf)])
@@ -176,8 +272,8 @@ def make_flux4(fs, trans: TransportImplicit):
     def flux4(uL4, uR4, flagL, flagR, trans_f, gdz, regsL, regsR, thpres,
               mobL, mobR, epsL, epsR):
         cL, cR = uL4[3], uR4[3]
-        mobL_eff = _mob_with_factor(trans, mobL, cL, regsL[1])
-        mobR_eff = _mob_with_factor(trans, mobR, cR, regsR[1])
+        mobL_eff = _mob_with_factor(fs, trans, mobL, cL, uL4[0], regsL[1])
+        mobR_eff = _mob_with_factor(fs, trans, mobR, cR, uR4[0], regsR[1])
         base = face_flux(fs, uL4[:3], uR4[:3], flagL, flagR, trans_f,
                          gdz, regsL, regsR, thpres, mobL_eff, mobR_eff,
                          epsL, epsR)  # [3]

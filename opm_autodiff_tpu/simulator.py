@@ -70,9 +70,15 @@ class SimulatorOptions:
     # equation (models/transport4.py, the reference's flow_ebos_brine /
     # flow_ebos_foam couplings); False falls back to the operator-split
     # transport (models/components.py). One 4th equation at a time:
-    # priority polymer > energy > brine > foam; the rest stay split.
+    # priority polymer > energy > brine > foam > solvent; the rest stay
+    # split.
     brine_implicit: bool = True
     foam_implicit: bool = True
+    # solve the immiscible Todd-Longstaff solvent fraction as a 4th
+    # fully-implicit equation (models/transport4.py, the reference's
+    # flow_ebos_solvent coupling); MISCIBLE decks always use the
+    # operator-split model, which owns MISC/PMISC/MSFN
+    solvent_implicit: bool = True
 
 
 class Simulator:
@@ -135,7 +141,8 @@ class Simulator:
         if self.poly is None and self.energy is None:
             from opm_autodiff_tpu.models.transport4 import (
                 accumulation_all4 as t4_accumulation_all4,
-                build_brine_implicit, build_foam_implicit)
+                build_brine_implicit, build_foam_implicit,
+                build_solvent_implicit)
             if (self.opts.brine_implicit
                     and "BRINE" in ecl_state.runspec.extensions
                     and "PVTWSALT" in ecl_state.components):
@@ -148,6 +155,13 @@ class Simulator:
                 self.trans4, self._c4_init = build_foam_implicit(
                     ecl_state, self.geo)
                 self._trans4_kind = "foam"
+            elif (self.opts.solvent_implicit
+                    and "SOLVENT" in ecl_state.runspec.extensions
+                    and "PVDS" in ecl_state.components
+                    and "MISCIBLE" not in ecl_state.runspec.extensions):
+                self.trans4, self._c4_init = build_solvent_implicit(
+                    ecl_state, self.geo)
+                self._trans4_kind = "solvent"
             if self.trans4 is not None:
                 self.faces = self.facelist
                 self._t4_acc_fn4 = jax.jit(t4_accumulation_all4)
@@ -190,7 +204,9 @@ class Simulator:
                                          brine_external=self._trans4_kind
                                          == "brine",
                                          foam_external=self._trans4_kind
-                                         == "foam")
+                                         == "foam",
+                                         solvent_external=self._trans4_kind
+                                         == "solvent")
         from opm_autodiff_tpu.models.thermal import ThermalModel
         self.thermal = ThermalModel(ecl_state, self.geo, self.fs,
                                     self.cells, self.facelist)
@@ -339,8 +355,8 @@ class Simulator:
                      or self.components.sgcwmis is not None)):
             self._eps_host = np.full((self.geo.num_active, 12), np.nan)
         if self._eps_host is not None:
-            self.cells = self.cells._replace(
-                eps=jnp.asarray(self._eps_host))
+            self._set_cells(self.cells._replace(
+                eps=jnp.asarray(self._eps_host)))
         self.u = ps.u
         self.flag = ps.flag
         if self.poly is not None:
@@ -356,7 +372,7 @@ class Simulator:
                     [self.u, self._T_init[:, None]], axis=1)
         elif self.trans4 is not None:
             # append the component column (brine: SALTVD initial;
-            # foam: zero)
+            # foam/solvent: zero)
             if self.u.shape[1] == 3:
                 self.u = jnp.concatenate(
                     [self.u, jnp.asarray(self._c4_init)[:, None]], axis=1)
@@ -427,11 +443,11 @@ class Simulator:
         if self.trans4 is not None:
             if msw_wells:
                 raise NotImplementedError(
-                    "implicit brine/foam + multisegment wells: use "
-                    "SimulatorOptions(brine_implicit=False, "
-                    "foam_implicit=False)")
-            attr = ("salt_conc" if self._trans4_kind == "brine"
-                    else "foam_conc")
+                    "implicit brine/foam/solvent + multisegment wells: "
+                    "use SimulatorOptions(brine_implicit=False, "
+                    "foam_implicit=False, solvent_implicit=False)")
+            attr = {"brine": "salt_conc", "foam": "foam_conc",
+                    "solvent": "solv_frac"}[self._trans4_kind]
             self.trans4 = self.trans4._replace(inj_conc=jnp.asarray(
                 [getattr(w, attr, 0.0) for w in std_wells] or [0.0]))
         self._std_well_names = [w.name for w in std_wells]
@@ -607,7 +623,7 @@ class Simulator:
                           if drvdt is not None
                           else jnp.full_like(x3_0, jnp.inf))
                 aux = aux.at[:, 3].set(rs_cap).at[:, 4].set(rv_cap)
-                self.cells = self.cells._replace(mob_mult=aux)
+                self._set_cells(self.cells._replace(mob_mult=aux))
                 x3_caps = jnp.where(st0.flag == FLAG_RS, rs_cap,
                                     jnp.where(st0.flag == FLAG_RV, rv_cap,
                                               jnp.inf))
@@ -710,7 +726,7 @@ class Simulator:
                         # oil/water scanning state: historical min Sw
                         eps_dev = eps_dev.at[:, 14].set(
                             jnp.minimum(eps_dev[:, 14], st.u[:, 1]))
-                    self.cells = self.cells._replace(eps=eps_dev)
+                    self._set_cells(self.cells._replace(eps=eps_dev))
                 self._last_q_msw = (np.asarray(q_msw)
                                     if q_msw is not None else None)
                 # per-connection rates for the WECON workover path
@@ -810,6 +826,22 @@ class Simulator:
         return self.report
 
     # ------------------------------------------------------------------
+    def _set_cells(self, cells):
+        """Replace the per-cell statics pytree EVERYWHERE it is held.
+        The split transport models (components/thermal/tracers) keep a
+        reference to ``cells`` and recompute phase fluxes from it in
+        ``advance``; if they kept the construction-time object they
+        would transport with STALE mobility multipliers — fluxes
+        inconsistent with the flow the black-oil step actually moved,
+        a first-order component mass error (worst for solvent, whose
+        TL factor can exceed 2x)."""
+        self.cells = cells
+        for holder in ("components", "thermal", "tracers"):
+            h = getattr(self, holder, None)
+            if h is not None:
+                h.cells = cells
+
+    # ------------------------------------------------------------------
     def _refresh_mob_mult(self):
         """Combine the extended-component and thermal phase-mobility
         feedbacks into CellStatic.mob_mult channels [0:3] (channels 3/4
@@ -822,7 +854,7 @@ class Simulator:
         if self.thermal.active:
             mm = mm * self.thermal.mobility_multipliers()
         aux = self.cells.mob_mult.at[:, 0:3].set(mm)
-        self.cells = self.cells._replace(mob_mult=aux)
+        self._set_cells(self.cells._replace(mob_mult=aux))
         # miscible endpoint shifts into the EPS channels (lagged state)
         if self.components.active and self.cells.eps is not None:
             ch = self.components.eps_endpoint_channels()
@@ -830,7 +862,7 @@ class Simulator:
                 eps_dev = self.cells.eps
                 for idx, vals in ch.items():
                     eps_dev = eps_dev.at[:, idx].set(vals)
-                self.cells = self.cells._replace(eps=eps_dev)
+                self._set_cells(self.cells._replace(eps=eps_dev))
 
     # ------------------------------------------------------------------
     def _refresh_voidage(self, ws):
@@ -1114,12 +1146,12 @@ class Simulator:
         self.geo.poro = poro
         self.geo.pore_vol = (self.geo.volume * poro * self.geo.ntg)
         from opm_autodiff_tpu.models.blackoil import CellStatic
-        self.cells = CellStatic(
+        self._set_cells(CellStatic(
             pore_vol_ref=jnp.asarray(self.geo.pore_vol),
             depth=self.cells.depth,
             regs=self.cells.regs,
             mob_mult=self.cells.mob_mult,
-            eps=self.cells.eps)
+            eps=self.cells.eps))
         self.acc0 = self._acc_fn(self.fs, self.u, self.flag,
                                  self.cells.pore_vol_ref, self.cells.regs)
 

@@ -379,8 +379,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             [well_mob[:, :3] * vf, well_mob[:, 3:]], axis=1)
     elif trans4 is not None:
         # carrier-phase mobility factor at the perforated cells
-        # (value-exact, d q/dc dropped — quasi-Newton, like polymer)
-        tf = jax.vmap(trans4.mob_factor)(u[:, 3], cells.regs[:, 1])
+        # (value-exact, d q/dc dropped — quasi-Newton, like polymer);
+        # TL (solvent) needs the cell pressure too
+        from opm_autodiff_tpu.models.transport4 import carrier_factor
+        tf = jax.vmap(lambda c, p, r: carrier_factor(fs, trans4, c, p, r)
+                      )(u[:, 3], u[:, 0], cells.regs[:, 1])
         m3 = jnp.where(trans4.phase_mask[None, :] > 0.0,
                        well_mob[:, :3] * tf[:, None], well_mob[:, :3])
         well_mob = jnp.concatenate([m3, well_mob[:, 3:]], axis=1)

@@ -18,9 +18,11 @@ from tests.test_components import (BASE, BRINE_PROPS, BRINE_SCHED,
                                    FOAM_PROPS, FOAM_SCHED, GASFLOOD_SCHED)
 
 
-def _run_brine(tmp_path, name, implicit):
+def _run_brine(tmp_path, name, implicit, fine_dt=False):
     deck = BASE.format(runspec_extra="BRINE", props_extra=BRINE_PROPS,
                        sched_extra=BRINE_SCHED)
+    if fine_dt:
+        deck = deck.replace("TSTEP\n 5 10 20 30 /", "TSTEP\n 65*1 /")
     p = tmp_path / f"{name}.DATA"
     p.write_text(deck)
     sim = Simulator(load_state(str(p)),
@@ -68,21 +70,26 @@ def test_implicit_brine_transport_and_viscosity(tmp_path):
 
 
 def test_implicit_vs_split_brine(tmp_path):
-    """Both formulations agree on the injected concentration and the
-    cumulative production; the documented delta is front speed — the
-    split model lags the (3x) viscosity feedback by one substep, so its
-    thin-water front runs ahead of the coupled answer at coarse dt."""
-    imp = _run_brine(tmp_path, "BRIC", implicit=True)
-    spl = _run_brine(tmp_path, "BRSC", implicit=False)
+    """Both formulations agree at resolved dt (the split model's
+    one-substep viscosity-feedback lag vanishes as dt -> 0 — at the
+    coarse 5-30 day schedule it over-produces water by ~80%, which is
+    exactly why the fully-implicit coupling is the default)."""
+    imp = _run_brine(tmp_path, "BRIC", implicit=True, fine_dt=True)
+    spl = _run_brine(tmp_path, "BRSC", implicit=False, fine_dt=True)
     c_imp = np.asarray(imp.u[:, 3])
     c_spl = np.asarray(spl.components.c_salt)
     assert abs(float(c_imp[0]) - float(c_spl[0])) < 5.0
     # both fronts advanced past the midpoint of the 1-D line
     mid = len(c_imp) // 2
     assert c_imp[mid] > 5.0 and c_spl[mid] > 5.0
-    # cumulative water production within the splitting envelope
+    # cumulative water production: resolved-dt agreement within 10%
     assert abs(imp.cum["FWPT"] - spl.cum["FWPT"]) <= \
-        0.20 * max(spl.cum["FWPT"], 1e-12)
+        0.10 * max(spl.cum["FWPT"], 1e-12)
+    # and the implicit answer is dt-robust: the coarse schedule lands on
+    # the same cumulative
+    imp_c = _run_brine(tmp_path, "BRCC", implicit=True)
+    assert abs(imp.cum["FWPT"] - imp_c.cum["FWPT"]) <= \
+        0.05 * max(imp.cum["FWPT"], 1e-12)
     # absolute anchor for the implicit model: salt is conserved —
     # in-place mass <= injected mass (production takes the rest), and
     # a meaningful fraction of the injected salt is in the domain
