@@ -14,8 +14,11 @@ halo exchanges over ICI (the same communication shape as the reference's
 MPI halo swap, without any serialization layer; SURVEY.md §5
 "Distributed communication backend").
 
-Krylov dot products become ``psum`` automatically; wells stay replicated
-(the reference likewise pins wells to one rank by default).
+Krylov dot products become ``psum`` automatically. Wells are replicated
+by default (the reference likewise pins wells to one rank by default);
+for pod-scale runs parallel/shard_wells.py provides the owner-distributed
+assembly (the ParallelWellInfo / CommunicateAboveBelow analog: per-
+perforation work on the cell's owner, one well-sized psum).
 """
 
 from __future__ import annotations

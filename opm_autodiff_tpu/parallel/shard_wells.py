@@ -1,0 +1,206 @@
+"""Owner-distributed StandardWell assembly: the ParallelWellInfo analog.
+
+The reference distributes a well whose perforations span multiple MPI
+ranks by giving each rank its local connections and reducing the
+well-equation sums with CommunicateAboveBelow / createCommunicator
+(opm/simulators/wells/ParallelWellInfo.hpp:40,
+ParallelWellInfo.cpp sumPerfValues): per-connection work stays on the
+cell's owner; only well-sized reductions cross ranks.
+
+The TPU-native rebuild expresses the same locality with ``shard_map``
+over the Z-slab cell mesh (parallel/mesh.py):
+
+* each device gathers cell state at the perforations it OWNS (a local,
+  on-chip gather — no all-gather of the [N]-sized state),
+* runs the per-perforation rate/jacobian sweep masked to its owned
+  perforations (wells/standard4._perf_sweep),
+* one ``psum`` over the mesh rebuilds the [W,P]-shaped results on every
+  device (perforation ownership is disjoint, so the sum is exact
+  placement, not accumulation),
+* the [W]-sized well-level tail (control equations, pinning, D^-1)
+  runs replicated — the exact analog of every rank holding the full
+  well system after the reference's reduction.
+
+Because shard_map regions contain ONLY the collectives written here,
+the communication contract is explicit: one psum of [W,P]-shaped
+arrays per assembly, nothing proportional to the cell count. The
+replicated path (wells/standard4.well4_contributions under plain
+GSPMD) remains the default — it is correct under any sharding and XLA
+already keeps its per-perf work cheap; this module is the pod-scale
+design for runs where W*P is large enough that replicated perf sweeps
+and [N]-sized gathers start to matter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from opm_autodiff_tpu.wells.standard import _connection_density
+from opm_autodiff_tpu.wells.standard4 import (Well4Result, _perf_sweep,
+                                              _well_tail)
+
+
+def _axis(mesh):
+    return mesh.axis_names[0]
+
+
+def owned_perforations(ws, n_local: int, axis: str):
+    """Local index + ownership mask for this device's perforations.
+
+    With the Z-slab decomposition (cell_sharding), device d owns global
+    cell rows [d*n_local, (d+1)*n_local); a perforation belongs to the
+    device owning its cell (reference: ParallelWellInfo's
+    communicateFirstPerforation assigns each connection to the rank
+    owning the cell)."""
+    d = jax.lax.axis_index(axis)
+    loc = ws.cell - d * n_local
+    owned = (loc >= 0) & (loc < n_local) & ws.perf_mask
+    return jnp.clip(loc, 0, n_local - 1), owned
+
+
+def well4_contributions_dist(mesh, fs, u, flag, xw, ws, active_mode=None,
+                             vfp_bank=None, regs=None, mob_mult=None,
+                             eps=None, f0=None, dt=86400.0) -> Well4Result:
+    """Owner-distributed twin of wells/standard4.well4_contributions.
+
+    ``u``/``flag``/``regs``/``mob_mult``/``eps`` are [N]-leading cell
+    arrays sharded over the mesh axis (parallel/mesh.cell_sharding);
+    everything well-sized is replicated. Returns a fully-replicated
+    Well4Result equal to the single-device assembly (equality proven in
+    tests/test_shard_wells.py)."""
+    if active_mode is None:
+        active_mode = ws.ctrl_mode
+    axis = _axis(mesh)
+    nsh = mesh.devices.size
+    n = u.shape[0]
+    assert n % nsh == 0, (n, nsh)
+    n_local = n // nsh
+
+    allow_cf = getattr(ws, "allow_crossflow", None)
+    if allow_cf is None:
+        allow_cf = jnp.ones(ws.num_wells, bool)
+
+    has_regs = regs is not None
+    has_mob = mob_mult is not None
+    has_eps = eps is not None
+    cell_in = [P(axis)] * (2 + has_regs + has_mob + has_eps)
+
+    def local(u_l, flag_l, *opt):
+        it = iter(opt)
+        regs_l = next(it) if has_regs else None
+        mob_l = next(it) if has_mob else None
+        eps_l = next(it) if has_eps else None
+
+        locc, owned = owned_perforations(ws, n_local, axis)
+        u_perf = u_l[locc]
+        flag_perf = flag_l[locc]
+        reg_perf = (regs_l[locc] if has_regs
+                    else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
+        mob_perf = (mob_l[locc] if has_mob
+                    else jnp.ones(ws.cell.shape + (5,)))
+        eps_perf = eps_l[locc] if has_eps else None
+
+        # explicit per-connection densities from locally-owned cells
+        # (reference calculateExplicitQuantities — per connection, no
+        # along-wellbore recursion), rebuilt everywhere by the psum
+        rho_loc = jax.vmap(jax.vmap(
+            _connection_density,
+            in_axes=(None, 0, 0, None, None, None, 0)),
+            in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            fs, jax.lax.stop_gradient(u_perf), flag_perf,
+            jax.lax.stop_gradient(xw[:, 3]), ws.is_injector,
+            ws.inj_phase, reg_perf)
+        rho_conn = jax.lax.psum(jnp.where(owned, rho_loc, 0.0), axis)
+
+        q_l, dqdu_l, dqdxw_l = _perf_sweep(
+            fs, u_perf, flag_perf, reg_perf, mob_perf, eps_perf, xw, ws,
+            rho_conn, owned, allow_cf)
+        # disjoint ownership: the psum PLACES each perf's block, the
+        # only cross-device traffic of the whole well assembly
+        q_perf = jax.lax.psum(q_l, axis)
+        dq_du = jax.lax.psum(dqdu_l, axis)
+        dq_dxw = jax.lax.psum(dqdxw_l, axis)
+        return q_perf, dq_du, dq_dxw, rho_conn
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=tuple(cell_in),
+                   out_specs=(P(), P(), P(), P()),
+                   check_vma=False)
+    args = [u, flag] + [a for a, h in
+                        ((regs, has_regs), (mob_mult, has_mob),
+                         (eps, has_eps)) if h]
+    q_perf, dq_du, dq_dxw, rho_conn = fn(*args)
+    return _well_tail(xw, ws, active_mode, vfp_bank, f0, dt,
+                      q_perf, dq_du, dq_dxw, rho_conn)
+
+
+def apply_to_residual_dist(mesh, residual, wr: Well4Result, ws):
+    """Scatter the perf rates into the SHARDED residual: each device
+    adds only its owned perforations — local scatter, zero collectives
+    (the replicated wells/standard4.apply_to_residual on a sharded
+    residual would make XLA materialize cross-device scatters)."""
+    axis = _axis(mesh)
+    nsh = mesh.devices.size
+    n = residual.shape[0]
+    n_local = n // nsh
+
+    def local(res_l, q_perf):
+        locc, owned = owned_perforations(ws, n_local, axis)
+        q = jnp.where(owned[..., None], q_perf, 0.0)
+        return res_l.at[locc.reshape(-1)].add(-q.reshape(-1, 3))
+
+    return shard_map(local, mesh=mesh, in_specs=(P(axis), P()),
+                     out_specs=P(axis), check_vma=False)(residual,
+                                                         wr.q_perf)
+
+
+def schur_matvec_dist(mesh, wr: Well4Result, ws, x):
+    """Owner-distributed y = -C D^-1 B x on a SHARDED cell vector.
+
+    The replicated wells/standard4.schur_matvec does an [N]-sized
+    gather + scatter per Krylov iteration; here the gather/scatter stay
+    on the owning device and the only traffic is ONE [W,4] psum per
+    matvec (the Bx partial sums — the exact shape the reference moves
+    in ParallelWellInfo::communication().sum over its well vectors)."""
+    axis = _axis(mesh)
+    nsh = mesh.devices.size
+    n = x.shape[0]
+    n_local = n // nsh
+
+    def local(x_l):
+        locc, owned = owned_perforations(ws, n_local, axis)
+        x_perf = jnp.where(owned[..., None], x_l[locc], 0.0)  # [W,P,3]
+        bx_l = jnp.einsum("wpej,wpj->we", wr.b_blk, x_perf)   # [W,4]
+        bx = jax.lax.psum(bx_l, axis)
+        coef = jnp.einsum("wef,wf->we", wr.d_inv, bx)
+        contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)
+        contrib = jnp.where(owned[..., None], contrib, 0.0)
+        y_l = jnp.zeros_like(x_l)
+        return y_l.at[locc.reshape(-1)].add(-contrib.reshape(-1, 3))
+
+    return shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=P(axis), check_vma=False)(x)
+
+
+def schur_rhs_dist(mesh, residual, wr: Well4Result, ws):
+    """Owner-distributed correction C D^-1 r_w on a sharded residual:
+    zero collectives (res_well/d_inv are already replicated; each
+    device scatters only its owned perforations)."""
+    axis = _axis(mesh)
+    nsh = mesh.devices.size
+    n_local = residual.shape[0] // nsh
+
+    def local(res_l):
+        locc, owned = owned_perforations(ws, n_local, axis)
+        coef = jnp.einsum("wef,wf->we", wr.d_inv, wr.res_well)
+        contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)
+        contrib = jnp.where(owned[..., None], contrib, 0.0)
+        corr = jnp.zeros_like(res_l)
+        return corr.at[locc.reshape(-1)].add(contrib.reshape(-1, 3))
+
+    return shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=P(axis), check_vma=False)(residual)

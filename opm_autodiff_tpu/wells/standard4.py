@@ -299,6 +299,37 @@ def _control_eq(xw, mode, ws_row, is_injector, inj_phase, vfp_bank):
 # Assembly
 # ---------------------------------------------------------------------------
 
+def _perf_sweep(fs: FluidSystem, u_perf, flag_perf, reg_perf, mob_perf,
+                eps_perf, xw, ws: WellSet, rho_conn, mask, allow_cf):
+    """Per-perforation rates + jacobians in (u_cell, xw): the
+    embarrassingly-parallel half of the well assembly. ``mask`` [W,P]
+    selects the perforations this caller is responsible for — the full
+    perf_mask in the replicated path, the locally-owned subset in the
+    owner-distributed path (parallel/shard_wells.py)."""
+    eps_ax = None if eps_perf is None else 0
+    dz = ws.perf_depth - ws.ref_depth[:, None]
+
+    def one_perf(u_c, f_c, xw_w, rho, wi, dzc, inj, phase, acf, m, rg,
+                 mm, ep):
+        def f(args):
+            uu, xx = args
+            cq = _perf_cq(fs, uu, f_c, xx, rho, wi, dzc, inj, phase, acf,
+                          rg, mm, ep)
+            cq = jnp.where(m, cq, jnp.zeros(3))
+            return cq, cq
+
+        jacs, val = jax.jacfwd(f, has_aux=True)((u_c, xw_w))
+        return val, jacs[0], jacs[1]
+
+    return jax.vmap(jax.vmap(
+        one_perf,
+        in_axes=(0, 0, None, 0, 0, 0, None, None, None, 0, 0, 0, eps_ax)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax))(
+        u_perf, flag_perf, xw, rho_conn, ws.wi, dz,
+        ws.is_injector, ws.inj_phase, allow_cf, mask, reg_perf,
+        mob_perf, eps_perf)
+
+
 def well4_contributions(fs: FluidSystem, u, flag, xw, ws: WellSet,
                         active_mode=None, vfp_bank=None, regs=None,
                         mob_mult=None, eps=None, rho_conn=None,
@@ -318,8 +349,6 @@ def well4_contributions(fs: FluidSystem, u, flag, xw, ws: WellSet,
     mob_perf = (mob_mult[ws.cell] if mob_mult is not None
                 else jnp.ones(ws.cell.shape + (5,)))
     eps_perf = eps[ws.cell] if eps is not None else None
-    eps_ax = None if eps is None else 0
-    dz = ws.perf_depth - ws.ref_depth[:, None]
 
     if rho_conn is None:
         from opm_autodiff_tpu.wells.standard import connection_densities
@@ -330,27 +359,20 @@ def well4_contributions(fs: FluidSystem, u, flag, xw, ws: WellSet,
     if allow_cf is None:
         allow_cf = jnp.ones(ws.num_wells, bool)
 
-    # --- per-perforation rates + jacobians in (u_cell, xw) ---
-    def one_perf(u_c, f_c, xw_w, rho, wi, dzc, inj, phase, acf, mask, rg,
-                 mm, ep):
-        def f(args):
-            uu, xx = args
-            cq = _perf_cq(fs, uu, f_c, xx, rho, wi, dzc, inj, phase, acf,
-                          rg, mm, ep)
-            cq = jnp.where(mask, cq, jnp.zeros(3))
-            return cq, cq
+    q_perf, dq_du, dq_dxw = _perf_sweep(
+        fs, u_perf, flag_perf, reg_perf, mob_perf, eps_perf, xw, ws,
+        rho_conn, ws.perf_mask, allow_cf)
+    return _well_tail(xw, ws, active_mode, vfp_bank, f0, dt,
+                      q_perf, dq_du, dq_dxw, rho_conn)
 
-        jacs, val = jax.jacfwd(f, has_aux=True)((u_c, xw_w))
-        return val, jacs[0], jacs[1]
 
-    q_perf, dq_du, dq_dxw = jax.vmap(jax.vmap(
-        one_perf,
-        in_axes=(0, 0, None, 0, 0, 0, None, None, None, 0, 0, 0, eps_ax)),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax))(
-        u_perf, flag_perf, xw, rho_conn, ws.wi, dz,
-        ws.is_injector, ws.inj_phase, allow_cf, ws.perf_mask, reg_perf,
-        mob_perf, eps_perf)
-
+def _well_tail(xw, ws: WellSet, active_mode, vfp_bank, f0, dt,
+               q_perf, dq_du, dq_dxw, rho_conn) -> Well4Result:
+    """Well-level rows + Schur pieces from the per-perf sweep results.
+    [W]-sized math only — in the distributed path this runs replicated
+    on every device (the reference's analog: each rank owning part of a
+    well holds the full well equations after CommunicateAboveBelow,
+    ParallelWellInfo.hpp:40)."""
     efac = ws.efac  # [W]
     q_perf = q_perf * efac[:, None, None]
     dq_du = dq_du * efac[:, None, None, None]
