@@ -23,13 +23,13 @@ over the Z-slab cell mesh (parallel/mesh.py):
 
 Because shard_map regions contain ONLY the collectives written here,
 the communication contract is explicit: one psum of [W,P]-shaped
-arrays per assembly, nothing proportional to the cell count. The
-replicated path (wells/standard4.well4_contributions under plain
-GSPMD) remains the default — it is correct under any sharding and XLA
-already keeps its per-perf work cheap; this module is the pod-scale
-design for runs where W*P is large enough that replicated perf sweeps
-and [N]-sized gathers start to matter.
-"""
+arrays per assembly and one [W,4] psum per Krylov matvec, nothing
+proportional to the cell count (pinned by the HLO test in
+tests/test_shard_wells.py). The replicated path
+(wells/standard4.well4_contributions under plain GSPMD) remains
+correct under any sharding; the Newton driver switches to this module
+when a mesh is active and the cell axis divides it
+(solvers/newton.py, ``dist_wells_enabled``)."""
 
 from __future__ import annotations
 
@@ -48,6 +48,17 @@ def _axis(mesh):
     return mesh.axis_names[0]
 
 
+def dist_wells_enabled(mesh, n: int) -> bool:
+    """Owner-distributed wells active? Requires a mesh, an evenly
+    divisible cell axis (compressed-active arrays on ACTNUM grids stay
+    replicated — shard_problem's rule), and the env opt-out unset."""
+    import os
+
+    if mesh is None or os.environ.get("OPM_TPU_DIST_WELLS", "1") == "0":
+        return False
+    return n % mesh.devices.size == 0
+
+
 def owned_perforations(ws, n_local: int, axis: str):
     """Local index + ownership mask for this device's perforations.
 
@@ -64,14 +75,19 @@ def owned_perforations(ws, n_local: int, axis: str):
 
 def well4_contributions_dist(mesh, fs, u, flag, xw, ws, active_mode=None,
                              vfp_bank=None, regs=None, mob_mult=None,
-                             eps=None, f0=None, dt=86400.0) -> Well4Result:
+                             eps=None, rho_conn=None, f0=None,
+                             dt=86400.0) -> Well4Result:
     """Owner-distributed twin of wells/standard4.well4_contributions.
 
     ``u``/``flag``/``regs``/``mob_mult``/``eps`` are [N]-leading cell
     arrays sharded over the mesh axis (parallel/mesh.cell_sharding);
-    everything well-sized is replicated. Returns a fully-replicated
-    Well4Result equal to the single-device assembly (equality proven in
-    tests/test_shard_wells.py)."""
+    everything well-sized is replicated. ``rho_conn`` may carry the
+    substep's explicit connection densities (replicated); None computes
+    them here from owned cells. Returns a fully-replicated Well4Result
+    equal to the single-device assembly (tests/test_shard_wells.py).
+
+    All traced operands pass through shard_map args (never closures) so
+    this composes inside the jitted Newton iteration."""
     if active_mode is None:
         active_mode = ws.ctrl_mode
     axis = _axis(mesh)
@@ -87,55 +103,61 @@ def well4_contributions_dist(mesh, fs, u, flag, xw, ws, active_mode=None,
     has_regs = regs is not None
     has_mob = mob_mult is not None
     has_eps = eps is not None
-    cell_in = [P(axis)] * (2 + has_regs + has_mob + has_eps)
+    has_rho = rho_conn is not None
+    opt = [a for a, h in ((regs, has_regs), (mob_mult, has_mob),
+                          (eps, has_eps), (rho_conn, has_rho)) if h]
+    n_cell_opt = has_regs + has_mob + has_eps
+    in_specs = ([P(axis)] * 2 + [P()] * 4
+                + [P(axis)] * n_cell_opt + [P()] * has_rho)
 
-    def local(u_l, flag_l, *opt):
-        it = iter(opt)
+    def local(u_l, flag_l, fs_r, xw_r, ws_r, acf_r, *opt_l):
+        it = iter(opt_l)
         regs_l = next(it) if has_regs else None
         mob_l = next(it) if has_mob else None
         eps_l = next(it) if has_eps else None
+        rho_in = next(it) if has_rho else None
 
-        locc, owned = owned_perforations(ws, n_local, axis)
+        locc, owned = owned_perforations(ws_r, n_local, axis)
         u_perf = u_l[locc]
         flag_perf = flag_l[locc]
         reg_perf = (regs_l[locc] if has_regs
-                    else jnp.zeros(ws.cell.shape + (2,), jnp.int32))
+                    else jnp.zeros(ws_r.cell.shape + (2,), jnp.int32))
         mob_perf = (mob_l[locc] if has_mob
-                    else jnp.ones(ws.cell.shape + (5,)))
+                    else jnp.ones(ws_r.cell.shape + (5,)))
         eps_perf = eps_l[locc] if has_eps else None
 
-        # explicit per-connection densities from locally-owned cells
-        # (reference calculateExplicitQuantities — per connection, no
-        # along-wellbore recursion), rebuilt everywhere by the psum
-        rho_loc = jax.vmap(jax.vmap(
-            _connection_density,
-            in_axes=(None, 0, 0, None, None, None, 0)),
-            in_axes=(None, 0, 0, 0, 0, 0, 0))(
-            fs, jax.lax.stop_gradient(u_perf), flag_perf,
-            jax.lax.stop_gradient(xw[:, 3]), ws.is_injector,
-            ws.inj_phase, reg_perf)
-        rho_conn = jax.lax.psum(jnp.where(owned, rho_loc, 0.0), axis)
+        if not has_rho:
+            # explicit per-connection densities from locally-owned
+            # cells (reference calculateExplicitQuantities — per
+            # connection, no along-wellbore recursion), rebuilt
+            # everywhere by the psum
+            rho_loc = jax.vmap(jax.vmap(
+                _connection_density,
+                in_axes=(None, 0, 0, None, None, None, 0)),
+                in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                fs_r, jax.lax.stop_gradient(u_perf), flag_perf,
+                jax.lax.stop_gradient(xw_r[:, 3]), ws_r.is_injector,
+                ws_r.inj_phase, reg_perf)
+            rho = jax.lax.psum(jnp.where(owned, rho_loc, 0.0), axis)
+        else:
+            rho = rho_in
 
         q_l, dqdu_l, dqdxw_l = _perf_sweep(
-            fs, u_perf, flag_perf, reg_perf, mob_perf, eps_perf, xw, ws,
-            rho_conn, owned, allow_cf)
+            fs_r, u_perf, flag_perf, reg_perf, mob_perf, eps_perf, xw_r,
+            ws_r, rho, owned, acf_r)
         # disjoint ownership: the psum PLACES each perf's block, the
         # only cross-device traffic of the whole well assembly
         q_perf = jax.lax.psum(q_l, axis)
         dq_du = jax.lax.psum(dqdu_l, axis)
         dq_dxw = jax.lax.psum(dqdxw_l, axis)
-        return q_perf, dq_du, dq_dxw, rho_conn
+        return q_perf, dq_du, dq_dxw, rho
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=tuple(cell_in),
-                   out_specs=(P(), P(), P(), P()),
-                   check_vma=False)
-    args = [u, flag] + [a for a, h in
-                        ((regs, has_regs), (mob_mult, has_mob),
-                         (eps, has_eps)) if h]
-    q_perf, dq_du, dq_dxw, rho_conn = fn(*args)
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=(P(), P(), P(), P()), check_vma=False)
+    q_perf, dq_du, dq_dxw, rho_out = fn(u, flag, fs, xw, ws, allow_cf,
+                                        *opt)
     return _well_tail(xw, ws, active_mode, vfp_bank, f0, dt,
-                      q_perf, dq_du, dq_dxw, rho_conn)
+                      q_perf, dq_du, dq_dxw, rho_out)
 
 
 def apply_to_residual_dist(mesh, residual, wr: Well4Result, ws):
@@ -144,18 +166,33 @@ def apply_to_residual_dist(mesh, residual, wr: Well4Result, ws):
     (the replicated wells/standard4.apply_to_residual on a sharded
     residual would make XLA materialize cross-device scatters)."""
     axis = _axis(mesh)
-    nsh = mesh.devices.size
-    n = residual.shape[0]
-    n_local = n // nsh
+    n_local = residual.shape[0] // mesh.devices.size
 
-    def local(res_l, q_perf):
-        locc, owned = owned_perforations(ws, n_local, axis)
+    def local(res_l, q_perf, ws_r):
+        locc, owned = owned_perforations(ws_r, n_local, axis)
         q = jnp.where(owned[..., None], q_perf, 0.0)
-        return res_l.at[locc.reshape(-1)].add(-q.reshape(-1, 3))
+        return res_l.at[locc.reshape(-1)].add(
+            -q.reshape(-1, q.shape[-1]))
 
-    return shard_map(local, mesh=mesh, in_specs=(P(axis), P()),
-                     out_specs=P(axis), check_vma=False)(residual,
-                                                         wr.q_perf)
+    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
+                     out_specs=P(axis), check_vma=False)(
+        residual, wr.q_perf, ws)
+
+
+def apply_to_diag_dist(mesh, diag, wr: Well4Result, ws):
+    """A_cc -= dq/du at the owned perforations (local scatter)."""
+    axis = _axis(mesh)
+    n_local = diag.shape[0] // mesh.devices.size
+
+    def local(diag_l, dq_du, ws_r):
+        locc, owned = owned_perforations(ws_r, n_local, axis)
+        d = jnp.where(owned[..., None, None], dq_du, 0.0)
+        return diag_l.at[locc.reshape(-1)].add(
+            -d.reshape(-1, *d.shape[-2:]))
+
+    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
+                     out_specs=P(axis), check_vma=False)(
+        diag, wr.dq_du, ws)
 
 
 def schur_matvec_dist(mesh, wr: Well4Result, ws, x):
@@ -167,23 +204,21 @@ def schur_matvec_dist(mesh, wr: Well4Result, ws, x):
     matvec (the Bx partial sums — the exact shape the reference moves
     in ParallelWellInfo::communication().sum over its well vectors)."""
     axis = _axis(mesh)
-    nsh = mesh.devices.size
-    n = x.shape[0]
-    n_local = n // nsh
+    n_local = x.shape[0] // mesh.devices.size
 
-    def local(x_l):
-        locc, owned = owned_perforations(ws, n_local, axis)
+    def local(x_l, wr_r, ws_r):
+        locc, owned = owned_perforations(ws_r, n_local, axis)
         x_perf = jnp.where(owned[..., None], x_l[locc], 0.0)  # [W,P,3]
-        bx_l = jnp.einsum("wpej,wpj->we", wr.b_blk, x_perf)   # [W,4]
+        bx_l = jnp.einsum("wpej,wpj->we", wr_r.b_blk, x_perf)  # [W,4]
         bx = jax.lax.psum(bx_l, axis)
-        coef = jnp.einsum("wef,wf->we", wr.d_inv, bx)
-        contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)
+        coef = jnp.einsum("wef,wf->we", wr_r.d_inv, bx)
+        contrib = jnp.einsum("wpce,we->wpc", -wr_r.dq_dxw, coef)
         contrib = jnp.where(owned[..., None], contrib, 0.0)
         y_l = jnp.zeros_like(x_l)
         return y_l.at[locc.reshape(-1)].add(-contrib.reshape(-1, 3))
 
-    return shard_map(local, mesh=mesh, in_specs=(P(axis),),
-                     out_specs=P(axis), check_vma=False)(x)
+    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
+                     out_specs=P(axis), check_vma=False)(x, wr, ws)
 
 
 def schur_rhs_dist(mesh, residual, wr: Well4Result, ws):
@@ -191,16 +226,60 @@ def schur_rhs_dist(mesh, residual, wr: Well4Result, ws):
     zero collectives (res_well/d_inv are already replicated; each
     device scatters only its owned perforations)."""
     axis = _axis(mesh)
-    nsh = mesh.devices.size
-    n_local = residual.shape[0] // nsh
+    n_local = residual.shape[0] // mesh.devices.size
 
-    def local(res_l):
-        locc, owned = owned_perforations(ws, n_local, axis)
-        coef = jnp.einsum("wef,wf->we", wr.d_inv, wr.res_well)
-        contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)
+    def local(res_l, wr_r, ws_r):
+        locc, owned = owned_perforations(ws_r, n_local, axis)
+        coef = jnp.einsum("wef,wf->we", wr_r.d_inv, wr_r.res_well)
+        contrib = jnp.einsum("wpce,we->wpc", -wr_r.dq_dxw, coef)
         contrib = jnp.where(owned[..., None], contrib, 0.0)
         corr = jnp.zeros_like(res_l)
-        return corr.at[locc.reshape(-1)].add(contrib.reshape(-1, 3))
+        return corr.at[locc.reshape(-1)].add(
+            contrib.reshape(-1, contrib.shape[-1]))
 
-    return shard_map(local, mesh=mesh, in_specs=(P(axis),),
-                     out_specs=P(axis), check_vma=False)(residual)
+    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
+                     out_specs=P(axis), check_vma=False)(
+        residual, wr, ws)
+
+
+class DistWellApi:
+    """wells/standard4-shaped facade bound to a mesh, so the Newton
+    iteration can swap the well coupling wholesale (``w_api`` in
+    solvers/newton.py). Falls back to the replicated implementation on
+    arrays whose leading dim does not divide the mesh (the embedded
+    full-box system may divide while the compressed-active arrays do
+    not, and vice versa)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def _ok(self, a):
+        return a.shape[0] % self.mesh.devices.size == 0
+
+    def apply_to_residual(self, residual, wr, ws):
+        from opm_autodiff_tpu.wells import standard4 as s4
+
+        if not self._ok(residual):
+            return s4.apply_to_residual(residual, wr, ws)
+        return apply_to_residual_dist(self.mesh, residual, wr, ws)
+
+    def apply_to_diag(self, diag, wr, ws):
+        from opm_autodiff_tpu.wells import standard4 as s4
+
+        if not self._ok(diag):
+            return s4.apply_to_diag(diag, wr, ws)
+        return apply_to_diag_dist(self.mesh, diag, wr, ws)
+
+    def schur_matvec(self, wr, ws, x):
+        from opm_autodiff_tpu.wells import standard4 as s4
+
+        if not self._ok(x):
+            return s4.schur_matvec(wr, ws, x)
+        return schur_matvec_dist(self.mesh, wr, ws, x)
+
+    def schur_rhs(self, residual, wr, ws):
+        from opm_autodiff_tpu.wells import standard4 as s4
+
+        if not self._ok(residual):
+            return s4.schur_rhs(residual, wr, ws)
+        return schur_rhs_dist(self.mesh, residual, wr, ws)

@@ -400,9 +400,22 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         q_tot_pv = s4.xw_surface_rates(st.xw, ws)
         mode = update_well_controls(ws, mode, st.xw[:, 3], q_tot_pv,
                                     vfp_bank)
-        wr = s4.well4_contributions(fs, u3, flag, st.xw, ws, mode,
-                                    vfp_bank, cells.regs, well_mob,
-                                    cells.eps, rho_conn, well_f0, dt)
+        # owner-distributed well assembly when a device mesh is active
+        # (parallel/shard_wells.py — the ParallelWellInfo analog):
+        # per-perf work on the cell's owner, one well-sized psum
+        from opm_autodiff_tpu.parallel.mesh import get_active_mesh
+        from opm_autodiff_tpu.parallel import shard_wells as sw
+        dist_mesh = get_active_mesh()
+        if (dist_mesh is not None
+                and sw.dist_wells_enabled(dist_mesh, u3.shape[0])):
+            wr = sw.well4_contributions_dist(
+                dist_mesh, fs, u3, flag, st.xw, ws, mode, vfp_bank,
+                cells.regs, well_mob, cells.eps, rho_conn, well_f0, dt)
+        else:
+            dist_mesh = None
+            wr = s4.well4_contributions(fs, u3, flag, st.xw, ws, mode,
+                                        vfp_bank, cells.regs, well_mob,
+                                        cells.eps, rho_conn, well_f0, dt)
         # reported rates come from the primary variables (reference:
         # updateWellStateFromPrimaryVariables — WellState rates are the
         # getQs values, exactly on target under rate control). Inactive
@@ -412,7 +425,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                               params.has_gas])
         q_tot = jnp.where(ws.open_mask[:, None] & phase_on[None, :],
                           q_tot_pv, 0.0)
-        w_api = s4
+        w_api = sw.DistWellApi(dist_mesh) if dist_mesh is not None else s4
     else:
         # --- ONE well assembly: the perforation stage is mode-independent,
         # so control switching runs on its own rates and only the 1x1

@@ -110,6 +110,54 @@ def test_dist_schur_ops_match(span):
     assert len(y_d.sharding.device_set) == 8
 
 
+def test_newton_iteration_with_dist_wells(span):
+    """The full jitted Newton iteration on the 8-device mesh with the
+    owner-distributed well coupling active (solvers/newton.py swaps in
+    DistWellApi under an active mesh) matches the single-device
+    iteration — the same contract as test_parallel's 1-DOF runs, here
+    for the 4-DOF flagship path."""
+    from opm_autodiff_tpu.parallel import shard_problem
+    from opm_autodiff_tpu.parallel.mesh import replicated, use_mesh
+    from opm_autodiff_tpu.solvers.newton import (NewtonParams, NewtonState,
+                                                 newton_iteration_impl)
+
+    fs, cells, init, ws, xw, _wr = span
+    problem = _span_fix.__wrapped__()
+    faces, acc0 = problem[4], problem[7]
+    params = NewtonParams()
+    dt = jnp.asarray(86400.0)
+
+    st = NewtonState(init.u, init.flag, xw[:, 3], ws.ctrl_mode, xw=xw)
+    new_st, info, (q1, *_), _ = newton_iteration_impl(
+        params, fs, cells, faces, st, ws, acc0, dt)
+    u1, cnv1 = np.asarray(new_st.u), np.asarray(info.cnv)
+
+    mesh = make_mesh(8)
+    cells_sh, topo_sh, u_sh, flag_sh, acc0_sh = shard_problem(
+        mesh, cells, faces, init.u, init.flag, acc0)
+    r = replicated(mesh)
+    ws_r = jax.tree.map(lambda a: jax.device_put(a, r), ws)
+    fs_r = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), r), fs)
+    xw_r = jax.device_put(xw, r)
+    mode_r = jax.device_put(ws.ctrl_mode, r)
+
+    def fn(u, flag, xw_a, mode, acc0_a):
+        st8 = NewtonState(u=u, flag=flag, pbh=xw_a[:, 3],
+                          active_mode=mode, xw=xw_a)
+        new8, info8, (q, *_), _ = newton_iteration_impl(
+            params, fs_r, cells_sh, topo_sh, st8, ws_r, acc0_a, dt)
+        return new8.u, q, info8.cnv
+
+    with use_mesh(mesh), mesh:
+        u8, q8, cnv8 = jax.jit(fn)(u_sh, flag_sh, xw_r, mode_r, acc0_sh)
+        jax.block_until_ready(u8)
+
+    np.testing.assert_allclose(np.asarray(cnv8), cnv1, rtol=1e-5,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q8), np.asarray(q1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u8), u1, rtol=5e-3)
+
+
 def test_dist_communication_contract(span):
     """The compiled distributed assembly moves only well-sized
     reductions: all-reduce present (the perf-placement psum), and NO
