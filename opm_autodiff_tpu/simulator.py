@@ -104,12 +104,21 @@ class Simulator:
         # tracers need the explicit face list even on the banded path
         _, self.facelist = statics_from_geometry(self.geo,
                                                  structured="never")
+        # a deck with WELSEGS anywhere in the schedule routes the
+        # extension physics to the operator-split transports: the
+        # 4-equation implicit couplings do not carry a component/energy
+        # unknown through the multisegment well system yet (the
+        # reference couples them there too; split keeps such decks
+        # running end-to-end instead of erroring)
+        self._sched_has_msw = any(
+            getattr(w, "segments", None)
+            for s in ecl_state.schedule.steps for w in s.wells)
         # fully-implicit polymer: 4-equation block system on the
         # face-list layout (models/polymer.py; reference
         # flow_ebos_polymer's 4x4 blocks)
         self.poly = None
         self._poly_no_desorption = False
-        if (self.opts.polymer_implicit
+        if (self.opts.polymer_implicit and not self._sched_has_msw
                 and "POLYMER" in ecl_state.runspec.extensions
                 and "PLYVISC" in ecl_state.components):
             from opm_autodiff_tpu.models.polymer import (
@@ -124,6 +133,7 @@ class Simulator:
         # already owns the 4th equation.
         self.energy = None
         if (self.opts.energy_implicit and self.poly is None
+                and not self._sched_has_msw
                 and "THERMAL" in ecl_state.runspec.extensions):
             from opm_autodiff_tpu.models.energy import (
                 accumulation_all4 as en_accumulation_all4,
@@ -138,7 +148,8 @@ class Simulator:
         self.trans4 = None
         self._trans4_kind = None
         self._c4_init = None
-        if self.poly is None and self.energy is None:
+        if (self.poly is None and self.energy is None
+                and not self._sched_has_msw):
             from opm_autodiff_tpu.models.transport4 import (
                 accumulation_all4 as t4_accumulation_all4,
                 build_brine_implicit, build_foam_implicit,

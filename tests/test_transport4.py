@@ -130,6 +130,35 @@ def test_implicit_vs_split_foam(tmp_path):
         0.15 * max(abs(r_spl["FOPR"]), 1e-12)
 
 
+def test_msw_deck_falls_back_to_split(tmp_path):
+    """A BRINE deck with WELSEGS wells runs end-to-end through the
+    operator-split transport (the implicit 4-equation coupling does not
+    carry the component through the multisegment well system yet) —
+    completing the run beats erroring; the reference runs such decks."""
+    from tests.test_msw import MSW_DECK
+
+    deck = MSW_DECK.replace("OIL\nWATER\n", "OIL\nWATER\nBRINE\n")
+    deck = deck.replace("PVTW\n 200 1.02 4.0E-5 0.5 0 /\n", """PVTWSALT
+ 200 0 /
+ 0  1.02 4.0E-5 0.5 0
+ 50 1.00 4.0E-5 1.5 0 /
+""")
+    deck = deck.replace("WCONINJE\n", """WSALT
+ 'I1' 40 /
+/
+WCONINJE
+""")
+    p = tmp_path / "MB.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.trans4 is None          # implicit coupling not engaged
+    assert sim.components.has_brine    # split transport owns the salt
+    sim.run()
+    c = np.asarray(sim.components.c_salt)
+    assert c[0] > 5.0                  # salt entered at the injector
+    assert np.all(np.isfinite(np.asarray(sim.u)))
+
+
 def test_brine_polymer_precedence(tmp_path):
     """A POLYMER+BRINE deck keeps polymer implicit (priority) and runs
     brine split — both feedbacks active, no double counting."""
