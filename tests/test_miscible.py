@@ -46,8 +46,13 @@ def test_miscibility_scales_mixing(tmp_path):
     """With MISC/PMISC active, low solvent fraction means little mixing:
     the gas mobility multiplier stays near the immiscible value, while
     at full solvent strength it approaches mu_g/mu_s like the fully-
-    miscible run."""
-    sim = Simulator(load_state(_misc_deck(tmp_path)), SimulatorOptions())
+    miscible run. Short schedule: with consistent transport fluxes the
+    front fully sweeps the 8-cell line in 17 days, flattening the
+    profile the downstream assertions probe."""
+    path = _misc_deck(tmp_path)
+    text = open(path).read().replace("TSTEP\n 2 5 10 /", "TSTEP\n 1 2 3 /")
+    open(path, "w").write(text)
+    sim = Simulator(load_state(path), SimulatorOptions())
     sim.run()
     assert sim.components.has_misc
     assert sim.components.misc_tab is not None
@@ -66,13 +71,26 @@ def test_miscibility_scales_mixing(tmp_path):
 
 
 def test_immiscible_run_unchanged(tmp_path):
-    """Without MISCIBLE the solvent path still runs (Todd-Longstaff)."""
+    """Without MISCIBLE the solvent still runs Todd-Longstaff — by
+    default as the fully-implicit 4th equation (the TL feedback lives
+    in the Jacobian, not in cells.mob_mult); the split fallback keeps
+    the lagged multiplier behavior."""
+    from opm_autodiff_tpu.models.transport4 import tl_factor
+
     p = tmp_path / "S.DATA"
     p.write_text(SOLVENT_DECK)
     sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim._trans4_kind == "solvent"
     sim.run()
     assert not sim.components.has_misc
-    mm = np.asarray(sim.cells.mob_mult)
+    f0 = float(tl_factor(sim.fs, sim.trans4.tl, float(sim.u[0, 3]),
+                         float(sim.u[0, 0])))
+    assert f0 > 1.2
+    # and the split fallback still carries the multiplier channel
+    sim_s = Simulator(load_state(str(p)),
+                      SimulatorOptions(solvent_implicit=False))
+    sim_s.run()
+    mm = np.asarray(sim_s.cells.mob_mult)
     assert mm[0, 2] > 1.2
     # no oil mixing outside the miscible model
     np.testing.assert_allclose(mm[:, 1], 1.0)
