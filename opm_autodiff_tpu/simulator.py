@@ -74,6 +74,12 @@ class SimulatorOptions:
     # split.
     brine_implicit: bool = True
     foam_implicit: bool = True
+    # run each substep's whole Newton loop as ONE device program
+    # (lax.while_loop — no host dispatch per iteration;
+    # solvers/newton.newton_solve_device). "auto" uses it whenever no
+    # per-iteration host logic is needed (group/NUPCOL re-apportioning,
+    # newton-level verbosity); "never" keeps the host loop everywhere.
+    newton_device_loop: str = "auto"
     # solve the immiscible Todd-Longstaff solvent fraction as a 4th
     # fully-implicit equation (models/transport4.py, the reference's
     # flow_ebos_solvent coupling); MISCIBLE decks always use the
@@ -650,15 +656,28 @@ class Simulator:
                         if gmgr.active else ws_base)
                     return with_network(new_ws)
 
-            st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve(
-                self.opts.newton, self.fs, self.cells, self.faces, st0, ws,
-                committed["acc0"], dt_seconds,
-                verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
-                vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
-                drift_vol=self._drift_vol, poly=self.poly,
-                energy=self.energy, trans4=self.trans4,
-                group_update=group_update,
-                nupcol=self.state.runspec.nupcol)
+            use_device_loop = (self.opts.newton_device_loop == "auto"
+                               and group_update is None
+                               and int(self.opts.verbose) < 2)
+            if use_device_loop:
+                from opm_autodiff_tpu.solvers.newton import \
+                    newton_solve_device
+                st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve_device(
+                    self.opts.newton, self.fs, self.cells, self.faces,
+                    st0, ws, committed["acc0"], dt_seconds, aq=aq_dev,
+                    vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
+                    drift_vol=self._drift_vol, poly=self.poly,
+                    energy=self.energy, trans4=self.trans4)
+            else:
+                st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve(
+                    self.opts.newton, self.fs, self.cells, self.faces,
+                    st0, ws, committed["acc0"], dt_seconds,
+                    verbose=int(self.opts.verbose) >= 2, aq=aq_dev,
+                    vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
+                    drift_vol=self._drift_vol, poly=self.poly,
+                    energy=self.energy, trans4=self.trans4,
+                    group_update=group_update,
+                    nupcol=self.state.runspec.nupcol)
 
             if not rep.converged:
                 reason = ("non-finite/diverged iterate" if rep.failed

@@ -899,3 +899,143 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                             np.asarray(info.cnv), np.asarray(info.mb),
                             float(info.well_err), last_res, werr), \
         (last_q, last_q_perf, last_q_msw), last_q_aq
+
+
+# ---------------------------------------------------------------------------
+# Whole-substep device loop
+# ---------------------------------------------------------------------------
+
+def _state_fields(st: NewtonState):
+    """The result-facing leaves of NewtonState (drops lin_setup, whose
+    pytree structure changes between iteration 0 and 1 under setup
+    reuse — it never outlives a substep anyway)."""
+    return (st.u, st.flag, st.pbh, st.active_mode, st.msw_x, st.xw)
+
+
+def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
+                                st: NewtonState, ws: WellSet, acc0, dt,
+                                aq, vfp_bank, msw, x3_cap, drift_vol,
+                                poly, energy, trans4):
+    """The whole substep — inner well solve + Newton loop with
+    oscillation relaxation and convergence exit — as ONE device
+    program (lax.while_loop over full iterations).
+
+    The host loop (``newton_solve``) dispatches one device program per
+    Newton iteration and syncs on the convergence flags — a
+    host-roundtrip bubble per iteration that the reference never pays
+    (its loop is all C++; SURVEY.md §1 L4). This variant removes it:
+    the only host sync per substep is the final result. Semantics match
+    newton_solve exactly (same iteration bodies, same oscillation
+    dampening from NonlinearSolverEbos.hpp:278, same pre-update
+    convergence rule); it is selected by the simulator whenever no
+    per-iteration host logic (NUPCOL group re-apportioning, verbose
+    tracing) is requested."""
+    extra4 = next((x for x in (poly, energy, trans4) if x is not None),
+                  None)
+    u3 = st.u[:, :3] if extra4 is not None else st.u
+    rho_conn = wells_mod.connection_densities(fs, u3, st.flag, st.pbh,
+                                              ws, cells.regs)
+    well_f0 = None
+    if st.xw is not None:
+        xw0 = s4.solve_well_eq(fs, u3, st.flag, st.xw, ws,
+                               st.active_mode, vfp_bank, cells.regs,
+                               cells.mob_mult, cells.eps, rho_conn, dt)
+        st = st._replace(xw=xw0, pbh=xw0[:, 3])
+        well_f0 = jax.vmap(s4._surface_fractions)(xw0[:, 1], xw0[:, 2])
+
+    def one_iter(st_c, relax_c):
+        return newton_iteration_impl(params, fs, cells, faces, st_c, ws,
+                                     acc0, dt, aq, vfp_bank, msw, x3_cap,
+                                     relax_c, rho_conn, drift_vol,
+                                     well_f0, poly, energy, trans4)
+
+    def outcome(st_pre, new_st, info, it):
+        """(stop, conv, result fields) under the host loop's rules:
+        convergence is pre-update, so the assembled state stands (with
+        the control modes the assembly switched to); a failed linear
+        solve freezes the pre-update state; otherwise carry on."""
+        conv = jnp.logical_and(info.converged, it >= params.min_iter)
+        stop = jnp.logical_or(conv, info.failed)
+        keep = _state_fields(st_pre._replace(
+            active_mode=jnp.where(conv, new_st.active_mode,
+                                  st_pre.active_mode)))
+        step = _state_fields(new_st)
+        res_f = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(stop, (1,) * a.ndim), a, b), keep, step)
+        return stop, conv, res_f
+
+    # iteration 0 unrolled: under setup reuse its lin_setup output
+    # changes the carry structure (None -> arrays)
+    new_st, info, (q_tot, q_perf, q_msw, res_act), q_aq = one_iter(
+        st, jnp.asarray(1.0))
+    neq = info.mb.shape[0]
+    hist = jnp.stack([info.mb, jnp.zeros(neq), jnp.zeros(neq)])
+    stop0, conv0, res_f = outcome(st, new_st, info, 0)
+    outs = (q_tot, q_perf, q_msw, q_aq, res_act, info.cnv, info.mb,
+            info.well_err, info.well_err_by_well)
+    carry = (jnp.asarray(0), new_st, res_f, stop0, conv0, info.failed,
+             jnp.asarray(1.0), hist, info.linear_iters, outs)
+
+    def cond(c):
+        it, _st, _rf, done, *_ = c
+        return jnp.logical_and(~done, it < params.max_iter)
+
+    def body(c):
+        (it, st_c, _res_f, _done, _conv, _failed, relax, hist, tot_lin,
+         _outs) = c
+        it = it + 1
+        # reference detectOscillations (NonlinearSolverEbos.hpp:278):
+        # dampen when >= 2 equations returned to their value two
+        # iterations back after a large excursion
+        denom = jnp.where(hist[0] != 0.0, hist[0], 1.0)
+        d1 = jnp.abs((hist[0] - hist[2]) / denom)
+        d2 = jnp.abs((hist[0] - hist[1]) / denom)
+        osc = ((d1 < 0.2) & (d2 > 0.2)).sum() >= 2
+        # the host loop's history holds 3 entries only after iteration
+        # 2, so the first dampening applies from iteration 3 on
+        relax = jnp.where(
+            it >= 3,
+            jnp.where(osc, jnp.maximum(relax - 0.1, 0.5),
+                      jnp.minimum(relax + 0.1, 1.0)), relax)
+        new_st, info, (q_tot, q_perf, q_msw, res_act), q_aq = one_iter(
+            st_c, relax)
+        hist = jnp.concatenate([info.mb[None], hist[:2]], axis=0)
+        stop, conv, res_f = outcome(st_c, new_st, info, it)
+        outs = (q_tot, q_perf, q_msw, q_aq, res_act, info.cnv, info.mb,
+                info.well_err, info.well_err_by_well)
+        return (it, new_st, res_f, stop, conv, info.failed, relax, hist,
+                tot_lin + info.linear_iters, outs)
+
+    (it, _st, res_f, _done, conv, failed, _relax, _hist, tot_lin,
+     outs) = jax.lax.while_loop(cond, body, carry)
+    return res_f, it, tot_lin, conv, failed, outs
+
+
+_newton_substep_device = jax.jit(_newton_substep_device_impl,
+                                 static_argnames=("params",))
+
+
+def newton_solve_device(params: NewtonParams, fs, cells, faces,
+                        st: NewtonState, ws: WellSet, acc0, dt,
+                        aq: AquiferDevice | None = None, vfp_bank=None,
+                        msw=None, x3_cap=None, drift_vol=None, poly=None,
+                        energy=None, trans4=None):
+    """newton_solve twin running the whole substep on device (one
+    dispatch, one host sync). No per-iteration host hooks: callers with
+    NUPCOL group updates or verbose tracing use newton_solve."""
+    if aq is None:
+        aq = empty_device()
+    st = st._replace(lin_setup=None)
+    res_f, it, tot_lin, conv, failed, outs = _newton_substep_device(
+        params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
+        vfp_bank, msw, x3_cap, drift_vol, poly, energy, trans4)
+    (q_tot, q_perf, q_msw, q_aq, res_act, cnv, mb, well_err, werr) = outs
+    u, flag, pbh, mode, msw_x, xw = res_f
+    st_out = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode,
+                         msw_x=msw_x, xw=xw, lin_setup=None)
+    rep = NewtonReport(bool(conv), int(it), int(tot_lin), bool(failed),
+                       np.asarray(cnv), np.asarray(mb), float(well_err),
+                       res_act,
+                       np.asarray(werr) if werr is not None else None)
+    return st_out, rep, (q_tot, q_perf, q_msw), q_aq
