@@ -318,7 +318,7 @@ def pin_inactive(sys: StructuredSystem,
                  mask: jnp.ndarray) -> StructuredSystem:
     """Identity equations for inactive cells (their residual is zero and
     bands touching them carry zero transmissibility already)."""
-    eye = jnp.eye(3, dtype=sys.diag.dtype)
+    eye = jnp.eye(sys.diag.shape[-1], dtype=sys.diag.dtype)
     return sys._replace(
         residual=jnp.where(mask[:, None], sys.residual, 0.0),
         diag=jnp.where(mask[:, None, None], sys.diag, eye))
@@ -615,13 +615,133 @@ def assemble_structured_ref(fs: FluidSystem, cells: CellStatic,
         z_lr=bands[2][0], z_rl=bands[2][1])
 
 
+def assemble_structured4(acc4, flux4, cells: CellStatic,
+                         topo: StructuredTopology, state: PrimaryState,
+                         acc0, dt, aux=None) -> StructuredSystem:
+    """4-equation banded assembly: the structured twin of the
+    extensions' face-list assemble_system4 (models/polymer.py,
+    models/transport4.py), putting the fully-implicit polymer / brine /
+    foam / solvent block systems on the banded fast path (static-slice
+    neighbor access, z-line-preconditionable 4x4 blocks — the same
+    layout the 3-equation flagship runs; reference: the 4x4 block
+    linearization of flow_ebos_polymer/_brine/_foam/_solvent on its one
+    unstructured path).
+
+    Kernel contracts (uniform across extensions; adapters in
+    solvers/newton.py close over the per-extension pytrees):
+      acc4(u4, flag, pv_ref, regs, eps, aux) -> [4]
+      flux4(uL4, uR4, flagL, flagR, trans, gdz, regsL, regsR, thpres,
+            mobL, mobR, epsL, epsR, auxL, auxR) -> [4]
+    ``aux`` [N,A] carries per-cell extension channels (polymer's
+    PLYROCK/ads state); None when the extension has none."""
+    nx, ny, nz = topo.dims
+    u4, flag = state.u, state.flag
+    nb = u4.shape[-1]
+    eps_ax = None if cells.eps is None else 0
+    aux_ax = None if aux is None else 0
+
+    def acc_vj(u, fl, pv, rg, ep, ax):
+        def f(uu):
+            a = acc4(uu, fl, pv, rg, ep, ax)
+            return a, a
+
+        jac, val = jax.jacfwd(f, has_aux=True)(u)
+        return val, jac
+
+    acc, acc_jac = jax.vmap(acc_vj, in_axes=(0, 0, 0, 0, eps_ax, aux_ax))(
+        u4, flag, cells.pore_vol_ref, cells.regs, cells.eps, aux)
+    residual = (acc - acc0) / dt
+    diag = acc_jac / dt
+    res3 = residual.reshape(nz, ny, nx, nb)
+    diag3 = diag.reshape(nz, ny, nx, nb, nb)
+
+    u3 = u4.reshape(nz, ny, nx, nb)
+    flag3 = flag.reshape(nz, ny, nx)
+    regs3 = cells.regs.reshape(nz, ny, nx, 2)
+    mob3 = cells.mob_mult.reshape(nz, ny, nx, -1)
+    eps3 = (None if cells.eps is None
+            else cells.eps.reshape(nz, ny, nx, cells.eps.shape[-1]))
+    aux3 = (None if aux is None
+            else aux.reshape(nz, ny, nx, aux.shape[-1]))
+
+    def flux_slab(uL, uR, fL, fR, trans, gdz, rL, rR, mL, mR, eL, eR,
+                  aL, aR):
+        def one(uL_, uR_, fL_, fR_, t, g, rL_, rR_, mL_, mR_, eL_, eR_,
+                aL_, aR_):
+            def f(u8):
+                fx = flux4(u8[:nb], u8[nb:], fL_, fR_, t, g, rL_, rR_,
+                           0.0, mL_, mR_, eL_, eR_, aL_, aR_)
+                return fx, fx
+
+            jac, val = jax.jacfwd(f, has_aux=True)(
+                jnp.concatenate([uL_, uR_]))
+            return val, jac[:, :nb], jac[:, nb:]
+
+        shape = uL.shape[:-1]
+        flat = lambda a, tail=(): a.reshape((-1,) + tail)  # noqa: E731
+        val, jl, jr = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax,
+                          aux_ax, aux_ax))(
+            flat(uL, (nb,)), flat(uR, (nb,)), flat(fL), flat(fR),
+            flat(trans), flat(gdz), flat(rL, (2,)), flat(rR, (2,)),
+            flat(mL, (mL.shape[-1],)), flat(mR, (mR.shape[-1],)),
+            None if eL is None else flat(eL, (eL.shape[-1],)),
+            None if eR is None else flat(eR, (eR.shape[-1],)),
+            None if aL is None else flat(aL, (aL.shape[-1],)),
+            None if aR is None else flat(aR, (aR.shape[-1],)))
+        return (val.reshape(shape + (nb,)), jl.reshape(shape + (nb, nb)),
+                jr.reshape(shape + (nb, nb)))
+
+    bands = {}
+    for axis, (trans, gdz) in enumerate(
+            ((topo.trans_x, topo.gdz_x), (topo.trans_y, topo.gdz_y),
+             (topo.trans_z, topo.gdz_z))):
+        uL, uR = _axis_pairs(u3, axis)
+        fL, fR = _axis_pairs(flag3, axis)
+        rL, rR = _axis_pairs(regs3, axis)
+        mL, mR = _axis_pairs(mob3, axis)
+        eL = eR = aL = aR = None
+        if eps3 is not None:
+            eL, eR = _axis_pairs(eps3, axis)
+        if aux3 is not None:
+            aL, aR = _axis_pairs(aux3, axis)
+        flux, jl, jr = flux_slab(uL, uR, fL, fR, trans, gdz, rL, rR,
+                                 mL, mR, eL, eR, aL, aR)
+
+        if axis == 0:
+            res3 = res3.at[:, :, :-1].add(flux)
+            res3 = res3.at[:, :, 1:].add(-flux)
+            diag3 = diag3.at[:, :, :-1].add(jl)
+            diag3 = diag3.at[:, :, 1:].add(-jr)
+        elif axis == 1:
+            res3 = res3.at[:, :-1, :].add(flux)
+            res3 = res3.at[:, 1:, :].add(-flux)
+            diag3 = diag3.at[:, :-1, :].add(jl)
+            diag3 = diag3.at[:, 1:, :].add(-jr)
+        else:
+            res3 = res3.at[:-1].add(flux)
+            res3 = res3.at[1:].add(-flux)
+            diag3 = diag3.at[:-1].add(jl)
+            diag3 = diag3.at[1:].add(-jr)
+        bands[axis] = (jr, -jl)
+
+    return StructuredSystem(
+        residual=res3.reshape(-1, nb), diag=diag3.reshape(-1, nb, nb),
+        x_lr=bands[0][0], x_rl=bands[0][1],
+        y_lr=bands[1][0], y_rl=bands[1][1],
+        z_lr=bands[2][0], z_rl=bands[2][1],
+        acc_jac=acc_jac)
+
+
 def structured_matvec(sys: StructuredSystem, x: jnp.ndarray) -> jnp.ndarray:
-    """y = J @ x with static-slice band updates only."""
+    """y = J @ x with static-slice band updates only (block-size
+    generic: 3x3 black-oil or 4x4 extension blocks)."""
     n = sys.num_cells
+    nb = sys.diag.shape[-1]
     nz, ny, nxm = sys.x_lr.shape[:3]
     nx = nxm + 1
-    x3 = x.reshape(nz, ny, nx, 3)
-    y = jnp.einsum("nij,nj->ni", sys.diag, x).reshape(nz, ny, nx, 3)
+    x3 = x.reshape(nz, ny, nx, nb)
+    y = jnp.einsum("nij,nj->ni", sys.diag, x).reshape(nz, ny, nx, nb)
 
     y = y.at[:, :, :-1].add(jnp.einsum("...ij,...j->...i", sys.x_lr,
                                        x3[:, :, 1:]))
@@ -633,7 +753,7 @@ def structured_matvec(sys: StructuredSystem, x: jnp.ndarray) -> jnp.ndarray:
                                       x3[:, :-1, :]))
     y = y.at[:-1].add(jnp.einsum("...ij,...j->...i", sys.z_lr, x3[1:]))
     y = y.at[1:].add(jnp.einsum("...ij,...j->...i", sys.z_rl, x3[:-1]))
-    y = y.reshape(n, 3)
+    y = y.reshape(n, nb)
     if sys.ex_left is not None:
         y = y.at[sys.ex_left].add(
             jnp.einsum("fij,fj->fi", sys.ex_lr, x[sys.ex_right]))

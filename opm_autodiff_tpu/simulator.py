@@ -131,7 +131,7 @@ class Simulator:
                 accumulation_all4, build_polymer_implicit)
             self.poly, self._poly_no_desorption = build_polymer_implicit(
                 ecl_state.components, self.geo)
-            self.faces = self.facelist
+            self.faces = self._faces_for_4eq()
             self._acc_fn4 = jax.jit(accumulation_all4)
         # fully-implicit energy: temperature as the 4th block unknown
         # (models/energy.py; reference flow_ebos_energy). Falls back to
@@ -180,7 +180,7 @@ class Simulator:
                     ecl_state, self.geo)
                 self._trans4_kind = "solvent"
             if self.trans4 is not None:
-                self.faces = self.facelist
+                self.faces = self._faces_for_4eq()
                 self._t4_acc_fn4 = jax.jit(t4_accumulation_all4)
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
@@ -309,10 +309,10 @@ class Simulator:
             self.cells, self.faces = statics_from_geometry(self.geo)
             _, self.facelist = statics_from_geometry(self.geo,
                                                      structured="never")
-            if (self.poly is not None or self.energy is not None
-                    or self.trans4 is not None):
-                # every 4-equation model assembles on the face list
+            if self.energy is not None:
                 self.faces = self.facelist
+            elif self.poly is not None or self.trans4 is not None:
+                self.faces = self._faces_for_4eq()
 
     # ------------------------------------------------------------------
     def _compute_acc0(self, u, flag):
@@ -854,6 +854,20 @@ class Simulator:
                       f"FPR={r.get('FPR', 0):.1f} "
                       f"substeps={len(reports)}")
         return self.report
+
+    # ------------------------------------------------------------------
+    def _faces_for_4eq(self):
+        """Topology for the 4-equation implicit systems: the banded fast
+        path when the grid is a fully-active cartesian box (the same
+        layout the 3-equation flagship runs,
+        models/structured.assemble_structured4); the face list
+        otherwise (embedded 4-eq assembly not wired yet). Energy always
+        uses the face list (per-face conduction bands not wired)."""
+        from opm_autodiff_tpu.models.structured import StructuredTopology
+
+        if isinstance(self.faces, StructuredTopology):
+            return self.faces
+        return self.facelist
 
     # ------------------------------------------------------------------
     def _set_cells(self, cells):

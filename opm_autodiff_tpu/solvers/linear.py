@@ -50,8 +50,9 @@ def _scale_system(sys, row, col, dtype):
     if isinstance(sys, StructuredSystem):
         nz, ny, nxm = sys.x_lr.shape[:3]
         nx = nxm + 1
-        r3 = row.reshape(nz, ny, nx, 3)
-        c3 = col.reshape(nz, ny, nx, 3)
+        nb = sys.diag.shape[-1]
+        r3 = row.reshape(nz, ny, nx, nb)
+        c3 = col.reshape(nz, ny, nx, nb)
 
         def sc(band, rsl, csl):
             return (band * rsl[..., :, None] * csl[..., None, :]).astype(dtype)
@@ -221,11 +222,14 @@ def bicgstab(matvec: Callable, precond: Callable, b: jnp.ndarray,
 
 
 def build_zline(sys):
-    """Factor the per-column block tridiagonal of a StructuredSystem."""
+    """Factor the per-column block tridiagonal of a StructuredSystem
+    (block-size generic: 3x3 black-oil or 4x4 extension blocks — the
+    4x4 inverse rides the bordered form in invert_blocks)."""
     nz, ny, nxm = sys.x_lr.shape[:3]
     nx = nxm + 1
-    D = sys.diag.reshape(nz, ny, nx, 3, 3)
-    zero = jnp.zeros((1, ny, nx, 3, 3), D.dtype)
+    nb = sys.diag.shape[-1]
+    D = sys.diag.reshape(nz, ny, nx, nb, nb)
+    zero = jnp.zeros((1, ny, nx, nb, nb), D.dtype)
     # row k couples to k+1 via z_lr[k] (upper) and row k+1 to k via z_rl[k]
     U = jnp.concatenate([sys.z_lr, zero], axis=0)    # [nz, ...]
     L = jnp.concatenate([zero, sys.z_rl], axis=0)    # [nz, ...] row k col k-1
@@ -237,16 +241,17 @@ def build_zline(sys):
         ck = jnp.einsum("...ij,...jk->...ik", inv, Uk)
         return ck, (inv, ck)
 
-    c0 = jnp.zeros((ny, nx, 3, 3), D.dtype)
+    c0 = jnp.zeros((ny, nx, nb, nb), D.dtype)
     _, (inv, c) = jax.lax.scan(step, c0, (D, L, U))
     return (inv, c, L)
 
 
 def zline_apply(fact, r):
-    """Apply the factored z-line preconditioner to r [N,3]."""
+    """Apply the factored z-line preconditioner to r [N,nb]."""
     inv, c, L = fact
     nz, ny, nx = inv.shape[:3]
-    r3 = r.reshape(nz, ny, nx, 3)
+    nb = inv.shape[-1]
+    r3 = r.reshape(nz, ny, nx, nb)
 
     def fwd(dprev, inp):
         invk, Lk, rk = inp
@@ -255,7 +260,7 @@ def zline_apply(fact, r):
                                               dprev))
         return dk, dk
 
-    d0 = jnp.zeros((ny, nx, 3), r3.dtype)
+    d0 = jnp.zeros((ny, nx, nb), r3.dtype)
     _, d = jax.lax.scan(fwd, d0, (inv, L, r3))
 
     def bwd(xnext, inp):
@@ -263,9 +268,9 @@ def zline_apply(fact, r):
         xk = dk - jnp.einsum("...ij,...j->...i", ck, xnext)
         return xk, xk
 
-    _, x = jax.lax.scan(bwd, jnp.zeros((ny, nx, 3), r3.dtype), (d, c),
+    _, x = jax.lax.scan(bwd, jnp.zeros((ny, nx, nb), r3.dtype), (d, c),
                         reverse=True)
-    return x.reshape(-1, 3)
+    return x.reshape(-1, nb)
 
 
 def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
@@ -332,7 +337,10 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         from opm_autodiff_tpu.parallel.mesh import get_active_mesh
 
         mesh = get_active_mesh()
-        sharded = (mesh is not None and sk.kernels_enabled(mesh)
+        # the Pallas SpMV/zline kernels are written for the 3x3 black-
+        # oil blocks; 4x4 extension systems take the XLA banded path
+        nb3 = scaled.diag.shape[-1] == 3
+        sharded = (mesh is not None and sk.kernels_enabled(mesh) and nb3
                    and isinstance(scaled, StructuredSystem)
                    and scaled.diag.shape[0]
                    % (mesh.devices.size * scaled.x_lr.shape[1]
@@ -359,7 +367,8 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                 # jit boundary as a traced leaf
                 fact = sk.prepare_zline_sharded(mesh, scaled)
                 prec = partial(sk.zline_apply_sharded, mesh, fact)
-        elif isinstance(scaled, StructuredSystem) and pallas_spmv.enabled():
+        elif (isinstance(scaled, StructuredSystem) and nb3
+                and pallas_spmv.enabled()):
             prep = pallas_spmv.prepare_banded(scaled)
             if scaled.ex_left is None:
                 base_mv = partial(pallas_spmv.banded_spmv_pallas, prep)
@@ -442,6 +451,11 @@ def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup,
         eff = "ilu0"
     if eff == "ilu0" and isinstance(sys, StructuredSystem):
         eff = "zline"
+    if sys.diag.shape[-1] != 3 and eff.startswith("cpr"):
+        # the CPR pressure-stage weights are written for the 3-equation
+        # black-oil blocks; 4x4 extension systems take the strongest
+        # layout-matched smoother instead
+        eff = "zline" if isinstance(sys, StructuredSystem) else "ilu0"
     if eff == "zline":
         fact = setup if setup is not None else build_zline(sys)
         return partial(zline_apply, fact), fact

@@ -450,17 +450,51 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     msw_sys = msw
     aq_cell_sys = aq.cell
     if extra4 is not None:
-        # 4-equation fully-implicit assembly (face-list only; the
-        # simulator routes these decks off the banded fast path)
-        if emb is not None or isinstance(faces, StructuredTopology):
+        # 4-equation fully-implicit assembly: banded on fully-active
+        # cartesian grids (models/structured.assemble_structured4),
+        # face-list (BSR) otherwise; embedded 4-eq is not wired yet —
+        # the simulator routes ACTNUM/fault decks to the face list
+        if emb is not None:
             raise NotImplementedError(
-                "implicit polymer/energy requires the face-list (BSR) "
-                "layout")
+                "implicit polymer/energy on the embedded banded layout: "
+                "the simulator routes these decks to the face list")
         if msw is not None:
             raise NotImplementedError(
                 "implicit polymer/energy + multisegment wells not "
                 "supported")
-        if poly is not None:
+        if isinstance(faces, StructuredTopology):
+            from opm_autodiff_tpu.models.structured import \
+                assemble_structured4
+
+            if poly is not None:
+                from opm_autodiff_tpu.models import polymer as poly_mod
+
+                acc_fn = poly_mod.make_acc4(fs, poly)
+                flux_fn = poly_mod.make_flux4(fs, poly)
+                aux = poly_mod._cell_aux(poly)
+            elif energy is not None:
+                raise NotImplementedError(
+                    "implicit energy stays on the face list (per-face "
+                    "thermal conduction bands not wired)")
+            else:
+                from opm_autodiff_tpu.models import transport4 as t4_mod
+
+                t4a = t4_mod.make_acc4(fs, trans4)
+                t4f = t4_mod.make_flux4(fs, trans4)
+
+                def acc_fn(u4, fl, pv, rg, ep, ax):
+                    return t4a(u4, fl, pv, rg, ep)
+
+                def flux_fn(uL4, uR4, fL, fR, t, g, rL, rR, th, mL, mR,
+                            eL, eR, aL, aR):
+                    return t4f(uL4, uR4, fL, fR, t, g, rL, rR, th,
+                               mL, mR, eL, eR)
+
+                aux = None
+            sys = assemble_structured4(acc_fn, flux_fn, cells, faces,
+                                       PrimaryState(u, flag), acc0, dt,
+                                       aux=aux)
+        elif poly is not None:
             from opm_autodiff_tpu.models import polymer as poly_mod
 
             sys = poly_mod.assemble_system4(fs, poly, cells, faces,

@@ -134,11 +134,13 @@ def test_polymer_ell_matches_scatter(tmp_path):
     ps = PrimaryState(u, sim.flag)
     acc0 = sim._compute_acc0(u, sim.flag)
 
-    assert sim.faces.ell_face is not None
-    s_ell = pm.assemble_system4(sim.fs, sim.poly, sim.cells, sim.faces,
+    # the simulator routes this fully-active deck onto the BANDED
+    # path now; the ELL-vs-scatter comparison targets the face list
+    assert sim.facelist.ell_face is not None
+    s_ell = pm.assemble_system4(sim.fs, sim.poly, sim.cells, sim.facelist,
                                 ps, acc0, 86400.0)
-    faces_sc = sim.faces._replace(ell_face=None, ell_nbr=None,
-                                  ell_left=None)
+    faces_sc = sim.facelist._replace(ell_face=None, ell_nbr=None,
+                                     ell_left=None)
     s_sc = pm.assemble_system4(sim.fs, sim.poly, sim.cells, faces_sc,
                                ps, acc0, 86400.0)
     np.testing.assert_allclose(np.asarray(s_ell.residual),
