@@ -314,6 +314,50 @@ def add_extra_faces(sys: StructuredSystem, fs: FluidSystem,
                         ex_lr=jac_r, ex_rl=-jac_l)
 
 
+def add_extra_faces4(sys: StructuredSystem, flux_fn,
+                     cells_full: CellStatic, emb: EmbeddedTopology,
+                     u4_full, flag_full, aux_full=None) -> StructuredSystem:
+    """4-equation twin of add_extra_faces: the fault/NNC/thpres COO
+    extras of an embedded extension system, assembled with the same
+    generic flux kernel as the bands (so the component row crosses
+    faults too — the extras carry per-face thpres)."""
+    if emb.ex_left is None:
+        return sys
+    le, ri = emb.ex_left, emb.ex_right
+    eps = cells_full.eps
+    eps_ax = None if eps is None else 0
+    aux_ax = None if aux_full is None else 0
+    nb = u4_full.shape[-1]
+
+    def one(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR):
+        def f(u8):
+            fx = flux_fn(u8[:nb], u8[nb:], fL, fR, t, g, rL, rR, th,
+                         mL, mR, eL, eR, aL, aR)
+            return fx, fx
+
+        jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
+        return val, jac[:, :nb], jac[:, nb:]
+
+    flux, jac_l, jac_r = jax.vmap(
+        one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax,
+                      aux_ax, aux_ax))(
+        u4_full[le], u4_full[ri], flag_full[le], flag_full[ri],
+        emb.ex_trans, emb.ex_gdz, cells_full.regs[le],
+        cells_full.regs[ri], emb.ex_thpres, cells_full.mob_mult[le],
+        cells_full.mob_mult[ri],
+        None if eps is None else eps[le],
+        None if eps is None else eps[ri],
+        None if aux_full is None else aux_full[le],
+        None if aux_full is None else aux_full[ri])
+    residual = sys.residual.at[le].add(flux)
+    residual = residual.at[ri].add(-flux)
+    diag = sys.diag.at[le].add(jac_l)
+    diag = diag.at[ri].add(-jac_r)
+    return sys._replace(residual=residual, diag=diag,
+                        ex_left=le, ex_right=ri,
+                        ex_lr=jac_r, ex_rl=-jac_l)
+
+
 def pin_inactive(sys: StructuredSystem,
                  mask: jnp.ndarray) -> StructuredSystem:
     """Identity equations for inactive cells (their residual is zero and

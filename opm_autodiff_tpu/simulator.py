@@ -858,14 +858,15 @@ class Simulator:
     # ------------------------------------------------------------------
     def _faces_for_4eq(self):
         """Topology for the 4-equation implicit systems: the banded fast
-        path when the grid is a fully-active cartesian box (the same
-        layout the 3-equation flagship runs,
-        models/structured.assemble_structured4); the face list
-        otherwise (embedded 4-eq assembly not wired yet). Energy always
-        uses the face list (per-face conduction bands not wired)."""
-        from opm_autodiff_tpu.models.structured import StructuredTopology
+        path on cartesian boxes — plain or embedded with COO extras for
+        ACTNUM/fault/NNC/thpres grids — i.e. the same layout the
+        3-equation flagship runs (models/structured.assemble_structured4
+        + add_extra_faces4); the face list otherwise. Energy always uses
+        the face list (per-face conduction bands not wired)."""
+        from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
+                                                        StructuredTopology)
 
-        if isinstance(self.faces, StructuredTopology):
+        if isinstance(self.faces, (StructuredTopology, EmbeddedTopology)):
             return self.faces
         return self.facelist
 

@@ -449,22 +449,26 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     ws_sys = ws
     msw_sys = msw
     aq_cell_sys = aq.cell
+    c4_wells = u[:, 3] if extra4 is not None else None
     if extra4 is not None:
-        # 4-equation fully-implicit assembly: banded on fully-active
-        # cartesian grids (models/structured.assemble_structured4),
-        # face-list (BSR) otherwise; embedded 4-eq is not wired yet —
-        # the simulator routes ACTNUM/fault decks to the face list
-        if emb is not None:
-            raise NotImplementedError(
-                "implicit polymer/energy on the embedded banded layout: "
-                "the simulator routes these decks to the face list")
+        # 4-equation fully-implicit assembly: banded on cartesian boxes
+        # (models/structured.assemble_structured4 — embedded with COO
+        # extras on ACTNUM/fault grids, exactly like the 3-eq flagship),
+        # face-list (BSR) otherwise; energy stays on the face list
+        # (per-face thermal conduction bands not wired)
         if msw is not None:
             raise NotImplementedError(
                 "implicit polymer/energy + multisegment wells not "
                 "supported")
-        if isinstance(faces, StructuredTopology):
-            from opm_autodiff_tpu.models.structured import \
-                assemble_structured4
+        banded4 = (emb is not None or isinstance(faces,
+                                                 StructuredTopology))
+        if banded4 and energy is not None:
+            raise NotImplementedError(
+                "implicit energy stays on the face list (per-face "
+                "thermal conduction bands not wired)")
+        if banded4:
+            from opm_autodiff_tpu.models.structured import (
+                add_extra_faces4, assemble_structured4)
 
             if poly is not None:
                 from opm_autodiff_tpu.models import polymer as poly_mod
@@ -472,10 +476,6 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 acc_fn = poly_mod.make_acc4(fs, poly)
                 flux_fn = poly_mod.make_flux4(fs, poly)
                 aux = poly_mod._cell_aux(poly)
-            elif energy is not None:
-                raise NotImplementedError(
-                    "implicit energy stays on the face list (per-face "
-                    "thermal conduction bands not wired)")
             else:
                 from opm_autodiff_tpu.models import transport4 as t4_mod
 
@@ -491,9 +491,27 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                                mL, mR, eL, eR)
 
                 aux = None
-            sys = assemble_structured4(acc_fn, flux_fn, cells, faces,
-                                       PrimaryState(u, flag), acc0, dt,
-                                       aux=aux)
+            if emb is not None:
+                u_f = u[emb.fill]
+                flag_f = flag[emb.fill]
+                aux_f = None if aux is None else aux[emb.fill]
+                acc0_f = jnp.zeros((emb.mask.shape[0], 4),
+                                   acc0.dtype).at[emb.act].set(acc0)
+                cells_f = embed_cells(emb, cells)
+                sys = assemble_structured4(acc_fn, flux_fn, cells_f,
+                                           emb.topo,
+                                           PrimaryState(u_f, flag_f),
+                                           acc0_f, dt, aux=aux_f)
+                sys = add_extra_faces4(sys, flux_fn, cells_f, emb,
+                                       u_f, flag_f, aux_f)
+                sys = pin_inactive(sys, emb.mask)
+                ws_sys = ws._replace(cell=emb.act[ws.cell])
+                aq_cell_sys = emb.act[aq.cell]
+                c4_wells = u_f[:, 3]
+            else:
+                sys = assemble_structured4(acc_fn, flux_fn, cells, faces,
+                                           PrimaryState(u, flag), acc0,
+                                           dt, aux=aux)
         elif poly is not None:
             from opm_autodiff_tpu.models import polymer as poly_mod
 
@@ -551,19 +569,19 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
             residual, diag = poly_mod.apply_wells4(residual, diag,
                                                    wr.q_perf, ws_sys,
-                                                   u[:, 3], poly)
+                                                   c4_wells, poly)
         elif energy is not None:
             from opm_autodiff_tpu.models import energy as energy_mod
 
             residual, diag = energy_mod.apply_wells4(fs, residual, diag,
                                                      wr.q_perf, ws_sys,
-                                                     u[:, 3], energy)
+                                                     c4_wells, energy)
         else:
             from opm_autodiff_tpu.models import transport4 as t4_mod
 
             residual, diag = t4_mod.apply_wells4(residual, diag,
                                                  wr.q_perf, ws_sys,
-                                                 u[:, 3], trans4)
+                                                 c4_wells, trans4)
     else:
         residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
         diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)

@@ -113,6 +113,117 @@ def test_zline4_preconditions(tmp_path):
         assert np.all(np.isfinite(np.asarray(y)))
 
 
+def _brine_actnum_deck():
+    """The BASE brine line widened to 10x2x1 with one inactive corner
+    cell -> the embedded banded (ACTNUM) layout."""
+    deck = BASE.format(runspec_extra="BRINE", props_extra=BRINE_PROPS,
+                       sched_extra=BRINE_SCHED)
+    deck = deck.replace("DIMENS\n 10 1 1 /", "DIMENS\n 10 2 1 /")
+    for arr in ("10*20", "10*5", "10*1000", "10*0.25", "10*500",
+                "10*200", "10*0.15"):
+        n, v = arr.split("*")
+        deck = deck.replace(arr, f"20*{v}")
+    deck = deck.replace("PROPS", "ACTNUM\n " + " ".join(
+        ["1"] * 19 + ["0"]) + " /\n\nPROPS", 1)
+    return deck
+
+
+def test_embedded4_assembly_exact(tmp_path):
+    """The embedded banded 4-eq assembly (bands + COO extras + identity
+    rows) equals the face-list assembly EXACTLY at a perturbed state —
+    residual and J @ x to f64 roundoff."""
+    from opm_autodiff_tpu.models import transport4 as t4
+    from opm_autodiff_tpu.models.assembler import bsr_matvec
+    from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
+                                                    add_extra_faces4,
+                                                    embed_cells,
+                                                    pin_inactive)
+
+    deck = _brine_actnum_deck()
+    p = tmp_path / "BA.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    emb = sim.faces
+    assert isinstance(emb, EmbeddedTopology)
+
+    rng = np.random.default_rng(3)
+    un = np.asarray(sim.u).copy()
+    un[:, 0] *= 1 + 0.01 * rng.standard_normal(un.shape[0])
+    un[:, 1] = np.clip(un[:, 1] + 0.05 * rng.standard_normal(un.shape[0]),
+                       0.16, 0.9)
+    un[:, 3] = rng.random(un.shape[0]) * 30
+    u4 = jnp.asarray(un)
+    acc0 = sim._compute_acc0(u4, sim.flag) * 0.97
+    dt = 43200.0
+    state = PrimaryState(u4, sim.flag)
+
+    sys_b = t4.assemble_system4(sim.fs, sim.trans4, sim.cells,
+                                sim.facelist, state, acc0, dt)
+
+    from opm_autodiff_tpu.models.structured import (assemble_structured4,
+                                                    structured_matvec)
+    t4a = t4.make_acc4(sim.fs, sim.trans4)
+    t4f = t4.make_flux4(sim.fs, sim.trans4)
+
+    def acc_fn(u, fl, pv, rg, ep, ax):
+        return t4a(u, fl, pv, rg, ep)
+
+    def flux_fn(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR):
+        return t4f(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR)
+
+    u_f = u4[emb.fill]
+    flag_f = sim.flag[emb.fill]
+    acc0_f = jnp.zeros((emb.mask.shape[0], 4),
+                       acc0.dtype).at[emb.act].set(acc0)
+    cells_f = embed_cells(emb, sim.cells)
+    sys_s = assemble_structured4(acc_fn, flux_fn, cells_f, emb.topo,
+                                 PrimaryState(u_f, flag_f), acc0_f, dt)
+    sys_s = add_extra_faces4(sys_s, flux_fn, cells_f, emb, u_f, flag_f)
+    sys_s = pin_inactive(sys_s, emb.mask)
+
+    act = np.asarray(emb.act)
+    np.testing.assert_allclose(np.asarray(sys_s.residual)[act],
+                               np.asarray(sys_b.residual),
+                               rtol=1e-12, atol=1e-20)
+    x = rng.standard_normal((u4.shape[0], 4))
+    xf = np.zeros((emb.mask.shape[0], 4))
+    xf[act] = x
+    np.testing.assert_allclose(
+        np.asarray(structured_matvec(sys_s, jnp.asarray(xf)))[act],
+        np.asarray(bsr_matvec(sys_b, jnp.asarray(x))),
+        rtol=1e-11, atol=1e-16)
+
+
+def test_embedded4_matches_facelist(tmp_path):
+    """An ACTNUM brine deck runs the embedded banded 4-eq path
+    end-to-end and lands on the face-list answer. The assembled systems
+    are identical (test_embedded4_assembly_exact); the run-level
+    tolerance covers the different preconditioners (zline vs ILU0)
+    taking different equally-valid inexact-Newton steps at the 1e-2
+    linear reduction target."""
+    from opm_autodiff_tpu.models.structured import EmbeddedTopology
+
+    deck = _brine_actnum_deck()
+    p = tmp_path / "BA.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.trans4 is not None
+    assert isinstance(sim.faces, EmbeddedTopology)
+    sim.run()
+
+    sim_fl = Simulator(load_state(str(p)), SimulatorOptions())
+    sim_fl.faces = sim_fl.facelist  # force the BSR reference layout
+    sim_fl.run()
+
+    u_b, u_f = np.asarray(sim.u), np.asarray(sim_fl.u)
+    np.testing.assert_allclose(u_b[:, 0], u_f[:, 0], rtol=1e-3)  # p
+    np.testing.assert_allclose(u_b[:, 1], u_f[:, 1], atol=0.02)  # sw
+    np.testing.assert_allclose(u_b[:, 3], u_f[:, 3], atol=1.0)   # salt
+    for k in sim.cum:
+        assert sim.cum[k] == pytest.approx(sim_fl.cum[k], rel=2e-2,
+                                           abs=1e-6)
+
+
 def test_polymer_banded_run(tmp_path):
     """Implicit polymer end-to-end on the banded path (aux channels
     through the slab sweep) — fronts and bounds as on the face list."""
