@@ -316,23 +316,28 @@ def add_extra_faces(sys: StructuredSystem, fs: FluidSystem,
 
 def add_extra_faces4(sys: StructuredSystem, flux_fn,
                      cells_full: CellStatic, emb: EmbeddedTopology,
-                     u4_full, flag_full, aux_full=None) -> StructuredSystem:
+                     u4_full, flag_full, aux_full=None,
+                     ex_fdata=None) -> StructuredSystem:
     """4-equation twin of add_extra_faces: the fault/NNC/thpres COO
     extras of an embedded extension system, assembled with the same
     generic flux kernel as the bands (so the component row crosses
-    faults too — the extras carry per-face thpres)."""
+    faults too — the extras carry per-face thpres). ``ex_fdata`` is the
+    per-extra-face scalar channel matching assemble_structured4's
+    ``fdata`` bands."""
     if emb.ex_left is None:
         return sys
     le, ri = emb.ex_left, emb.ex_right
     eps = cells_full.eps
     eps_ax = None if eps is None else 0
     aux_ax = None if aux_full is None else 0
+    fd_ax = None if ex_fdata is None else 0
     nb = u4_full.shape[-1]
 
-    def one(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR):
+    def one(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR,
+            fd):
         def f(u8):
             fx = flux_fn(u8[:nb], u8[nb:], fL, fR, t, g, rL, rR, th,
-                         mL, mR, eL, eR, aL, aR)
+                         mL, mR, eL, eR, aL, aR, fd)
             return fx, fx
 
         jac, val = jax.jacfwd(f, has_aux=True)(jnp.concatenate([uL, uR]))
@@ -340,7 +345,7 @@ def add_extra_faces4(sys: StructuredSystem, flux_fn,
 
     flux, jac_l, jac_r = jax.vmap(
         one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax,
-                      aux_ax, aux_ax))(
+                      aux_ax, aux_ax, fd_ax))(
         u4_full[le], u4_full[ri], flag_full[le], flag_full[ri],
         emb.ex_trans, emb.ex_gdz, cells_full.regs[le],
         cells_full.regs[ri], emb.ex_thpres, cells_full.mob_mult[le],
@@ -348,7 +353,8 @@ def add_extra_faces4(sys: StructuredSystem, flux_fn,
         None if eps is None else eps[le],
         None if eps is None else eps[ri],
         None if aux_full is None else aux_full[le],
-        None if aux_full is None else aux_full[ri])
+        None if aux_full is None else aux_full[ri],
+        0.0 if ex_fdata is None else ex_fdata)
     residual = sys.residual.at[le].add(flux)
     residual = residual.at[ri].add(-flux)
     diag = sys.diag.at[le].add(jac_l)
@@ -659,9 +665,39 @@ def assemble_structured_ref(fs: FluidSystem, cells: CellStatic,
         z_lr=bands[2][0], z_rl=bands[2][1])
 
 
+def band_face_values(geo: Geometry, vals) -> tuple:
+    """Scatter per-face values [F] (geo.faces order) into per-axis
+    banded arrays — the companion of topology_from_geometry for extra
+    per-face channels (the energy conduction transmissibility). Plain
+    structured grids only."""
+    assert structured_ok(geo)
+    nx, ny, nz = geo.cartdims
+    f = geo.faces
+    vals = np.asarray(vals)
+    out = []
+    for axis, shape in ((0, (nz, ny, nx - 1)), (1, (nz, ny - 1, nx)),
+                        (2, (nz - 1, ny, nx))):
+        b = np.zeros(shape)
+        sel = np.asarray(f.axis) == axis
+        left = np.asarray(f.left)[sel]
+        k = left // (nx * ny)
+        j = (left // nx) % ny
+        i = left % nx
+        bb = b.reshape(-1)
+        if axis == 0:
+            idx = (k * ny + j) * (nx - 1) + i
+        elif axis == 1:
+            idx = (k * (ny - 1) + j) * nx + i
+        else:
+            idx = (k * ny + j) * nx + i
+        bb[idx] = vals[sel]
+        out.append(jnp.asarray(b))
+    return tuple(out)
+
+
 def assemble_structured4(acc4, flux4, cells: CellStatic,
                          topo: StructuredTopology, state: PrimaryState,
-                         acc0, dt, aux=None) -> StructuredSystem:
+                         acc0, dt, aux=None, fdata=None) -> StructuredSystem:
     """4-equation banded assembly: the structured twin of the
     extensions' face-list assemble_system4 (models/polymer.py,
     models/transport4.py), putting the fully-implicit polymer / brine /
@@ -675,14 +711,18 @@ def assemble_structured4(acc4, flux4, cells: CellStatic,
     solvers/newton.py close over the per-extension pytrees):
       acc4(u4, flag, pv_ref, regs, eps, aux) -> [4]
       flux4(uL4, uR4, flagL, flagR, trans, gdz, regsL, regsR, thpres,
-            mobL, mobR, epsL, epsR, auxL, auxR) -> [4]
+            mobL, mobR, epsL, epsR, auxL, auxR, fd) -> [4]
     ``aux`` [N,A] carries per-cell extension channels (polymer's
-    PLYROCK/ads state); None when the extension has none."""
+    PLYROCK/ads state); None when the extension has none. ``fdata``
+    is an optional per-axis tuple of banded per-face scalars
+    (band_face_values — the energy conduction transmissibility),
+    threaded to the kernel as ``fd`` (0.0 when absent)."""
     nx, ny, nz = topo.dims
     u4, flag = state.u, state.flag
     nb = u4.shape[-1]
     eps_ax = None if cells.eps is None else 0
     aux_ax = None if aux is None else 0
+    fd_ax = None if fdata is None else 0
 
     def acc_vj(u, fl, pv, rg, ep, ax):
         def f(uu):
@@ -709,12 +749,12 @@ def assemble_structured4(acc4, flux4, cells: CellStatic,
             else aux.reshape(nz, ny, nx, aux.shape[-1]))
 
     def flux_slab(uL, uR, fL, fR, trans, gdz, rL, rR, mL, mR, eL, eR,
-                  aL, aR):
+                  aL, aR, fd):
         def one(uL_, uR_, fL_, fR_, t, g, rL_, rR_, mL_, mR_, eL_, eR_,
-                aL_, aR_):
+                aL_, aR_, fd_):
             def f(u8):
                 fx = flux4(u8[:nb], u8[nb:], fL_, fR_, t, g, rL_, rR_,
-                           0.0, mL_, mR_, eL_, eR_, aL_, aR_)
+                           0.0, mL_, mR_, eL_, eR_, aL_, aR_, fd_)
                 return fx, fx
 
             jac, val = jax.jacfwd(f, has_aux=True)(
@@ -725,14 +765,15 @@ def assemble_structured4(acc4, flux4, cells: CellStatic,
         flat = lambda a, tail=(): a.reshape((-1,) + tail)  # noqa: E731
         val, jl, jr = jax.vmap(
             one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, eps_ax, eps_ax,
-                          aux_ax, aux_ax))(
+                          aux_ax, aux_ax, fd_ax))(
             flat(uL, (nb,)), flat(uR, (nb,)), flat(fL), flat(fR),
             flat(trans), flat(gdz), flat(rL, (2,)), flat(rR, (2,)),
             flat(mL, (mL.shape[-1],)), flat(mR, (mR.shape[-1],)),
             None if eL is None else flat(eL, (eL.shape[-1],)),
             None if eR is None else flat(eR, (eR.shape[-1],)),
             None if aL is None else flat(aL, (aL.shape[-1],)),
-            None if aR is None else flat(aR, (aR.shape[-1],)))
+            None if aR is None else flat(aR, (aR.shape[-1],)),
+            0.0 if fd is None else flat(fd))
         return (val.reshape(shape + (nb,)), jl.reshape(shape + (nb, nb)),
                 jr.reshape(shape + (nb, nb)))
 
@@ -749,8 +790,9 @@ def assemble_structured4(acc4, flux4, cells: CellStatic,
             eL, eR = _axis_pairs(eps3, axis)
         if aux3 is not None:
             aL, aR = _axis_pairs(aux3, axis)
+        fd = None if fdata is None else fdata[axis]
         flux, jl, jr = flux_slab(uL, uR, fL, fR, trans, gdz, rL, rR,
-                                 mL, mR, eL, eR, aL, aR)
+                                 mL, mR, eL, eR, aL, aR, fd)
 
         if axis == 0:
             res3 = res3.at[:, :, :-1].add(flux)

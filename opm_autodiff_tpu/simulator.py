@@ -146,7 +146,13 @@ class Simulator:
                 build_energy_implicit)
             self.energy, self._T_init = build_energy_implicit(
                 ecl_state, self.geo, self.fs, self.facelist)
-            self.faces = self.facelist
+            # banded only on plain structured grids (conduction bands);
+            # ACTNUM/fault thermal decks stay on the face list
+            from opm_autodiff_tpu.models.structured import \
+                StructuredTopology
+            if not (isinstance(self.faces, StructuredTopology)
+                    and self.energy.cond_bands is not None):
+                self.faces = self.facelist
             self._en_acc_fn4 = jax.jit(en_accumulation_all4)
         # fully-implicit brine / foam: a carrier-phase component as the
         # 4th block unknown (models/transport4.py; reference

@@ -462,20 +462,43 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 "supported")
         banded4 = (emb is not None or isinstance(faces,
                                                  StructuredTopology))
-        if banded4 and energy is not None:
+        if banded4 and energy is not None and (
+                emb is not None or energy.cond_bands is None):
             raise NotImplementedError(
-                "implicit energy stays on the face list (per-face "
-                "thermal conduction bands not wired)")
+                "implicit energy on the embedded banded layout: the "
+                "simulator routes ACTNUM/fault thermal decks to the "
+                "face list")
         if banded4:
             from opm_autodiff_tpu.models.structured import (
                 add_extra_faces4, assemble_structured4)
 
+            fdata = None
             if poly is not None:
                 from opm_autodiff_tpu.models import polymer as poly_mod
 
-                acc_fn = poly_mod.make_acc4(fs, poly)
-                flux_fn = poly_mod.make_flux4(fs, poly)
+                pa = poly_mod.make_acc4(fs, poly)
+                pf = poly_mod.make_flux4(fs, poly)
+                acc_fn = pa
+
+                def flux_fn(uL4, uR4, fL, fR, t, g, rL, rR, th, mL, mR,
+                            eL, eR, aL, aR, fd):
+                    return pf(uL4, uR4, fL, fR, t, g, rL, rR, th,
+                              mL, mR, eL, eR, aL, aR)
+
                 aux = poly_mod._cell_aux(poly)
+            elif energy is not None:
+                from opm_autodiff_tpu.models import energy as energy_mod
+
+                acc_fn = energy_mod.make_acc4(fs, energy)
+                enf = energy_mod.make_flux4(fs, energy)
+
+                def flux_fn(uL4, uR4, fL, fR, t, g, rL, rR, th, mL, mR,
+                            eL, eR, aL, aR, fd):
+                    return enf(uL4, uR4, fL, fR, t, g, rL, rR, th, fd,
+                               mL, mR, eL, eR, aL, aR)
+
+                aux = energy_mod._cell_aux(energy)
+                fdata = energy.cond_bands
             else:
                 from opm_autodiff_tpu.models import transport4 as t4_mod
 
@@ -486,7 +509,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                     return t4a(u4, fl, pv, rg, ep)
 
                 def flux_fn(uL4, uR4, fL, fR, t, g, rL, rR, th, mL, mR,
-                            eL, eR, aL, aR):
+                            eL, eR, aL, aR, fd):
                     return t4f(uL4, uR4, fL, fR, t, g, rL, rR, th,
                                mL, mR, eL, eR)
 
@@ -511,7 +534,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             else:
                 sys = assemble_structured4(acc_fn, flux_fn, cells, faces,
                                            PrimaryState(u, flag), acc0,
-                                           dt, aux=aux)
+                                           dt, aux=aux, fdata=fdata)
         elif poly is not None:
             from opm_autodiff_tpu.models import polymer as poly_mod
 

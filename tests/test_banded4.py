@@ -58,7 +58,8 @@ def test_assembly_matches_facelist(tmp_path):
     def acc_fn(u, fl, pv, rg, ep, ax):
         return t4a(u, fl, pv, rg, ep)
 
-    def flux_fn(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR):
+    def flux_fn(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR,
+                fd):
         return t4f(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR)
 
     sys_s = assemble_structured4(acc_fn, flux_fn, sim.cells, sim.faces,
@@ -95,8 +96,8 @@ def test_zline4_preconditions(tmp_path):
     t4f = t4.make_flux4(sim.fs, sim.trans4)
     sys_s = assemble_structured4(
         lambda u, fl, pv, rg, ep, ax: t4a(u, fl, pv, rg, ep),
-        lambda uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR:
-        t4f(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR),
+        lambda uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR,
+        fd: t4f(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR),
         sim.cells, sim.faces, state, acc0, 43200.0)
 
     fact = build_zline(sys_s)
@@ -168,7 +169,8 @@ def test_embedded4_assembly_exact(tmp_path):
     def acc_fn(u, fl, pv, rg, ep, ax):
         return t4a(u, fl, pv, rg, ep)
 
-    def flux_fn(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR):
+    def flux_fn(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR, aL, aR,
+                fd):
         return t4f(uL, uR, fL, fR, t, g, rL, rR, th, mL, mR, eL, eR)
 
     u_f = u4[emb.fill]

@@ -298,12 +298,18 @@ def test_hot_waterflood_implicit(tmp_path):
     """Fully-implicit energy (the default; reference
     flow_ebos_energy's 4-equation block system): temperature is the 4th
     primary variable, the viscosity(T) coupling sits in the Jacobian."""
+    from opm_autodiff_tpu.models.structured import StructuredTopology
+
     p = tmp_path / "TI.DATA"
     p.write_text(THERMAL_DECK)
     sim = Simulator(load_state(str(p)), SimulatorOptions())
     assert sim.energy is not None
     assert not sim.thermal.active  # split transport disabled
     assert sim.u.shape[1] == 4
+    # fully-active cartesian grid -> the 4-eq system rides the banded
+    # fast path with conduction bands (assemble_structured4 fdata)
+    assert isinstance(sim.faces, StructuredTopology)
+    assert sim.energy.cond_bands is not None
     T0 = np.asarray(sim.u[:, 3]).copy()
     assert T0[0] == pytest.approx(293.15, abs=0.1)  # TEMPI 20 C
     sim.run()
