@@ -71,10 +71,12 @@ class EnergyImplicit(NamedTuple):
     inj_temp: jnp.ndarray  # [W] injection temperatures (K)
     # energy residual -> water-volume-equivalent scale for CNV/MB
     res_scale: jnp.ndarray  # scalar (J/m3)
-    # conduction as per-axis banded arrays (structured grids only —
-    # feeds assemble_structured4's fdata so the implicit energy system
-    # rides the banded fast path; None on non-cartesian/ACTNUM grids)
+    # conduction as per-axis banded arrays (cartesian boxes — feeds
+    # assemble_structured4's fdata so the implicit energy system rides
+    # the banded fast path; None otherwise), plus the COO-extras vector
+    # for embedded grids (aligned with emb.ex_trans)
     cond_bands: tuple | None = None
+    cond_extras: jnp.ndarray | None = None
 
     # ------------------------------------------------------------------
     def visc_factor(self, T, t0):
@@ -135,10 +137,15 @@ def build_energy_implicit(state, geo, fs, faces) -> EnergyImplicit:
         vt_on[ph] = 1.0
 
     bulk_rock = np.asarray(geo.volume) - np.asarray(geo.pore_vol)
-    from opm_autodiff_tpu.models.structured import (band_face_values,
-                                                    structured_ok)
-    cond_bands = (band_face_values(geo, tm.cond_trans)
-                  if structured_ok(geo) else None)
+    from opm_autodiff_tpu.models.structured import (
+        band_face_values, band_face_values_embedded, embedded_ok,
+        structured_ok)
+    cond_bands, cond_extras = None, None
+    if structured_ok(geo):
+        cond_bands = band_face_values(geo, tm.cond_trans)
+    elif embedded_ok(geo):
+        cond_bands, cond_extras = band_face_values_embedded(
+            geo, tm.cond_trans)
     return EnergyImplicit(
         rock_cT=tm.rock_cT, rock_cv=tm.rock_cv,
         ch_T=tm.ch_T, ch_w=tm.ch_wat, ch_o=tm.ch_oil, ch_g=tm.ch_gas,
@@ -150,6 +157,7 @@ def build_energy_implicit(state, geo, fs, faces) -> EnergyImplicit:
         inj_temp=jnp.full(1, float(jnp.mean(tm.T))),
         res_scale=jnp.asarray(1000.0 * 4180.0 * 300.0),
         cond_bands=cond_bands,
+        cond_extras=cond_extras,
     ), tm.T
 
 

@@ -695,6 +695,50 @@ def band_face_values(geo: Geometry, vals) -> tuple:
     return tuple(out)
 
 
+def band_face_values_embedded(geo: Geometry, vals,
+                              nz_pad: int | None = None):
+    """Embedded twin of band_face_values: per-face values [F] split
+    into per-axis full-box bands + the COO-extras vector, using the
+    SAME conforming-face classification as
+    topology_from_geometry_embedded (so the extras align with
+    emb.ex_trans element-for-element). Returns (bands, ex_vals)."""
+    nx, ny, nz = geo.cartdims
+    if nz_pad is not None:
+        nz = nz_pad
+    f = geo.faces
+    act = geo.act_to_glob.astype(np.int32)
+    vals = np.asarray(vals)
+    axis = np.asarray(f.axis)
+    gl_all = act[np.asarray(f.left)]
+    gr_all = act[np.asarray(f.right)]
+    thp_all = (np.asarray(f.thpres)
+               if getattr(f, "thpres", None) is not None
+               else np.zeros(len(gl_all)))
+    stride = np.choose(np.minimum(axis, 3), [1, nx, nx * ny, 0])
+    conform = (gr_all - gl_all == stride) & (axis < 3) & (thp_all == 0.0)
+
+    out = []
+    for ax, shape in ((0, (nz, ny, nx - 1)), (1, (nz, ny - 1, nx)),
+                      (2, (nz - 1, ny, nx))):
+        b = np.zeros(shape)
+        sel = (axis == ax) & conform
+        gl = gl_all[sel]
+        k = gl // (nx * ny)
+        j = (gl // nx) % ny
+        i = gl % nx
+        if ax == 0:
+            idx = (k * ny + j) * (nx - 1) + i
+        elif ax == 1:
+            idx = (k * (ny - 1) + j) * nx + i
+        else:
+            idx = (k * ny + j) * nx + i
+        b.reshape(-1)[idx] = vals[sel]
+        out.append(jnp.asarray(b))
+    extra = ~conform
+    ex_vals = jnp.asarray(vals[extra]) if extra.any() else None
+    return tuple(out), ex_vals
+
+
 def assemble_structured4(acc4, flux4, cells: CellStatic,
                          topo: StructuredTopology, state: PrimaryState,
                          acc0, dt, aux=None, fdata=None) -> StructuredSystem:

@@ -146,13 +146,12 @@ class Simulator:
                 build_energy_implicit)
             self.energy, self._T_init = build_energy_implicit(
                 ecl_state, self.geo, self.fs, self.facelist)
-            # banded only on plain structured grids (conduction bands);
-            # ACTNUM/fault thermal decks stay on the face list
-            from opm_autodiff_tpu.models.structured import \
-                StructuredTopology
-            if not (isinstance(self.faces, StructuredTopology)
-                    and self.energy.cond_bands is not None):
+            # banded (plain or embedded) when conduction bands exist;
+            # non-cartesian grids stay on the face list
+            if self.energy.cond_bands is None:
                 self.faces = self.facelist
+            else:
+                self.faces = self._faces_for_4eq()
             self._en_acc_fn4 = jax.jit(en_accumulation_all4)
         # fully-implicit brine / foam: a carrier-phase component as the
         # 4th block unknown (models/transport4.py; reference
@@ -312,10 +311,13 @@ class Simulator:
             changed = True
         if changed:
             # rebuild the device statics with the filled thresholds
-            self.cells, self.faces = statics_from_geometry(self.geo)
+            new_cells, self.faces = statics_from_geometry(self.geo)
+            self._set_cells(new_cells)
             _, self.facelist = statics_from_geometry(self.geo,
                                                      structured="never")
             if self.energy is not None:
+                # conduction bands were classified against the pre-
+                # THPRES face list; stay on the face list (exact)
                 self.faces = self.facelist
             elif self.poly is not None or self.trans4 is not None:
                 self.faces = self._faces_for_4eq()

@@ -462,17 +462,16 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 "supported")
         banded4 = (emb is not None or isinstance(faces,
                                                  StructuredTopology))
-        if banded4 and energy is not None and (
-                emb is not None or energy.cond_bands is None):
+        if banded4 and energy is not None and energy.cond_bands is None:
             raise NotImplementedError(
-                "implicit energy on the embedded banded layout: the "
-                "simulator routes ACTNUM/fault thermal decks to the "
-                "face list")
+                "implicit energy on the banded layout needs conduction "
+                "bands; the simulator routes such decks to the face "
+                "list")
         if banded4:
             from opm_autodiff_tpu.models.structured import (
                 add_extra_faces4, assemble_structured4)
 
-            fdata = None
+            fdata, ex_fd = None, None
             if poly is not None:
                 from opm_autodiff_tpu.models import polymer as poly_mod
 
@@ -499,6 +498,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
                 aux = energy_mod._cell_aux(energy)
                 fdata = energy.cond_bands
+                ex_fd = energy.cond_extras
             else:
                 from opm_autodiff_tpu.models import transport4 as t4_mod
 
@@ -524,9 +524,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 sys = assemble_structured4(acc_fn, flux_fn, cells_f,
                                            emb.topo,
                                            PrimaryState(u_f, flag_f),
-                                           acc0_f, dt, aux=aux_f)
+                                           acc0_f, dt, aux=aux_f,
+                                           fdata=fdata)
                 sys = add_extra_faces4(sys, flux_fn, cells_f, emb,
-                                       u_f, flag_f, aux_f)
+                                       u_f, flag_f, aux_f,
+                                       ex_fdata=ex_fd)
                 sys = pin_inactive(sys, emb.mask)
                 ws_sys = ws._replace(cell=emb.act[ws.cell])
                 aq_cell_sys = emb.act[aq.cell]

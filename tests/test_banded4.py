@@ -226,6 +226,36 @@ def test_embedded4_matches_facelist(tmp_path):
                                            abs=1e-6)
 
 
+def test_energy_embedded_banded_run(tmp_path):
+    """Implicit energy on the embedded banded layout: an ACTNUM thermal
+    deck routes banded (conduction bands + extras vector) and matches
+    the face-list reference run."""
+    from opm_autodiff_tpu.models.structured import EmbeddedTopology
+    from tests.test_solvent_thermal import THERMAL_DECK
+
+    deck = THERMAL_DECK.replace("DIMENS\n 8 1 1 /", "DIMENS\n 8 2 1 /")
+    for v in ("20", "5", "1000", "0.25", "500", "200", "0.15"):
+        deck = deck.replace(f"8*{v}", f"16*{v}")
+    deck = deck.replace("PROPS", "ACTNUM\n " + " ".join(
+        ["1"] * 15 + ["0"]) + " /\n\nPROPS", 1)
+    p = tmp_path / "TE.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.energy is not None
+    assert isinstance(sim.faces, EmbeddedTopology)
+    assert sim.energy.cond_bands is not None
+    sim.run()
+    T = np.asarray(sim.u[:, 3])
+    assert T[0] > 350.0 and T[7] < T[0]  # hot front in row 1
+
+    sim_fl = Simulator(load_state(str(p)), SimulatorOptions())
+    sim_fl.faces = sim_fl.facelist
+    sim_fl.run()
+    np.testing.assert_allclose(T, np.asarray(sim_fl.u[:, 3]), atol=3.0)
+    np.testing.assert_allclose(np.asarray(sim.u[:, 0]),
+                               np.asarray(sim_fl.u[:, 0]), rtol=2e-3)
+
+
 def test_polymer_banded_run(tmp_path):
     """Implicit polymer end-to-end on the banded path (aux channels
     through the slab sweep) — fronts and bounds as on the face list."""
