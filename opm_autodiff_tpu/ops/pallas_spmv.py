@@ -1,4 +1,8 @@
-"""Pallas TPU kernel: banded block-sparse matvec (7-point, 3x3 blocks).
+"""Pallas TPU kernel: banded block-sparse matvec (7-point blocks).
+
+Block-size generic: 3x3 black-oil blocks or 4x4 extension blocks
+(implicit polymer/brine/foam/solvent/energy — models/transport4.py);
+the block loops unroll at trace time from the operand shapes.
 
 The Krylov loop's hot op. The XLA version (structured_matvec) is a chain
 of einsums + padded adds that XLA fuses well; this kernel keeps a z-plane
@@ -44,14 +48,15 @@ def enabled() -> bool:
 def prepare_banded(sys):
     """Transpose a StructuredSystem's banks to the kernel layout.
 
-    Returns a dict pytree: bands [nz(,+pad), 3, 3, ny, nx*], diag
-    [nz, 3, 3, ny, nx]. Run once per assembly; the result feeds any
+    Returns a dict pytree: bands [nz(,+pad), nb, nb, ny, nx*], diag
+    [nz, nb, nb, ny, nx]. Run once per assembly; the result feeds any
     number of ``banded_spmv_pallas`` calls.
     """
     nz, ny, nxm = sys.x_lr.shape[:3]
     nx = nxm + 1
+    nb = sys.diag.shape[-1]
 
-    def tr(band):  # [Z, Y, X, 3, 3] -> [Z, 3, 3, Y, X]
+    def tr(band):  # [Z, Y, X, nb, nb] -> [Z, nb, nb, Y, X]
         return jnp.transpose(band, (0, 3, 4, 1, 2))
 
     def nonempty(band, axis):
@@ -67,7 +72,7 @@ def prepare_banded(sys):
     pad_hi = [(0, 1), (0, 0), (0, 0), (0, 0), (0, 0)]
     pad_lo = [(1, 0), (0, 0), (0, 0), (0, 0), (0, 0)]
     return {
-        "diag": tr(sys.diag.reshape(nz, ny, nx, 3, 3)),
+        "diag": tr(sys.diag.reshape(nz, ny, nx, nb, nb)),
         "x_lr": tr(nonempty(sys.x_lr, 2)), "x_rl": tr(nonempty(sys.x_rl, 2)),
         "y_lr": tr(nonempty(sys.y_lr, 1)), "y_rl": tr(nonempty(sys.y_rl, 1)),
         # z bands padded to nz planes; plane k of z_rl holds row k, col k-1
@@ -80,15 +85,15 @@ def _kernel(diag_ref, xlr_ref, xrl_ref, ylr_ref, yrl_ref, zlr_ref, zrl_ref,
             xp_ref, xc_ref, xn_ref, out_ref):
     k = pl.program_id(0)
     nz = pl.num_programs(0)
-    ny, nx = xc_ref.shape[2], xc_ref.shape[3]
+    nb, ny, nx = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
     dt = xc_ref.dtype
 
-    xc = [xc_ref[0, d] for d in range(3)]  # three (ny, nx) planes
+    xc = [xc_ref[0, d] for d in range(nb)]  # nb (ny, nx) planes
 
     def rows(band_ref, xs):
-        """y_c = sum_d band[c, d] * xs[d] for the three rows."""
-        return [sum(band_ref[0, c, d] * xs[d] for d in range(3))
-                for c in range(3)]
+        """y_c = sum_d band[c, d] * xs[d] for the nb rows."""
+        return [sum(band_ref[0, c, d] * xs[d] for d in range(nb))
+                for c in range(nb)]
 
     y = rows(diag_ref, xc)
 
@@ -117,29 +122,29 @@ def _kernel(diag_ref, xlr_ref, xrl_ref, ylr_ref, yrl_ref, zlr_ref, zrl_ref,
     # z bands: neighbor planes, masked at the grid edges
     @pl.when(k < nz - 1)
     def _():
-        xn = [xn_ref[0, d] for d in range(3)]
+        xn = [xn_ref[0, d] for d in range(nb)]
         for c, contrib in enumerate(rows(zlr_ref, xn)):
             out_ref[0, c] = y[c] + contrib
 
     @pl.when(k >= nz - 1)
     def _():
-        for c in range(3):
+        for c in range(nb):
             out_ref[0, c] = y[c]
 
     @pl.when(k > 0)
     def _():
-        xp = [xp_ref[0, d] for d in range(3)]
+        xp = [xp_ref[0, d] for d in range(nb)]
         for c, contrib in enumerate(rows(zrl_ref, xp)):
             out_ref[0, c] = out_ref[0, c] + contrib
 
 
 def banded_spmv_pallas(prep: dict, x, interpret: bool = False):
-    """y = J @ x using prepared banks; x, y are [N, 3]."""
-    nz, ny, nx = (prep["diag"].shape[0], prep["diag"].shape[3],
-                  prep["diag"].shape[4])
+    """y = J @ x using prepared banks; x, y are [N, nb]."""
+    nz, nb, ny, nx = (prep["diag"].shape[0], prep["diag"].shape[1],
+                      prep["diag"].shape[3], prep["diag"].shape[4])
     dtype = prep["diag"].dtype
-    # [N,3] -> [nz, 3, ny, nx]
-    x4 = jnp.transpose(x.reshape(nz, ny, nx, 3).astype(dtype),
+    # [N,nb] -> [nz, nb, ny, nx]
+    x4 = jnp.transpose(x.reshape(nz, ny, nx, nb).astype(dtype),
                        (0, 3, 1, 2))
 
     # index maps must stay i32 under global x64 (Mosaic rejects i64
@@ -147,29 +152,29 @@ def banded_spmv_pallas(prep: dict, x, interpret: bool = False):
     # zero components from the traced index (k - k is i32)
     b5 = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda k: (k, k - k, k - k, k - k, k - k))
-    xs = lambda imap: pl.BlockSpec((1, 3, ny, nx), imap)  # noqa: E731
+    xs = lambda imap: pl.BlockSpec((1, nb, ny, nx), imap)  # noqa: E731
 
     out = pl.pallas_call(
         _kernel,
         grid=(nz,),
         in_specs=[
-            b5((3, 3, ny, nx)),       # diag
-            b5((3, 3, ny, max(nx - 1, 1))),   # x_lr
-            b5((3, 3, ny, max(nx - 1, 1))),   # x_rl
-            b5((3, 3, max(ny - 1, 1), nx)),   # y_lr
-            b5((3, 3, max(ny - 1, 1), nx)),   # y_rl
-            b5((3, 3, ny, nx)),       # z_lr (padded hi)
-            b5((3, 3, ny, nx)),       # z_rl (padded lo)
+            b5((nb, nb, ny, nx)),       # diag
+            b5((nb, nb, ny, max(nx - 1, 1))),   # x_lr
+            b5((nb, nb, ny, max(nx - 1, 1))),   # x_rl
+            b5((nb, nb, max(ny - 1, 1), nx)),   # y_lr
+            b5((nb, nb, max(ny - 1, 1), nx)),   # y_rl
+            b5((nb, nb, ny, nx)),       # z_lr (padded hi)
+            b5((nb, nb, ny, nx)),       # z_rl (padded lo)
             xs(lambda k: (jnp.maximum(k - 1, k - k), k - k, k - k, k - k)),
             xs(lambda k: (k, k - k, k - k, k - k)),
             xs(lambda k: (jnp.minimum(k + 1, (k - k) + (nz - 1)),
                           k - k, k - k, k - k)),
         ],
-        out_specs=pl.BlockSpec((1, 3, ny, nx),
+        out_specs=pl.BlockSpec((1, nb, ny, nx),
                                lambda k: (k, k - k, k - k, k - k)),
-        out_shape=jax.ShapeDtypeStruct((nz, 3, ny, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((nz, nb, ny, nx), dtype),
         interpret=interpret,
     )(prep["diag"], prep["x_lr"], prep["x_rl"], prep["y_lr"], prep["y_rl"],
       prep["z_lr"], prep["z_rl"], x4, x4, x4)
-    # [nz, 3, ny, nx] -> [N, 3]
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(nz * ny * nx, 3)
+    # [nz, nb, ny, nx] -> [N, nb]
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(nz * ny * nx, nb)

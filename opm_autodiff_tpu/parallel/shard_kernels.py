@@ -244,27 +244,27 @@ def prepare_banded_sharded(mesh, sys, interpret: bool | None = None):
 
 
 def banded_spmv_sharded(mesh, prep_ext, x):
-    """y = J @ x with ext-packed banks; x, y are [N, 3] z-sharded."""
+    """y = J @ x with ext-packed banks; x, y are [N, nb] z-sharded."""
     from opm_autodiff_tpu.ops import pallas_spmv
 
     interpret = prep_ext["_interpret"]
     banks = {k: v for k, v in prep_ext.items() if k != "_interpret"}
     ax = _axis(mesh)
-    nze, _, _, ny, nx = banks["diag"].shape
+    nze, nb, _, ny, nx = banks["diag"].shape
     ndev = mesh.devices.size
     nzl = nze // ndev - 2
     pp = ny * nx
 
     def local(banks_l, x_l):
         x4 = jnp.transpose(
-            x_l.reshape(nzl, ny, nx, 3).astype(banks_l["diag"].dtype),
+            x_l.reshape(nzl, ny, nx, nb).astype(banks_l["diag"].dtype),
             (0, 3, 1, 2))
         xp = _halo_prev(x4, ax, mesh)
         xn = _halo_next(x4, ax, mesh)
         x_e = jnp.concatenate([xp, x4, xn], axis=0)
-        x_e2 = jnp.transpose(x_e, (0, 2, 3, 1)).reshape((nzl + 2) * pp, 3)
+        x_e2 = jnp.transpose(x_e, (0, 2, 3, 1)).reshape((nzl + 2) * pp, nb)
         y_e = pallas_spmv.banded_spmv_pallas(banks_l, x_e2, interpret)
-        return y_e.reshape(nzl + 2, pp, 3)[1:-1].reshape(nzl * pp, 3)
+        return y_e.reshape(nzl + 2, pp, nb)[1:-1].reshape(nzl * pp, nb)
 
     bank_spec = jax.tree.map(
         lambda a: P(ax, *([None] * (a.ndim - 1))), banks)

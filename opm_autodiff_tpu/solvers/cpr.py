@@ -30,11 +30,11 @@ from opm_autodiff_tpu.models.assembler import BsrSystem, bsr_matvec
 
 
 class CprData(NamedTuple):
-    weights: jnp.ndarray      # [N,3] quasi-IMPES weights
+    weights: jnp.ndarray      # [N,nb] quasi-IMPES weights
     p_diag: jnp.ndarray       # [N] scalar pressure matrix diagonal
     p_off_lr: jnp.ndarray     # [F]
     p_off_rl: jnp.ndarray     # [F]
-    inv_diag: jnp.ndarray     # [N,3,3] block-Jacobi of the full system
+    inv_diag: jnp.ndarray     # [N,nb,nb] block-Jacobi of the full system
     left: jnp.ndarray
     right: jnp.ndarray
     # f32 de-similarity map: the Krylov-level row+column equilibration
@@ -50,7 +50,8 @@ class CprData(NamedTuple):
 
 
 def _solve_transpose_3x3(diag, e_idx: int):
-    """w = D^-T e: solve per-cell 3x3 transposed systems (closed form)."""
+    """w = D^-T e: per-cell transposed block solves (closed form; 3x3
+    cofactor or 4x4 bordered Schur via invert_blocks)."""
     from opm_autodiff_tpu.solvers.linear import invert_blocks
 
     inv_t = jnp.swapaxes(invert_blocks(diag), -1, -2)
@@ -63,7 +64,8 @@ def trueimpes_weights(acc_jac, pressure_var: int = 0,
     (reference: getQuasiImpesWeights.hpp:89 getTrueImpesWeights —
     block = d storage/du with the pressure column scaled by 50 bar,
     w = block^-T e_p, /1000 to land near O(1))."""
-    scale = jnp.ones(3, acc_jac.dtype).at[pressure_var].set(pressure_scale)
+    scale = (jnp.ones(acc_jac.shape[-1], acc_jac.dtype)
+             .at[pressure_var].set(pressure_scale))
     block = acc_jac * scale[None, None, :]
     w = _solve_transpose_3x3(block, pressure_var) / 1000.0
     return jnp.where(jnp.isfinite(w), w, 0.0)
@@ -163,7 +165,7 @@ class CprBandedData(NamedTuple):
     """Scalar pressure system in banded form (structured grids):
     same two-stage CPR but every inner op is a static slice."""
 
-    weights: jnp.ndarray   # [N,3]
+    weights: jnp.ndarray   # [N,nb]
     p_diag: jnp.ndarray    # [nz, ny, nx]
     px_lr: jnp.ndarray     # [nz, ny, nx-1]
     px_rl: jnp.ndarray
@@ -171,7 +173,7 @@ class CprBandedData(NamedTuple):
     py_rl: jnp.ndarray
     pz_lr: jnp.ndarray     # [nz-1, ny, nx]
     pz_rl: jnp.ndarray
-    inv_diag: jnp.ndarray  # [N,3,3] block-Jacobi of the full system
+    inv_diag: jnp.ndarray  # [N,nb,nb] block-Jacobi of the full system
     # non-band (fault throw / NNC) scalar pressure couplings, COO over
     # flat full-box indices (VERDICT r2 #2: the coarse pressure operator
     # must include the extras)
@@ -192,7 +194,7 @@ def build_cpr_banded(sys, inv_diag, pressure_var: int = 0,
     w = _weights(sys, pressure_var, weights)
     nz, ny, nxm = sys.x_lr.shape[:3]
     nx = nxm + 1
-    w3 = w.reshape(nz, ny, nx, 3)
+    w3 = w.reshape(nz, ny, nx, w.shape[-1])
     p_diag = jnp.einsum("ni,ni->n", w,
                         sys.diag[:, :, pressure_var]).reshape(nz, ny, nx)
 

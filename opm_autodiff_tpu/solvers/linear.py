@@ -337,10 +337,10 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         from opm_autodiff_tpu.parallel.mesh import get_active_mesh
 
         mesh = get_active_mesh()
-        # the Pallas SpMV/zline kernels are written for the 3x3 black-
-        # oil blocks; 4x4 extension systems take the XLA banded path
-        nb3 = scaled.diag.shape[-1] == 3
-        sharded = (mesh is not None and sk.kernels_enabled(mesh) and nb3
+        # the Pallas SpMV/zline kernels unroll the block algebra for the
+        # 3x3 black-oil and 4x4 extension blocks (ops/pallas_zline.py)
+        nb_ok = scaled.diag.shape[-1] in (3, 4)
+        sharded = (mesh is not None and sk.kernels_enabled(mesh) and nb_ok
                    and isinstance(scaled, StructuredSystem)
                    and scaled.diag.shape[0]
                    % (mesh.devices.size * scaled.x_lr.shape[1]
@@ -367,7 +367,7 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                 # jit boundary as a traced leaf
                 fact = sk.prepare_zline_sharded(mesh, scaled)
                 prec = partial(sk.zline_apply_sharded, mesh, fact)
-        elif (isinstance(scaled, StructuredSystem) and nb3
+        elif (isinstance(scaled, StructuredSystem) and nb_ok
                 and pallas_spmv.enabled()):
             prep = pallas_spmv.prepare_banded(scaled)
             if scaled.ex_left is None:
@@ -451,10 +451,10 @@ def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup,
         eff = "ilu0"
     if eff == "ilu0" and isinstance(sys, StructuredSystem):
         eff = "zline"
-    if sys.diag.shape[-1] != 3 and eff.startswith("cpr"):
-        # the CPR pressure-stage weights are written for the 3-equation
-        # black-oil blocks; 4x4 extension systems take the strongest
-        # layout-matched smoother instead
+    if sys.diag.shape[-1] not in (3, 4) and eff.startswith("cpr"):
+        # quasi/true-IMPES weights need the closed-form block inverse
+        # (3x3 cofactor / 4x4 bordered Schur, invert_blocks); other
+        # block sizes take the strongest layout-matched smoother
         eff = "zline" if isinstance(sys, StructuredSystem) else "ilu0"
     if eff == "zline":
         fact = setup if setup is not None else build_zline(sys)
