@@ -622,10 +622,13 @@ def _make_kernel(cfg: dict):
     return kernel
 
 
-def _smem_spec(length: int):
+def _smem_spec(length: int, rank2: bool = False):
     # explicit block + i32 index map: the implicit full-array SMEM spec
     # emits i64 block indices under global x64, which Mosaic rejects
-    # ("failed to legalize func.return")
+    # ("failed to legalize func.return"). ``rank2`` for 2-D grids.
+    if rank2:
+        return pl.BlockSpec((length,), lambda k, j: (k - k,),
+                            memory_space=pltpu.SMEM)
     return pl.BlockSpec((length,), lambda k: (k - k,),
                         memory_space=pltpu.SMEM)
 
@@ -703,28 +706,48 @@ def cellpack_planes(fs, cells, u, flag, dims, interpret: bool = False):
 
     kernel = _make_kernel(cfg)
     smem = [wsc, rk, rho, ep]
+    # --- y-blocking: bound the kernel's scoped-VMEM live set. The body
+    # is elementwise on (by, nx) tiles, so splitting y is transparent;
+    # richer table machinery (wet-gas PVTG 2-D interpolation, EPS
+    # channels, multi-region selects) means more live tile-sized
+    # temporaries in the unrolled body. Measured point: the wet-gas +
+    # EPS + 2-region body holds ~600 live lane-padded planes, which
+    # blew the 16MB scoped-vmem limit on a full 56x46 plane (v5e).
+    # Cap the estimated live set at ~8MB and keep full planes whenever
+    # they fit (the lean SPE1-physics body measured fastest unblocked).
+    live = 150 + (150 if has_eps else 0) + (300 if wet else 0) \
+        + 50 * max(cfg["R_sat"], cfg["R_pvt"], 1)
+    nx_pad = max(-(-nx // 128) * 128, 128)
+    by_cap = max(int(8 * 1024 * 1024 / (live * nx_pad * 4)), 8)
+    by = ny if ny <= by_cap else max((by_cap // 8) * 8, 8)
+    env_by = os.environ.get("OPM_TPU_CELLPACK_BY")
+    if env_by:
+        by = min(int(env_by), ny)
+    gy = -(-ny // by)
+
+    def idx4(k, j):
+        return (k, k - k, j, k - k)
+
     b_in = [
-        pl.BlockSpec((1, 3, ny, nx), lambda k: (k, k - k, k - k, k - k)),
-        pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
-        pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
-        pl.BlockSpec((1, mob4.shape[1], ny, nx),
-                     lambda k: (k, k - k, k - k, k - k)),
-        pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
-        pl.BlockSpec((1, 1, ny, nx), lambda k: (k, k - k, k - k, k - k)),
+        pl.BlockSpec((1, 3, by, nx), idx4),
+        pl.BlockSpec((1, 1, by, nx), idx4),
+        pl.BlockSpec((1, 1, by, nx), idx4),
+        pl.BlockSpec((1, mob4.shape[1], by, nx), idx4),
+        pl.BlockSpec((1, 1, by, nx), idx4),
+        pl.BlockSpec((1, 1, by, nx), idx4),
     ]
     if has_eps:
-        b_in.append(pl.BlockSpec((1, eps4.shape[1], ny, nx),
-                                 lambda k: (k, k - k, k - k, k - k)))
-    b_in += [_smem_spec(int(t.shape[0])) for t in tables]
-    b_in += [_smem_spec(int(a.shape[0])) for a in smem]
+        b_in.append(pl.BlockSpec((1, eps4.shape[1], by, nx), idx4))
+    b_in += [_smem_spec(int(t.shape[0]), rank2=True) for t in tables]
+    b_in += [_smem_spec(int(a.shape[0]), rank2=True) for a in smem]
     q, dq = pl.pallas_call(
         kernel,
-        grid=(nz,),
+        grid=(nz, gy),
         in_specs=b_in,
         out_specs=[
-            pl.BlockSpec((1, NQ, ny, nx), lambda k: (k, k - k, k - k, k - k)),
-            pl.BlockSpec((1, NQ, 3, ny, nx),
-                         lambda k: (k, k - k, k - k, k - k, k - k)),
+            pl.BlockSpec((1, NQ, by, nx), idx4),
+            pl.BlockSpec((1, NQ, 3, by, nx),
+                         lambda k, j: (k, k - k, k - k, j, k - k)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nz, NQ, ny, nx), f32),

@@ -202,9 +202,24 @@ def flux_bands_arrays(q, dq, acc0p, tx, gx, ty, gy, tzh, gzh, tzl, gzl,
     arrays directly (tzh/gzh [nz]: face above each plane, zero on the
     last; tzl/gzl [nz]: face below, zero on the first; acc0p in plane
     layout [nz,3,ny,nx]).  Lets the shard_map path feed halo-extended
-    local slabs through the same kernel."""
+    local slabs through the same kernel.
+
+    Wide planes route to the y-blocked variant (scoped-VMEM guard):
+    the kernel body holds ~630 live lane-padded row-slabs, which blows
+    the 16MB scoped-vmem limit once ny x nx_pad planes pass ~25 rows
+    at 128 lanes (measured: 18.13M at 56x46 on v5e)."""
     nz, _, ny, nx = q.shape
     f32 = jnp.float32
+
+    nx_pad = max(-(-nx // 128) * 128, 128)
+    by_cap = max(int(8 * 1024 * 1024 / (630 * nx_pad * 4)), 8)
+    env_by = __import__("os").environ.get("OPM_TPU_FLUX_BY")
+    if env_by:
+        by_cap = int(env_by)
+    if ny > by_cap:
+        by = max((by_cap // 8) * 8, 8)
+        return _flux_bands_yblocked(q, dq, acc0p, tx, gx, ty, gy,
+                                    tzh, gzh, tzl, gzl, dt, by, interpret)
     invdt = (1.0 / jnp.asarray(dt, jnp.float64)).astype(f32).reshape(1)
 
     i4 = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -285,6 +300,239 @@ def flux_bands_arrays(q, dq, acc0p, tx, gx, ty, gy, tzh, gzh, tzl, gzl,
     y_lr = band(ylr5, (nz, ny - 1, nx)) if ny > 1 else \
         jnp.zeros((nz, 0, nx, 3, 3), f32)
     y_rl = band(yrl5, (nz, ny - 1, nx)) if ny > 1 else y_lr
+    z_lr = band(zlr5, (nz, ny, nx))[:-1]
+    z_rl = band(zrl5, (nz, ny, nx))[1:]
+    return res, diag, x_lr, x_rl, y_lr, y_rl, z_lr, z_rl
+
+
+# ---------------------------------------------------------------------------
+# y-blocked variant (wide planes): grid (nz, gy), y faces handled like z
+# faces — each block computes its below- and above-faces against the
+# neighboring y block's edge rows, so boundary faces are evaluated twice
+# (once per side) and every write stays inside the block's own window.
+# ---------------------------------------------------------------------------
+
+def _flux_kernel_yb(q_ref, dq_ref, qp_ref, dqp_ref, qn_ref, dqn_ref,
+                    qyp_ref, dqyp_ref, qyn_ref, dqyn_ref,
+                    acc_ref, tx_ref, gx_ref, tyh_ref, gyh_ref,
+                    tyl_ref, gyl_ref, tzh_ref, gzh_ref, tzl_ref, gzl_ref,
+                    invdt_ref,
+                    res_ref, diag_ref, xlr_ref, xrl_ref, ylr_ref, yrl_ref,
+                    zlr_ref, zrl_ref):
+    invdt = invdt_ref[0]
+    ny, nx = q_ref.shape[2], q_ref.shape[3]
+
+    Q, dQ = _read_qdq(q_ref, dq_ref)
+    res = [(Q[14 + a] - acc_ref[0, a]) * invdt for a in range(3)]
+    diag = [[dQ[14 + a][d] * invdt for d in range(3)] for a in range(3)]
+
+    zcol = jnp.zeros((ny, 1), Q[0].dtype)
+
+    def addc(plane, contrib, where):
+        if where == "xl":
+            return plane + jnp.concatenate([contrib, zcol], axis=1)
+        return plane + jnp.concatenate([zcol, contrib], axis=1)
+
+    # ---- X faces (within-block; identical to the unblocked kernel) ----
+    if nx > 1:
+        QL = [v[:, :-1] for v in Q]
+        QR = [v[:, 1:] for v in Q]
+        dQL = [[v[:, :-1] for v in row] for row in dQ]
+        dQR = [[v[:, 1:] for v in row] for row in dQ]
+        flux, jl, jr = _face_terms(QL, QR, dQL, dQR, tx_ref[0], gx_ref[0])
+        for a in range(3):
+            res[a] = addc(res[a], flux[a], "xl")
+            res[a] = addc(res[a], -flux[a], "xr")
+            for d in range(3):
+                diag[a][d] = addc(diag[a][d], jl[a][d], "xl")
+                diag[a][d] = addc(diag[a][d], -jr[a][d], "xr")
+                xlr_ref[0, a, d] = jr[a][d]
+                xrl_ref[0, a, d] = -jl[a][d]
+
+    # ---- Y faces, z-style: face BELOW each row (vs the next row /
+    # next block's first row; padded tyh kills the edge) ----
+    QY, dQY = _read_qdq(qyn_ref, dqyn_ref)
+    QR = [jnp.concatenate([v[1:], w[:1]], axis=0) for v, w in zip(Q, QY)]
+    dQR = [[jnp.concatenate([v[1:], w[:1]], axis=0)
+            for v, w in zip(rv, rw)] for rv, rw in zip(dQ, dQY)]
+    flux, jl, jr = _face_terms(Q, QR, dQ, dQR, tyh_ref[0], gyh_ref[0])
+    for a in range(3):
+        res[a] = res[a] + flux[a]
+        for d in range(3):
+            diag[a][d] = diag[a][d] + jl[a][d]
+            ylr_ref[0, a, d] = jr[a][d]
+
+    # face ABOVE each row (vs the previous row / previous block's last)
+    QYP, dQYP = _read_qdq(qyp_ref, dqyp_ref)
+    QL = [jnp.concatenate([w[-1:], v[:-1]], axis=0) for v, w in zip(Q, QYP)]
+    dQL = [[jnp.concatenate([w[-1:], v[:-1]], axis=0)
+            for v, w in zip(rv, rw)] for rv, rw in zip(dQ, dQYP)]
+    flux, jl, jr = _face_terms(QL, Q, dQL, dQ, tyl_ref[0], gyl_ref[0])
+    for a in range(3):
+        res[a] = res[a] - flux[a]
+        for d in range(3):
+            diag[a][d] = diag[a][d] - jr[a][d]
+            yrl_ref[0, a, d] = -jl[a][d]
+
+    # ---- Z faces (identical to the unblocked kernel) ----
+    QN, dQN = _read_qdq(qn_ref, dqn_ref)
+    flux, jl, jr = _face_terms(Q, QN, dQ, dQN, tzh_ref[0], gzh_ref[0])
+    for a in range(3):
+        res[a] = res[a] + flux[a]
+        for d in range(3):
+            diag[a][d] = diag[a][d] + jl[a][d]
+            zlr_ref[0, a, d] = jr[a][d]
+
+    QP, dQP = _read_qdq(qp_ref, dqp_ref)
+    flux, jl, jr = _face_terms(QP, Q, dQP, dQ, tzl_ref[0], gzl_ref[0])
+    for a in range(3):
+        res[a] = res[a] - flux[a]
+        for d in range(3):
+            diag[a][d] = diag[a][d] - jr[a][d]
+            zrl_ref[0, a, d] = -jl[a][d]
+
+    for a in range(3):
+        res_ref[0, a] = res[a]
+        for d in range(3):
+            diag_ref[0, a, d] = diag[a][d]
+
+
+def _flux_bands_yblocked(q, dq, acc0p, tx, gx, ty, gy, tzh, gzh, tzl, gzl,
+                         dt, by, interpret):
+    nz, _, ny, nx = q.shape
+    f32 = jnp.float32
+    invdt = (1.0 / jnp.asarray(dt, jnp.float64)).astype(f32).reshape(1)
+    gyn = -(-ny // by)
+    ny_pad = gyn * by
+    pad = ny_pad - ny
+    nym = ny - 1
+
+    def pady(a, rows_axis, n_rows):
+        # zero-pad the y axis to ny_pad (zero Q/trans make padded faces
+        # exact no-ops — no NaN leakage into real rows)
+        width = [(0, 0)] * a.ndim
+        width[rows_axis] = (0, ny_pad - n_rows)
+        return jnp.pad(a, width)
+
+    qp = pady(q, 2, ny) if pad else q
+    dqp_ = pady(dq, 3, ny) if pad else dq
+    accp = pady(acc0p, 2, ny) if pad else acc0p
+    tzh_p = pady(tzh, 1, ny) if pad else tzh
+    gzh_p = pady(gzh, 1, ny) if pad else gzh
+    tzl_p = pady(tzl, 1, ny) if pad else tzl
+    gzl_p = pady(gzl, 1, ny) if pad else gzl
+    nxm = max(nx - 1, 1)
+    if nx > 1:
+        tx_in = pady(tx, 1, ny) if pad else tx
+        gx_in = pady(gx, 1, ny) if pad else gx
+    else:
+        tx_in = jnp.zeros((nz, ny_pad, 1), f32)
+        gx_in = tx_in
+    # face-below-row / face-above-row arrangements of the y band
+    # (rows ny-1.. are grid edge / padding: zero trans)
+    if ny > 1:
+        tyh = pady(ty, 1, nym)
+        gyh = pady(gy, 1, nym)
+        tyl = jnp.pad(ty, [(0, 0), (1, ny_pad - nym - 1), (0, 0)])
+        gyl = jnp.pad(gy, [(0, 0), (1, ny_pad - nym - 1), (0, 0)])
+    else:
+        tyh = jnp.zeros((nz, ny_pad, nx), f32)
+        gyh = tyh
+        tyl = tyh
+        gyl = tyh
+
+    i4 = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda k, j: (k, k - k, j, k - k))
+    i5 = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda k, j: (k, k - k, k - k, j, k - k))
+    i3 = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda k, j: (k, j, k - k))
+
+    def nbz(off):
+        if off < 0:
+            return lambda k, j: (jnp.maximum(k - 1, k - k), k - k, j, k - k)
+        return lambda k, j: (jnp.minimum(k + 1, (k - k) + (nz - 1)),
+                             k - k, j, k - k)
+
+    def nbz5(off):
+        if off < 0:
+            return lambda k, j: (jnp.maximum(k - 1, k - k), k - k, k - k,
+                                 j, k - k)
+        return lambda k, j: (jnp.minimum(k + 1, (k - k) + (nz - 1)),
+                             k - k, k - k, j, k - k)
+
+    def nby(off):
+        if off < 0:
+            return lambda k, j: (k, k - k, jnp.maximum(j - 1, j - j), k - k)
+        return lambda k, j: (k, k - k,
+                             jnp.minimum(j + 1, (j - j) + (gyn - 1)), k - k)
+
+    def nby5(off):
+        if off < 0:
+            return lambda k, j: (k, k - k, k - k,
+                                 jnp.maximum(j - 1, j - j), k - k)
+        return lambda k, j: (k, k - k, k - k,
+                             jnp.minimum(j + 1, (j - j) + (gyn - 1)), k - k)
+
+    outs = pl.pallas_call(
+        _flux_kernel_yb,
+        grid=(nz, gyn),
+        in_specs=[
+            i4((17, by, nx)),
+            i5((17, 3, by, nx)),
+            pl.BlockSpec((1, 17, by, nx), nbz(-1)),
+            pl.BlockSpec((1, 17, 3, by, nx), nbz5(-1)),
+            pl.BlockSpec((1, 17, by, nx), nbz(+1)),
+            pl.BlockSpec((1, 17, 3, by, nx), nbz5(+1)),
+            pl.BlockSpec((1, 17, by, nx), nby(-1)),
+            pl.BlockSpec((1, 17, 3, by, nx), nby5(-1)),
+            pl.BlockSpec((1, 17, by, nx), nby(+1)),
+            pl.BlockSpec((1, 17, 3, by, nx), nby5(+1)),
+            i4((3, by, nx)),
+            i3((by, nxm)), i3((by, nxm)),
+            i3((by, nx)), i3((by, nx)), i3((by, nx)), i3((by, nx)),
+            i3((by, nx)), i3((by, nx)), i3((by, nx)), i3((by, nx)),
+            pl.BlockSpec((1,), lambda k, j: (k - k,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            i4((3, by, nx)),
+            i5((3, 3, by, nx)),
+            i5((3, 3, by, nxm)), i5((3, 3, by, nxm)),
+            i5((3, 3, by, nx)), i5((3, 3, by, nx)),
+            i5((3, 3, by, nx)), i5((3, 3, by, nx)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, 3, ny_pad, nx), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nx), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nxm), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nxm), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nx), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nx), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nx), f32),
+            jax.ShapeDtypeStruct((nz, 3, 3, ny_pad, nx), f32),
+        ],
+        interpret=interpret,
+    )(qp, dqp_, qp, dqp_, qp, dqp_, qp, dqp_, qp, dqp_, accp,
+      tx_in, gx_in, tyh, gyh, tyl, gyl, tzh_p, gzh_p, tzl_p, gzl_p, invdt)
+    res5, diag5, xlr5, xrl5, ylr5, yrl5, zlr5, zrl5 = outs
+
+    res = jnp.transpose(res5, (0, 2, 3, 1))[:, :ny].reshape(
+        nz * ny * nx, 3)
+    diag = jnp.transpose(diag5, (0, 3, 4, 1, 2))[:, :ny].reshape(
+        nz * ny * nx, 3, 3)
+
+    def band(b5, shp):
+        return jnp.transpose(b5, (0, 3, 4, 1, 2))[:, :shp[1], :shp[2]]
+
+    x_lr = band(xlr5, (nz, ny, nx - 1)) if nx > 1 else \
+        jnp.zeros((nz, ny, 0, 3, 3), f32)
+    x_rl = band(xrl5, (nz, ny, nx - 1)) if nx > 1 else x_lr
+    # face-below rows 0..ny-2 are the y band; face-above rows 1..ny-1
+    yb = jnp.transpose(ylr5, (0, 3, 4, 1, 2))
+    ya = jnp.transpose(yrl5, (0, 3, 4, 1, 2))
+    y_lr = yb[:, :nym] if ny > 1 else jnp.zeros((nz, 0, nx, 3, 3), f32)
+    y_rl = ya[:, 1:nym + 1] if ny > 1 else y_lr
     z_lr = band(zlr5, (nz, ny, nx))[:-1]
     z_rl = band(zrl5, (nz, ny, nx))[1:]
     return res, diag, x_lr, x_rl, y_lr, y_rl, z_lr, z_rl

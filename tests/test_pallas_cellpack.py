@@ -337,3 +337,29 @@ def test_wetgas_assembly_with_kernel_matches(wetgas_problem, monkeypatch):
     d_pal = np.asarray(sys_pal.diag)
     dscale = np.abs(d_ref).max() + 1e-30
     assert np.abs(d_pal - d_ref).max() / dscale < 2e-3
+
+
+def test_yblocked_matches_full():
+    """y-blocked grid (scoped-VMEM guard for wide planes; the norne-
+    class 56x46 wet-gas config blew the 16MB limit unblocked on v5e)
+    reproduces the unblocked kernel exactly, including a ragged last
+    block (ny % by != 0)."""
+    import os
+
+    import __graft_entry__
+
+    (_s, _geo, fs, cells, faces, init, _ws, acc0,
+     _pbh) = __graft_entry__._build_problem(6, 20, 4)
+    n = init.u.shape[0]
+    u = _perturbed_state(init, n, seed=9)
+    dims = (4, 20, 6)
+    Qf, dQf = cellpack(fs, cells, u, init.flag, dims, interpret=True)
+    os.environ["OPM_TPU_CELLPACK_BY"] = "8"
+    try:
+        Qb, dQb = cellpack(fs, cells, u, init.flag, dims, interpret=True)
+    finally:
+        del os.environ["OPM_TPU_CELLPACK_BY"]
+    np.testing.assert_allclose(np.asarray(Qb), np.asarray(Qf),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(dQb), np.asarray(dQf),
+                               rtol=0, atol=0)
