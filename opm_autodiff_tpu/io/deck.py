@@ -137,7 +137,8 @@ TABLES_KEYWORDS = {
     # branch records.
     "SWOF", "SGOF", "SLGOF", "SWFN", "SGFN", "SGWFN", "SOF2", "SOF3",
     "PVDG", "PVDO",
-    "PVTO", "PVTG", "RSVD", "RVVD", "PBVD", "PDVD", "PVZG", "ROCKTAB",
+    "PVTO", "PVTG", "PVTSOL", "RSVD", "RVVD", "PBVD", "PDVD", "PVZG",
+    "ROCKTAB",
     "TSTEP", "PLYVISC", "PLYADS", "FOAMMOB", "PVDS", "SSFN", "MSFN",
     "MISC", "PMISC", "SORWMIS", "SGCWMIS",
     "SPECROCK", "SPECHEAT", "WATVISCT", "OILVISCT", "GASVISCT",

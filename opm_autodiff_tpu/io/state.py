@@ -400,6 +400,10 @@ def _build_runspec(deck: Deck) -> Runspec:
            if e in deck}
     if "TEMP" in deck:
         ext.add("THERMAL")
+    if "PVTSOL" in deck:
+        # extended black-oil (zFraction) model — the reference
+        # dispatches on Phase::ZFRACTION (Main.hpp:309, flow_ebos_extbo)
+        ext.add("EXTBO")
     return Runspec(
         phases=frozenset(phases),
         disgas="DISGAS" in deck,
@@ -1689,6 +1693,35 @@ def build_state(deck: Deck) -> EclState:
     kw = deck.get1("TLMIXPAR")
     if kw and kw.records:
         components["TLMIXPAR"] = float(item(kw.records[0], 0, 1.0))
+    kw = deck.get1("PVTSOL")
+    if kw:
+        # extended-black-oil composition tables (models/extbo.py schema:
+        # each record is one z-composition branch — z then rows of
+        # p Bo Bg Rs Rv XVOL YVOL mu_o mu_g; empty record closes a
+        # PVTNUM region, like PVTO's branch layout)
+        sol_regions = []
+        z_list, branches = [], []
+        scale = [u.pressure, u.oil_fvf, u.gas_fvf, u.gas_oil_ratio,
+                 u.oil_gas_ratio, 1.0, 1.0, u.viscosity, u.viscosity]
+        for rec in kw.records:
+            vals = [v for v in rec if v is not DEFAULT]
+            if not vals:
+                if z_list:
+                    sol_regions.append({"z": np.asarray(z_list),
+                                        "branches": branches})
+                    z_list, branches = [], []
+                elif sol_regions:
+                    sol_regions.append(sol_regions[-1])
+                continue
+            z = float(vals[0])
+            rest = np.asarray(vals[1:], float).reshape(-1, 9)
+            cols = tuple(rest[:, i] * scale[i] for i in range(9))
+            z_list.append(z)
+            branches.append(cols)
+        if z_list:
+            sol_regions.append({"z": np.asarray(z_list),
+                                "branches": branches})
+        components["PVTSOL"] = sol_regions
     # miscible-solvent tables (reference: opm-material
     # blackoilsolventmodules' MISC/PMISC/SSFN handling under MISCIBLE)
     kw = deck.get1("MISC")

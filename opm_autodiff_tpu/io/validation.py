@@ -22,16 +22,18 @@ UNSUPPORTED = {
 
 # Supported with caveats (warn-grade).
 PARTIAL = {
-    "EHYSTR": "hysteresis applies Killough scanning to gas relperm only",
+    "EHYSTR": "Killough scanning covers gas and water/oil relperm; "
+              "capillary-pressure hysteresis is not modeled",
     "MISCIBLE": "MISC/PMISC/SSFN/MSFN miscibility with SORWMIS/SGCWMIS "
                 "endpoint shifts (relperm effects as lagged multipliers)",
     "WPAVE": "WBP/WBP9 use pore-volume weighting regardless of the "
              "WPAVE weighting options",
     "PVTWSALT": "brine feedback covers water viscosity (not Bw/density)",
+    "PVTSOL": "extbo zFraction PVT as factors vs the z=0 branch "
+              "(models/extbo.py schema; wells see z through viscosity "
+              "factors and stream splits, not through B factors)",
     "ROCKCOMP": "rock compaction uses the ROCK second-order expansion",
     "TUNING": "TSINIT/TSMAXZ/TSMINZ/TSFMAX/TSFMIN are honored; the record-2/3 solver knobs are not",
-    "UDQ": "UDQ division is unsupported (tokenizer limitation); "
-           "+ - * comparisons and AND/OR are evaluated",
 }
 
 

@@ -85,6 +85,11 @@ class SimulatorOptions:
     # flow_ebos_solvent coupling); MISCIBLE decks always use the
     # operator-split model, which owns MISC/PMISC/MSFN
     solvent_implicit: bool = True
+    # solve the extended-black-oil solvent zFraction as a 4th
+    # fully-implicit equation when PVTSOL is present (models/extbo.py,
+    # the reference's flow_ebos_extbo / Phase::ZFRACTION dispatch);
+    # there is no split fallback — False errors on PVTSOL decks
+    extbo_implicit: bool = True
 
 
 class Simulator:
@@ -187,6 +192,25 @@ class Simulator:
             if self.trans4 is not None:
                 self.faces = self._faces_for_4eq()
                 self._t4_acc_fn4 = jax.jit(t4_accumulation_all4)
+        # fully-implicit extended black-oil (zFraction) when PVTSOL is
+        # present (models/extbo.py; reference flow_ebos_extbo dispatched
+        # on Phase::ZFRACTION, Main.hpp:309)
+        self.extbo = None
+        if (self.poly is None and self.energy is None
+                and self.trans4 is None and not self._sched_has_msw
+                and "EXTBO" in ecl_state.runspec.extensions
+                and "PVTSOL" in ecl_state.components):
+            if not self.opts.extbo_implicit:
+                raise NotImplementedError(
+                    "PVTSOL (extbo) decks require extbo_implicit=True "
+                    "— there is no operator-split fallback")
+            from opm_autodiff_tpu.models.extbo import (
+                accumulation_all4 as ex_accumulation_all4,
+                build_extbo_implicit)
+            self.extbo, self._z_init = build_extbo_implicit(
+                ecl_state, self.geo)
+            self.faces = self._faces_for_4eq()
+            self._ex_acc_fn4 = jax.jit(ex_accumulation_all4)
         self.report = SimulatorReport()
         self.summary = SummaryWriter(ecl_state)
         self._acc_fn = jax.jit(jax.vmap(accumulation,
@@ -319,7 +343,8 @@ class Simulator:
                 # conduction bands were classified against the pre-
                 # THPRES face list; stay on the face list (exact)
                 self.faces = self.facelist
-            elif self.poly is not None or self.trans4 is not None:
+            elif (self.poly is not None or self.trans4 is not None
+                    or self.extbo is not None):
                 self.faces = self._faces_for_4eq()
 
     # ------------------------------------------------------------------
@@ -335,6 +360,10 @@ class Simulator:
                                     self.cells.regs)
         if self.trans4 is not None:
             return self._t4_acc_fn4(self.fs, self.trans4, u, flag,
+                                    self.cells.pore_vol_ref,
+                                    self.cells.regs)
+        if self.extbo is not None:
+            return self._ex_acc_fn4(self.fs, self.extbo, u, flag,
                                     self.cells.pore_vol_ref,
                                     self.cells.regs)
         return self._acc_fn(self.fs, u, flag, self.cells.pore_vol_ref,
@@ -401,6 +430,11 @@ class Simulator:
             if self.u.shape[1] == 3:
                 self.u = jnp.concatenate(
                     [self.u, jnp.asarray(self._c4_init)[:, None]], axis=1)
+        elif self.extbo is not None:
+            # append the solvent zFraction column (zero initial)
+            if self.u.shape[1] == 3:
+                self.u = jnp.concatenate(
+                    [self.u, jnp.asarray(self._z_init)[:, None]], axis=1)
         elif self.u.shape[1] > 3:
             # restart file carried a POLYMER column but this run solves
             # polymer split (or not at all): drop it
@@ -411,7 +445,8 @@ class Simulator:
         # drift-compensation capture (zeros, not None, so the jitted
         # Newton kernel compiles once with the array variant)
         neq = 4 if (self.poly is not None or self.energy is not None
-                    or self.trans4 is not None) else 3
+                    or self.trans4 is not None
+                    or self.extbo is not None) else 3
         self._drift_vol = (jnp.zeros((self.geo.num_active, neq))
                            if self.opts.drift_compensation else None)
         self.active_mode = None
@@ -475,6 +510,13 @@ class Simulator:
                     "solvent": "solv_frac"}[self._trans4_kind]
             self.trans4 = self.trans4._replace(inj_conc=jnp.asarray(
                 [getattr(w, attr, 0.0) for w in std_wells] or [0.0]))
+        if self.extbo is not None:
+            if msw_wells:
+                raise NotImplementedError(
+                    "extbo (PVTSOL) + multisegment wells not supported")
+            self.extbo = self.extbo._replace(inj_frac=jnp.asarray(
+                [getattr(w, "solv_frac", 0.0) for w in std_wells]
+                or [0.0]))
         self._std_well_names = [w.name for w in std_wells]
         self._msw_well_names = [w.name for w in msw_wells]
         msw = build_mswset(self.geo, wells)
@@ -675,7 +717,8 @@ class Simulator:
                     st0, ws, committed["acc0"], dt_seconds, aq=aq_dev,
                     vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
                     drift_vol=self._drift_vol, poly=self.poly,
-                    energy=self.energy, trans4=self.trans4)
+                    energy=self.energy, trans4=self.trans4,
+                    extbo=self.extbo)
             else:
                 st, rep, (q_tot, q_perf, q_msw), q_aq = newton_solve(
                     self.opts.newton, self.fs, self.cells, self.faces,
@@ -684,7 +727,7 @@ class Simulator:
                     vfp_bank=self._vfp_combined, msw=msw, x3_cap=x3_caps,
                     drift_vol=self._drift_vol, poly=self.poly,
                     energy=self.energy, trans4=self.trans4,
-                    group_update=group_update,
+                    extbo=self.extbo, group_update=group_update,
                     nupcol=self.state.runspec.nupcol)
 
             if not rep.converged:

@@ -337,7 +337,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           vfp_bank=None, msw=None, x3_cap=None,
                           relax=1.0, rho_conn=None, drift_vol=None,
                           well_f0=None, poly=None, energy=None,
-                          trans4=None):
+                          trans4=None, extbo=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer).
 
@@ -355,13 +355,18 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     a carrier-phase component concentration — brine salt or foam
     surfactant (reference: flow_ebos_brine/_foam); mutually exclusive
     with both.
+
+    ``extbo`` (models/extbo.ExtboImplicit) does the same with the
+    extended-black-oil solvent zFraction (reference: flow_ebos_extbo,
+    Phase::ZFRACTION dispatch Main.hpp:309); mutually exclusive with
+    all of the above.
     """
     if aq is None:
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
     use4 = st.xw is not None  # 4-DOF StandardWell vs 1-DOF research well
-    extra4 = next((x for x in (poly, energy, trans4) if x is not None),
-                  None)
+    extra4 = next((x for x in (poly, energy, trans4, extbo)
+                   if x is not None), None)
     u3 = u[:, :3] if extra4 is not None else u
     well_mob = cells.mob_mult
     if poly is not None:
@@ -387,6 +392,13 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         m3 = jnp.where(trans4.phase_mask[None, :] > 0.0,
                        well_mob[:, :3] * tf[:, None], well_mob[:, :3])
         well_mob = jnp.concatenate([m3, well_mob[:, 3:]], axis=1)
+    elif extbo is not None:
+        # (p, z)-dependent oil/gas viscosity factors at the perforated
+        # cells (value-exact, d q/dz dropped — quasi-Newton)
+        from opm_autodiff_tpu.models import extbo as extbo_mod
+        zf = extbo_mod.well_mu_factors(fs, extbo, u, cells.regs)  # [N,3]
+        well_mob = jnp.concatenate(
+            [well_mob[:, :3] * zf, well_mob[:, 3:]], axis=1)
 
     # inverse FVFs for the convergence metrics: the structured packed
     # assembly exposes them for free; other layouts do one vmapped sweep
@@ -450,6 +462,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     msw_sys = msw
     aq_cell_sys = aq.cell
     c4_wells = u[:, 3] if extra4 is not None else None
+    u4_wells = u if extra4 is not None else None
+    regs_wells = cells.regs
     if extra4 is not None:
         # 4-equation fully-implicit assembly: banded on cartesian boxes
         # (models/structured.assemble_structured4 — embedded with COO
@@ -499,7 +513,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 aux = energy_mod._cell_aux(energy)
                 fdata = energy.cond_bands
                 ex_fd = energy.cond_extras
-            else:
+            elif trans4 is not None:
                 from opm_autodiff_tpu.models import transport4 as t4_mod
 
                 t4a = t4_mod.make_acc4(fs, trans4)
@@ -511,6 +525,21 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 def flux_fn(uL4, uR4, fL, fR, t, g, rL, rR, th, mL, mR,
                             eL, eR, aL, aR, fd):
                     return t4f(uL4, uR4, fL, fR, t, g, rL, rR, th,
+                               mL, mR, eL, eR)
+
+                aux = None
+            else:
+                from opm_autodiff_tpu.models import extbo as extbo_mod
+
+                exa = extbo_mod.make_acc4(fs, extbo)
+                exf = extbo_mod.make_flux4(fs, extbo)
+
+                def acc_fn(u4, fl, pv, rg, ep, ax):
+                    return exa(u4, fl, pv, rg, ep)
+
+                def flux_fn(uL4, uR4, fL, fR, t, g, rL, rR, th, mL, mR,
+                            eL, eR, aL, aR, fd):
+                    return exf(uL4, uR4, fL, fR, t, g, rL, rR, th,
                                mL, mR, eL, eR)
 
                 aux = None
@@ -533,6 +562,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 ws_sys = ws._replace(cell=emb.act[ws.cell])
                 aq_cell_sys = emb.act[aq.cell]
                 c4_wells = u_f[:, 3]
+                u4_wells = u_f
+                regs_wells = cells_f.regs
             else:
                 sys = assemble_structured4(acc_fn, flux_fn, cells, faces,
                                            PrimaryState(u, flag), acc0,
@@ -549,12 +580,18 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             sys = energy_mod.assemble_system4(fs, energy, cells, faces,
                                               PrimaryState(u, flag),
                                               acc0, dt)
-        else:
+        elif trans4 is not None:
             from opm_autodiff_tpu.models import transport4 as t4_mod
 
             sys = t4_mod.assemble_system4(fs, trans4, cells, faces,
                                           PrimaryState(u, flag), acc0,
                                           dt)
+        else:
+            from opm_autodiff_tpu.models import extbo as extbo_mod
+
+            sys = extbo_mod.assemble_system4(fs, extbo, cells, faces,
+                                             PrimaryState(u, flag), acc0,
+                                             dt)
     elif emb is not None:
         u_f = u[emb.fill]
         flag_f = flag[emb.fill]
@@ -601,12 +638,23 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             residual, diag = energy_mod.apply_wells4(fs, residual, diag,
                                                      wr.q_perf, ws_sys,
                                                      c4_wells, energy)
-        else:
+        elif trans4 is not None:
             from opm_autodiff_tpu.models import transport4 as t4_mod
 
             residual, diag = t4_mod.apply_wells4(residual, diag,
                                                  wr.q_perf, ws_sys,
                                                  c4_wells, trans4)
+        else:
+            from opm_autodiff_tpu.models import extbo as extbo_mod
+
+            pc = u4_wells[ws_sys.cell]
+            rg = regs_wells[ws_sys.cell]
+            xv_w, yv_w = jax.vmap(jax.vmap(
+                lambda uu, rr: extbo_mod.solvent_fractions(
+                    extbo, uu[0], uu[3], rr[1])))(pc, rg)
+            residual, diag = extbo_mod.apply_wells4(residual, diag,
+                                                    wr.q_perf, ws_sys,
+                                                    xv_w, yv_w, extbo)
     else:
         residual = w_api.apply_to_residual(sys.residual, wr, ws_sys)
         diag = w_api.apply_to_diag(sys.diag, wr, ws_sys)
@@ -705,6 +753,13 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                                   inv_b_cells, 0.0).sum(axis=1,
                                                         keepdims=True)
         inv_b_conv = jnp.concatenate([inv_b_cells, inv_b_carrier],
+                                     axis=1)
+    elif extbo is not None:
+        # extbo CNV/MB: the solvent row is already a surface-volume
+        # rate (gas-like stream); normalize by the composition span and
+        # scale by the gas B factor (reference: contiZfracEqIdx row)
+        res_conv = residual_act.at[:, 3].multiply(1.0 / extbo.z_max)
+        inv_b_conv = jnp.concatenate([inv_b_cells, inv_b_cells[:, 2:3]],
                                      axis=1)
     well_err4 = None
     well_err_vec = None
@@ -806,6 +861,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
 
         c_new = t4_mod.chop_c_update(trans4, u[:, 3], dx_act[:, 3])
         u_new = jnp.concatenate([u_new, c_new[:, None]], axis=1)
+    elif extbo is not None:
+        from opm_autodiff_tpu.models import extbo as extbo_mod
+
+        z_new = extbo_mod.chop_z_update(extbo, u[:, 3], dx_act[:, 3])
+        u_new = jnp.concatenate([u_new, z_new[:, None]], axis=1)
     if use4:
         pbh_new = xw_new[:, 3]
     else:
@@ -860,7 +920,8 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
                  x3_cap=None, drift_vol=None, poly=None, energy=None,
-                 trans4=None, group_update=None, nupcol: int = 12):
+                 trans4=None, extbo=None, group_update=None,
+                 nupcol: int = 12):
     """Host-driven Newton loop (reference: NonlinearSolverEbos::step).
 
     Returns (final_state, report, q_tot). The state BEFORE the final
@@ -897,7 +958,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     # BlackoilWellModel_impl.hpp:824)
     u3_host = (st.u[:, :3]
                if (poly is not None or energy is not None
-                   or trans4 is not None) else st.u)
+                   or trans4 is not None or extbo is not None) else st.u)
     rho_conn = _conn_rho(fs, u3_host, st.flag, st.pbh, ws, cells.regs)
     well_f0 = None
     if st.xw is not None:
@@ -922,7 +983,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
-                drift_vol, well_f0, poly, energy, trans4)
+                drift_vol, well_f0, poly, energy, trans4, extbo)
         last_res = res_act
         # reference detectOscillations (NonlinearSolverEbos.hpp:278-309):
         # a phase oscillates when the residual returned to its value two
@@ -992,7 +1053,7 @@ def _state_fields(st: NewtonState):
 def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
                                 st: NewtonState, ws: WellSet, acc0, dt,
                                 aq, vfp_bank, msw, x3_cap, drift_vol,
-                                poly, energy, trans4):
+                                poly, energy, trans4, extbo):
     """The whole substep — inner well solve + Newton loop with
     oscillation relaxation and convergence exit — as ONE device
     program (lax.while_loop over full iterations).
@@ -1007,8 +1068,8 @@ def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
     convergence rule); it is selected by the simulator whenever no
     per-iteration host logic (NUPCOL group re-apportioning, verbose
     tracing) is requested."""
-    extra4 = next((x for x in (poly, energy, trans4) if x is not None),
-                  None)
+    extra4 = next((x for x in (poly, energy, trans4, extbo)
+                   if x is not None), None)
     u3 = st.u[:, :3] if extra4 is not None else st.u
     rho_conn = wells_mod.connection_densities(fs, u3, st.flag, st.pbh,
                                               ws, cells.regs)
@@ -1024,7 +1085,8 @@ def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
         return newton_iteration_impl(params, fs, cells, faces, st_c, ws,
                                      acc0, dt, aq, vfp_bank, msw, x3_cap,
                                      relax_c, rho_conn, drift_vol,
-                                     well_f0, poly, energy, trans4)
+                                     well_f0, poly, energy, trans4,
+                                     extbo)
 
     def outcome(st_pre, new_st, info, it):
         """(stop, conv, result fields) under the host loop's rules:
@@ -1097,7 +1159,7 @@ def newton_solve_device(params: NewtonParams, fs, cells, faces,
                         st: NewtonState, ws: WellSet, acc0, dt,
                         aq: AquiferDevice | None = None, vfp_bank=None,
                         msw=None, x3_cap=None, drift_vol=None, poly=None,
-                        energy=None, trans4=None):
+                        energy=None, trans4=None, extbo=None):
     """newton_solve twin running the whole substep on device (one
     dispatch, one host sync). No per-iteration host hooks: callers with
     NUPCOL group updates or verbose tracing use newton_solve."""
@@ -1106,7 +1168,7 @@ def newton_solve_device(params: NewtonParams, fs, cells, faces,
     st = st._replace(lin_setup=None)
     res_f, it, tot_lin, conv, failed, outs = _newton_substep_device(
         params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
-        vfp_bank, msw, x3_cap, drift_vol, poly, energy, trans4)
+        vfp_bank, msw, x3_cap, drift_vol, poly, energy, trans4, extbo)
     (q_tot, q_perf, q_msw, q_aq, res_act, cnv, mb, well_err, werr) = outs
     u, flag, pbh, mode, msw_x, xw = res_f
     st_out = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode,
