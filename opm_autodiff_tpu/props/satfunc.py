@@ -313,10 +313,19 @@ class SatFunc(NamedTuple):
         swof_regions = list(props.swof_regions)
         sgof_regions = list(props.sgof_regions)
         inert = np.asarray([[0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+        # single-phase decks carry no saturation functions at all
+        # (reference: flow_onephase.cpp / flow_onephase_energy.cpp);
+        # the lone phase is fully mobile at its saturation
+        mobile = np.asarray([[0.0, 0.0, 1.0, 0.0], [1.0, 1.0, 0.0, 0.0]])
         if not swof_regions and "WATER" not in phases:
             swof_regions = [inert]
         if not sgof_regions and "GAS" not in phases:
             sgof_regions = [inert]
+        if len(phases) == 1:
+            if not swof_regions:
+                swof_regions = [mobile]
+            if not sgof_regions:
+                sgof_regions = [mobile]
         if not swof_regions or not sgof_regions:
             raise NotImplementedError(
                 "only SWOF/SGOF family supported in this round")

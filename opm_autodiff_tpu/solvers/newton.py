@@ -714,7 +714,14 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             # gas-water runs) so the variable stays frozen
             residual = residual.at[:, eq].set(0.0)
             diag = diag.at[:, eq, :].set(0.0)
-            diag = diag.at[:, eq, 1 if eq == 0 else 2].set(1.0)
+            var = 1 if eq == 0 else 2
+            if eq == 1 and not params.has_gas:
+                # single-phase water (flow_onephase.cpp): the gas row
+                # already pins x3, so the oil row must freeze sw —
+                # otherwise both pinned rows are the x3 identity and
+                # the block is singular
+                var = 1
+            diag = diag.at[:, eq, var].set(1.0)
             for name in ("off_lr", "off_rl", "x_lr", "x_rl", "y_lr",
                          "y_rl", "z_lr", "z_rl", "ex_lr", "ex_rl"):
                 if hasattr(sys, name):
