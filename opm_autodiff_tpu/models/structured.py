@@ -314,6 +314,114 @@ def add_extra_faces(sys: StructuredSystem, fs: FluidSystem,
                         ex_lr=jac_r, ex_rl=-jac_l)
 
 
+def add_extra_faces_packed(sys: StructuredSystem, packed,
+                           emb: EmbeddedTopology) -> StructuredSystem:
+    """add_extra_faces from the fused fast path's packed quantities.
+
+    The per-face jacfwd variant re-evaluates the FULL PVT/satfunc stack
+    at both cells of every extra face — measured at ~30ms for the 986
+    fault faces of the norne-class bench (more than 10x the two Pallas
+    kernels combined), because tiny gather-heavy jacfwd graphs utilize
+    the TPU terribly. The cellpack planes already hold everything the
+    flux chain rule needs (channels: p[3], 1/B[3], mob[3], rho[3], rs,
+    rv — the same layout ops/pallas_flux._face_terms consumes), so the
+    extras become one [Fe,17] gather + vector arithmetic. Adds the
+    THPRES deadband (extras are exactly where thpres faces live —
+    structured_ok routes them off the bands)."""
+    if emb.ex_left is None:
+        return sys
+    q5, dq5 = packed
+    nz, _, ny, nx = q5.shape
+    le, ri = emb.ex_left, emb.ex_right
+    f64 = sys.residual.dtype
+    f32 = q5.dtype
+
+    def gather(idx):
+        k = idx // (ny * nx)
+        rem = idx % (ny * nx)
+        j = rem // nx
+        i = rem % nx
+        return q5[k, :, j, i], dq5[k, :, :, j, i]  # [F,17], [F,17,3]
+
+    QL, dQL = gather(le)
+    QR, dQR = gather(ri)
+    t = emb.ex_trans.astype(f32)
+    g = emb.ex_gdz.astype(f32)
+    th = emb.ex_thpres.astype(f32)
+
+    flux = []
+    jl = []
+    jr = []
+    base = []
+    dbase_L = []
+    dbase_R = []
+    up = []
+    for a in range(3):
+        dphi_raw = (QL[:, a] - QR[:, a]) \
+            - 0.5 * (QL[:, 9 + a] + QR[:, 9 + a]) * g
+        # THPRES deadband (blackoil.face_flux semantics,
+        # eclfluxmodule.hh:327-337): exact identity where th == 0
+        live = jnp.abs(dphi_raw) > th
+        dphi = jnp.where(
+            th > 0.0,
+            jnp.where(live, dphi_raw - jnp.sign(dphi_raw) * th, 0.0),
+            dphi_raw)
+        dfac = jnp.where(th > 0.0, live.astype(f32), 1.0)  # d dphi/d raw
+        upa = dphi >= 0.0
+        m = jnp.where(upa, QL[:, 6 + a], QR[:, 6 + a])
+        bb = jnp.where(upa, QL[:, 3 + a], QR[:, 3 + a])
+        base.append(t * m * bb * dphi)
+        up.append(upa)
+        mb = m * bb
+        mdphi = m * dphi
+        bdphi = bb * dphi
+        dL = []
+        dR = []
+        for d in range(3):
+            ddphi_L = dfac * (dQL[:, a, d] - 0.5 * g * dQL[:, 9 + a, d])
+            ddphi_R = dfac * (-dQR[:, a, d] - 0.5 * g * dQR[:, 9 + a, d])
+            dL.append(t * (jnp.where(upa, dQL[:, 6 + a, d] * bdphi
+                                     + dQL[:, 3 + a, d] * mdphi, 0.0)
+                           + mb * ddphi_L))
+            dR.append(t * (jnp.where(upa, 0.0, dQR[:, 6 + a, d] * bdphi
+                                     + dQR[:, 3 + a, d] * mdphi)
+                           + mb * ddphi_R))
+        dbase_L.append(dL)
+        dbase_R.append(dR)
+
+    rs_up = jnp.where(up[1], QL[:, 12], QR[:, 12])
+    rv_up = jnp.where(up[2], QL[:, 13], QR[:, 13])
+    flux = jnp.stack([base[0],
+                      base[1] + rv_up * base[2],
+                      base[2] + rs_up * base[1]], axis=-1)
+
+    def rows(dbase, dQ, side_up):
+        out = []
+        for d in range(3):
+            drs = jnp.where(up[1], dQ[:, 12, d], 0.0) if side_up == "L" \
+                else jnp.where(up[1], 0.0, dQ[:, 12, d])
+            drv = jnp.where(up[2], dQ[:, 13, d], 0.0) if side_up == "L" \
+                else jnp.where(up[2], 0.0, dQ[:, 13, d])
+            out.append(jnp.stack(
+                [dbase[0][d],
+                 dbase[1][d] + rv_up * dbase[2][d] + drv * base[2],
+                 dbase[2][d] + rs_up * dbase[1][d] + drs * base[1]],
+                axis=-1))
+        return jnp.stack(out, axis=-1)  # [F,3(row),3(dvar)]
+
+    jac_l = rows(dbase_L, dQL, "L").astype(f64)
+    jac_r = rows(dbase_R, dQR, "R").astype(f64)
+    flux = flux.astype(f64)
+
+    residual = sys.residual.at[le].add(flux)
+    residual = residual.at[ri].add(-flux)
+    diag = sys.diag.at[le].add(jac_l)
+    diag = diag.at[ri].add(-jac_r)
+    return sys._replace(residual=residual, diag=diag,
+                        ex_left=le, ex_right=ri,
+                        ex_lr=jac_r, ex_rl=-jac_l)
+
+
 def add_extra_faces4(sys: StructuredSystem, flux_fn,
                      cells_full: CellStatic, emb: EmbeddedTopology,
                      u4_full, flag_full, aux_full=None,
@@ -504,7 +612,11 @@ def _flux_and_jac_slab(QL, QR, dQL, dQR, trans, gdz):
 
 def assemble_structured(fs: FluidSystem, cells: CellStatic,
                         topo: StructuredTopology, state: PrimaryState,
-                        acc0, dt) -> StructuredSystem:
+                        acc0, dt, want_packed: bool = False):
+    """Banded 3-eq assembly. With ``want_packed`` returns
+    (system, (q5, dq5) or None) — the fused fast path's plane-layout
+    packed quantities, which add_extra_faces_packed reuses so the COO
+    extras never re-evaluate the PVT stack."""
     nx, ny, nz = topo.dims
     u, flag = state.u, state.flag
 
@@ -520,8 +632,9 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
             and nz // mesh.devices.size >= 1):
         # multi-chip: shard_mapped two-launch assembly with halo
         # exchange (parallel/shard_kernels.py)
-        return sk.assemble_fast_sharded(mesh, fs, cells, topo, u, flag,
-                                        acc0, dt)
+        out = sk.assemble_fast_sharded(mesh, fs, cells, topo, u, flag,
+                                       acc0, dt)
+        return (out, None) if want_packed else out
 
     if pcp.enabled() and pcp.supports(fs, cells):
         # two fused launches: property pack (plane layout, f32) feeding
@@ -538,12 +651,13 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
             nz * ny * nx, 3).astype(f64)
         acc_jac = jnp.transpose(dq5[:, 14:17], (0, 3, 4, 1, 2)).reshape(
             nz * ny * nx, 3, 3).astype(f64)
-        return StructuredSystem(
+        out = StructuredSystem(
             residual=res.astype(f64), diag=diag.astype(f64),
             x_lr=x_lr.astype(f64), x_rl=x_rl.astype(f64),
             y_lr=y_lr.astype(f64), y_rl=y_rl.astype(f64),
             z_lr=z_lr.astype(f64), z_rl=z_rl.astype(f64),
             inv_b=inv_b, acc_jac=acc_jac)
+        return (out, (q5, dq5)) if want_packed else out
     eps_ax = None if cells.eps is None else 0
 
     def one_cell(uu, ff, pv, rg, mm, ep):
@@ -590,12 +704,15 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
             diag3 = diag3.at[1:].add(-jr)
         bands[axis] = (jr, -jl)
 
-    return StructuredSystem(
+    out = StructuredSystem(
         residual=res3.reshape(-1, 3), diag=diag3.reshape(-1, 3, 3),
         x_lr=bands[0][0], x_rl=bands[0][1],
         y_lr=bands[1][0], y_rl=bands[1][1],
         z_lr=bands[2][0], z_rl=bands[2][1],
         inv_b=Q[:, 3:6], acc_jac=dQ[:, 14:17, :])
+    # XLA fallback: no plane-layout packed quantities to hand out (the
+    # extras then keep the per-face jacfwd path)
+    return (out, None) if want_packed else out
 
 
 def assemble_structured_ref(fs: FluidSystem, cells: CellStatic,

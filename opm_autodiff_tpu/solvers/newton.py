@@ -25,6 +25,7 @@ from opm_autodiff_tpu.models.assembler import assemble_system
 from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
                                                 StructuredTopology,
                                                 add_extra_faces,
+                                                add_extra_faces_packed,
                                                 assemble_structured,
                                                 embed_cells, pin_inactive)
 from opm_autodiff_tpu.models.aquifer import AquiferDevice, aquifer_rates, empty_device
@@ -598,9 +599,15 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         acc0_f = jnp.zeros((emb.mask.shape[0], 3),
                            acc0.dtype).at[emb.act].set(acc0)
         cells_f = embed_cells(emb, cells)
-        sys = assemble_structured(fs, cells_f, emb.topo,
-                                  PrimaryState(u_f, flag_f), acc0_f, dt)
-        sys = add_extra_faces(sys, fs, cells_f, emb, u_f, flag_f)
+        sys, packed = assemble_structured(fs, cells_f, emb.topo,
+                                          PrimaryState(u_f, flag_f),
+                                          acc0_f, dt, want_packed=True)
+        if packed is not None:
+            # fused fast path: extras from the packed planes (one
+            # gather, no PVT re-evaluation — see add_extra_faces_packed)
+            sys = add_extra_faces_packed(sys, packed, emb)
+        else:
+            sys = add_extra_faces(sys, fs, cells_f, emb, u_f, flag_f)
         sys = pin_inactive(sys, emb.mask)
         inv_b_cells = sys.inv_b[emb.act]
         # linear-system-facing cell indices move to the full box; the
