@@ -93,6 +93,77 @@ def _flux_val_jac(fs: FluidSystem, uL, uR, flagL, flagR, trans, gdz,
     return val, jac[:, :3], jac[:, 3:]
 
 
+def packed_face_terms(QL, dQL, QR, dQR, t, g, th):
+    """TPFA flux + both-side Jacobians from packed per-cell quantities.
+
+    ``QL/QR`` [F,17] and ``dQL/dQR`` [F,17,3] in the cellpack channel
+    layout (p[3], 1/B[3], mob[3], rho[3], rs, rv, acc[3]); ``t/g/th``
+    per-face trans / g*dz / THPRES. The hand-derived chain rule of
+    ops/pallas_flux._face_terms on flat face arrays, plus the THPRES
+    deadband (blackoil.face_flux, eclfluxmodule.hh:327-337). Returns
+    (flux [F,3], jac_l, jac_r [F,3,3] with [face, row, dvar])."""
+    f = QL.dtype
+    t = t.astype(f)
+    g = g.astype(f)
+    th = th.astype(f)
+    base = []
+    dbase_L = []
+    dbase_R = []
+    up = []
+    for a in range(3):
+        dphi_raw = (QL[:, a] - QR[:, a]) \
+            - 0.5 * (QL[:, 9 + a] + QR[:, 9 + a]) * g
+        live = jnp.abs(dphi_raw) > th
+        dphi = jnp.where(
+            th > 0.0,
+            jnp.where(live, dphi_raw - jnp.sign(dphi_raw) * th, 0.0),
+            dphi_raw)
+        dfac = jnp.where(th > 0.0, live.astype(f), jnp.ones_like(dphi))
+        upa = dphi >= 0.0
+        m = jnp.where(upa, QL[:, 6 + a], QR[:, 6 + a])
+        bb = jnp.where(upa, QL[:, 3 + a], QR[:, 3 + a])
+        base.append(t * m * bb * dphi)
+        up.append(upa)
+        mb = m * bb
+        mdphi = m * dphi
+        bdphi = bb * dphi
+        dL = []
+        dR = []
+        for d in range(3):
+            ddphi_L = dfac * (dQL[:, a, d] - 0.5 * g * dQL[:, 9 + a, d])
+            ddphi_R = dfac * (-dQR[:, a, d] - 0.5 * g * dQR[:, 9 + a, d])
+            dL.append(t * (jnp.where(upa, dQL[:, 6 + a, d] * bdphi
+                                     + dQL[:, 3 + a, d] * mdphi, 0.0)
+                           + mb * ddphi_L))
+            dR.append(t * (jnp.where(upa, 0.0, dQR[:, 6 + a, d] * bdphi
+                                     + dQR[:, 3 + a, d] * mdphi)
+                           + mb * ddphi_R))
+        dbase_L.append(dL)
+        dbase_R.append(dR)
+
+    rs_up = jnp.where(up[1], QL[:, 12], QR[:, 12])
+    rv_up = jnp.where(up[2], QL[:, 13], QR[:, 13])
+    flux = jnp.stack([base[0],
+                      base[1] + rv_up * base[2],
+                      base[2] + rs_up * base[1]], axis=-1)
+
+    def rows(dbase, dQ, side_up):
+        out = []
+        for d in range(3):
+            drs = jnp.where(up[1], dQ[:, 12, d], 0.0) if side_up == "L" \
+                else jnp.where(up[1], 0.0, dQ[:, 12, d])
+            drv = jnp.where(up[2], dQ[:, 13, d], 0.0) if side_up == "L" \
+                else jnp.where(up[2], 0.0, dQ[:, 13, d])
+            out.append(jnp.stack(
+                [dbase[0][d],
+                 dbase[1][d] + rv_up * dbase[2][d] + drv * base[2],
+                 dbase[2][d] + rs_up * dbase[1][d] + drs * base[1]],
+                axis=-1))
+        return jnp.stack(out, axis=-1)  # [F,3(row),3(dvar)]
+
+    return flux, rows(dbase_L, dQL, "L"), rows(dbase_R, dQR, "R")
+
+
 def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
                     state: PrimaryState, acc0: jnp.ndarray,
                     dt) -> BsrSystem:
@@ -100,7 +171,72 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
 
     R_i = (acc_i(u) - acc0_i)/dt + sum_faces +-flux_f   [surface m^3/s]
     Well/aquifer sources are added by their own modules on top of this.
-    """
+
+    Packed formulation: ONE per-cell 3-tangent jacfwd packs every
+    intensive quantity + accumulation (structured._pack_cell), then the
+    per-face terms come from gathered packed values through the
+    hand-derived chain rule (packed_face_terms). The earlier per-face
+    jacfwd re-evaluated the full PVT stack at BOTH cells of EVERY face
+    under 6 tangents — ~2F/N ~ 6 evaluations per cell per sweep, and
+    tiny gather-heavy jacfwd graphs utilize the TPU terribly (the same
+    pathology measured at 31.9ms for 986 fault extras)."""
+    u, flag = state.u, state.flag
+
+    from opm_autodiff_tpu.models.structured import _pack_cell
+
+    def one_cell(uu, ff, pv, rg, mm, ep):
+        def fn(x):
+            q = _pack_cell(fs, x, ff, pv, rg, mm, ep)
+            return q, q
+
+        jac, val = jax.jacfwd(fn, has_aux=True)(uu)
+        return val, jac
+
+    eps_ax = None if cells.eps is None else 0
+    Q, dQ = jax.vmap(one_cell, in_axes=(0, 0, 0, 0, 0, eps_ax))(
+        u, flag, cells.pore_vol_ref, cells.regs, cells.mob_mult,
+        cells.eps)
+
+    residual = (Q[:, 14:17] - acc0) / dt
+    acc_jac = dQ[:, 14:17, :]
+    diag = acc_jac / dt
+
+    flux, jac_l, jac_r = packed_face_terms(
+        Q[faces.left], dQ[faces.left], Q[faces.right], dQ[faces.right],
+        faces.trans, faces.gdz, faces.thpres)
+
+    # R_L += flux ; R_R -= flux
+    ell = getattr(faces, "ell_face", None)
+    if ell is not None:
+        # gather-only accumulation of face contributions (TPU: scatter-
+        # adds serialize; the fixed-degree gather vectorizes)
+        sgn = jnp.where(faces.ell_left, 1.0, -1.0)
+        residual = residual + (sgn[..., None]
+                               * _pad_face0(flux)[ell]).sum(axis=1)
+        dsel = jnp.where(faces.ell_left[..., None, None],
+                         _pad_face0(jac_l)[ell], -_pad_face0(jac_r)[ell])
+        diag = diag + dsel.sum(axis=1)
+    else:
+        residual = residual.at[faces.left].add(flux)
+        residual = residual.at[faces.right].add(-flux)
+        diag = diag.at[faces.left].add(jac_l)
+        diag = diag.at[faces.right].add(-jac_r)
+    off_lr = jac_r
+    off_rl = -jac_l
+
+    return BsrSystem(residual=residual, diag=diag, off_lr=off_lr,
+                     off_rl=off_rl, left=faces.left, right=faces.right,
+                     acc_jac=acc_jac,
+                     ell_face=ell,
+                     ell_nbr=getattr(faces, "ell_nbr", None),
+                     ell_left=getattr(faces, "ell_left", None))
+
+
+def assemble_system_ref(fs: FluidSystem, cells: CellStatic,
+                        faces: FaceStatic, state: PrimaryState,
+                        acc0: jnp.ndarray, dt) -> BsrSystem:
+    """Per-face jacfwd reference assembly (the pre-packed formulation;
+    kept as the regression anchor for assemble_system)."""
     u, flag = state.u, state.flag
 
     eps_ax = None if cells.eps is None else 0
@@ -127,11 +263,8 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
         faces.thpres, cells.mob_mult[faces.left],
         cells.mob_mult[faces.right], epsL, epsR)
 
-    # R_L += flux ; R_R -= flux
     ell = getattr(faces, "ell_face", None)
     if ell is not None:
-        # gather-only accumulation of face contributions (TPU: scatter-
-        # adds serialize; the fixed-degree gather vectorizes)
         sgn = jnp.where(faces.ell_left, 1.0, -1.0)
         residual = residual + (sgn[..., None]
                                * _pad_face0(flux)[ell]).sum(axis=1)
