@@ -330,11 +330,12 @@ def add_extra_faces_packed(sys: StructuredSystem, packed,
     structured_ok routes them off the bands)."""
     if emb.ex_left is None:
         return sys
+    from opm_autodiff_tpu.models.assembler import packed_face_terms
+
     q5, dq5 = packed
     nz, _, ny, nx = q5.shape
     le, ri = emb.ex_left, emb.ex_right
     f64 = sys.residual.dtype
-    f32 = q5.dtype
 
     def gather(idx):
         k = idx // (ny * nx)
@@ -345,73 +346,12 @@ def add_extra_faces_packed(sys: StructuredSystem, packed,
 
     QL, dQL = gather(le)
     QR, dQR = gather(ri)
-    t = emb.ex_trans.astype(f32)
-    g = emb.ex_gdz.astype(f32)
-    th = emb.ex_thpres.astype(f32)
-
-    flux = []
-    jl = []
-    jr = []
-    base = []
-    dbase_L = []
-    dbase_R = []
-    up = []
-    for a in range(3):
-        dphi_raw = (QL[:, a] - QR[:, a]) \
-            - 0.5 * (QL[:, 9 + a] + QR[:, 9 + a]) * g
-        # THPRES deadband (blackoil.face_flux semantics,
-        # eclfluxmodule.hh:327-337): exact identity where th == 0
-        live = jnp.abs(dphi_raw) > th
-        dphi = jnp.where(
-            th > 0.0,
-            jnp.where(live, dphi_raw - jnp.sign(dphi_raw) * th, 0.0),
-            dphi_raw)
-        dfac = jnp.where(th > 0.0, live.astype(f32), 1.0)  # d dphi/d raw
-        upa = dphi >= 0.0
-        m = jnp.where(upa, QL[:, 6 + a], QR[:, 6 + a])
-        bb = jnp.where(upa, QL[:, 3 + a], QR[:, 3 + a])
-        base.append(t * m * bb * dphi)
-        up.append(upa)
-        mb = m * bb
-        mdphi = m * dphi
-        bdphi = bb * dphi
-        dL = []
-        dR = []
-        for d in range(3):
-            ddphi_L = dfac * (dQL[:, a, d] - 0.5 * g * dQL[:, 9 + a, d])
-            ddphi_R = dfac * (-dQR[:, a, d] - 0.5 * g * dQR[:, 9 + a, d])
-            dL.append(t * (jnp.where(upa, dQL[:, 6 + a, d] * bdphi
-                                     + dQL[:, 3 + a, d] * mdphi, 0.0)
-                           + mb * ddphi_L))
-            dR.append(t * (jnp.where(upa, 0.0, dQR[:, 6 + a, d] * bdphi
-                                     + dQR[:, 3 + a, d] * mdphi)
-                           + mb * ddphi_R))
-        dbase_L.append(dL)
-        dbase_R.append(dR)
-
-    rs_up = jnp.where(up[1], QL[:, 12], QR[:, 12])
-    rv_up = jnp.where(up[2], QL[:, 13], QR[:, 13])
-    flux = jnp.stack([base[0],
-                      base[1] + rv_up * base[2],
-                      base[2] + rs_up * base[1]], axis=-1)
-
-    def rows(dbase, dQ, side_up):
-        out = []
-        for d in range(3):
-            drs = jnp.where(up[1], dQ[:, 12, d], 0.0) if side_up == "L" \
-                else jnp.where(up[1], 0.0, dQ[:, 12, d])
-            drv = jnp.where(up[2], dQ[:, 13, d], 0.0) if side_up == "L" \
-                else jnp.where(up[2], 0.0, dQ[:, 13, d])
-            out.append(jnp.stack(
-                [dbase[0][d],
-                 dbase[1][d] + rv_up * dbase[2][d] + drv * base[2],
-                 dbase[2][d] + rs_up * dbase[1][d] + drs * base[1]],
-                axis=-1))
-        return jnp.stack(out, axis=-1)  # [F,3(row),3(dvar)]
-
-    jac_l = rows(dbase_L, dQL, "L").astype(f64)
-    jac_r = rows(dbase_R, dQR, "R").astype(f64)
+    flux, jac_l, jac_r = packed_face_terms(QL, dQL, QR, dQR,
+                                           emb.ex_trans, emb.ex_gdz,
+                                           emb.ex_thpres)
     flux = flux.astype(f64)
+    jac_l = jac_l.astype(f64)
+    jac_r = jac_r.astype(f64)
 
     residual = sys.residual.at[le].add(flux)
     residual = residual.at[ri].add(-flux)
