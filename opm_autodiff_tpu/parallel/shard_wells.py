@@ -207,12 +207,14 @@ def schur_matvec_dist(mesh, wr: Well4Result, ws, x):
     n_local = x.shape[0] // mesh.devices.size
 
     def local(x_l, wr_r, ws_r):
+        dt = x_l.dtype  # f32-native inside the f32 Krylov loop
         locc, owned = owned_perforations(ws_r, n_local, axis)
         x_perf = jnp.where(owned[..., None], x_l[locc], 0.0)  # [W,P,3]
-        bx_l = jnp.einsum("wpej,wpj->we", wr_r.b_blk, x_perf)  # [W,4]
+        bx_l = jnp.einsum("wpej,wpj->we", wr_r.b_blk.astype(dt),
+                          x_perf)  # [W,4]
         bx = jax.lax.psum(bx_l, axis)
-        coef = jnp.einsum("wef,wf->we", wr_r.d_inv, bx)
-        contrib = jnp.einsum("wpce,we->wpc", -wr_r.dq_dxw, coef)
+        coef = jnp.einsum("wef,wf->we", wr_r.d_inv.astype(dt), bx)
+        contrib = jnp.einsum("wpce,we->wpc", -wr_r.dq_dxw.astype(dt), coef)
         contrib = jnp.where(owned[..., None], contrib, 0.0)
         y_l = jnp.zeros_like(x_l)
         return y_l.at[locc.reshape(-1)].add(-contrib.reshape(-1, 3))

@@ -392,11 +392,16 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         else:
             base_mv = partial(system_matvec, scaled)
 
+        col32 = col64.astype(dtype)
+
         def matvec(y):
             z = base_mv(y)
             if extra_matvec is not None:
-                x = (y.astype(f64) * col64)
-                z = z + (extra_matvec(x) * row32.astype(f64)).astype(dtype)
+                # stays in the Krylov dtype end-to-end: the well Schur
+                # matvecs compute in x.dtype (wells/standard4.py), so no
+                # full-length f64 scale/cast passes ride every iteration
+                x = y * col32
+                z = z + extra_matvec(x).astype(dtype) * row32
             return z
 
         if prec is None:

@@ -483,10 +483,11 @@ def apply_to_diag(diag, mr: MswResult, msw: MswSet):
 def schur_matvec(mr: MswResult, msw: MswSet, x):
     """y = -C D^-1 B x on cell vectors (C here maps to the CELL equations:
     dR_cell/dx_w = -c_blk since R_cell -= q)."""
+    dt = x.dtype  # f32-native inside the f32 Krylov loop
     x_perf = x[msw.perf_cell].reshape(msw.num_wells, -1)  # [M,3P]
-    bx = jnp.einsum("msp,mp->ms", mr.b_blk, x_perf)
-    dinv_bx = jnp.einsum("mst,mt->ms", mr.d_inv, bx)
-    contrib = jnp.einsum("mps,ms->mp", mr.c_blk, dinv_bx)  # dq/dx . dx
+    bx = jnp.einsum("msp,mp->ms", mr.b_blk.astype(dt), x_perf)
+    dinv_bx = jnp.einsum("mst,mt->ms", mr.d_inv.astype(dt), bx)
+    contrib = jnp.einsum("mps,ms->mp", mr.c_blk.astype(dt), dinv_bx)
     y = jnp.zeros_like(x)
     # R_cell -= q  =>  dR_cell/dx_w = -c_blk; y -= C D^-1 B x
     y = y.at[msw.perf_cell.reshape(-1)].add(

@@ -501,10 +501,11 @@ def schur_matvec(wr: WellResult, ws: WellSet, x):
     C[w,p,:] = dR_c/dpbh = -dq_dpbh. Fused into the Krylov operator
     (reference: WellOperators.hpp:99; StandardWell_impl.hpp:1273 apply).
     """
+    dt = x.dtype  # f32-native inside the f32 Krylov loop
     x_perf = x[ws.cell]  # [W,P,3]
-    bx = jnp.einsum("wpj,wpj->w", wr.b_blk, x_perf)
-    coef = bx / wr.d_diag  # [W]
-    contrib = (-wr.dq_dpbh) * coef[:, None, None]  # C * D^-1 (B x)
+    bx = jnp.einsum("wpj,wpj->w", wr.b_blk.astype(dt), x_perf)
+    coef = bx / wr.d_diag.astype(dt)  # [W]
+    contrib = (-wr.dq_dpbh.astype(dt)) * coef[:, None, None]
     y = jnp.zeros_like(x)
     y = y.at[ws.cell.reshape(-1)].add(-contrib.reshape(-1, 3))
     return y

@@ -457,11 +457,16 @@ def schur_matvec(wr: Well4Result, ws: WellSet, x):
 
     C[w,p,:,:] = dR_c/dxw = -dq_dxw [3,4]; B[w,p,:,:] [4,3].
     (Reference: StandardWell_impl.hpp:1273 apply: Ax -= C^T D^-1 B x.)
+
+    Computes in ``x.dtype``: inside the f32 Krylov loop the whole apply
+    stays f32 (the factor casts are tiny [W,P,4,3] arrays; the full-
+    length gather/scatter and the zeros vector are the real cost).
     """
+    dt = x.dtype
     x_perf = x[ws.cell]                                     # [W,P,3]
-    bx = jnp.einsum("wpej,wpj->we", wr.b_blk, x_perf)       # [W,4]
-    coef = jnp.einsum("wef,wf->we", wr.d_inv, bx)           # [W,4] = D^-1 Bx
-    contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)  # C (D^-1 Bx)
+    bx = jnp.einsum("wpej,wpj->we", wr.b_blk.astype(dt), x_perf)  # [W,4]
+    coef = jnp.einsum("wef,wf->we", wr.d_inv.astype(dt), bx)  # D^-1 Bx
+    contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw.astype(dt), coef)
     y = jnp.zeros_like(x)
     return y.at[ws.cell.reshape(-1)].add(-contrib.reshape(-1, 3))
 
