@@ -141,12 +141,17 @@ def _measure(problem, iters, precond, well="pbh"):
     import jax.numpy as jnp
 
     from opm_autodiff_tpu.solvers.newton import (NewtonParams, NewtonState,
+                                                 _embed_acc0,
                                                  newton_iteration_impl)
 
     (fs, cells, faces, init, ws, acc0, pbh) = problem
     n_cells = init.u.shape[0]
     params = NewtonParams(linear_precond=precond)
     dt = jnp.asarray(86400.0)
+    # acc0 is constant per substep: embed it into the full box once,
+    # exactly like newton_solve/_newton_substep_device do (the
+    # per-iteration f64 scatter costs ~4 ms at 50k cells on TPU)
+    acc0 = _embed_acc0(faces, acc0)
 
     if well == "std4":
         from opm_autodiff_tpu.wells import standard4 as s4

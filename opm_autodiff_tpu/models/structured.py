@@ -305,6 +305,10 @@ def add_extra_faces(sys: StructuredSystem, fs: FluidSystem,
         emb.ex_trans, emb.ex_gdz, cells_full.regs[le], cells_full.regs[ri],
         emb.ex_thpres, cells_full.mob_mult[le], cells_full.mob_mult[ri],
         None if eps is None else eps[le], None if eps is None else eps[ri])
+    dt_s = sys.residual.dtype
+    flux = flux.astype(dt_s)
+    jac_l = jac_l.astype(dt_s)
+    jac_r = jac_r.astype(dt_s)
     residual = sys.residual.at[le].add(flux)
     residual = residual.at[ri].add(-flux)
     diag = sys.diag.at[le].add(jac_l)
@@ -552,13 +556,24 @@ def _flux_and_jac_slab(QL, QR, dQL, dQR, trans, gdz):
 
 def assemble_structured(fs: FluidSystem, cells: CellStatic,
                         topo: StructuredTopology, state: PrimaryState,
-                        acc0, dt, want_packed: bool = False):
+                        acc0, dt, want_packed: bool = False,
+                        out_dtype=None):
     """Banded 3-eq assembly. With ``want_packed`` returns
     (system, (q5, dq5) or None) — the fused fast path's plane-layout
     packed quantities, which add_extra_faces_packed reuses so the COO
-    extras never re-evaluate the PVT stack."""
+    extras never re-evaluate the PVT stack.
+
+    ``out_dtype`` sets the system's storage dtype (default: ``u.dtype``).
+    The fused Pallas path computes everything in f32 regardless — on
+    TPU, keeping the SYSTEM in f32 too (out_dtype=float32) skips the
+    cast passes and, far more importantly, keeps every downstream
+    scatter (well apply, COO extras, inactive pinning) off the
+    software-emulated f64 path, which costs ~2-4 ms per scatter at 50k
+    cells. No information is lost: the values are f32-rounded either
+    way, and the Krylov solve already runs equilibrated f32."""
     nx, ny, nz = topo.dims
     u, flag = state.u, state.flag
+    f64 = u.dtype if out_dtype is None else out_dtype
 
     from opm_autodiff_tpu.ops import pallas_cellpack as pcp
 
@@ -586,7 +601,6 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
         q5, dq5 = pcp.cellpack_planes(fs, cells, u, flag, (nz, ny, nx))
         (res, diag, x_lr, x_rl, y_lr, y_rl, z_lr,
          z_rl) = pallas_flux.flux_bands(q5, dq5, acc0, topo, dt)
-        f64 = u.dtype
         inv_b = jnp.transpose(q5[:, 3:6], (0, 2, 3, 1)).reshape(
             nz * ny * nx, 3).astype(f64)
         acc_jac = jnp.transpose(dq5[:, 14:17], (0, 3, 4, 1, 2)).reshape(
@@ -645,11 +659,12 @@ def assemble_structured(fs: FluidSystem, cells: CellStatic,
         bands[axis] = (jr, -jl)
 
     out = StructuredSystem(
-        residual=res3.reshape(-1, 3), diag=diag3.reshape(-1, 3, 3),
-        x_lr=bands[0][0], x_rl=bands[0][1],
-        y_lr=bands[1][0], y_rl=bands[1][1],
-        z_lr=bands[2][0], z_rl=bands[2][1],
-        inv_b=Q[:, 3:6], acc_jac=dQ[:, 14:17, :])
+        residual=res3.reshape(-1, 3).astype(f64),
+        diag=diag3.reshape(-1, 3, 3).astype(f64),
+        x_lr=bands[0][0].astype(f64), x_rl=bands[0][1].astype(f64),
+        y_lr=bands[1][0].astype(f64), y_rl=bands[1][1].astype(f64),
+        z_lr=bands[2][0].astype(f64), z_rl=bands[2][1].astype(f64),
+        inv_b=Q[:, 3:6].astype(f64), acc_jac=dQ[:, 14:17, :].astype(f64))
     # XLA fallback: no plane-layout packed quantities to hand out (the
     # extras then keep the per-face jacfwd path)
     return (out, None) if want_packed else out

@@ -172,7 +172,7 @@ def apply_to_residual_dist(mesh, residual, wr: Well4Result, ws):
         locc, owned = owned_perforations(ws_r, n_local, axis)
         q = jnp.where(owned[..., None], q_perf, 0.0)
         return res_l.at[locc.reshape(-1)].add(
-            -q.reshape(-1, q.shape[-1]))
+            -q.reshape(-1, q.shape[-1]).astype(res_l.dtype))
 
     return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
                      out_specs=P(axis), check_vma=False)(
@@ -188,7 +188,7 @@ def apply_to_diag_dist(mesh, diag, wr: Well4Result, ws):
         locc, owned = owned_perforations(ws_r, n_local, axis)
         d = jnp.where(owned[..., None, None], dq_du, 0.0)
         return diag_l.at[locc.reshape(-1)].add(
-            -d.reshape(-1, *d.shape[-2:]))
+            -d.reshape(-1, *d.shape[-2:]).astype(diag_l.dtype))
 
     return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
                      out_specs=P(axis), check_vma=False)(
@@ -237,7 +237,7 @@ def schur_rhs_dist(mesh, residual, wr: Well4Result, ws):
         contrib = jnp.where(owned[..., None], contrib, 0.0)
         corr = jnp.zeros_like(res_l)
         return corr.at[locc.reshape(-1)].add(
-            contrib.reshape(-1, contrib.shape[-1]))
+            contrib.reshape(-1, contrib.shape[-1]).astype(res_l.dtype))
 
     return shard_map(local, mesh=mesh, in_specs=(P(axis), P(), P()),
                      out_specs=P(axis), check_vma=False)(

@@ -317,14 +317,17 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         # f32 roundoff ~1e-7; pick it automatically for loose reductions
         dtype = jnp.float32 if tol >= 1e-5 else f64
 
-    if dtype != f64:
+    if dtype != f64 or jnp.dtype(dtype) == jnp.dtype(jnp.float32):
         # Row + column equilibration so both matrix entries AND the
         # solution components are O(1) in f32: the raw unknowns span ~1e10
         # (dp ~ 1e5 Pa vs dSw ~ 1e-3), which f32 cannot carry in one
-        # vector. Solve (R A C) y = R b, then dx = C y.
-        row = 1.0 / jnp.maximum(jnp.abs(sys.diag).max(axis=2), 1e-300)  # [N,3]
+        # vector. Solve (R A C) y = R b, then dx = C y. (Also taken when
+        # the SYSTEM is already stored f32 — banded fast paths — where
+        # the casts below become no-ops but the scaling still matters.)
+        tiny = jnp.finfo(sys.diag.dtype).tiny
+        row = 1.0 / jnp.maximum(jnp.abs(sys.diag).max(axis=2), tiny)  # [N,3]
         dscaled = sys.diag * row[:, :, None]
-        col = 1.0 / jnp.maximum(jnp.abs(dscaled).max(axis=1), 1e-300)  # [N,3]
+        col = 1.0 / jnp.maximum(jnp.abs(dscaled).max(axis=1), tiny)  # [N,3]
         scaled = _scale_system(sys, row, col, dtype)
         b_s = (b * row).astype(dtype)
         row32 = row.astype(dtype)

@@ -76,6 +76,14 @@ class NewtonParams:
     has_water: bool = True
     has_gas: bool = True
     has_oil: bool = True
+    # storage dtype of the assembled banded/embedded 3-eq system. True
+    # stores it in f32: that matches the fused Pallas kernels' compute
+    # precision (the values are f32-rounded either way) and keeps every
+    # downstream scatter — well apply, COO extras, inactive pinning,
+    # aquifers — off TPU's software-emulated f64 path (~2-4 ms per
+    # full-array f64 scatter at 50k cells). The Krylov solve already
+    # runs equilibrated f32; convergence metrics accumulate in f64.
+    sys_f32: bool = True
 
 
 class NewtonState(NamedTuple):
@@ -121,7 +129,9 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
     pv_sum = pv.sum()
     big_b = 1.0 / inv_b  # [N,3]
 
-    r_scaled = big_b * residual  # surface-rate residual * B [m^3/s reservoir]
+    # surface-rate residual * B [m^3/s reservoir]; accumulate the
+    # MB sums / CNV maxima in f64 even when the system is stored f32
+    r_scaled = (big_b * residual).astype(pv.dtype)
     cnv_cell = jnp.abs(r_scaled) * dt / pv[:, None]  # [N,3]
     cnv = cnv_cell.max(axis=0)  # [3]
     mb = jnp.abs(r_scaled.sum(axis=0)) * dt / pv_sum  # [3]
@@ -364,6 +374,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         aq = empty_device()
     u, flag, pbh, mode = st.u, st.flag, st.pbh, st.active_mode
     use4 = st.xw is not None  # 4-DOF StandardWell vs 1-DOF research well
+    sys_dt = jnp.float32 if params.sys_f32 else u.dtype
     extra4 = next((x for x in (poly, energy, trans4, extbo)
                    if x is not None), None)
     u3 = u[:, :3] if extra4 is not None else u
@@ -546,8 +557,11 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 u_f = u[emb.fill]
                 flag_f = flag[emb.fill]
                 aux_f = None if aux is None else aux[emb.fill]
-                acc0_f = jnp.zeros((emb.mask.shape[0], 4),
-                                   acc0.dtype).at[emb.act].set(acc0)
+                if acc0.shape[0] == emb.mask.shape[0]:
+                    acc0_f = acc0  # pre-embedded (see _embed_acc0)
+                else:
+                    acc0_f = jnp.zeros((emb.mask.shape[0], 4),
+                                       acc0.dtype).at[emb.act].set(acc0)
                 cells_f = embed_cells(emb, cells)
                 sys = assemble_structured4(acc_fn, flux_fn, cells_f,
                                            emb.topo,
@@ -594,12 +608,19 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     elif emb is not None:
         u_f = u[emb.fill]
         flag_f = flag[emb.fill]
-        acc0_f = jnp.zeros((emb.mask.shape[0], 3),
-                           acc0.dtype).at[emb.act].set(acc0)
+        if acc0.shape[0] == emb.mask.shape[0]:
+            # pre-embedded box layout: the caller hoisted the scatter
+            # out of the iteration (acc0 is constant per substep, and a
+            # full-box f64 scatter costs ~4 ms at 50k cells on TPU)
+            acc0_f = acc0
+        else:
+            acc0_f = jnp.zeros((emb.mask.shape[0], 3),
+                               acc0.dtype).at[emb.act].set(acc0)
         cells_f = embed_cells(emb, cells)
         sys, packed = assemble_structured(fs, cells_f, emb.topo,
                                           PrimaryState(u_f, flag_f),
-                                          acc0_f, dt, want_packed=True)
+                                          acc0_f, dt, want_packed=True,
+                                          out_dtype=sys_dt)
         if packed is not None:
             # fused fast path: extras from the packed planes (one
             # gather, no PVT re-evaluation — see add_extra_faces_packed)
@@ -616,7 +637,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         aq_cell_sys = emb.act[aq.cell]
     elif isinstance(faces, StructuredTopology):
         sys = assemble_structured(fs, cells, faces, PrimaryState(u, flag),
-                                  acc0, dt)
+                                  acc0, dt, out_dtype=sys_dt)
         inv_b_cells = sys.inv_b
     else:
         sys = assemble_system(fs, cells, faces, PrimaryState(u, flag),
@@ -676,8 +697,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # (reference BlackoilAquiferModel::addToSource) ---
     rho_w_g = fs.rho_ref(0)[0] * 9.80665
     q_aq = aquifer_rates(aq, u, rho_w_g)
-    residual = residual.at[aq_cell_sys, 0].add(-q_aq)
-    diag = diag.at[aq_cell_sys, 0, 0].add(aq.a2)
+    residual = residual.at[aq_cell_sys, 0].add(
+        (-q_aq).astype(residual.dtype))
+    diag = diag.at[aq_cell_sys, 0, 0].add(
+        jnp.asarray(aq.a2, diag.dtype))
 
     # --- drift compensation: the previous substep's converged-but-
     # nonzero residual (times dt) re-enters as a source so the relaxed
@@ -690,8 +713,14 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         # at the start of the substep cannot be absorbed (e.g. oil drift
         # in water-swept So=0 cells) and pins Newton at a nonzero-
         # residual fixed point just above the MB tolerance: cap it by
-        # the stored surface volume
-        rate = jnp.minimum(rate, acc0 / dt)
+        # the stored surface volume (active layout even when acc0
+        # arrived pre-embedded in the full box)
+        acc0_act = (acc0[emb.act]
+                    if emb is not None
+                    and acc0.shape[0] == emb.mask.shape[0]
+                    and acc0.shape[0] != drift_vol.shape[0]
+                    else acc0)
+        rate = jnp.minimum(rate, acc0_act / dt)
         vols = jnp.abs(rate) * dt
         if energy is not None:
             # the energy row is in J, not surface m3: normalize it to a
@@ -703,9 +732,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             comp_total > cap, cap / jnp.maximum(comp_total, 1e-300), 1.0)
         corr = rate * comp_scale[:, None]
         if emb is not None:
-            residual = residual.at[emb.act].add(corr)
+            residual = residual.at[emb.act].add(
+                corr.astype(residual.dtype))
         else:
-            residual = residual + corr
+            residual = residual + corr.astype(residual.dtype)
 
     # --- inactive-phase equation pinning (two-phase variants) ---
     if not (params.has_water and params.has_gas and params.has_oil):
@@ -843,7 +873,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # oscillation relaxation: the host loop dampens the update when the
     # residual history oscillates (reference: NonlinearSolverEbos
     # stabilizeNonlinearUpdate :315, dampen with relaxMax 0.5)
-    dx = dx * relax
+    dx = dx * jnp.asarray(relax, dx.dtype)
     dx3 = dx[:, :3] if extra4 is not None else dx
     xw_new = st.xw
     if use4:
@@ -928,6 +958,18 @@ class NewtonReport:
     well_errors: np.ndarray = None
 
 
+def _embed_acc0(faces, acc0):
+    """Pre-embed acc0 into the full box ONCE per substep. acc0 is
+    constant across the Newton loop, and the full-box f64 scatter costs
+    ~4 ms at 50k cells on TPU — newton_iteration_impl detects the box
+    layout by shape and skips its own embed."""
+    if (isinstance(faces, EmbeddedTopology)
+            and acc0.shape[0] != faces.mask.shape[0]):
+        return jnp.zeros((faces.mask.shape[0], acc0.shape[1]),
+                         acc0.dtype).at[faces.act].set(acc0)
+    return acc0
+
+
 def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
                  ws: WellSet, acc0, dt, verbose: bool = False,
                  aq: AquiferDevice | None = None, vfp_bank=None, msw=None,
@@ -957,6 +999,7 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     last_q_msw = None
     # setup reuse is per-substep: iteration 0 always (re)builds
     st = st._replace(lin_setup=None)
+    acc0 = _embed_acc0(faces, acc0)
     if aq is None:
         aq = empty_device()
     # oscillation detection over the per-phase CNV history (reference:
@@ -1083,6 +1126,7 @@ def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
     extra4 = next((x for x in (poly, energy, trans4, extbo)
                    if x is not None), None)
     u3 = st.u[:, :3] if extra4 is not None else st.u
+    acc0 = _embed_acc0(faces, acc0)
     rho_conn = wells_mod.connection_densities(fs, u3, st.flag, st.pbh,
                                               ws, cells.regs)
     well_f0 = None

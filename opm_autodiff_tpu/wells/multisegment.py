@@ -470,13 +470,13 @@ def msw_contributions(fs: FluidSystem, u, flag, x, msw: MswSet,
 
 def apply_to_residual(residual, mr: MswResult, msw: MswSet):
     flat_cells = msw.perf_cell.reshape(-1)
-    flat_q = mr.q_perf_cell.reshape(-1, 3)
+    flat_q = mr.q_perf_cell.reshape(-1, 3).astype(residual.dtype)
     return residual.at[flat_cells].add(-flat_q)
 
 
 def apply_to_diag(diag, mr: MswResult, msw: MswSet):
     flat_cells = msw.perf_cell.reshape(-1)
-    flat_j = mr.dq_du.reshape(-1, 3, 3)
+    flat_j = mr.dq_du.reshape(-1, 3, 3).astype(diag.dtype)
     return diag.at[flat_cells].add(-flat_j)
 
 
@@ -504,7 +504,7 @@ def schur_rhs(mr: MswResult, msw: MswSet, residual):
     contrib = jnp.einsum("mps,ms->mp", mr.c_blk, dinv_r)
     corr = jnp.zeros_like(residual)
     corr = corr.at[msw.perf_cell.reshape(-1)].add(
-        -contrib.reshape(-1, 3))
+        -contrib.reshape(-1, 3).astype(residual.dtype))
     return corr
 
 

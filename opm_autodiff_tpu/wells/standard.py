@@ -482,16 +482,16 @@ def well_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def apply_to_residual(residual, wr: WellResult, ws: WellSet):
-    """R_c -= q at perforated cells."""
+    """R_c -= q at perforated cells (in the system's storage dtype)."""
     flat_cells = ws.cell.reshape(-1)
-    flat_q = wr.q_perf.reshape(-1, 3)
+    flat_q = wr.q_perf.reshape(-1, 3).astype(residual.dtype)
     return residual.at[flat_cells].add(-flat_q)
 
 
 def apply_to_diag(diag, wr: WellResult, ws: WellSet):
     """A_cc -= dq/du at perforated cells."""
     flat_cells = ws.cell.reshape(-1)
-    flat_j = wr.dq_du.reshape(-1, 3, 3)
+    flat_j = wr.dq_du.reshape(-1, 3, 3).astype(diag.dtype)
     return diag.at[flat_cells].add(-flat_j)
 
 
@@ -516,7 +516,8 @@ def schur_rhs(residual, wr: WellResult, ws: WellSet):
     coef = wr.res_well / wr.d_diag  # [W]
     contrib = (-wr.dq_dpbh) * coef[:, None, None]
     corr = jnp.zeros_like(residual)
-    corr = corr.at[ws.cell.reshape(-1)].add(contrib.reshape(-1, 3))
+    corr = corr.at[ws.cell.reshape(-1)].add(
+        contrib.reshape(-1, 3).astype(residual.dtype))
     return corr  # add to rhs: b = -residual + corr
 
 

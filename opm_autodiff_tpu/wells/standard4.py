@@ -441,15 +441,18 @@ def _well_tail(xw, ws: WellSet, active_mode, vfp_bank, f0, dt,
 # ---------------------------------------------------------------------------
 
 def apply_to_residual(residual, wr: Well4Result, ws: WellSet):
-    """R_c -= q at perforated cells."""
+    """R_c -= q at perforated cells (in the system's storage dtype —
+    scatters into f32-stored banded systems stay off TPU's f64 path)."""
     flat_cells = ws.cell.reshape(-1)
-    return residual.at[flat_cells].add(-wr.q_perf.reshape(-1, 3))
+    upd = (-wr.q_perf.reshape(-1, 3)).astype(residual.dtype)
+    return residual.at[flat_cells].add(upd)
 
 
 def apply_to_diag(diag, wr: Well4Result, ws: WellSet):
     """A_cc -= dq/du at perforated cells."""
     flat_cells = ws.cell.reshape(-1)
-    return diag.at[flat_cells].add(-wr.dq_du.reshape(-1, 3, 3))
+    upd = (-wr.dq_du.reshape(-1, 3, 3)).astype(diag.dtype)
+    return diag.at[flat_cells].add(upd)
 
 
 def schur_matvec(wr: Well4Result, ws: WellSet, x):
@@ -480,7 +483,8 @@ def schur_rhs(residual, wr: Well4Result, ws: WellSet):
     coef = jnp.einsum("wef,wf->we", wr.d_inv, wr.res_well)  # [W,4]
     contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)
     corr = jnp.zeros_like(residual)
-    return corr.at[ws.cell.reshape(-1)].add(contrib.reshape(-1, 3))
+    return corr.at[ws.cell.reshape(-1)].add(
+        contrib.reshape(-1, 3).astype(residual.dtype))
 
 
 def recover_xw_update(wr: Well4Result, ws: WellSet, dx):
