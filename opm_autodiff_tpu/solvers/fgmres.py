@@ -56,61 +56,70 @@ def fgmres(matvec: Callable, precond: Callable, b: jnp.ndarray,
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
-        def arnoldi(j, st):
-            # early freeze: |g[j]| is the residual estimate after j
-            # rotations — once it clears the target, remaining inner
-            # iterations are no-ops (saves the matvec+precond on easy
-            # systems and keeps the reported iteration count honest)
-            def frozen(st):
-                return st
+        # Arnoldi as a while_loop with a true early EXIT: |g[j]| is the
+        # residual estimate after j rotations — once it clears the
+        # target, the cycle is done. A fori_loop over all m slots with a
+        # frozen lax.cond still pays the conditional's carry traffic
+        # (~230us/slot at 50k cells: the V/Z Krylov basis is ~20MB) on
+        # every slot; the while_loop runs only the slots that do work,
+        # so an easy 1-iteration solve costs one matvec+precond.
+        def arnoldi_cond(st):
+            j = st[0]
+            g = st[6]
+            return jnp.logical_and(j < m, jnp.abs(g[j]) > target)
 
-            def step(st):
-                V, Z, R, cs, sn, g, nit = st
-                z = pc(V[j])
-                w = mv(z)
+        def arnoldi_step(st):
+            j, V, Z, R, cs, sn, g, nit = st
+            z = pc(V[j])
+            w = mv(z)
 
-                def mgs(i, wh):
-                    w, hcol = wh
-                    coef = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-                    return (w - coef * V[i], hcol.at[i].set(coef))
+            # classical Gram-Schmidt as two [m+1, n] matmuls (masked to
+            # the filled basis rows) instead of m+1 sequential dots: the
+            # fori_loop form cost ~178us per dynamic-slice+reduce at 50k
+            # cells (2.8ms per Arnoldi step); one matmul pair is ~2
+            # passes over the basis. A second CGS pass (CGS2) restores
+            # the orthogonality modified GS had — f32 single-pass CGS
+            # drifts enough to stall the restart decision's true
+            # residual on hard systems.
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            hcol = mask * (V @ w)
+            w = w - hcol @ V
+            corr = mask * (V @ w)
+            w = w - corr @ V
+            hcol = hcol + corr
+            hj1 = jnp.linalg.norm(w)
+            inv_h = jnp.where(hj1 > 0,
+                              1.0 / jnp.where(hj1 > 0, hj1, 1.0), 0.0)
+            V = V.at[j + 1].set(w * inv_h)
+            Z = Z.at[j].set(z)
+            hcol = hcol.at[j + 1].set(hj1)
 
-                w, hcol = jax.lax.fori_loop(
-                    0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
-                hj1 = jnp.linalg.norm(w)
-                inv_h = jnp.where(hj1 > 0,
-                                  1.0 / jnp.where(hj1 > 0, hj1, 1.0), 0.0)
-                V = V.at[j + 1].set(w * inv_h)
-                Z = Z.at[j].set(z)
-                hcol = hcol.at[j + 1].set(hj1)
+            def prev_giv(i, col):
+                ci = jnp.where(i < j, cs[i], 1.0)
+                si = jnp.where(i < j, sn[i], 0.0)
+                t1 = ci * col[i] + si * col[i + 1]
+                t2 = -si * col[i] + ci * col[i + 1]
+                return col.at[i].set(t1).at[i + 1].set(t2)
 
-                def prev_giv(i, col):
-                    ci = jnp.where(i < j, cs[i], 1.0)
-                    si = jnp.where(i < j, sn[i], 0.0)
-                    t1 = ci * col[i] + si * col[i + 1]
-                    t2 = -si * col[i] + ci * col[i + 1]
-                    return col.at[i].set(t1).at[i + 1].set(t2)
+            hcol = jax.lax.fori_loop(0, m, prev_giv, hcol)
 
-                hcol = jax.lax.fori_loop(0, m, prev_giv, hcol)
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            ok = denom > 0
+            cj = jnp.where(ok, hcol[j] / jnp.where(ok, denom, 1.0),
+                           1.0)
+            sj = jnp.where(ok, hcol[j + 1] / jnp.where(ok, denom, 1.0),
+                           0.0)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            cs = cs.at[j].set(cj)
+            sn = sn.at[j].set(sj)
+            gj = g[j]
+            g = g.at[j].set(cj * gj).at[j + 1].set(-sj * gj)
+            R = R.at[:, j].set(hcol)
+            return (j + 1, V, Z, R, cs, sn, g, nit + 1)
 
-                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-                ok = denom > 0
-                cj = jnp.where(ok, hcol[j] / jnp.where(ok, denom, 1.0),
-                               1.0)
-                sj = jnp.where(ok, hcol[j + 1] / jnp.where(ok, denom, 1.0),
-                               0.0)
-                hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
-                cs = cs.at[j].set(cj)
-                sn = sn.at[j].set(sj)
-                gj = g[j]
-                g = g.at[j].set(cj * gj).at[j + 1].set(-sj * gj)
-                R = R.at[:, j].set(hcol)
-                return (V, Z, R, cs, sn, g, nit + 1)
-
-            return jax.lax.cond(jnp.abs(st[5][j]) > target, step, frozen,
-                                st)
-
-        V, Z, R, cs, sn, g, nit = jax.lax.fori_loop(
-            0, m, arnoldi, (V, Z, R, cs, sn, g, nit))
+        _j, V, Z, R, cs, sn, g, nit = jax.lax.while_loop(
+            arnoldi_cond, arnoldi_step,
+            (jnp.asarray(0), V, Z, R, cs, sn, g, nit))
 
         # back-substitution R[:m,:m] y = g[:m] with breakdown guards
         Rm = R[:m, :m]
