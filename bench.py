@@ -144,10 +144,17 @@ def _measure(problem, iters, precond, well="pbh"):
                                                  _embed_acc0,
                                                  newton_iteration_impl)
 
+    from opm_autodiff_tpu.models.structured import (EmbeddedTopology,
+                                                    embed_cells)
+
     (fs, cells, faces, init, ws, acc0, pbh) = problem
     n_cells = init.u.shape[0]
     params = NewtonParams(linear_precond=precond)
     dt = jnp.asarray(86400.0)
+    # iteration-invariant embedded statics, hoisted per substep exactly
+    # like newton_solve / _newton_substep_device
+    cells_full = (jax.jit(embed_cells)(faces, cells)
+                  if isinstance(faces, EmbeddedTopology) else None)
     # acc0 is constant per substep: embed it into the full box once,
     # exactly like newton_solve/_newton_substep_device do (the
     # per-iteration f64 scatter costs ~4 ms at 50k cells on TPU)
@@ -155,14 +162,24 @@ def _measure(problem, iters, precond, well="pbh"):
 
     if well == "std4":
         from opm_autodiff_tpu.wells import standard4 as s4
+        from opm_autodiff_tpu.wells.standard import connection_densities
 
         xw0 = s4.init_xw(fs, init.u, init.flag, ws, pbh=pbh)
+        # per-substep explicit quantities, exactly like newton_solve /
+        # _newton_substep_device (reference: calculateExplicitQuantities
+        # + F0 on iteration 0) — NOT re-derived every iteration
+        rho_conn = jax.jit(connection_densities)(
+            fs, init.u, init.flag, xw0[:, 3], ws, cells.regs)
+        well_f0 = jax.jit(jax.vmap(s4._surface_fractions))(
+            xw0[:, 1], xw0[:, 2])
 
         def step(u, flag, xw, mode, acc0):
             st = NewtonState(u=u, flag=flag, pbh=xw[:, 3],
                              active_mode=mode, xw=xw)
             new_st, info, _q, _qa = newton_iteration_impl(
-                params, fs, cells, faces, st, ws, acc0, dt)
+                params, fs, cells, faces, st, ws, acc0, dt,
+                rho_conn=rho_conn, well_f0=well_f0,
+                cells_full=cells_full)
             return new_st.u, new_st.flag, new_st.xw, new_st.active_mode
 
         jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3))
@@ -179,7 +196,7 @@ def _measure(problem, iters, precond, well="pbh"):
             st = NewtonState(u=u, flag=flag, pbh=pbh, active_mode=mode)
             new_st, info, _q, _qa = newton_iteration_impl(
                 params, fs, cells, faces, st, ws, acc0, dt,
-                rho_conn=rho_conn)
+                rho_conn=rho_conn, cells_full=cells_full)
             return new_st.u, new_st.flag, new_st.pbh, new_st.active_mode
 
         jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3))

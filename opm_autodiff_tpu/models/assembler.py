@@ -41,6 +41,9 @@ class BsrSystem(NamedTuple):
     # storage Jacobian d acc/du [N,3,3] for true-IMPES CPR weights
     # (reference: getQuasiImpesWeights.hpp:89)
     acc_jac: jnp.ndarray | None = None
+    # inverse FVFs [N,3] exposed by the packed assembly (the convergence
+    # metrics reuse them instead of a second intensive sweep)
+    inv_b: jnp.ndarray | None = None
     # fixed-degree adjacency (models/blackoil.build_ell): gather-only
     # SpMV on TPU instead of two scatter-adds per matvec
     ell_face: jnp.ndarray | None = None  # [N,D] int32 (F = padded slot)
@@ -166,7 +169,7 @@ def packed_face_terms(QL, dQL, QR, dQR, t, g, th):
 
 def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
                     state: PrimaryState, acc0: jnp.ndarray,
-                    dt) -> BsrSystem:
+                    dt, want_packed: bool = False, out_dtype=None):
     """Assemble residual and Jacobian for one Newton iteration.
 
     R_i = (acc_i(u) - acc0_i)/dt + sum_faces +-flux_f   [surface m^3/s]
@@ -179,8 +182,22 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     jacfwd re-evaluated the full PVT stack at BOTH cells of EVERY face
     under 6 tangents — ~2F/N ~ 6 evaluations per cell per sweep, and
     tiny gather-heavy jacfwd graphs utilize the TPU terribly (the same
-    pathology measured at 31.9ms for 986 fault extras)."""
+    pathology measured at 31.9ms for 986 fault extras).
+
+    On TPU the per-cell sweep itself goes through the fused Pallas
+    cellpack on a padded fake-plane layout (the kernel is topology-
+    independent — planes are just a layout): the XLA jacfwd chain
+    measured ~60ms at 12k cells where the kernel takes ~1ms. With
+    ``want_packed`` returns (system, (q5, dq5) or None) for the packed
+    well assembly; ``out_dtype`` sets the system storage dtype."""
     u, flag = state.u, state.flag
+
+    from opm_autodiff_tpu.ops import pallas_cellpack as pcp
+
+    if pcp.enabled() and pcp.supports(fs, cells):
+        out = _assemble_system_cellpack(fs, cells, faces, state, acc0,
+                                        dt, out_dtype)
+        return out if want_packed else out[0]
 
     from opm_autodiff_tpu.models.structured import _pack_cell
 
@@ -224,12 +241,82 @@ def assemble_system(fs: FluidSystem, cells: CellStatic, faces: FaceStatic,
     off_lr = jac_r
     off_rl = -jac_l
 
-    return BsrSystem(residual=residual, diag=diag, off_lr=off_lr,
-                     off_rl=off_rl, left=faces.left, right=faces.right,
-                     acc_jac=acc_jac,
-                     ell_face=ell,
-                     ell_nbr=getattr(faces, "ell_nbr", None),
-                     ell_left=getattr(faces, "ell_left", None))
+    sys = BsrSystem(residual=residual, diag=diag, off_lr=off_lr,
+                    off_rl=off_rl, left=faces.left, right=faces.right,
+                    acc_jac=acc_jac,
+                    ell_face=ell,
+                    ell_nbr=getattr(faces, "ell_nbr", None),
+                    ell_left=getattr(faces, "ell_left", None))
+    return (sys, None) if want_packed else sys
+
+
+def _assemble_system_cellpack(fs: FluidSystem, cells: CellStatic,
+                              faces: FaceStatic, state: PrimaryState,
+                              acc0, dt, out_dtype=None):
+    """Face-list assembly fed by the fused cellpack kernel on a padded
+    fake-plane layout. Returns (BsrSystem, (q5, dq5)) — the planes feed
+    well4_contributions_packed (padded flat index == cell index)."""
+    from opm_autodiff_tpu.ops import pallas_cellpack as pcp
+
+    u, flag = state.u, state.flag
+    n = u.shape[0]
+    f_store = jnp.float32 if out_dtype is None else out_dtype
+    sub, lanes = 8, 128
+    plane = sub * lanes
+    kdim = max((n + plane - 1) // plane, 1)
+    n_pad = kdim * plane
+
+    def padc(a):
+        if a is None or n_pad == n:
+            return a
+        width = [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width, mode="edge")  # valid-value padding
+
+    cells_p = cells._replace(
+        pore_vol_ref=padc(cells.pore_vol_ref),
+        depth=padc(cells.depth),
+        regs=padc(cells.regs),
+        mob_mult=padc(cells.mob_mult),
+        eps=padc(cells.eps))
+    q5, dq5 = pcp.cellpack_planes(fs, cells_p, padc(u), padc(flag),
+                                  (kdim, sub, lanes))
+    Q = jnp.transpose(q5, (0, 2, 3, 1)).reshape(n_pad, 17)[:n]
+    dQ = jnp.transpose(dq5, (0, 3, 4, 1, 2)).reshape(n_pad, 17, 3)[:n]
+
+    dt32 = jnp.asarray(dt, Q.dtype)
+    residual = ((Q[:, 14:17] - acc0.astype(Q.dtype)) / dt32).astype(f_store)
+    acc_jac = dQ[:, 14:17, :].astype(f_store)
+    diag = (dQ[:, 14:17, :] / dt32).astype(f_store)
+    inv_b = Q[:, 3:6]
+
+    flux, jac_l, jac_r = packed_face_terms(
+        Q[faces.left], dQ[faces.left], Q[faces.right], dQ[faces.right],
+        faces.trans, faces.gdz, faces.thpres)
+    flux = flux.astype(f_store)
+    jac_l = jac_l.astype(f_store)
+    jac_r = jac_r.astype(f_store)
+
+    ell = getattr(faces, "ell_face", None)
+    if ell is not None:
+        sgn = jnp.where(faces.ell_left, 1.0, -1.0).astype(f_store)
+        residual = residual + (sgn[..., None]
+                               * _pad_face0(flux)[ell]).sum(axis=1)
+        dsel = jnp.where(faces.ell_left[..., None, None],
+                         _pad_face0(jac_l)[ell], -_pad_face0(jac_r)[ell])
+        diag = diag + dsel.sum(axis=1)
+    else:
+        idx = jnp.concatenate([faces.left, faces.right])
+        residual = residual.at[idx].add(
+            jnp.concatenate([flux, -flux], axis=0))
+        diag = diag.at[idx].add(jnp.concatenate([jac_l, -jac_r], axis=0))
+
+    sys = BsrSystem(residual=residual, diag=diag, off_lr=jac_r,
+                    off_rl=-jac_l, left=faces.left, right=faces.right,
+                    acc_jac=acc_jac, inv_b=inv_b,
+                    ell_face=ell,
+                    ell_nbr=getattr(faces, "ell_nbr", None),
+                    ell_left=getattr(faces, "ell_left", None))
+    return sys, (q5, dq5)
 
 
 def assemble_system_ref(fs: FluidSystem, cells: CellStatic,

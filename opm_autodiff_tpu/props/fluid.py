@@ -87,7 +87,11 @@ class FluidSystem(NamedTuple):
             return jnp.zeros_like(p)
         from opm_autodiff_tpu.props.tables import interp1d
 
-        bank_p, bank_rs = self.oil.p_sat, self.oil.rs_tab
+        # interpolate in the caller's dtype: the chopped-update path
+        # passes f32 (the switching thresholds don't need f64, and the
+        # f64 searchsorted+gather chain costs ~1ms at 50k cells on TPU)
+        bank_p = jnp.asarray(self.oil.p_sat, dtype=p.dtype)
+        bank_rs = jnp.asarray(self.oil.rs_tab, dtype=p.dtype)
         nr = bank_p.shape[0]
         if nr == 1 or pvtnum is None:
             return jnp.maximum(interp1d(p, bank_p[0], bank_rs[0]), 0.0)
@@ -123,7 +127,8 @@ class FluidSystem(NamedTuple):
             return jnp.zeros_like(p)
         from opm_autodiff_tpu.props.tables import interp1d
 
-        bank_p, bank_rv = self.gas.p, self.gas.rv_tab
+        bank_p = jnp.asarray(self.gas.p, dtype=p.dtype)
+        bank_rv = jnp.asarray(self.gas.rv_tab, dtype=p.dtype)
         nr = bank_p.shape[0]
         if nr == 1 or pvtnum is None:
             return jnp.maximum(interp1d(p, bank_p[0], bank_rv[0]), 0.0)

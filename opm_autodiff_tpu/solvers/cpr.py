@@ -156,8 +156,13 @@ def _pressure_inner_solve_generic(mv, diag, b, iters: int, prec=None):
         r = s - omega_new * t
         return (x, r, p, v, rho_new, alpha, omega_new)
 
+    # unroll: the pressure system is tiny (~230KB at 52k cells) and the
+    # loop-carried while-op blocks cross-iteration fusion — unrolled,
+    # XLA fuses the axpy/dot chains and overlaps the band shifts, which
+    # measures ~2x on the fixed-iteration inner solve
     (x, *_ ) = jax.lax.fori_loop(0, iters, body,
-                                 (x, r, p, v, rho, alpha, omega))
+                                 (x, r, p, v, rho, alpha, omega),
+                                 unroll=True)
     return x
 
 

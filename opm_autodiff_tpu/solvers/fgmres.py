@@ -80,11 +80,13 @@ def fgmres(matvec: Callable, precond: Callable, b: jnp.ndarray,
             # passes over the basis. A second CGS pass (CGS2) restores
             # the orthogonality modified GS had — f32 single-pass CGS
             # drifts enough to stall the restart decision's true
-            # residual on hard systems.
+            # residual on hard systems. V.conj() keeps the projection
+            # coefficients <v_i, w> correct for complex dtypes too
+            # (real f32/f64 systems: a no-op XLA elides).
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            hcol = mask * (V @ w)
+            hcol = mask * (V.conj() @ w)
             w = w - hcol @ V
-            corr = mask * (V @ w)
+            corr = mask * (V.conj() @ w)
             w = w - corr @ V
             hcol = hcol + corr
             hj1 = jnp.linalg.norm(w)

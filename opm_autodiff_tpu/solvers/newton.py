@@ -62,6 +62,9 @@ class NewtonParams:
     # to block-Jacobi on unstructured (BSR) layouts
     linear_precond: str = "zline"   # "zline" | "jacobi" | "cpr" | "cpramg"
     linear_method: str | None = None  # None = auto (bicgstab/fgmres)
+    # inner pressure-stage iterations of the "cpr" fixed-Krylov coarse
+    # solve (solve_linear cpr_inner_iters)
+    linear_cpr_inner: int = 12
     # preconditioner setup reuse (reference reuse policies,
     # ISTLSolverEbos.hpp:401-426): "never" rebuilds the factorization
     # every Newton iteration; "substep" builds it at iteration 0 and
@@ -126,20 +129,40 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
     formulas, reference BlackoilModelEbos.hpp:628-904). ``inv_b`` [N,3]
     comes from the single per-iteration intensive evaluation."""
     pv = cells.pore_vol_ref
+    f64 = pv.dtype
     pv_sum = pv.sum()
-    big_b = 1.0 / inv_b  # [N,3]
 
-    # surface-rate residual * B [m^3/s reservoir]; accumulate the
-    # MB sums / CNV maxima in f64 even when the system is stored f32
-    r_scaled = (big_b * residual).astype(pv.dtype)
-    cnv_cell = jnp.abs(r_scaled) * dt / pv[:, None]  # [N,3]
-    cnv = cnv_cell.max(axis=0)  # [3]
-    mb = jnp.abs(r_scaled.sum(axis=0)) * dt / pv_sum  # [3]
+    if residual.dtype == jnp.float32:
+        # fast path (f32-stored system): the residual values are
+        # f32-rounded already, so the elementwise scaling runs in f32
+        # (f64 is software-emulated on TPU — ~1ms/pass at 50k cells)
+        # and only the MB cancellation-sensitive sum accumulates f64
+        inv_b32 = inv_b.astype(jnp.float32)
+        pv32 = pv.astype(jnp.float32)
+        r_scaled = residual / inv_b32
+        cnv_cell = (jnp.abs(r_scaled) * jnp.float32(1.0) * dt.astype(
+            jnp.float32) / pv32[:, None])
+        cnv = cnv_cell.max(axis=0).astype(f64)
+        mb = jnp.abs(jnp.sum(r_scaled, axis=0, dtype=f64)) * dt / pv_sum
+        viol = (cnv_cell > params.tol_cnv).any(axis=1)
+        pv_frac_viol = (jnp.where(viol, pv32, 0.0).sum()
+                        / pv32.sum()).astype(f64)
+        max_res = jnp.abs(r_scaled).max().astype(f64)
+    else:
+        big_b = 1.0 / inv_b  # [N,3]
 
-    # relaxed CNV: PV fraction of cells violating the strict tolerance
-    # (reference: computeCnvErrorPv :733 + relaxed logic :791)
-    viol = (cnv_cell > params.tol_cnv).any(axis=1)
-    pv_frac_viol = jnp.where(viol, pv, 0.0).sum() / pv_sum
+        # surface-rate residual * B [m^3/s reservoir]; accumulate the
+        # MB sums / CNV maxima in f64 even when the system is stored f32
+        r_scaled = (big_b * residual).astype(pv.dtype)
+        cnv_cell = jnp.abs(r_scaled) * dt / pv[:, None]  # [N,3]
+        cnv = cnv_cell.max(axis=0)  # [3]
+        mb = jnp.abs(r_scaled.sum(axis=0)) * dt / pv_sum  # [3]
+
+        # relaxed CNV: PV fraction of cells violating the strict
+        # tolerance (reference: computeCnvErrorPv :733 + relaxed :791)
+        viol = (cnv_cell > params.tol_cnv).any(axis=1)
+        pv_frac_viol = jnp.where(viol, pv, 0.0).sum() / pv_sum
+        max_res = jnp.abs(r_scaled).max()
     relaxed_ok = jnp.logical_and(pv_frac_viol < params.relaxed_pv_fraction,
                                  (cnv < params.tol_cnv_relaxed).all())
 
@@ -150,7 +173,6 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
         mb_ok = (mb < params.tol_mb).all()
         wells_ok = well_err < params.tol_wells
         converged = cnv_ok & mb_ok & wells_ok
-        max_res = jnp.abs(r_scaled).max()
         failed = jnp.logical_or(
             ~jnp.isfinite(max_res),
             max_res > params.max_residual_allowed * pv_sum)
@@ -178,7 +200,6 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
     wells_ok = well_err < params.tol_wells
     converged = cnv_ok & mb_ok & wells_ok
 
-    max_res = jnp.abs(r_scaled).max()
     failed = jnp.logical_or(~jnp.isfinite(max_res),
                             max_res > params.max_residual_allowed * pv_sum)
     return cnv, mb, well_err, relaxed_ok, converged, failed
@@ -213,8 +234,12 @@ def _chop_and_update(params: NewtonParams, fs, u, flag, dx, pvtnum=None,
     # --- variable switching (disabled without a gas phase) ---
     # batched masked-region evaluation: vmap(rs_sat) gathers a table
     # row per cell and measured 11ms at 52k cells (fluid.rs_sat_vec)
-    rs_sat_new = fs.rs_sat_vec(po_new, pvtnum)
-    rv_sat_new = fs.rv_sat_vec(po_new, pvtnum)
+    # f32 threshold evaluation (values are compared, not accumulated;
+    # the assigned switch value carries ~1e-7 relative rounding, which
+    # the next Newton iteration corrects)
+    po32 = po_new.astype(jnp.float32)
+    rs_sat_new = fs.rs_sat_vec(po32, pvtnum).astype(u.dtype)
+    rv_sat_new = fs.rv_sat_vec(po32, pvtnum).astype(u.dtype)
     if x3_cap is not None:
         # DRSDT/DRVDT: the switching threshold is the capped saturation
         rs_sat_new = jnp.minimum(rs_sat_new, x3_cap)
@@ -346,7 +371,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                           vfp_bank=None, msw=None, x3_cap=None,
                           relax=1.0, rho_conn=None, drift_vol=None,
                           well_f0=None, poly=None, energy=None,
-                          trans4=None, extbo=None):
+                          trans4=None, extbo=None, cells_full=None):
     """One full Newton iteration (unjitted core; see ``newton_iteration``).
     Returns (new_state, info, q_tot, q_aquifer).
 
@@ -435,9 +460,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 cells.regs, well_mob, cells.eps, rho_conn, well_f0, dt)
         else:
             dist_mesh = None
-            wr = s4.well4_contributions(fs, u3, flag, st.xw, ws, mode,
-                                        vfp_bank, cells.regs, well_mob,
-                                        cells.eps, rho_conn, well_f0, dt)
+            # deferred: assembled AFTER the reservoir sweep so the
+            # packed cellpack planes (when the fast path produces them)
+            # replace the per-perf PVT re-evaluation — see
+            # well4_contributions_packed. ``wr = None`` marks the
+            # deferral; the plain path runs when no planes exist.
+            wr = None
         # reported rates come from the primary variables (reference:
         # updateWellStateFromPrimaryVariables — WellState rates are the
         # getQs values, exactly on target under rate control). Inactive
@@ -468,6 +496,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
     # --- reservoir assembly (banded fast path for structured grids;
     # ACTNUM grids embed into the full box with identity rows) ---
     emb = faces if isinstance(faces, EmbeddedTopology) else None
+    packed = None  # fused-path cellpack planes (fed to the well sweep)
     ws_sys = ws
     msw_sys = msw
     aq_cell_sys = aq.cell
@@ -562,7 +591,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                 else:
                     acc0_f = jnp.zeros((emb.mask.shape[0], 4),
                                        acc0.dtype).at[emb.act].set(acc0)
-                cells_f = embed_cells(emb, cells)
+                cells_f = cells_full if cells_full is not None \
+                    else embed_cells(emb, cells)
                 sys = assemble_structured4(acc_fn, flux_fn, cells_f,
                                            emb.topo,
                                            PrimaryState(u_f, flag_f),
@@ -616,7 +646,10 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         else:
             acc0_f = jnp.zeros((emb.mask.shape[0], 3),
                                acc0.dtype).at[emb.act].set(acc0)
-        cells_f = embed_cells(emb, cells)
+        # embed_cells is iteration-invariant (per-substep mob_mult /
+        # static eps through the fill map): callers hoist it
+        cells_f = cells_full if cells_full is not None \
+            else embed_cells(emb, cells)
         sys, packed = assemble_structured(fs, cells_f, emb.topo,
                                           PrimaryState(u_f, flag_f),
                                           acc0_f, dt, want_packed=True,
@@ -636,12 +669,29 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             msw_sys = msw._replace(cell=emb.act[msw.cell])
         aq_cell_sys = emb.act[aq.cell]
     elif isinstance(faces, StructuredTopology):
-        sys = assemble_structured(fs, cells, faces, PrimaryState(u, flag),
-                                  acc0, dt, out_dtype=sys_dt)
+        sys, packed = assemble_structured(fs, cells, faces,
+                                          PrimaryState(u, flag),
+                                          acc0, dt, want_packed=True,
+                                          out_dtype=sys_dt)
         inv_b_cells = sys.inv_b
     else:
-        sys = assemble_system(fs, cells, faces, PrimaryState(u, flag),
-                              acc0, dt)
+        sys, packed = assemble_system(fs, cells, faces,
+                                      PrimaryState(u, flag), acc0, dt,
+                                      want_packed=True, out_dtype=sys_dt)
+        inv_b_cells = sys.inv_b  # None on the XLA fallback path
+    if use4 and wr is None:
+        # deferred single-chip 4-DOF well assembly (see the use4 block
+        # above): from the packed planes when the fused path produced
+        # them and the explicit rho_conn is available, else the plain
+        # intensive-based sweep
+        if packed is not None and rho_conn is not None:
+            wr = s4.well4_contributions_packed(
+                packed, st.xw, ws, ws_sys.cell, mode, vfp_bank,
+                rho_conn, well_f0, dt)
+        else:
+            wr = s4.well4_contributions(fs, u3, flag, st.xw, ws, mode,
+                                        vfp_bank, cells.regs, well_mob,
+                                        cells.eps, rho_conn, well_f0, dt)
     if inv_b_cells is None:
         eps_ax = None if cells.eps is None else 0
         q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(
@@ -857,6 +907,7 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                        extra_matvec=extra_mv,
                        tol=params.linear_tol, maxiter=params.linear_maxiter,
                        precond=params.linear_precond,
+                       cpr_inner_iters=params.linear_cpr_inner,
                        method=params.linear_method,
                        setup=st.lin_setup if reuse else None,
                        want_setup=reuse)
@@ -937,6 +988,7 @@ newton_iteration = jax.jit(newton_iteration_impl,
                            static_argnames=("params",))
 
 _conn_rho = jax.jit(wells_mod.connection_densities)
+_embed_cells_jit = jax.jit(embed_cells)
 _solve_well_eq = jax.jit(s4.solve_well_eq,
                          static_argnames=("max_iter",))
 
@@ -1014,6 +1066,10 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
     u3_host = (st.u[:, :3]
                if (poly is not None or energy is not None
                    or trans4 is not None or extbo is not None) else st.u)
+    # iteration-invariant embedded cell statics, hoisted out of the
+    # per-iteration device programs (~1.5 ms/iter of gathers at 50k)
+    cells_full = (_embed_cells_jit(faces, cells)
+                  if isinstance(faces, EmbeddedTopology) else None)
     rho_conn = _conn_rho(fs, u3_host, st.flag, st.pbh, ws, cells.regs)
     well_f0 = None
     if st.xw is not None:
@@ -1038,7 +1094,8 @@ def newton_solve(params: NewtonParams, fs, cells, faces, st: NewtonState,
             newton_iteration(
                 params, fs, cells, faces, st, ws, acc0, jnp.asarray(dt), aq,
                 vfp_bank, msw, x3_cap, jnp.asarray(relax), rho_conn,
-                drift_vol, well_f0, poly, energy, trans4, extbo)
+                drift_vol, well_f0, poly, energy, trans4, extbo,
+                cells_full=cells_full)
         last_res = res_act
         # reference detectOscillations (NonlinearSolverEbos.hpp:278-309):
         # a phase oscillates when the residual returned to its value two
@@ -1127,6 +1184,10 @@ def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
                    if x is not None), None)
     u3 = st.u[:, :3] if extra4 is not None else st.u
     acc0 = _embed_acc0(faces, acc0)
+    # iteration-invariant embedded cell statics, hoisted out of the
+    # while_loop body (the gathers cost ~1.5 ms/iter at 50k cells)
+    cells_full = (embed_cells(faces, cells)
+                  if isinstance(faces, EmbeddedTopology) else None)
     rho_conn = wells_mod.connection_densities(fs, u3, st.flag, st.pbh,
                                               ws, cells.regs)
     well_f0 = None
@@ -1142,7 +1203,7 @@ def _newton_substep_device_impl(params: NewtonParams, fs, cells, faces,
                                      acc0, dt, aq, vfp_bank, msw, x3_cap,
                                      relax_c, rho_conn, drift_vol,
                                      well_f0, poly, energy, trans4,
-                                     extbo)
+                                     extbo, cells_full=cells_full)
 
     def outcome(st_pre, new_st, info, it):
         """(stop, conv, result fields) under the host loop's rules:

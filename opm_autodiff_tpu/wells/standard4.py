@@ -254,6 +254,100 @@ def _perf_cq(fs: FluidSystem, u_cell, flag_cell, xw, rho_conn, wi, dz,
     return jnp.where(crossflow & ~allow_cf, jnp.zeros(3), cq)
 
 
+def _perf_cq_channels(ch, xw, rho_conn, wi, dz, is_injector, inj_phase,
+                      allow_cf):
+    """``_perf_cq`` from packed cell channels instead of a fresh
+    ``intensive`` evaluation: ``ch`` [17] is one cell of the fused
+    cellpack's plane layout (p[3], 1/B[3], mob[3], rho[3], rs, rv,
+    acc[3] — ops/pallas_cellpack). Pure elementwise arithmetic, so the
+    per-perf jacfwd over (ch, xw) stays tiny — no PVT/satfunc graphs
+    re-traced per perforation (the same pathology that cost ~30ms for
+    986 fault extras before add_extra_faces_packed)."""
+    p_o = ch[1]
+    inv_b = ch[3:6]
+    mob = ch[6:9]
+    rs, rv = ch[12], ch[13]
+    bhp = xw[3]
+    p_conn = bhp + rho_conn * U.GRAVITY * dz
+    drawdown = p_o - p_conn  # > 0 -> producing perforation
+
+    cq_p = -wi * mob * inv_b * drawdown
+    cq_prod = jnp.stack([cq_p[0],
+                         cq_p[1] + rv * cq_p[2],
+                         cq_p[2] + rs * cq_p[1]])
+
+    total_mob = mob[0] + mob[1] + mob[2]
+    cqt_i = -wi * total_mob * drawdown
+    cmix = _surface_fractions(xw[1], xw[2])
+    d = 1.0 - rv * rs
+    d = jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    tmp_o = (cmix[1] - rv * cmix[2]) / d
+    tmp_g = (cmix[2] - rs * cmix[1]) / d
+    vol_ratio = (cmix[0] / inv_b[0] + tmp_o / inv_b[1]
+                 + tmp_g / inv_b[2])
+    vol_ratio = jnp.where(jnp.abs(vol_ratio) > 1e-12, vol_ratio, 1e-12)
+    cq_inj = cmix * (cqt_i / vol_ratio)
+
+    producing = drawdown > 0
+    cq = jnp.where(producing, cq_prod, cq_inj)
+    crossflow = jnp.where(producing, is_injector, ~is_injector)
+    return jnp.where(crossflow & ~allow_cf, jnp.zeros(3), cq)
+
+
+def well4_contributions_packed(packed, xw, ws: WellSet, cell_full,
+                               active_mode=None, vfp_bank=None,
+                               rho_conn=None, f0=None,
+                               dt=86400.0) -> Well4Result:
+    """``well4_contributions`` fed by the fused assembly's packed planes.
+
+    ``packed`` = (q5 [nz,17,ny,nx], dq5 [nz,17,3,ny,nx]) from
+    ``assemble_structured(want_packed=True)``; ``cell_full`` [W,P] are
+    the perforated cells' FULL-BOX flat indices (the embedded layouts'
+    ``emb.act[ws.cell]``). The per-perf Jacobian in u comes from the
+    chain rule d cq/du = (d cq/d ch) @ (d ch/du), with d cq/d ch a tiny
+    elementwise jacfwd of ``_perf_cq_channels`` — value-identical (to
+    f32 rounding) to the ``intensive``-based path, tested in
+    tests/test_std4.py."""
+    if active_mode is None:
+        active_mode = ws.ctrl_mode
+    q5, dq5 = packed
+    nz, _, ny, nx = q5.shape
+    k = cell_full // (ny * nx)
+    rem = cell_full % (ny * nx)
+    j = rem // nx
+    i = rem % nx
+    CH = q5[k, :, j, i].astype(xw.dtype)          # [W,P,17]
+    dCH = dq5[k, :, :, j, i].astype(xw.dtype)     # [W,P,17,3]
+
+    if rho_conn is None:
+        raise ValueError("well4_contributions_packed needs the explicit "
+                         "per-substep rho_conn (calculateExplicitQuantities "
+                         "analog)")
+    allow_cf = getattr(ws, "allow_crossflow", None)
+    if allow_cf is None:
+        allow_cf = jnp.ones(ws.num_wells, bool)
+    dz = ws.perf_depth - ws.ref_depth[:, None]
+
+    def one_perf(ch, xw_w, rho, wi, dzc, inj, phase, acf, m):
+        def f(args):
+            cc, xx = args
+            cq = _perf_cq_channels(cc, xx, rho, wi, dzc, inj, phase, acf)
+            cq = jnp.where(m, cq, jnp.zeros(3))
+            return cq, cq
+
+        jacs, val = jax.jacfwd(f, has_aux=True)((ch, xw_w))
+        return val, jacs[0], jacs[1]   # [3], [3,17], [3,4]
+
+    val, dcq_dch, dq_dxw = jax.vmap(jax.vmap(
+        one_perf, in_axes=(0, None, 0, 0, 0, None, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        CH, xw, rho_conn, ws.wi, dz, ws.is_injector, ws.inj_phase,
+        allow_cf, ws.perf_mask)
+    dq_du = jnp.einsum("wpck,wpkd->wpcd", dcq_dch, dCH)  # [W,P,3,3]
+    return _well_tail(xw, ws, active_mode, vfp_bank, f0, dt,
+                      val, dq_du, dq_dxw, rho_conn)
+
+
 # ---------------------------------------------------------------------------
 # Control equation (row 3)
 # ---------------------------------------------------------------------------

@@ -23,7 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 # recompiles of the same Newton/solver kernels across test processes
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("OPM_TPU_TEST_CACHE_WRITE", "1") == "1":
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    # OPM_TPU_TEST_CACHE_WRITE=0: read-only cache. Some jaxlib builds
+    # segfault intermittently in executable.serialize() when writing
+    # persistent-cache entries mid-suite (observed: SIGSEGV under
+    # compilation_cache.put_executable_and_time); reads are safe. Use
+    # this when the suite dies with "Fatal Python error" in the cache
+    # writer.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1e9)
 
 import pathlib
 

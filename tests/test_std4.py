@@ -197,3 +197,48 @@ def test_closed_well_pins_system(setup):
     n = init.u.shape[0]
     x = jnp.ones((n, 3))
     assert float(jnp.abs(s4.schur_matvec(wr, ws_closed, x)).max()) == 0.0
+
+
+def test_packed_wells_match_intensive_path(setup):
+    """well4_contributions_packed (cellpack-plane channels, chain-rule
+    Jacobians) matches the intensive-based path to f32 rounding on the
+    SPE1 grid (fully-active: active == full-box indices)."""
+    from opm_autodiff_tpu.ops import pallas_cellpack as pcp
+    from opm_autodiff_tpu.wells.standard import connection_densities
+
+    state, geo, fs, init, ws, names = setup
+    nx, ny, nz = geo.cartdims
+    from opm_autodiff_tpu.models.blackoil import statics_from_geometry
+    cells, faces = statics_from_geometry(geo, structured="always")
+    if not pcp.supports(fs, cells):
+        pytest.skip("cellpack does not support this fluid system")
+    xw = s4.init_xw(fs, init.u, init.flag, ws)
+    rho_conn = connection_densities(fs, init.u, init.flag, xw[:, 3], ws,
+                                    cells.regs)
+    packed = pcp.cellpack_planes(fs, cells, init.u, init.flag,
+                                 (nz, ny, nx), interpret=True)
+    wr_ref = s4.well4_contributions(fs, init.u, init.flag, xw, ws,
+                                    regs=cells.regs,
+                                    mob_mult=cells.mob_mult,
+                                    eps=cells.eps, rho_conn=rho_conn)
+    wr_pk = s4.well4_contributions_packed(packed, xw, ws, ws.cell,
+                                          rho_conn=rho_conn)
+    np.testing.assert_allclose(np.asarray(wr_pk.q_perf),
+                               np.asarray(wr_ref.q_perf),
+                               rtol=2e-5, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(wr_pk.res_well),
+                               np.asarray(wr_ref.res_well),
+                               rtol=2e-4, atol=1e-8)
+    # atol floor at 2e-3 of the dominant entries: the kernel jets clamp
+    # one-sided relperm slopes at table edges (kro' at connate water /
+    # zero gas) to 0 where jacfwd returns the inside slope — the same
+    # convention difference the banded-assembly equality tests carry;
+    # physically the no-flow end-point region
+    du_scale = np.abs(np.asarray(wr_ref.dq_du)).max()
+    np.testing.assert_allclose(np.asarray(wr_pk.dq_du),
+                               np.asarray(wr_ref.dq_du),
+                               rtol=2e-3, atol=2e-3 * du_scale)
+    dxw_scale = np.abs(np.asarray(wr_ref.dq_dxw)).max()
+    np.testing.assert_allclose(np.asarray(wr_pk.dq_dxw),
+                               np.asarray(wr_ref.dq_dxw),
+                               rtol=2e-3, atol=3e-5 * dxw_scale)
