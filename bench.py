@@ -130,12 +130,14 @@ def _last_json_line(text: str):
 # Child: the actual measurement
 # ---------------------------------------------------------------------------
 
-def _measure(problem, iters, precond, well="pbh"):
+def _measure(problem, iters, precond, well="pbh", cpr_inner=None):
     """Steady-state Newton-iteration throughput on a built problem.
 
     ``well``: "pbh" = 1-DOF research well (rounds-1/2 headline
     configuration, kept for comparability); "std4" = the 4-DOF
-    StandardWell flagship model (production default).
+    StandardWell flagship model (production default). ``cpr_inner``
+    overrides the CPR pressure-stage iteration count (6 measured best
+    with the z-line fine smoother on the norne-class layout).
     """
     import jax
     import jax.numpy as jnp
@@ -149,7 +151,8 @@ def _measure(problem, iters, precond, well="pbh"):
 
     (fs, cells, faces, init, ws, acc0, pbh) = problem
     n_cells = init.u.shape[0]
-    params = NewtonParams(linear_precond=precond)
+    kw = {} if cpr_inner is None else {"linear_cpr_inner": cpr_inner}
+    params = NewtonParams(linear_precond=precond, **kw)
     dt = jnp.asarray(86400.0)
     # iteration-invariant embedded statics, hoisted per substep exactly
     # like newton_solve / _newton_substep_device
@@ -317,11 +320,13 @@ def _child_main():
         "device": str(jax.devices()[0].device_kind),
     }
 
-    def secondary(key, build, emb_iters, precond=precond, well="pbh"):
+    def secondary(key, build, emb_iters, precond=precond, well="pbh",
+                  cpr_inner=None):
         # a secondary metric must not kill the bench
         try:
             prob = build()
-            v, n, _el, c_s = _measure(prob, emb_iters, precond, well=well)
+            v, n, _el, c_s = _measure(prob, emb_iters, precond, well=well,
+                                      cpr_inner=cpr_inner)
             result.update({
                 f"value_{key}": round(v, 1),
                 f"cells_{key}": n,
@@ -344,10 +349,15 @@ def _child_main():
         # CPR is the reference's own Norne solver (setupPropertyTree
         # canned "cpr"); measured +8% over zline here (1-3 Krylov
         # iterations vs 4-20 once the transient decays)
+        # same 50-iteration steady-state protocol as the headline (the
+        # first ~5 iterations carry the equilibration transient's
+        # higher Krylov counts; 25 iters let them dominate the mean)
         secondary("norne_class",
                   lambda: _norne_class_problem(nn_x, nn_y, nn_z),
-                  half, well="std4",
-                  precond=os.environ.get("BENCH_NORNE_PRECOND", "cpr"))
+                  iters, well="std4",
+                  precond=os.environ.get("BENCH_NORNE_PRECOND", "cpr"),
+                  cpr_inner=int(os.environ.get("BENCH_NORNE_CPR_INNER",
+                                               "6")))
     if os.environ.get("BENCH_BSR", "1") == "1":
         nb_x = int(os.environ.get("BENCH_BSR_NX", "32"))
         nb_y = int(os.environ.get("BENCH_BSR_NY", "32"))

@@ -76,6 +76,25 @@ def bsr_matvec(sys: BsrSystem, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def prepare_bsr_ell(sys: BsrSystem):
+    """Materialize the ELL-dense off-diagonal block tensor [N,D,3,3]
+    once per solve: the per-matvec block gather (36-byte elements from
+    [F,3,3]) costs ~3ms at 12k cells on TPU while the materialized
+    einsum + [N,D,3] vector gather is ~10x cheaper. Returns None when
+    the system has no ELL adjacency."""
+    if sys.ell_face is None:
+        return None
+    return jnp.where(sys.ell_left[..., None, None],
+                     _pad_face0(sys.off_lr)[sys.ell_face],
+                     _pad_face0(sys.off_rl)[sys.ell_face])
+
+
+def bsr_matvec_ell(sys: BsrSystem, blocks, x):
+    """y = J @ x with the prepared ELL block tensor (prepare_bsr_ell)."""
+    y = jnp.einsum("nij,nj->ni", sys.diag, x)
+    return y + jnp.einsum("ndij,ndj->ni", blocks, x[sys.ell_nbr])
+
+
 def _acc_val_jac(fs: FluidSystem, u, flag, pv_ref, regs, eps):
     def f(uu):
         a = accumulation(fs, uu, flag, pv_ref, regs, eps)

@@ -266,8 +266,15 @@ def _pressure_matvec_banded(c: CprBandedData, x3):
 
 
 def cpr_banded_apply(c: CprBandedData, sys, r, inner_iters: int = 12,
-                     pressure_var: int = 0):
-    """Two-stage apply on the banded layout."""
+                     pressure_var: int = 0, smooth=None):
+    """Two-stage apply on the banded layout.
+
+    ``smooth(r2) -> x2`` overrides the fine smoother (default
+    block-Jacobi). solve_linear passes the z-line block-Thomas apply —
+    the banded analog of the reference's ParOverILU0 finesmoother
+    (setupPropertyTree.cpp:95-120), which roughly halves the outer
+    Krylov iterations on gravity-segregated systems for one extra
+    Pallas launch per apply."""
     from opm_autodiff_tpu.models.structured import structured_matvec
 
     nz, ny, nx = c.p_diag.shape
@@ -280,7 +287,10 @@ def cpr_banded_apply(c: CprBandedData, sys, r, inner_iters: int = 12,
         dp = dp / c.gamma
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp.reshape(-1))
     r2 = r - structured_matvec(sys, x1)
-    x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    if smooth is None:
+        x2 = jnp.einsum("nij,nj->ni", c.inv_diag, r2)
+    else:
+        x2 = smooth(r2)
     return x1 + x2
 
 

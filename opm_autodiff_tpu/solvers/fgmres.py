@@ -103,7 +103,9 @@ def fgmres(matvec: Callable, precond: Callable, b: jnp.ndarray,
                 t2 = -si * col[i] + ci * col[i + 1]
                 return col.at[i].set(t1).at[i + 1].set(t2)
 
-            hcol = jax.lax.fori_loop(0, m, prev_giv, hcol)
+            # unrolled: m tiny [m+1]-vector updates — as a while-op this
+            # is m sequential dispatches per Arnoldi step on TPU
+            hcol = jax.lax.fori_loop(0, m, prev_giv, hcol, unroll=True)
 
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
             ok = denom > 0

@@ -61,6 +61,13 @@ class CpIlu0(NamedTuple):
     # is the HIGHER cell index of the pair)
     ell_face: jnp.ndarray | None = None  # [N,D] int32 (F = padded)
     ell_nbr: jnp.ndarray | None = None   # [N,D] int32
+    # ELL-dense factor tensors, materialized ONCE at build time: block
+    # gathers ([N,D,3,3] pulled from [F,3,3] in 36-byte elements) cost
+    # ~3ms at 12k cells on TPU, and the sweeps would re-issue them on
+    # every apply — with l_g/u_g stored, each sweep is one [N,D,3]
+    # vector gather + einsum
+    l_g: jnp.ndarray | None = None       # [N,D,3,3]
+    u_g: jnp.ndarray | None = None       # [N,D,3,3]
 
 
 def _inv33(m):
@@ -110,9 +117,19 @@ def build_cpilu0(sys: BsrSystem, n_sweeps: int = 3) -> CpIlu0:
             jnp.einsum("fij,fjk->fik", l_blk, u_blk))
         uii = sys.diag - corr
         l_blk = jnp.einsum("fij,fjk->fik", a_low, _inv33(uii[low_col]))
+    l_g = u_g = None
+    if sys.ell_face is not None:
+        n = sys.diag.shape[0]
+        idx = jnp.arange(n)[:, None]
+        lower = idx > sys.ell_nbr   # this cell is the low_row
+        l_g = jnp.where(lower[..., None, None],
+                        _pad0(l_blk)[sys.ell_face], 0.0)
+        u_g = jnp.where(lower[..., None, None], 0.0,
+                        _pad0(u_blk)[sys.ell_face])
     return CpIlu0(low_row=low_row, low_col=low_col, l_blk=l_blk,
                   u_blk=u_blk, uii_inv=_inv33(uii),
-                  ell_face=sys.ell_face, ell_nbr=sys.ell_nbr)
+                  ell_face=sys.ell_face, ell_nbr=sys.ell_nbr,
+                  l_g=l_g, u_g=u_g)
 
 
 def _pad0(a):
@@ -132,13 +149,15 @@ def cpilu0_apply(fact: CpIlu0, r: jnp.ndarray,
     from higher-indexed neighbors.
     """
     if fact.ell_face is not None:
-        n = r.shape[0]
-        idx = jnp.arange(n)[:, None]
-        lower = idx > fact.ell_nbr   # this cell is the low_row
-        l_g = jnp.where(lower[..., None, None],
-                        _pad0(fact.l_blk)[fact.ell_face], 0.0)
-        u_g = jnp.where(lower[..., None, None], 0.0,
-                        _pad0(fact.u_blk)[fact.ell_face])
+        l_g, u_g = fact.l_g, fact.u_g
+        if l_g is None:  # factors from an older build: gather here
+            n = r.shape[0]
+            idx = jnp.arange(n)[:, None]
+            lower = idx > fact.ell_nbr   # this cell is the low_row
+            l_g = jnp.where(lower[..., None, None],
+                            _pad0(fact.l_blk)[fact.ell_face], 0.0)
+            u_g = jnp.where(lower[..., None, None], 0.0,
+                            _pad0(fact.u_blk)[fact.ell_face])
         z = r
         for _ in range(n_sweeps):
             lz = jnp.einsum("ndij,ndj->ni", l_g, z[fact.ell_nbr])

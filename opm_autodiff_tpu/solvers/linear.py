@@ -350,6 +350,7 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                       * (scaled.x_lr.shape[2] + 1)) == 0)
         prec = None
         setup_out = None
+        cpr_smooth = None
         if sharded:
             # multi-chip: shard_mapped SpMV (per-matvec x halo exchange)
             # + per-slab Schwarz z-line (parallel/shard_kernels.py)
@@ -392,8 +393,27 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
                         else pallas_zline.prepare_zline(prep))
                 prec = partial(pallas_zline.zline_apply_pallas, fact)
                 setup_out = fact
+            elif precond in ("cpr", "cprt"):
+                # z-line block-Thomas as the CPR fine smoother (the
+                # banded analog of the reference's ParOverILU0
+                # finesmoother): one extra Pallas launch per apply for
+                # roughly half the outer Krylov iterations
+                from opm_autodiff_tpu.ops import pallas_zline
+
+                zfact = pallas_zline.prepare_zline(prep)
+                cpr_smooth = partial(pallas_zline.zline_apply_pallas,
+                                     zfact)
         else:
             base_mv = partial(system_matvec, scaled)
+            if (not isinstance(scaled, StructuredSystem)
+                    and getattr(scaled, "ell_face", None) is not None):
+                # face-list layout: hoist the ELL block gather out of
+                # the Krylov loop (assembler.prepare_bsr_ell)
+                from opm_autodiff_tpu.models.assembler import (
+                    bsr_matvec_ell, prepare_bsr_ell)
+
+                ell_blocks = prepare_bsr_ell(scaled)
+                base_mv = partial(bsr_matvec_ell, scaled, ell_blocks)
 
         col32 = col64.astype(dtype)
 
@@ -410,7 +430,7 @@ def solve_linear(sys: BsrSystem, b: jnp.ndarray | None = None,
         if prec is None:
             prec, setup_out = _setup_and_precond(
                 precond, scaled, cpr_inner_iters, setup,
-                col_p=col64[:, 0].astype(dtype))
+                col_p=col64[:, 0].astype(dtype), smooth=cpr_smooth)
         res = _run(method, matvec, prec, b_s, tol, maxiter)
         out = LinearSolveResult(x=res.x.astype(f64) * col64,
                                 iterations=res.iterations,
@@ -443,7 +463,7 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
 
 
 def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup,
-                       col_p=None):
+                       col_p=None, smooth=None):
     """Build (or reuse) the preconditioner setup for ``name``.
 
     Returns (apply_fn, reusable_setup_or_None). The zline / ilu0 /
@@ -477,11 +497,11 @@ def _setup_and_precond(name: str, sys, cpr_inner_iters: int, setup,
         return partial(block_jacobi_apply, fact), fact
     inv_diag = invert_blocks(sys.diag)
     return _make_precond(name, sys, inv_diag, cpr_inner_iters,
-                         col_p=col_p), None
+                         col_p=col_p, smooth=smooth), None
 
 
 def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int,
-                  col_p=None):
+                  col_p=None, smooth=None):
     from opm_autodiff_tpu.models.structured import StructuredSystem
 
     # true-IMPES weight variants (reference: --cpr-weights=trueimpes,
@@ -524,7 +544,8 @@ def _make_precond(name: str, sys, inv_diag, cpr_inner_iters: int,
             cprb = build_cpr_banded(sys, inv_diag, weights=cpr_weights,
                                     col_p=col_p)
             return lambda r: cpr_banded_apply(cprb, sys, r,
-                                              inner_iters=cpr_inner_iters)
+                                              inner_iters=cpr_inner_iters,
+                                              smooth=smooth)
         from opm_autodiff_tpu.solvers.cpr import build_cpr, cpr_apply
         from opm_autodiff_tpu.solvers.ilu import build_cpilu0, cpilu0_apply
 
