@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: CPR's inner pressure solve in ONE launch.
+
+The CPR pressure stage runs a fixed-iteration Jacobi-preconditioned
+BiCGStab on the scalar banded pressure system (solvers/cpr.py
+``_pressure_inner_solve_generic`` — the reference's analog is one AMG
+V-cycle, amgcpr.hh). As XLA ops that is ~35 executed op instances per
+iteration; on the tunneled single-chip runtime every executed HLO
+instance costs ~20us of dispatch latency, so the 6-iteration inner
+solve alone measured ~4ms at 52k cells while the device compute in it
+is microseconds. The whole pressure system is tiny (~230KB f32 per
+field), so this kernel holds everything in VMEM and unrolls the entire
+Krylov loop inside ONE ``pallas_call``.
+
+Fault/NNC COO extras cannot gather inside a TPU kernel (no dynamic
+vector gathers in Mosaic); the caller keeps them in the operator by
+defect correction — see solvers/cpr.py ``_pressure_inner_solve_banded``:
+one bands-only kernel solve, one XLA residual including the extras
+(they are few), one more kernel solve on the correction. That keeps the
+extras inside the effective coarse operator (VERDICT r2 #3) at the cost
+of two launches.
+
+Algorithm and breakdown guards mirror ``_pressure_inner_solve_generic``
+exactly (equality-tested in interpret mode, tests/test_pallas_cpr.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def enabled() -> bool:
+    env = os.environ.get("OPM_TPU_PALLAS_CPR")
+    if env is not None:
+        return env == "1"
+    return (jax.default_backend() not in ("cpu",)
+            and jax.device_count() == 1)
+
+
+def _make_kernel(iters: int):
+    def kernel(d_ref, pxl_ref, pxr_ref, pyl_ref, pyr_ref, pzl_ref,
+               pzr_ref, b_ref, x_ref):
+        d = d_ref[...]
+        pxl = pxl_ref[...]
+        pxr = pxr_ref[...]
+        pyl = pyl_ref[...]
+        pyr = pyr_ref[...]
+        pzl = pzl_ref[...]
+        pzr = pzr_ref[...]
+        b = b_ref[...]
+
+        zx = jnp.zeros_like(d[:, :, :1])
+        zy = jnp.zeros_like(d[:, :1, :])
+        zz = jnp.zeros_like(d[:1])
+
+        def mv(x):
+            # slice+concatenate instead of .at[].add: Mosaic has no
+            # scatter lowering, and these are static shifts anyway
+            y = d * x
+            y = y + jnp.concatenate([pxl * x[:, :, 1:], zx], axis=2)
+            y = y + jnp.concatenate([zx, pxr * x[:, :, :-1]], axis=2)
+            y = y + jnp.concatenate([pyl * x[:, 1:, :], zy], axis=1)
+            y = y + jnp.concatenate([zy, pyr * x[:, :-1, :]], axis=1)
+            y = y + jnp.concatenate([pzl * x[1:], zz], axis=0)
+            y = y + jnp.concatenate([zz, pzr * x[:-1]], axis=0)
+            return y
+
+        inv_d = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
+
+        def prec(x):
+            return inv_d * x
+
+        def vdot(a, c):
+            return jnp.sum(a * c)
+
+        x = jnp.zeros_like(b)
+        r = b
+        rhat = r
+        rho = jnp.float32(1.0)
+        alpha = jnp.float32(1.0)
+        omega = jnp.float32(1.0)
+        p = jnp.zeros_like(b)
+        v = jnp.zeros_like(b)
+        for _ in range(iters):
+            rho_new = vdot(rhat, r)
+            safe = jnp.abs(rho * omega) > 1e-30
+            beta = jnp.where(
+                safe, (rho_new / jnp.where(safe, rho, 1.0))
+                * (alpha / jnp.where(safe, omega, 1.0)), 0.0)
+            p = r + beta * (p - omega * v)
+            phat = prec(p)
+            v = mv(phat)
+            den = vdot(rhat, v)
+            alpha = jnp.where(jnp.abs(den) > 1e-30, rho_new / den, 0.0)
+            s = r - alpha * v
+            shat = prec(s)
+            t = mv(shat)
+            tt = vdot(t, t)
+            omega_new = jnp.where(
+                tt > 0, vdot(t, s) / jnp.where(tt > 0, tt, 1.0), 0.0)
+            x = x + alpha * phat + omega_new * shat
+            r = s - omega_new * t
+            rho, omega = rho_new, omega_new
+        x_ref[...] = x
+
+    return kernel
+
+
+def inner_solve_bands(c, b3, iters: int, interpret: bool = False):
+    """Bands-only fixed-iteration BiCGStab, one kernel launch.
+
+    ``c`` is a CprBandedData (solvers/cpr.py); ``b3`` [nz,ny,nx] f32.
+    The COO extras are NOT in this operator — callers defect-correct
+    (see module docstring).
+    """
+    f32 = jnp.float32
+    args = [c.p_diag, c.px_lr, c.px_rl, c.py_lr, c.py_rl, c.pz_lr,
+            c.pz_rl, b3]
+    args = [a.astype(f32) for a in args]
+    out = pl.pallas_call(
+        _make_kernel(iters),
+        out_shape=jax.ShapeDtypeStruct(b3.shape, f32),
+        interpret=interpret,
+    )(*args)
+    return out.astype(b3.dtype)

@@ -248,6 +248,25 @@ def build_cpr_banded(sys, inv_diag, pressure_var: int = 0,
     )
 
 
+def _pressure_inner_solve_banded(c: CprBandedData, b3, iters: int):
+    """Inner pressure solve on the banded layout: the single-launch
+    Pallas kernel when available (ops/pallas_cprinner.py), with the
+    fault/NNC COO extras kept in the effective operator by one defect-
+    correction pass (kernel solve -> XLA residual incl. extras ->
+    kernel solve on the correction). Falls back to the XLA
+    fixed-iteration BiCGStab otherwise."""
+    from opm_autodiff_tpu.ops import pallas_cprinner as pci
+
+    if pci.enabled():
+        dp = pci.inner_solve_bands(c, b3, iters)
+        if c.ex_left is not None:
+            res = b3 - _pressure_matvec_banded(c, dp)
+            dp = dp + pci.inner_solve_bands(c, res, iters)
+        return dp
+    return _pressure_inner_solve_generic(
+        lambda v: _pressure_matvec_banded(c, v), c.p_diag, b3, iters)
+
+
 def _pressure_matvec_banded(c: CprBandedData, x3):
     y = c.p_diag * x3
     y = y.at[:, :, :-1].add(c.px_lr * x3[:, :, 1:])
@@ -281,8 +300,7 @@ def cpr_banded_apply(c: CprBandedData, sys, r, inner_iters: int = 12,
     r_p = jnp.einsum("ni,ni->n", c.weights, r).reshape(nz, ny, nx)
     if c.gamma is not None:
         r_p = r_p * c.gamma
-    dp = _pressure_inner_solve_generic(
-        lambda v: _pressure_matvec_banded(c, v), c.p_diag, r_p, inner_iters)
+    dp = _pressure_inner_solve_banded(c, r_p, inner_iters)
     if c.gamma is not None:
         dp = dp / c.gamma
     x1 = jnp.zeros_like(r).at[:, pressure_var].set(dp.reshape(-1))
