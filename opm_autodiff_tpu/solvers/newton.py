@@ -140,8 +140,8 @@ def _convergence(params: NewtonParams, fs, cells, residual, inv_b, dt,
         inv_b32 = inv_b.astype(jnp.float32)
         pv32 = pv.astype(jnp.float32)
         r_scaled = residual / inv_b32
-        cnv_cell = (jnp.abs(r_scaled) * jnp.float32(1.0) * dt.astype(
-            jnp.float32) / pv32[:, None])
+        dt32 = jnp.asarray(dt, jnp.float32)
+        cnv_cell = jnp.abs(r_scaled) * dt32 / pv32[:, None]
         cnv = cnv_cell.max(axis=0).astype(f64)
         mb = jnp.abs(jnp.sum(r_scaled, axis=0, dtype=f64)) * dt / pv_sum
         viol = (cnv_cell > params.tol_cnv).any(axis=1)
@@ -484,13 +484,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         # BlackoilWellModel_impl.hpp:828-834 — same data flow, no extra
         # rates pass). ``rho_conn`` is the per-substep explicit connection
         # density (calculateExplicitQuantities analog).
-        pr = wells_mod.well_perf_contributions(fs, u3, flag, pbh, ws,
-                                               cells.regs, well_mob,
-                                               cells.eps, rho_conn)
-        q_tot = pr.q_perf.sum(axis=1)
-        mode = update_well_controls(ws, mode, pbh, q_tot, vfp_bank)
-        wr = wells_mod.well_control_contributions(pr, ws, mode, pbh,
-                                                  vfp_bank)
+        # deferred like the std4 branch: assembled AFTER the reservoir
+        # sweep so the packed cellpack planes replace the per-perf PVT
+        # re-evaluation when available
+        pr = None
+        wr = None
+        q_tot = None
         w_api = wells_mod
 
     # --- reservoir assembly (banded fast path for structured grids;
@@ -692,6 +691,20 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
             wr = s4.well4_contributions(fs, u3, flag, st.xw, ws, mode,
                                         vfp_bank, cells.regs, well_mob,
                                         cells.eps, rho_conn, well_f0, dt)
+    elif not use4 and wr is None:
+        # deferred 1-DOF research-well assembly (same packed fast path)
+        if packed is not None and rho_conn is not None:
+            pr = wells_mod.well_perf_contributions_packed(
+                packed, pbh, ws, ws_sys.cell, rho_conn)
+        else:
+            pr = wells_mod.well_perf_contributions(fs, u3, flag, pbh,
+                                                   ws, cells.regs,
+                                                   well_mob, cells.eps,
+                                                   rho_conn)
+        q_tot = pr.q_perf.sum(axis=1)
+        mode = update_well_controls(ws, mode, pbh, q_tot, vfp_bank)
+        wr = wells_mod.well_control_contributions(pr, ws, mode, pbh,
+                                                  vfp_bank)
     if inv_b_cells is None:
         eps_ax = None if cells.eps is None else 0
         q_all = jax.vmap(intensive, in_axes=(None, 0, 0, 0, None, eps_ax))(

@@ -321,6 +321,64 @@ def connection_densities(fs: FluidSystem, u, flag, pbh, ws: WellSet,
         jax.lax.stop_gradient(pbh), ws.is_injector, ws.inj_phase, reg_perf)
 
 
+def _perf_rates_channels(ch, pbh, rho_conn, wi, dz, is_injector,
+                         inj_phase):
+    """``_perf_rates`` from packed cellpack channels (p[3], 1/B[3],
+    mob[3], rho[3], rs, rv, acc[3]) instead of a fresh ``intensive``
+    evaluation — same trick as standard4._perf_cq_channels."""
+    p = ch[0:3]
+    inv_b = ch[3:6]
+    mob = ch[6:9]
+    rs, rv = ch[12], ch[13]
+    p_conn = pbh + rho_conn * U.GRAVITY * dz
+    dp = p_conn - p  # [3]; > 0 -> injection into cell
+
+    base = wi * mob * inv_b * dp
+    q_prod = jnp.stack([base[0],
+                        base[1] + rv * base[2],
+                        base[2] + rs * base[1]])
+    total_mob = mob[0] + mob[1] + mob[2]
+    inj_inv_b = inv_b[inj_phase]
+    q_inj_scalar = wi * total_mob * inj_inv_b * dp[inj_phase]
+    q_inj = jnp.zeros(3).at[inj_phase].set(q_inj_scalar)
+    return jnp.where(is_injector, q_inj, q_prod)
+
+
+def well_perf_contributions_packed(packed, pbh, ws: WellSet, cell_full,
+                                   rho_conn) -> WellPerf:
+    """``well_perf_contributions`` fed by the fused assembly's packed
+    planes (see standard4.well4_contributions_packed for the layout and
+    the chain-rule scheme; equality-tested in tests/test_wells.py)."""
+    q5, dq5 = packed
+    nz, _, ny, nx = q5.shape
+    k = cell_full // (ny * nx)
+    rem = cell_full % (ny * nx)
+    j = rem // nx
+    i = rem % nx
+    CH = q5[k, :, j, i].astype(pbh.dtype)          # [W,P,17]
+    dCH = dq5[k, :, :, j, i].astype(pbh.dtype)     # [W,P,17,3]
+    dz = ws.perf_depth - ws.ref_depth[:, None]
+
+    def one_perf(ch, pb, rho, wi, dzc, inj, phase, m):
+        def f(args):
+            cc, pp = args
+            qv = _perf_rates_channels(cc, pp, rho, wi, dzc, inj, phase)
+            qv = jnp.where(m, qv, jnp.zeros(3))
+            return qv, qv
+
+        jacs, val = jax.jacfwd(f, has_aux=True)((ch, pb))
+        return val, jacs[0], jacs[1]   # [3], [3,17], [3]
+
+    val, dq_dch, dq_dpbh = jax.vmap(jax.vmap(
+        one_perf, in_axes=(0, None, 0, 0, 0, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+        CH, pbh, rho_conn, ws.wi, dz, ws.is_injector, ws.inj_phase,
+        ws.perf_mask)
+    dq_du = jnp.einsum("wpck,wpkd->wpcd", dq_dch, dCH)
+    return WellPerf(q_perf=val, dq_du=dq_du, dq_dpbh=dq_dpbh,
+                    rho_conn=rho_conn)
+
+
 def well_perf_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
                             ws: WellSet, regs=None, mob_mult=None,
                             eps=None, rho_conn=None) -> WellPerf:

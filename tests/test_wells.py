@@ -148,3 +148,39 @@ def test_welpi_rescales_productivity(tmp_path):
     lo = run(1.0)
     hi = run(20.0)
     assert hi > 3 * lo
+
+
+def test_packed_perf_contributions_match(setup):
+    """well_perf_contributions_packed (cellpack channels) matches the
+    intensive-based path to f32 rounding (cf. test_std4's packed test)."""
+    import pytest
+    from opm_autodiff_tpu.models.blackoil import statics_from_geometry
+    from opm_autodiff_tpu.ops import pallas_cellpack as pcp
+
+    state, geo, fs, init, ws = setup
+    nx, ny, nz = geo.cartdims
+    cells, _f = statics_from_geometry(geo, structured="always")
+    if not pcp.supports(fs, cells):
+        pytest.skip("cellpack does not support this fluid system")
+    pbh = init.u[ws.cell[:, 0], 0] - 50 * U.PSI
+    from opm_autodiff_tpu.wells import standard as wells
+    rho_conn = wells.connection_densities(fs, init.u, init.flag, pbh, ws,
+                                          cells.regs)
+    packed = pcp.cellpack_planes(fs, cells, init.u, init.flag,
+                                 (nz, ny, nx), interpret=True)
+    pr_ref = wells.well_perf_contributions(fs, init.u, init.flag, pbh,
+                                           ws, cells.regs,
+                                           cells.mob_mult, cells.eps,
+                                           rho_conn)
+    pr_pk = wells.well_perf_contributions_packed(packed, pbh, ws,
+                                                 ws.cell, rho_conn)
+    np.testing.assert_allclose(np.asarray(pr_pk.q_perf),
+                               np.asarray(pr_ref.q_perf),
+                               rtol=2e-5, atol=1e-12)
+    scale = np.abs(np.asarray(pr_ref.dq_du)).max()
+    np.testing.assert_allclose(np.asarray(pr_pk.dq_du),
+                               np.asarray(pr_ref.dq_du),
+                               rtol=2e-3, atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(pr_pk.dq_dpbh),
+                               np.asarray(pr_ref.dq_dpbh),
+                               rtol=2e-3, atol=1e-12)
