@@ -454,7 +454,13 @@ def _run(method: str, matvec, prec, b, tol, maxiter):
     if method == "fgmres":
         from opm_autodiff_tpu.solvers.fgmres import fgmres
 
-        restart = 15
+        # restart 8 (was 15): steady-state CPR solves converge in 1-4
+        # Arnoldi steps, and the V/Z basis buffers, masked CGS2 matmuls
+        # and Givens chains all scale with the restart window — on the
+        # dispatch-latency-bound attachment the smaller window measured
+        # faster with no iteration-count change; hard systems just take
+        # more cycles (max_cycles scales to keep maxiter total steps)
+        restart = 8
         return fgmres(matvec, prec, b, tol=tol,
                       max_cycles=max(maxiter // restart, 1), restart=restart)
     if method == "bicgstab":

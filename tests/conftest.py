@@ -19,21 +19,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: the suite's cost is dominated by XLA
-# recompiles of the same Newton/solver kernels across test processes
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-if os.environ.get("OPM_TPU_TEST_CACHE_WRITE", "1") == "1":
+# Persistent compilation cache: OPT-IN via OPM_TPU_TEST_CACHE=1.
+# Within one `pytest tests/` process compiled programs are shared
+# in-memory anyway, so the on-disk cache mostly helps REPEATED local
+# runs — and some jaxlib builds segfault in PJRT executable
+# (de)serialization when the suite's largest programs (whole-substep
+# device Newton loops) hit the cache from a warmed process (observed:
+# SIGSEGV under both put_executable_and_time and
+# get_executable_and_time mid-suite, never in a fresh process). Default
+# OFF keeps the suite deterministic-green; enable locally for faster
+# re-runs and fall back if a run dies in the cache writer.
+if os.environ.get("OPM_TPU_TEST_CACHE", "0") == "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-else:
-    # OPM_TPU_TEST_CACHE_WRITE=0: read-only cache. Some jaxlib builds
-    # segfault intermittently in executable.serialize() when writing
-    # persistent-cache entries mid-suite (observed: SIGSEGV under
-    # compilation_cache.put_executable_and_time); reads are safe. Use
-    # this when the suite dies with "Fatal Python error" in the cache
-    # writer.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                      1e9)
 
 import pathlib
 

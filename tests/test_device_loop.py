@@ -5,13 +5,37 @@ device loop runs the whole substep (inner well solve + iterations +
 oscillation relaxation + convergence exit) as one lax.while_loop
 program — the reference's all-C++ nonlinear loop has no such host
 bubble either (SURVEY.md §1 L4). These tests pin the two loops to the
-same answers and iteration budgets."""
+same answers and iteration budgets.
+
+Each test body runs in a FRESH SUBPROCESS: the device-loop program is
+the largest executable in the suite, and some jaxlib builds segfault
+in executable (de)serialization when the persistent compile cache
+handles an entry this size from a process that has already compiled
+many programs (observed: SIGSEGV under both put_executable_and_time
+and get_executable_and_time mid-suite, never in a fresh process).
+Subprocess isolation makes the suite robust to that environment bug
+without giving up the cache."""
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 from opm_autodiff_tpu.io.state import load_state
 from opm_autodiff_tpu.simulator import Simulator, SimulatorOptions
+
+_IN_CHILD = os.environ.get("OPM_TPU_DEVICE_LOOP_CHILD") == "1"
+
+
+def _run_in_subprocess(test_name):
+    env = dict(os.environ, OPM_TPU_DEVICE_LOOP_CHILD="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", __file__ + "::" + test_name,
+         "-q", "--no-header"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
 
 
 def _deck(tmp_path, nx=6, ny=6, nz=3):
@@ -30,6 +54,9 @@ def _run(path, mode):
 
 
 def test_device_loop_matches_host_loop(tmp_path):
+    if not _IN_CHILD:
+        _run_in_subprocess("test_device_loop_matches_host_loop")
+        return
     path = _deck(tmp_path)
     dev = _run(path, "auto")
     host = _run(path, "never")
@@ -49,6 +76,9 @@ def test_device_loop_on_chopping_deck(tmp_path):
     the host/device boundary identically."""
     import dataclasses
 
+    if not _IN_CHILD:
+        _run_in_subprocess("test_device_loop_on_chopping_deck")
+        return
     path = _deck(tmp_path)
     sims = []
     for mode in ("auto", "never"):
