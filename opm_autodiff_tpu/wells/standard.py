@@ -355,9 +355,14 @@ def well_perf_contributions_packed(packed, pbh, ws: WellSet, cell_full,
     rem = cell_full % (ny * nx)
     j = rem // nx
     i = rem % nx
-    CH = q5[k, :, j, i].astype(pbh.dtype)          # [W,P,17]
-    dCH = dq5[k, :, :, j, i].astype(pbh.dtype)     # [W,P,17,3]
-    dz = ws.perf_depth - ws.ref_depth[:, None]
+    # f32 sweep: see standard4.well4_contributions_packed — f64 math at
+    # these tiny shapes lowers to emulated bf16 chains with hundreds of
+    # op instances
+    f32 = jnp.float32
+    CH = q5[k, :, j, i]                            # [W,P,17] f32
+    dCH = dq5[k, :, :, j, i]                       # [W,P,17,3] f32
+    pbh32 = pbh.astype(f32)
+    dz = (ws.perf_depth - ws.ref_depth[:, None]).astype(f32)
 
     def one_perf(ch, pb, rho, wi, dzc, inj, phase, m):
         def f(args):
@@ -372,11 +377,12 @@ def well_perf_contributions_packed(packed, pbh, ws: WellSet, cell_full,
     val, dq_dch, dq_dpbh = jax.vmap(jax.vmap(
         one_perf, in_axes=(0, None, 0, 0, 0, None, None, 0)),
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
-        CH, pbh, rho_conn, ws.wi, dz, ws.is_injector, ws.inj_phase,
-        ws.perf_mask)
+        CH, pbh32, rho_conn.astype(f32), ws.wi.astype(f32), dz,
+        ws.is_injector, ws.inj_phase, ws.perf_mask)
     dq_du = jnp.einsum("wpck,wpkd->wpcd", dq_dch, dCH)
-    return WellPerf(q_perf=val, dq_du=dq_du, dq_dpbh=dq_dpbh,
-                    rho_conn=rho_conn)
+    f64 = pbh.dtype
+    return WellPerf(q_perf=val.astype(f64), dq_du=dq_du.astype(f64),
+                    dq_dpbh=dq_dpbh.astype(f64), rho_conn=rho_conn)
 
 
 def well_perf_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,

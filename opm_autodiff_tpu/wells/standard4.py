@@ -316,8 +316,15 @@ def well4_contributions_packed(packed, xw, ws: WellSet, cell_full,
     rem = cell_full % (ny * nx)
     j = rem // nx
     i = rem % nx
-    CH = q5[k, :, j, i].astype(xw.dtype)          # [W,P,17]
-    dCH = dq5[k, :, :, j, i].astype(xw.dtype)     # [W,P,17,3]
+    # the whole per-perf sweep runs in f32: the channels are f32-born,
+    # and f64 here lowers to emulated bf16 triple-pass chains with
+    # dynamic-slice scaffolding (traced at hundreds of op instances for
+    # a handful of wells). The [W]-level well rows (_well_tail) stay
+    # f64.
+    f32 = jnp.float32
+    CH = q5[k, :, j, i]                           # [W,P,17] f32
+    dCH = dq5[k, :, :, j, i]                      # [W,P,17,3] f32
+    xw32 = xw.astype(f32)
 
     if rho_conn is None:
         raise ValueError("well4_contributions_packed needs the explicit "
@@ -341,11 +348,14 @@ def well4_contributions_packed(packed, xw, ws: WellSet, cell_full,
     val, dcq_dch, dq_dxw = jax.vmap(jax.vmap(
         one_perf, in_axes=(0, None, 0, 0, 0, None, None, None, 0)),
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
-        CH, xw, rho_conn, ws.wi, dz, ws.is_injector, ws.inj_phase,
+        CH, xw32, rho_conn.astype(f32), ws.wi.astype(f32),
+        dz.astype(f32), ws.is_injector, ws.inj_phase,
         allow_cf, ws.perf_mask)
     dq_du = jnp.einsum("wpck,wpkd->wpcd", dcq_dch, dCH)  # [W,P,3,3]
+    f64 = xw.dtype
     return _well_tail(xw, ws, active_mode, vfp_bank, f0, dt,
-                      val, dq_du, dq_dxw, rho_conn)
+                      val.astype(f64), dq_du.astype(f64),
+                      dq_dxw.astype(f64), rho_conn)
 
 
 # ---------------------------------------------------------------------------
