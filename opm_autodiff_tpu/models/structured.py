@@ -18,9 +18,10 @@ TPU. Fully-active grids use the plain path (``structured_ok``); every
 other cartesian-box grid embeds through ``EmbeddedTopology``
 (``embedded_ok``): inactive cells become identity rows and non-neighbor
 connections (fault throw, NNC, thpres faces) become COO extras riding
-on top of the bands. The face-list (BSR) layout remains for grids that
-are not cartesian-box-indexable and for the 4-equation implicit-polymer
-system.
+on top of the bands. The 4-equation implicit-extension systems
+(polymer/brine/foam/solvent/energy/extbo) ride the same banded layouts
+as 4x4 blocks (solvers/newton.py routes them here); the face-list (BSR)
+layout remains only for grids that are not cartesian-box-indexable.
 """
 
 from __future__ import annotations

@@ -19,9 +19,11 @@ whose x-derivative is the indicator-weighted slope sum — no gathers, no
 searchsorted, exact piecewise-linear semantics (props/tables.py
 interp1d, both the linear-extrapolation and end-clamped variants).
 
-Scope (supports()): live-oil + dry-gas decks, single SATNUM/PVTNUM
-region, no end-point scaling — the configuration of the SPE/Norne-class
-benchmark path. Anything else falls back to the XLA vmap(jacfwd) path.
+Scope (supports()): live-oil (PVTO) decks with dry (PVDG) or wet (PVTG)
+gas, multiple SATNUM/PVTNUM regions (masked per-region interpolation,
+bounded at 8 regions), with or without end-point scaling — the
+SPE/Norne-class configurations. Hysteresis, huge undersaturated banks,
+and non-live-oil fluid systems fall back to the XLA vmap(jacfwd) path.
 Mosaic has no f64, so the pack runs in f32; the CNV (1e-2) and MB
 (1e-6) tolerances sit far above f32 noise and drift compensation mops
 up the residual floor (see solvers/newton.py).

@@ -20,7 +20,20 @@ extras inside the effective coarse operator (VERDICT r2 #3) at the cost
 of two launches.
 
 Algorithm and breakdown guards mirror ``_pressure_inner_solve_generic``
-exactly (equality-tested in interpret mode, tests/test_pallas_cpr.py).
+exactly (equality-tested in interpret mode, tests/test_pallas_cpr.py),
+with two deliberate deviations:
+
+* **f32-only.** All operands are cast to f32 (Mosaic has no f64) and
+  the breakdown guards use 1e-30 instead of the generic path's 1e-300.
+  On f64-stored systems the CPR coarse solve therefore runs in reduced
+  precision — harmless for a preconditioner (it multiplies a Krylov
+  method that measures true residuals in the system dtype), but callers
+  needing a full-precision inner solve must use the generic path.
+* **VMEM-bounded.** The kernel keeps the 8 band/rhs arrays plus ~10
+  live Krylov vectors resident in VMEM with the iteration loop fully
+  unrolled; ``fits_vmem`` gates it off (callers fall back to the
+  generic XLA path) once the resident footprint would crowd the ~16MB
+  budget — roughly >1.5M cells single-chip.
 """
 
 from __future__ import annotations
@@ -38,6 +51,23 @@ def enabled() -> bool:
         return env == "1"
     return (jax.default_backend() not in ("cpu",)
             and jax.device_count() == 1)
+
+
+# ~16MB VMEM per TPU core; leave headroom for Mosaic's own spills and
+# the compiler-managed scratch. 8 band/rhs inputs + x,r,rhat,p,v,phat,
+# s,shat,t live vectors + the output ≈ 18 resident fields; call it 20.
+_VMEM_BUDGET_BYTES = 12 * 2**20
+_RESIDENT_FIELDS = 20
+
+
+def fits_vmem(shape) -> bool:
+    """True when the single-launch kernel's resident footprint fits
+    VMEM (ADVICE r4: no problem-size guard meant >1-2M-cell grids would
+    fail Mosaic compilation at runtime with no fallback)."""
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return _RESIDENT_FIELDS * n * 4 <= _VMEM_BUDGET_BYTES
 
 
 def _make_kernel(iters: int):
@@ -112,9 +142,11 @@ def _make_kernel(iters: int):
 def inner_solve_bands(c, b3, iters: int, interpret: bool = False):
     """Bands-only fixed-iteration BiCGStab, one kernel launch.
 
-    ``c`` is a CprBandedData (solvers/cpr.py); ``b3`` [nz,ny,nx] f32.
-    The COO extras are NOT in this operator — callers defect-correct
-    (see module docstring).
+    ``c`` is a CprBandedData (solvers/cpr.py); ``b3`` [nz,ny,nx].
+    Runs in f32 regardless of the stored dtype (see module docstring:
+    f32-only contract) and casts the result back. The COO extras are
+    NOT in this operator — callers defect-correct (see module
+    docstring).
     """
     f32 = jnp.float32
     args = [c.p_diag, c.px_lr, c.px_rl, c.py_lr, c.py_rl, c.pz_lr,

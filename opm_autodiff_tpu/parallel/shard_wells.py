@@ -42,6 +42,7 @@ shard_map = jax.shard_map
 from opm_autodiff_tpu.wells.standard import _connection_density
 from opm_autodiff_tpu.wells.standard4 import (Well4Result, _perf_sweep,
                                               _well_tail)
+from opm_autodiff_tpu.utils.tinydot import esum
 
 
 def _axis(mesh):
@@ -210,11 +211,11 @@ def schur_matvec_dist(mesh, wr: Well4Result, ws, x):
         dt = x_l.dtype  # f32-native inside the f32 Krylov loop
         locc, owned = owned_perforations(ws_r, n_local, axis)
         x_perf = jnp.where(owned[..., None], x_l[locc], 0.0)  # [W,P,3]
-        bx_l = jnp.einsum("wpej,wpj->we", wr_r.b_blk.astype(dt),
+        bx_l = esum("wpej,wpj->we", wr_r.b_blk.astype(dt),
                           x_perf)  # [W,4]
         bx = jax.lax.psum(bx_l, axis)
-        coef = jnp.einsum("wef,wf->we", wr_r.d_inv.astype(dt), bx)
-        contrib = jnp.einsum("wpce,we->wpc", -wr_r.dq_dxw.astype(dt), coef)
+        coef = esum("wef,wf->we", wr_r.d_inv.astype(dt), bx)
+        contrib = esum("wpce,we->wpc", -wr_r.dq_dxw.astype(dt), coef)
         contrib = jnp.where(owned[..., None], contrib, 0.0)
         y_l = jnp.zeros_like(x_l)
         return y_l.at[locc.reshape(-1)].add(-contrib.reshape(-1, 3))
@@ -232,8 +233,8 @@ def schur_rhs_dist(mesh, residual, wr: Well4Result, ws):
 
     def local(res_l, wr_r, ws_r):
         locc, owned = owned_perforations(ws_r, n_local, axis)
-        coef = jnp.einsum("wef,wf->we", wr_r.d_inv, wr_r.res_well)
-        contrib = jnp.einsum("wpce,we->wpc", -wr_r.dq_dxw, coef)
+        coef = esum("wef,wf->we", wr_r.d_inv, wr_r.res_well)
+        contrib = esum("wpce,we->wpc", -wr_r.dq_dxw, coef)
         contrib = jnp.where(owned[..., None], contrib, 0.0)
         corr = jnp.zeros_like(res_l)
         return corr.at[locc.reshape(-1)].add(

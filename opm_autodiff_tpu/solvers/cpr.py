@@ -257,7 +257,7 @@ def _pressure_inner_solve_banded(c: CprBandedData, b3, iters: int):
     fixed-iteration BiCGStab otherwise."""
     from opm_autodiff_tpu.ops import pallas_cprinner as pci
 
-    if pci.enabled():
+    if pci.enabled() and pci.fits_vmem(b3.shape):
         dp = pci.inner_solve_bands(c, b3, iters)
         if c.ex_left is not None:
             res = b3 - _pressure_matvec_banded(c, dp)

@@ -683,7 +683,12 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
         # above): from the packed planes when the fused path produced
         # them and the explicit rho_conn is available, else the plain
         # intensive-based sweep
-        if packed is not None and rho_conn is not None:
+        # extra4 is None here by construction (the 4-eq extension
+        # branches force the assembly paths where packed stays None and
+        # carry the well_mob multiplier chain the packed planes lack) —
+        # asserted explicitly so the invariant can't silently rot
+        # (ADVICE r4)
+        if packed is not None and rho_conn is not None and extra4 is None:
             wr = s4.well4_contributions_packed(
                 packed, st.xw, ws, ws_sys.cell, mode, vfp_bank,
                 rho_conn, well_f0, dt)
@@ -693,7 +698,8 @@ def newton_iteration_impl(params: NewtonParams, fs, cells, faces,
                                         cells.eps, rho_conn, well_f0, dt)
     elif not use4 and wr is None:
         # deferred 1-DOF research-well assembly (same packed fast path)
-        if packed is not None and rho_conn is not None:
+        # extra4-is-None guard: same invariant as the std4 branch above
+        if packed is not None and rho_conn is not None and extra4 is None:
             pr = wells_mod.well_perf_contributions_packed(
                 packed, pbh, ws, ws_sys.cell, rho_conn)
         else:

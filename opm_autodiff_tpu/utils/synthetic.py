@@ -196,11 +196,62 @@ def coord_zcorn_text(nx: int, ny: int, nz: int, dx: float, dy: float,
     return "\n".join(lines) + "\n"
 
 
+def _field_actnum(nx: int, ny: int, nz: int, frac: float = 0.39,
+                  seed: int = 11):
+    """Real-field ACTNUM footprint: an elongated diagonal ellipse in
+    (i,j) that shrinks toward the top/bottom layers (pinch-outs), tuned
+    to ``frac`` total active fraction — the real Norne field is
+    46x112x22 with ~39% active (reference:
+    eclgenericcpgridvanguard.cc:91 partitions by ACTIVE cells precisely
+    because dense-box padding is this expensive). Returns (act [n] int,
+    well_ij) with the wells placed along the field's major axis."""
+    import numpy as np
+
+    jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    x = (ii + 0.5) / nx - 0.5
+    y = (jj + 0.5) / ny - 0.5
+    th = np.deg2rad(25.0)
+    u = x * np.cos(th) + y * np.sin(th)
+    v = -x * np.sin(th) + y * np.cos(th)
+    kk = np.arange(nz)
+    ctr = (nz - 1) / 2.0
+    shrink = 1.0 - 0.28 * ((kk - ctr) / max(ctr, 1.0)) ** 2  # [nz]
+    mean_s2 = float(np.mean(shrink**2))
+    # ellipse area pi*a*b in normalized units; solve a for the target
+    b = 0.62
+    # 4% interior speckle removed below -> aim slightly high
+    a = (frac / 0.96) / (np.pi * b * mean_s2)
+    rng = np.random.default_rng(seed)
+    act = np.zeros((nz, ny, nx), int)
+    for k in range(nz):
+        s = shrink[k]
+        inside = (u / (a * s)) ** 2 + (v / (b * s)) ** 2 <= 1.0
+        act[k] = inside.astype(int)
+    # speckle: a little interior dead rock like the random-8% mode
+    dead = rng.random(act.shape) < 0.04
+    act[dead & (act == 1)] = 0
+    # wells along the major (v/b) axis at fractional stations
+    wij = []
+    for t in (-0.55, -0.18, 0.2, 0.55):
+        uw, vw = 0.0, t * b * 0.8
+        xw = uw * np.cos(th) - vw * np.sin(th)
+        yw = uw * np.sin(th) + vw * np.cos(th)
+        wi = int(np.clip(round((xw + 0.5) * nx - 0.5), 1, nx - 2))
+        wjj = int(np.clip(round((yw + 0.5) * ny - 0.5), 1, ny - 2))
+        wij.append((wi, wjj))
+    flat = act.reshape(-1)
+    nxy = nx * ny
+    for (wi, wj) in wij:
+        flat[wj * nx + wi:: nxy] = 1  # keep well columns alive
+    return flat, wij
+
+
 def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
                           pvt_path: str = NORNE_PVT_PATH,
                           tstep_days: str = "1 5 10",
                           perm_range: tuple | None = None,
-                          fault: bool = True) -> str:
+                          fault: bool = True,
+                          field_frac: float | None = None) -> str:
     """A scalable deck with the Norne regression family's characteristic
     feature set (reference: jenkins run-norne.sh + test_norne_pvt.cpp):
     corner-point geometry with dip and a stair-case fault, ~8% ACTNUM
@@ -225,14 +276,19 @@ def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
                             fault_after_i=(nx // 2 - 1) if fault else None,
                             fault_throw=0.5 * dz if fault else 0.0)
 
-    # deterministic ~8% inactive, keeping the well columns alive
-    rng = np.random.default_rng(42)
-    act = np.ones(n, int)
-    dead = rng.choice(n, size=n // 12, replace=False)
-    act[dead] = 0
-    for (wi, wj) in _norne_well_ij(nx, ny):
-        col = wj * nx + wi
-        act[col::nxy] = 1
+    if field_frac is not None:
+        # real-field footprint (~field_frac active) with axis wells
+        act, wij = _field_actnum(nx, ny, nz, frac=field_frac)
+    else:
+        # deterministic ~8% inactive, keeping the well columns alive
+        rng = np.random.default_rng(42)
+        act = np.ones(n, int)
+        dead = rng.choice(n, size=n // 12, replace=False)
+        act[dead] = 0
+        wij = _norne_well_ij(nx, ny)
+        for (wi, wj) in wij:
+            col = wj * nx + wi
+            act[col::nxy] = 1
 
     half = nz // 2
 
@@ -258,7 +314,7 @@ def norne_class_deck_text(nx: int = 46, ny: int = 56, nz: int = 22,
     poro = layered([0.28, 0.25, 0.20, 0.27], [0.15, 0.22, 0.18, 0.12])
     swl = layered([0.12], [0.18])
 
-    wells = _norne_wells_text(nx, ny, nz)
+    wells = _norne_wells_text(nx, ny, nz, wij=wij)
     return f"""RUNSPEC
 TITLE
  NORNECLASS {nx}x{ny}x{nz}
@@ -351,8 +407,8 @@ def _norne_well_ij(nx, ny):
             (nx // 2, 3 * ny // 4), (1, ny - 2)]
 
 
-def _norne_wells_text(nx, ny, nz):
-    (p1, p2, p3, inj) = _norne_well_ij(nx, ny)
+def _norne_wells_text(nx, ny, nz, wij=None):
+    (p1, p2, p3, inj) = wij if wij is not None else _norne_well_ij(nx, ny)
     k1, k2 = 1, max(nz // 3, 1)
     ki1, ki2 = max(2 * nz // 3, 1), nz
     def one(i, j):

@@ -47,6 +47,7 @@ from opm_autodiff_tpu.wells.standard import (_MODE_IDX, _PHASE_IDX, CTRL_BHP,
                                              CTRL_GRAT, CTRL_LRAT, CTRL_ORAT,
                                              CTRL_RATE, CTRL_RESV, CTRL_THP,
                                              CTRL_WRAT, _perf_rates)
+from opm_autodiff_tpu.utils.tinydot import esum
 
 
 class MswSet(NamedTuple):
@@ -485,9 +486,9 @@ def schur_matvec(mr: MswResult, msw: MswSet, x):
     dR_cell/dx_w = -c_blk since R_cell -= q)."""
     dt = x.dtype  # f32-native inside the f32 Krylov loop
     x_perf = x[msw.perf_cell].reshape(msw.num_wells, -1)  # [M,3P]
-    bx = jnp.einsum("msp,mp->ms", mr.b_blk.astype(dt), x_perf)
-    dinv_bx = jnp.einsum("mst,mt->ms", mr.d_inv.astype(dt), bx)
-    contrib = jnp.einsum("mps,ms->mp", mr.c_blk.astype(dt), dinv_bx)
+    bx = esum("msp,mp->ms", mr.b_blk.astype(dt), x_perf)
+    dinv_bx = esum("mst,mt->ms", mr.d_inv.astype(dt), bx)
+    contrib = esum("mps,ms->mp", mr.c_blk.astype(dt), dinv_bx)
     y = jnp.zeros_like(x)
     # R_cell -= q  =>  dR_cell/dx_w = -c_blk; y -= C D^-1 B x
     y = y.at[msw.perf_cell.reshape(-1)].add(
@@ -500,8 +501,8 @@ def schur_rhs(mr: MswResult, msw: MswSet, residual):
     b = -r_c + (dR_c/dx_w) D^-1 r_w with dR_c/dx_w = -c_blk (cells see -q),
     i.e. the correction is -c_blk . D^-1 r_w."""
     rw = mr.res.reshape(msw.num_wells, -1)
-    dinv_r = jnp.einsum("mst,mt->ms", mr.d_inv, rw)
-    contrib = jnp.einsum("mps,ms->mp", mr.c_blk, dinv_r)
+    dinv_r = esum("mst,mt->ms", mr.d_inv, rw)
+    contrib = esum("mps,ms->mp", mr.c_blk, dinv_r)
     corr = jnp.zeros_like(residual)
     corr = corr.at[msw.perf_cell.reshape(-1)].add(
         -contrib.reshape(-1, 3).astype(residual.dtype))
@@ -511,9 +512,9 @@ def schur_rhs(mr: MswResult, msw: MswSet, residual):
 def recover_update(mr: MswResult, msw: MswSet, dx):
     """dx_w = -D^-1 (r_w + B dx_cells); returns [M,S,4]."""
     dx_perf = dx[msw.perf_cell].reshape(msw.num_wells, -1)
-    bdx = jnp.einsum("msp,mp->ms", mr.b_blk, dx_perf)
+    bdx = esum("msp,mp->ms", mr.b_blk, dx_perf)
     rhs = mr.res.reshape(msw.num_wells, -1) + bdx
-    dxw = -jnp.einsum("mst,mt->ms", mr.d_inv, rhs)
+    dxw = -esum("mst,mt->ms", mr.d_inv, rhs)
     M, S = msw.seg_mask.shape
     return dxw.reshape(M, S, 4)
 

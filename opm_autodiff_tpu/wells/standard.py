@@ -30,6 +30,7 @@ from opm_autodiff_tpu import units as U
 from opm_autodiff_tpu.grid.geometry import Geometry, peaceman_well_index
 from opm_autodiff_tpu.models.blackoil import intensive
 from opm_autodiff_tpu.props.fluid import FluidSystem
+from opm_autodiff_tpu.utils.tinydot import esum
 
 # control modes (per well, int)
 (CTRL_BHP, CTRL_ORAT, CTRL_WRAT, CTRL_GRAT, CTRL_LRAT, CTRL_RATE,
@@ -379,7 +380,7 @@ def well_perf_contributions_packed(packed, pbh, ws: WellSet, cell_full,
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
         CH, pbh32, rho_conn.astype(f32), ws.wi.astype(f32), dz,
         ws.is_injector, ws.inj_phase, ws.perf_mask)
-    dq_du = jnp.einsum("wpck,wpkd->wpcd", dq_dch, dCH)
+    dq_du = esum("wpck,wpkd->wpcd", dq_dch, dCH)
     f64 = pbh.dtype
     return WellPerf(q_perf=val.astype(f64), dq_du=dq_du.astype(f64),
                     dq_dpbh=dq_dpbh.astype(f64), rho_conn=rho_conn)
@@ -495,8 +496,8 @@ def well_control_contributions(pr: WellPerf, ws: WellSet, active_mode,
     dg_dpb = jax.vmap(jax.grad(rw_fn, argnums=1))(*rw_args)
 
     # B[w,p,:] = dg/dq . dq/du ; D[w] = dg/dpbh + dg/dq . dq/dpbh
-    b_blk = jnp.einsum("wi,wpij->wpj", dg_dq, dq_du)
-    d_diag = dg_dpb + jnp.einsum("wi,wpi->w", dg_dq, dq_dpbh)
+    b_blk = esum("wi,wpij->wpj", dg_dq, dq_du)
+    d_diag = dg_dpb + esum("wi,wpi->w", dg_dq, dq_dpbh)
 
     # singular well equation (all perfs degenerate): pin pbh instead of
     # letting D^-1 poison the Schur complement
@@ -567,7 +568,7 @@ def schur_matvec(wr: WellResult, ws: WellSet, x):
     """
     dt = x.dtype  # f32-native inside the f32 Krylov loop
     x_perf = x[ws.cell]  # [W,P,3]
-    bx = jnp.einsum("wpj,wpj->w", wr.b_blk.astype(dt), x_perf)
+    bx = esum("wpj,wpj->w", wr.b_blk.astype(dt), x_perf)
     coef = bx / wr.d_diag.astype(dt)  # [W]
     contrib = (-wr.dq_dpbh.astype(dt)) * coef[:, None, None]
     y = jnp.zeros_like(x)
@@ -588,5 +589,5 @@ def schur_rhs(residual, wr: WellResult, ws: WellSet):
 def recover_pbh_update(wr: WellResult, ws: WellSet, dx):
     """dpbh = -D^-1 (r_w + B dx)."""
     dx_perf = dx[ws.cell]
-    bdx = jnp.einsum("wpj,wpj->w", wr.b_blk, dx_perf)
+    bdx = esum("wpj,wpj->w", wr.b_blk, dx_perf)
     return -(wr.res_well + bdx) / wr.d_diag

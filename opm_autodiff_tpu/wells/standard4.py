@@ -48,6 +48,7 @@ from opm_autodiff_tpu.wells.standard import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT,
                                              CTRL_ORAT, CTRL_RATE, CTRL_RESV,
                                              CTRL_THP, CTRL_WRAT, WellSet,
                                              _split_banks)
+from opm_autodiff_tpu.utils.tinydot import esum
 
 # component scaling factors (water, oil, gas) — gas rates are ~100x the
 # liquid rates in surface volume, the 0.01 rebalances the fraction space
@@ -351,7 +352,7 @@ def well4_contributions_packed(packed, xw, ws: WellSet, cell_full,
         CH, xw32, rho_conn.astype(f32), ws.wi.astype(f32),
         dz.astype(f32), ws.is_injector, ws.inj_phase,
         allow_cf, ws.perf_mask)
-    dq_du = jnp.einsum("wpck,wpkd->wpcd", dcq_dch, dCH)  # [W,P,3,3]
+    dq_du = esum("wpck,wpkd->wpcd", dcq_dch, dCH)  # [W,P,3,3]
     f64 = xw.dtype
     return _well_tail(xw, ws, active_mode, vfp_bank, f0, dt,
                       val.astype(f64), dq_du.astype(f64),
@@ -571,9 +572,9 @@ def schur_matvec(wr: Well4Result, ws: WellSet, x):
     """
     dt = x.dtype
     x_perf = x[ws.cell]                                     # [W,P,3]
-    bx = jnp.einsum("wpej,wpj->we", wr.b_blk.astype(dt), x_perf)  # [W,4]
-    coef = jnp.einsum("wef,wf->we", wr.d_inv.astype(dt), bx)  # D^-1 Bx
-    contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw.astype(dt), coef)
+    bx = esum("wpej,wpj->we", wr.b_blk.astype(dt), x_perf)  # [W,4]
+    coef = esum("wef,wf->we", wr.d_inv.astype(dt), bx)  # D^-1 Bx
+    contrib = esum("wpce,we->wpc", -wr.dq_dxw.astype(dt), coef)
     y = jnp.zeros_like(x)
     return y.at[ws.cell.reshape(-1)].add(-contrib.reshape(-1, 3))
 
@@ -584,8 +585,8 @@ def schur_rhs(residual, wr: Well4Result, ws: WellSet):
     (Reference: BlackoilWellModel_impl.hpp:148 linearize — the well
     residual elimination r -= C^T D^-1 resWell.)
     """
-    coef = jnp.einsum("wef,wf->we", wr.d_inv, wr.res_well)  # [W,4]
-    contrib = jnp.einsum("wpce,we->wpc", -wr.dq_dxw, coef)
+    coef = esum("wef,wf->we", wr.d_inv, wr.res_well)  # [W,4]
+    contrib = esum("wpce,we->wpc", -wr.dq_dxw, coef)
     corr = jnp.zeros_like(residual)
     return corr.at[ws.cell.reshape(-1)].add(
         contrib.reshape(-1, 3).astype(residual.dtype))
@@ -595,8 +596,8 @@ def recover_xw_update(wr: Well4Result, ws: WellSet, dx):
     """dxw = -D^-1 (res_well + B dx)
     (reference: StandardWell_impl.hpp:1308 recoverSolutionWell)."""
     dx_perf = dx[ws.cell]
-    bdx = jnp.einsum("wpej,wpj->we", wr.b_blk, dx_perf)
-    return -jnp.einsum("wef,wf->we", wr.d_inv, wr.res_well + bdx)
+    bdx = esum("wpej,wpj->we", wr.b_blk, dx_perf)
+    return -esum("wef,wf->we", wr.d_inv, wr.res_well + bdx)
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +707,7 @@ def solve_well_eq(fs: FluidSystem, u, flag, xw, ws: WellSet,
         wr = well4_contributions(fs, u, flag, xw_c, ws, active_mode,
                                  vfp_bank, regs, mob_mult, eps, rho_conn,
                                  None, dt)
-        dxw = -jnp.einsum("wef,wf->we", wr.d_inv, wr.res_well)
+        dxw = -esum("wef,wf->we", wr.d_inv, wr.res_well)
         dxw = jnp.where(jnp.isfinite(dxw), dxw, 0.0)
         xw_n = chop_xw_update(xw_c, dxw, ws)
         err = jnp.where(ws.open_mask[:, None],
