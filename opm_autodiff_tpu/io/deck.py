@@ -98,7 +98,7 @@ SINGLE_KEYWORDS = {
     "TRACERS", "SMRYDIMS", "REGDIMS", "GRIDOPTS", "RPTONLY", "BIGMODEL",
     "NETWORK", "LIFTOPT", "WSEGDIMS", "UDQDIMS", "UDADIMS",
     "ACTDIMS", "RESTART", "RPTRST", "RPTSOL", "RPTSCHED", "RPTGRID",
-    "RPTPROPS", "OUTSOL", "TITLE",
+    "RPTPROPS", "OUTSOL", "TITLE", "SCALECRS", "ENDSCALE",
 }
 
 RECORDS_KEYWORDS = {
@@ -118,6 +118,9 @@ RECORDS_KEYWORDS = {
     "PLYROCK", "PLYMAX", "WPOLYMER", "WSALT", "WFOAM",
     "FOAMFSC", "PVTWSALT", "SALTVD", "TEMPVD", "RTEMPVD", "FOAMROCK", "WSOLVENT", "TLMIXPAR",
     "UDQ", "ACTIONX", "WTEMP", "WINJTEMP", "VISCREF", "DRSDT", "DRVDT",
+    # depth-interpolated end-point scaling tables (one record per
+    # endpoint region, RSVD-style): reference satfuncEPS_B.DATA
+    "ENPTVD", "ENKRVD",
 }
 
 DATA_KEYWORDS = {

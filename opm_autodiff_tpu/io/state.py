@@ -1632,6 +1632,22 @@ def build_state(deck: Deck) -> EclState:
         arr = _grid_array(deck, name, nc)
         if arr is not None:
             eps_arrays[name] = arr
+    # depth-interpolated end points (reference: satfuncEPS_B.DATA +
+    # opm-common EclEpsGridProperties ENPTVD/ENKRVD): one table per
+    # endpoint-table region; defaulted columns stay NaN ("no scaling").
+    #   ENPTVD: depth swl swcr swu sgl sgcr sgu sowcr sogcr  (9 cols)
+    #   ENKRVD: depth krw  krg  kro krwr krgr krorw krorg    (8 cols)
+    u_eps = rs.unit_system
+    for name, ncol in (("ENPTVD", 9), ("ENKRVD", 8)):
+        kw = deck.get1(name)
+        if kw and kw.records and kw.records[0]:
+            vals = np.asarray(
+                [np.nan if v is DEFAULT else float(v)
+                 for v in kw.records[0]], float)
+            if vals.size % ncol == 0 and vals.size:
+                t = vals.reshape(-1, ncol)
+                t[:, 0] *= u_eps.length
+                eps_arrays[name] = t
     components = {}
     u = rs.unit_system
     cscale = u.polymer_concentration

@@ -77,6 +77,9 @@ class EnergyImplicit(NamedTuple):
     # for embedded grids (aligned with emb.ex_trans)
     cond_bands: tuple | None = None
     cond_extras: jnp.ndarray | None = None
+    # [M] injection temperatures of the multisegment wells (the MSW x
+    # energy composition; None when the deck has no WELSEGS)
+    msw_inj_temp: jnp.ndarray | None = None
 
     # ------------------------------------------------------------------
     def visc_factor(self, T, t0):
@@ -307,17 +310,21 @@ def assemble_system4(fs, en: EnergyImplicit, cells, faces, state,
 # ----------------------------------------------------------------------
 
 def apply_wells4(fs, residual4, diag4, q_perf, ws, T_cells,
-                 en: EnergyImplicit):
+                 en: EnergyImplicit, t_inj=None, cell_idx=None):
     """Energy source terms from the standard wells.
 
     q_perf [W,P,3] are surface rates INTO cells. Injection (q > 0)
     delivers enthalpy at the well's WTEMP/WINJTEMP; production (q < 0)
-    removes it at the cell temperature — implicit (diagonal [3,3])."""
-    flat_cells = ws.cell.reshape(-1)
+    removes it at the cell temperature — implicit (diagonal [3,3]).
+    ``t_inj`` overrides en.inj_temp — the multisegment composition
+    passes its own per-MSW-well temperatures (en.msw_inj_temp);
+    ``cell_idx`` [W,P] overrides ws.cell (MswSet stores perf_cell)."""
+    cells_wp = ws.cell if cell_idx is None else cell_idx
+    flat_cells = cells_wp.reshape(-1)
     cp0 = jnp.stack([en.ch_w[0], en.ch_o[0], en.ch_g[0]])
     rho0 = fs.rho_ref(0)
-    t_cell = T_cells[ws.cell]                       # [W,P]
-    t_inj = en.inj_temp[:, None]                    # [W,1]
+    t_cell = T_cells[cells_wp]                      # [W,P]
+    t_inj = (en.inj_temp if t_inj is None else t_inj)[:, None]  # [W,1]
     q_pos = jnp.maximum(q_perf, 0.0)
     q_neg = jnp.minimum(q_perf, 0.0)
     h_inj = (q_pos * rho0 * cp0).sum(axis=2) * t_inj

@@ -66,6 +66,9 @@ class PolymerImplicit(NamedTuple):
     max_ads: jnp.ndarray    # [N] maximum adsorption
     c_max: jnp.ndarray      # scalar: PLYMAX (chop/clamp scale)
     inj_conc: jnp.ndarray   # [W] WPOLYMER injection concentrations
+    # [M] WPOLYMER concentrations of multisegment wells (MSW x variant
+    # composition; None when the deck has no WELSEGS)
+    msw_inj_conc: jnp.ndarray | None = None
 
     # ------------------------------------------------------------------
     def visc_mult(self, c, reg=0):
@@ -319,7 +322,7 @@ def assemble_system4(fs, poly: PolymerImplicit, cells, faces, state,
 # ----------------------------------------------------------------------
 
 def apply_wells4(residual4, diag4, q_perf, ws, c_cells,
-                 poly: PolymerImplicit):
+                 poly: PolymerImplicit, inj_conc=None, cell_idx=None):
     """Polymer source terms from the standard wells.
 
     q_perf [W,P,3] are surface rates INTO cells (wells apply -q to the
@@ -327,10 +330,13 @@ def apply_wells4(residual4, diag4, q_perf, ws, c_cells,
     concentration; production (q_w < 0) removes at the cell
     concentration — that term is implicit in c (diagonal [3,3] entry).
     """
-    flat_cells = ws.cell.reshape(-1)
+    cells_wp = ws.cell if cell_idx is None else cell_idx
+    flat_cells = cells_wp.reshape(-1)
     qw = q_perf[:, :, 0]
-    inj = jnp.maximum(qw, 0.0) * poly.inj_conc[:, None]
-    prod = jnp.minimum(qw, 0.0) * c_cells[ws.cell]
+    if inj_conc is None:
+        inj_conc = poly.inj_conc
+    inj = jnp.maximum(qw, 0.0) * inj_conc[:, None]
+    prod = jnp.minimum(qw, 0.0) * c_cells[cells_wp]
     q_poly = (inj + prod).reshape(-1)
     residual4 = residual4.at[flat_cells, 3].add(-q_poly)
     # d(-q_poly)/dc = -min(qw,0) >= 0: strengthens the diagonal

@@ -81,6 +81,9 @@ class TransportImplicit(NamedTuple):
     phase_mask: jnp.ndarray  # [3] one-hot carrier phase (w=0, g=2)
     c_max: jnp.ndarray      # scalar: chop/convergence scale
     inj_conc: jnp.ndarray   # [W] WSALT/WFOAM/WSOLVENT injection values
+    # [M] injection values of multisegment wells (MSW x variant
+    # composition; None when the deck has no WELSEGS)
+    msw_inj_conc: jnp.ndarray | None = None
     tl: TlMix | None = None
 
     # ------------------------------------------------------------------
@@ -365,14 +368,18 @@ def assemble_system4(fs, trans: TransportImplicit, cells, faces, state,
 # ----------------------------------------------------------------------
 
 def apply_wells4(residual4, diag4, q_perf, ws, c_cells,
-                 trans: TransportImplicit):
+                 trans: TransportImplicit, inj_conc=None,
+                 cell_idx=None):
     """Component source terms from the standard wells: injection (q_c >
     0 in the carrier phase) carries WSALT/WFOAM; production removes at
     the cell concentration — implicit in c (diagonal entry)."""
-    flat_cells = ws.cell.reshape(-1)
+    cells_wp = ws.cell if cell_idx is None else cell_idx
+    flat_cells = cells_wp.reshape(-1)
     qc = (q_perf * trans.phase_mask[None, None, :]).sum(axis=-1)  # [W,P]
-    inj = jnp.maximum(qc, 0.0) * trans.inj_conc[:, None]
-    prod = jnp.minimum(qc, 0.0) * c_cells[ws.cell]
+    if inj_conc is None:
+        inj_conc = trans.inj_conc
+    inj = jnp.maximum(qc, 0.0) * inj_conc[:, None]
+    prod = jnp.minimum(qc, 0.0) * c_cells[cells_wp]
     q_comp = (inj + prod).reshape(-1)
     residual4 = residual4.at[flat_cells, 3].add(-q_comp)
     diag4 = diag4.at[flat_cells, 3, 3].add(

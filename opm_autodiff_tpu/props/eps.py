@@ -33,9 +33,39 @@ def build_eps(state, geo, fs):
     act = geo.act_to_glob
     eps = np.full((n, 12), np.nan)
 
+    # Depth-interpolated end points first (ENPTVD/ENKRVD — reference:
+    # satfuncEPS_B.DATA, EclEpsGridProperties); grid arrays below
+    # override them cell-wise (ECLIPSE precedence). A fully-defaulted
+    # (NaN) table column leaves its channel unscaled.
+    _depth_iv = {}
+
+    def _interp_depth(tab, col):
+        d = tab[:, 0]
+        v = tab[:, col]
+        if not np.isfinite(v).all():
+            return None
+        return np.interp(geo.depth, d, v)
+
+    enptvd = arrs.get("ENPTVD")
+    if enptvd is not None:
+        for col, name in ((1, "SWL"), (2, "SWCR"), (3, "SWU"),
+                          (4, "SGL"), (5, "SGCR"), (6, "SGU"),
+                          (7, "SOWCR"), (8, "SOGCR")):
+            iv = _interp_depth(enptvd, col)
+            if iv is not None:
+                _depth_iv[name] = iv
+    enkrvd = arrs.get("ENKRVD")
+    if enkrvd is not None:
+        for col, name in ((1, "KRW"), (2, "KRG"), (3, "KRO")):
+            iv = _interp_depth(enkrvd, col)
+            if iv is not None:
+                _depth_iv[name] = iv
+
     def get(name):
         a = arrs.get(name)
-        return None if a is None else np.asarray(a, float)[act]
+        if a is None:
+            return _depth_iv.get(name)
+        return np.asarray(a, float)[act]
 
     swl = get("SWL")
     sgl = get("SGL")

@@ -93,3 +93,53 @@ def test_device_loop_on_chopping_deck(tmp_path):
             == host.report.total_newton_iterations)
     np.testing.assert_allclose(np.asarray(dev.u), np.asarray(host.u),
                                rtol=1e-10)
+
+
+def test_group_deck_hybrid_handoff(tmp_path):
+    """Group-controlled decks now reach the device loop too (VERDICT r4
+    next #4): host iterations run only while the NUPCOL re-apportioning
+    is moving, then the substep remainder executes as one device
+    program. The hybrid must (a) actually hand off and (b) agree with
+    the pure host loop."""
+    if not _IN_CHILD:
+        _run_in_subprocess("test_group_deck_hybrid_handoff")
+        return
+    import opm_autodiff_tpu.solvers.newton as newton_mod
+
+    path = _deck(tmp_path)
+    txt = open(path).read()
+    # group control ACTIVE: ORAT cap below the well target, wells under
+    # GRUP control so apportioning has something to move
+    txt = txt.replace("WCONPROD\n 'PROD' 'OPEN' 'ORAT' 20000 4* 1000 /",
+                      "GCONPROD\n 'G1' 'ORAT' 12000 /\n/\nWCONPROD\n"
+                      " 'PROD' 'OPEN' 'GRUP' 5* 1000 /")
+    open(path, "w").write(txt)
+
+    calls = {"n": 0}
+    real = newton_mod.newton_solve_device
+
+    def spy(*a, **kw):
+        if kw.get("prep") is not None:
+            calls["n"] += 1
+        return real(*a, **kw)
+
+    sims = {}
+    # "always" forces the hybrid on the CPU test backend (under "auto"
+    # it engages off-CPU only — the handoff exists for the TPU
+    # dispatch bubble and the extra compile is pure cost here)
+    for mode in ("always", "never"):
+        newton_mod.newton_solve_device = spy if mode == "always" else real
+        try:
+            sims[mode] = _run(path, mode)
+        finally:
+            newton_mod.newton_solve_device = real
+    dev, host = sims["always"], sims["never"]
+    assert calls["n"] > 0, "hybrid handoff never fired on a group deck"
+    assert dev.report.total_substeps == host.report.total_substeps
+    assert (dev.report.total_newton_iterations
+            == host.report.total_newton_iterations)
+    np.testing.assert_allclose(np.asarray(dev.u), np.asarray(host.u),
+                               rtol=1e-8)
+    for k in dev.cum:
+        assert dev.cum[k] == pytest.approx(host.cum[k], rel=1e-6,
+                                           abs=1e-10)

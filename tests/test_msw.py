@@ -207,3 +207,34 @@ def test_hfa_acceleration_term(tmp_path):
     vh = mdot * mdot / (area * area)
     assert dres[3] > 0.0
     assert vh / 1100.0 < dres[3] < vh / 500.0  # rho in [500,1100] kg/m3
+
+
+def test_msw_with_implicit_energy(tmp_path):
+    """MSW x implicit-variant composition (VERDICT r4 missing #5): a
+    WELSEGS + THERMAL/WTEMP deck runs with energy as the 4th implicit
+    equation (reference: MultisegmentWell under every model variant,
+    flow/flow_ebos_energy.cpp + UseMultisegmentWell=true). Previously
+    raised NotImplementedError."""
+    from tests.test_solvent_thermal import THERMAL_DECK
+
+    deck = THERMAL_DECK.replace(
+        "WCONPROD",
+        "WELSEGS\n 'P1' 1000 1000 1e-5 'ABS' /\n"
+        " 2 2 1 1 1005 1002.5 0.2 1e-4 /\n/\n"
+        "COMPSEGS\n 'P1' /\n 8 1 1 1 1000.0 1010.0 /\n/\n"
+        "WCONPROD")
+    p = tmp_path / "MSWE.DATA"
+    p.write_text(deck)
+    sim = Simulator(load_state(str(p)), SimulatorOptions())
+    assert sim.energy is not None  # implicit energy path selected
+    sim.run()
+    assert sim.report.total_substeps > 0
+    # every substep converged (run() raises otherwise); hot water (140C
+    # WTEMP) warms the cells nearest the injector
+    u = np.asarray(sim.u)
+    assert u.shape[1] == 4
+    t0 = 20.0 + 273.15
+    assert u[0, 3] > t0 + 10.0       # injector cell heated
+    assert np.isfinite(u).all()
+    # the multisegment producer actually produced
+    assert sim.cum["FOPT"] > 0.0

@@ -263,3 +263,13 @@ def test_norne_mini_conservation(mini_norne):
     sim, fip0 = mini_norne
     errs = sim.check_conservativeness(fip0, rel_tol=0.03)
     assert max(errs.values()) < 0.03
+
+
+def test_golden_vectors(mini_norne):
+    """Frozen-output regression (VERDICT r4 missing #2)."""
+    from golden_util import check_golden
+
+    sim, _ = mini_norne
+    check_golden("MININORNE", sim.summary,
+                 ["FOPR", "FPR", "FWCT", "FGOR", "FOPT",
+                  "WBHP:P-1", "WBHP:P-2", "WBHP:W-INJ"])

@@ -86,3 +86,14 @@ def test_newton_efficiency(sim_full):
     # substep count is sensitive to rounding-driven dt cascades; the
     # band is wide but catches pathological chopping regressions
     assert rep.total_substeps < 200
+
+
+def test_golden_vectors(sim_full):
+    """Frozen-output regression (VERDICT r4 missing #2): field + well
+    vectors vs the committed golden npz at the reference's
+    compareECLFiles tolerances."""
+    from golden_util import check_golden
+
+    check_golden("SPE1CASE1", sim_full.summary,
+                 ["FOPR", "FGPR", "FPR", "FGOR", "FWCT", "FOPT", "FGPT",
+                  "WBHP:PROD", "WBHP:INJ", "WGIR:INJ"])

@@ -118,3 +118,12 @@ def test_material_balance(sim_full):
                                  rel=2e-3)
     dgas = (acc_now - acc_init)[:, 2].sum()
     assert -dgas == pytest.approx(sim.cum["FGPT"], rel=2e-3)
+
+
+def test_golden_vectors(sim_full):
+    """Frozen-output regression (VERDICT r4 missing #2)."""
+    from golden_util import check_golden
+
+    check_golden("SPE9", sim_full.summary,
+                 ["FOPR", "FGPR", "FWPR", "FPR", "FGOR", "FWCT", "FOPT",
+                  "WBHP:PRODU2", "WBHP:INJE1"])
