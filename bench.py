@@ -187,7 +187,8 @@ def _last_json_line(text: str):
 # Child: the actual measurement
 # ---------------------------------------------------------------------------
 
-def _measure(problem, iters, precond, well="pbh", cpr_inner=None):
+def _measure(problem, iters, precond, well="pbh", cpr_inner=None,
+             transient=0):
     """Steady-state Newton-iteration throughput on a built problem.
 
     ``well``: "pbh" = 1-DOF research well (rounds-1/2 headline
@@ -195,7 +196,16 @@ def _measure(problem, iters, precond, well="pbh", cpr_inner=None):
     StandardWell flagship model (production default). ``cpr_inner``
     overrides the CPR pressure-stage iteration count (6 measured best
     with the z-line fine smoother on the norne-class layout).
+
+    ``transient`` > 0 additionally measures the TRANSIENT protocol
+    (VERDICT r4 weak #8: steady-state flatters dispatch-bound configs):
+    the state resets to the equilibrated start and the FIRST 8 Newton
+    iterations — the ones carrying the high-Krylov transient mix — are
+    timed, repeated ``transient`` times; returns that throughput as a
+    fifth element (else None).
     """
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -262,6 +272,10 @@ def _measure(problem, iters, precond, well="pbh", cpr_inner=None):
         jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3))
         carry = (init.u, init.flag, pbh, ws.ctrl_mode)
 
+    # host copies so the transient protocol can reset the (donated)
+    # carry back to the equilibrated start
+    carry_host = [np.asarray(c) for c in carry] if transient else None
+
     t0 = time.perf_counter()
     carry = jstep(*carry, acc0)
     jax.block_until_ready(carry[0])
@@ -272,7 +286,22 @@ def _measure(problem, iters, precond, well="pbh", cpr_inner=None):
         carry = jstep(*carry, acc0)
     jax.block_until_ready(carry[0])
     elapsed = time.perf_counter() - t0
-    return n_cells * iters / elapsed, n_cells, elapsed, compile_s
+    steady = n_cells * iters / elapsed
+
+    trans_val = None
+    if transient:
+        t_iters = 8
+        total = 0.0
+        for _ in range(transient):
+            c = tuple(jnp.asarray(a) for a in carry_host)
+            jax.block_until_ready(c[0])  # uploads outside the clock
+            t1 = time.perf_counter()
+            for _ in range(t_iters):
+                c = jstep(*c, acc0)
+            jax.block_until_ready(c[0])
+            total += time.perf_counter() - t1
+        trans_val = n_cells * t_iters * transient / total
+    return steady, n_cells, elapsed, compile_s, trans_val
 
 
 def _finish_problem(state, geo, structured="auto"):
@@ -382,7 +411,8 @@ def _child_main():
     precond = os.environ.get("BENCH_PRECOND", "zline")
 
     problem = _spe1_problem(nx, ny, nz)
-    value, n_cells, elapsed, compile_s = _measure(problem, iters, precond)
+    value, n_cells, elapsed, compile_s, _tr = _measure(problem, iters,
+                                                       precond)
 
     result = {
         "metric": "newton_cell_updates_per_sec",
@@ -401,12 +431,13 @@ def _child_main():
     print(json.dumps(result), flush=True)
 
     def secondary(key, build, emb_iters, precond=precond, well="pbh",
-                  cpr_inner=None):
+                  cpr_inner=None, transient=0):
         # a secondary metric must not kill the bench
         try:
             prob = build()
-            v, n, _el, c_s = _measure(prob, emb_iters, precond, well=well,
-                                      cpr_inner=cpr_inner)
+            v, n, _el, c_s, tr = _measure(prob, emb_iters, precond,
+                                          well=well, cpr_inner=cpr_inner,
+                                          transient=transient)
             result.update({
                 f"value_{key}": round(v, 1),
                 f"cells_{key}": n,
@@ -414,6 +445,12 @@ def _child_main():
                     v / BASELINE_CELL_UPDATES_PER_SEC, 4),
                 f"compile_{key}_s": round(c_s, 2),
             })
+            if tr is not None:
+                result.update({
+                    f"value_{key}_transient": round(tr, 1),
+                    f"vs_baseline_{key}_transient": round(
+                        tr / BASELINE_CELL_UPDATES_PER_SEC, 4),
+                })
         except Exception as e:
             result[f"{key}_error"] = f"{type(e).__name__}: {e}"[:300]
         print(json.dumps(result), flush=True)
@@ -435,7 +472,10 @@ def _child_main():
                   iters, well="std4",
                   precond=os.environ.get("BENCH_NORNE_PRECOND", "cpr"),
                   cpr_inner=int(os.environ.get("BENCH_NORNE_CPR_INNER",
-                                               "6")))
+                                               "6")),
+                  # transient protocol (first-8-iterations mix, x4):
+                  # the honest companion to the steady-state number
+                  transient=int(os.environ.get("BENCH_TRANSIENT", "4")))
     if os.environ.get("BENCH_NORNE_REAL", "1") == "1":
         # the REAL Norne field's economics (VERDICT r4 missing #3):
         # 46x112x22 box, ~39% active (the true Norne ACTNUM ratio),
