@@ -360,6 +360,16 @@ class LiveOilPvt(NamedTuple):
                         p, 1.0 / bo, mu, 1.0 / (bo * mu), m=m_max)
                 else:
                     need_fill.append(i)
+            # enforce strictly increasing saturated-pressure nodes: the
+            # bank's node axis is p_sat, and decks MAY repeat a bubble
+            # pressure across Rs branches (reference fixture
+            # SUMMARY_DECK_NON_CONSTANT_POROSITY.DATA: heads at
+            # pb=1 bar for both Rs=0 and Rs=1) — a zero-width segment
+            # NaNs every interpolation evaluated exactly AT the node
+            for i in range(1, nb):
+                if p_sat[i] <= p_sat[i - 1]:
+                    p_sat[i] = p_sat[i - 1] + max(
+                        1e-9 * max(abs(p_sat[i - 1]), 1.0), 1e-7)
             # fill missing slopes from the nearest branch that has data
             # (ECLIPSE extrapolates undersaturated data between branches)
             have = ~np.isnan(slope_b)

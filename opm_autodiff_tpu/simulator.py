@@ -44,6 +44,17 @@ from opm_autodiff_tpu.wells.groups import (GroupManager, apply_assignments,
 from opm_autodiff_tpu.wells.vfp import VfpBank, VfpTables
 
 
+def _pressure_average(p, pv, sw):
+    """HCPV-weighted mean pressure with a PV-weighted fallback
+    (reference: EclGenericOutputBlackoilModule::pressureAverage_ — use
+    the hydrocarbon pore volume when any exists, else plain PV)."""
+    hcpv = pv * (1.0 - sw)
+    denom = hcpv.sum()
+    if denom > 0.0:
+        return float((p * hcpv).sum() / denom)
+    return float((p * pv).sum() / max(pv.sum(), 1e-300))
+
+
 @dataclasses.dataclass
 class SimulatorOptions:
     newton: NewtonParams = dataclasses.field(default_factory=NewtonParams)
@@ -1109,18 +1120,29 @@ class Simulator:
         fip = self.geo.fipnum
         if fip is not None and int(np.asarray(fip).max()) > 0:
             fip = np.asarray(fip)
+            u = np.asarray(self.u)
+            pv = np.asarray(self.cells.pore_vol_ref)
             for r in range(int(fip.max()) + 1):
                 m = fip == r
                 out[f"ROIP:{r + 1}"] = float(acc[m, 1].sum())
                 out[f"RGIP:{r + 1}"] = float(acc[m, 2].sum())
                 out[f"RWIP:{r + 1}"] = float(acc[m, 0].sum())
+                # region pressure, hydrocarbon-pore-volume weighted
+                # (reference: EclGenericOutputBlackoilModule
+                # pressureAverage_, anchored by test_ecl_output.cc:212)
+                out[f"RPR:{r + 1}"] = _pressure_average(
+                    u[m, 0], pv[m], u[m, 1])
         return out
 
     def _field_state(self, ws):
         """Field + well quantities for the summary at report time."""
         u = np.asarray(self.u)
         pv = np.asarray(self.cells.pore_vol_ref)
-        fpr = float((u[:, 0] * pv).sum() / pv.sum())
+        # FPR is hydrocarbon-pore-volume weighted, falling back to PV
+        # weighting where no hydrocarbons exist (reference:
+        # EclGenericOutputBlackoilModule::pressureAverage_, anchored by
+        # test_ecl_output.cc:195)
+        fpr = _pressure_average(u[:, 0], pv, u[:, 1])
         q = getattr(self, "_last_q", None)
         out = self._fip()
         out.update({
