@@ -147,7 +147,9 @@ def main() -> int:
                              "cache on; retrying with BENCH_CACHE=0\n")
             env["BENCH_CACHE"] = "0"
             continue
-        if line is None and not any(
+        hung = rc == -9 and line is None  # watchdog kill, nothing out:
+        # a wedged TPU tunnel looks exactly like this — retry
+        if line is None and not hung and not any(
                 m in last_tail for m in _BACKEND_INIT_MARKERS):
             # non-retryable (a bug, not the tunnel): report immediately
             _error_json(

@@ -179,8 +179,88 @@ def embedded_ok(geo: Geometry) -> bool:
     return not structured_ok(geo)
 
 
+def _crop_x_offsets(i, j, nx, ny, crop):
+    """Per-row x offsets + cropped width for the x-shift window crop.
+
+    Real fields occupy a fraction of their bounding box (the true Norne
+    ACTNUM is ~39% of a 46x112x22 box): on the dense banded layout every
+    padded cell costs real compute, and Zoltan-grade partitioning is the
+    reference's answer (eclgenericcpgridvanguard.cc:91 partitions by
+    ACTIVE cells). The TPU-native answer keeps the banded structure:
+    group the y rows into windows, crop each window to its active x
+    range, and SHIFT each window's rows left so the box narrows to the
+    widest window. x and z neighbors keep their band alignment (equal
+    shift within a row/column); y faces between windows with different
+    offsets fall off the bands and ride the existing COO-extras
+    machinery. Chooses the window count minimizing a
+    box-plus-extras cost model; returns (offsets[ny], nxc) — offsets
+    all-zero and nxc == nx when cropping doesn't pay.
+    """
+    if crop == "never" or len(i) == 0:
+        return np.zeros(ny, np.int32), nx
+    # active x range per row
+    lo = np.full(ny, nx, np.int64)
+    hi = np.full(ny, -1, np.int64)
+    np.minimum.at(lo, j, i)
+    np.maximum.at(hi, j, i)
+    empty = hi < 0
+    lo[empty] = 0
+    hi[empty] = 0
+    best = (np.zeros(ny, np.int32), nx, nx * ny)  # cost = box area
+    for w in (1, 2, 4, 7, 8, 14, 16):
+        if ny < 2 * w:
+            continue
+        edges = np.linspace(0, ny, w + 1).astype(int)
+        offs = np.zeros(ny, np.int64)
+        width = 1
+        n_boundary_rows = 0
+        prev_off = None
+        for b in range(w):
+            rows = slice(edges[b], edges[b + 1])
+            wlo = int(lo[rows].min())
+            whi = int(hi[rows].max())
+            offs[rows] = wlo
+            width = max(width, whi - wlo + 1)
+            if prev_off is not None and wlo != prev_off:
+                n_boundary_rows += 1
+            prev_off = wlo
+        # cost model: padded box area + extras surcharge (a COO extra
+        # costs ~3 banded-cell-equivalents per iteration: two gathers +
+        # two scatter-adds over the [E] vector vs the cell's share of
+        # the shift-and-multiply bands)
+        cost = width * ny + 3 * n_boundary_rows * width
+        if cost < best[2]:
+            best = (offs.astype(np.int32), width, cost)
+    offs, nxc, cost = best
+    # adopt only for a real saving (>= 15% of the box)
+    if nxc > 0.85 * nx:
+        return np.zeros(ny, np.int32), nx
+    return offs, nxc
+
+
+def _embedded_box(geo: Geometry, nz_pad: int | None = None,
+                  crop_x: str = "auto"):
+    """The (possibly x-shift-cropped) embedding frame: deterministic
+    function of the active set, shared by the topology builder and
+    every per-face band builder (band_face_values_embedded) so their
+    classifications agree element-for-element. Returns
+    (nx_eff, ny, nz_eff, act_box [n_active] int32)."""
+    nx, ny, nz = geo.cartdims
+    if nz_pad is not None:
+        assert nz_pad >= nz, "nz_pad must not shrink the grid"
+        nz = nz_pad
+    act_glob = geo.act_to_glob.astype(np.int64)
+    gi = act_glob % nx
+    gj = (act_glob // nx) % ny
+    gk = act_glob // (nx * ny)
+    x_off, nxc = _crop_x_offsets(gi, gj, nx, ny, crop_x)
+    act = ((gk * ny + gj) * nxc + (gi - x_off[gj])).astype(np.int32)
+    return nxc, ny, nz, act
+
+
 def topology_from_geometry_embedded(geo: Geometry,
-                                    nz_pad: int | None = None
+                                    nz_pad: int | None = None,
+                                    crop_x: str = "auto"
                                     ) -> EmbeddedTopology:
     """Full-box banded topology with zero transmissibility on every band
     position that has no active-active face.
@@ -189,21 +269,19 @@ def topology_from_geometry_embedded(geo: Geometry,
     k-major cell arrays shard evenly over an n-device mesh even when
     nz % n_devices != 0 (the Norne case: nz=22 on 8 chips pads to 24;
     replaces the reference's Zoltan rebalancing freedom,
-    eclgenericcpgridvanguard.cc:76)."""
-    nx, ny, nz = geo.cartdims
-    if nz_pad is not None:
-        assert nz_pad >= nz, "nz_pad must not shrink the grid"
-        nz = nz_pad
-    nf = nx * ny * nz
+    eclgenericcpgridvanguard.cc:76).
+
+    ``crop_x="auto"`` narrows the box via the x-shift window crop when
+    the active footprint makes it pay (see ``_crop_x_offsets``);
+    "never" keeps the full cartesian box."""
     f = geo.faces
-    act = geo.act_to_glob.astype(np.int32)
+    nx, ny, nz, act = _embedded_box(geo, nz_pad, crop_x)
+    nf = nx * ny * nz
     mask = np.zeros(nf, bool)
     mask[act] = True
-    # full -> active source map; z-padding cells (beyond the real grid's
-    # glob indices) fill from active cell 0 like any inactive cell
-    g2a = np.asarray(geo.glob_to_act)
+    # full -> active source map (inactive cells fill from active cell 0)
     fill = np.zeros(nf, np.int32)
-    fill[:g2a.shape[0]] = np.where(g2a >= 0, g2a, 0)
+    fill[act] = np.arange(len(act), dtype=np.int32)
 
     depth_full = np.zeros(nf)
     depth_full[act] = np.asarray(geo.depth)
@@ -777,12 +855,11 @@ def band_face_values_embedded(geo: Geometry, vals,
     into per-axis full-box bands + the COO-extras vector, using the
     SAME conforming-face classification as
     topology_from_geometry_embedded (so the extras align with
-    emb.ex_trans element-for-element). Returns (bands, ex_vals)."""
-    nx, ny, nz = geo.cartdims
-    if nz_pad is not None:
-        nz = nz_pad
+    emb.ex_trans element-for-element) — including the x-shift window
+    crop, which both derive from the shared _embedded_box frame.
+    Returns (bands, ex_vals)."""
     f = geo.faces
-    act = geo.act_to_glob.astype(np.int32)
+    nx, ny, nz, act = _embedded_box(geo, nz_pad)
     vals = np.asarray(vals)
     axis = np.asarray(f.axis)
     gl_all = act[np.asarray(f.left)]

@@ -33,7 +33,10 @@ with two deliberate deviations:
   live Krylov vectors resident in VMEM with the iteration loop fully
   unrolled; ``fits_vmem`` gates it off (callers fall back to the
   generic XLA path) once the resident footprint would crowd the ~16MB
-  budget — roughly >1.5M cells single-chip.
+  budget — calibrated to ~85k cells single-chip (the 113k-cell
+  real-Norne box crashes the Mosaic compile; the 57k norne-class box
+  is fine). Grids above that either crop (structured.py x-shift
+  window cropping) or take the XLA inner solve.
 """
 
 from __future__ import annotations
@@ -55,19 +58,43 @@ def enabled() -> bool:
 
 # ~16MB VMEM per TPU core; leave headroom for Mosaic's own spills and
 # the compiler-managed scratch. 8 band/rhs inputs + x,r,rhat,p,v,phat,
-# s,shat,t live vectors + the output ≈ 18 resident fields; call it 20.
+# s,shat,t live vectors + the output ≈ 18 resident fields.
+#
+# The footprint that matters is the PADDED one: Mosaic tiles the two
+# minor dims to (8, 128), so a [22,112,28] box occupies 22*112*128
+# elements per field (nx=28 pads 4.6x) — observed on the v5e: the
+# [22,56,46] norne-class box (padded ~11.4MB) compiles, every ny=112
+# box in its natural orientation (padded >=22MB) crashes the Mosaic
+# compile helper. ``inner_solve_bands`` therefore TRANSPOSES the plane
+# to whichever (minor, second-minor) orientation pads least, and
+# fits_vmem budgets the padded best-orientation footprint.
 _VMEM_BUDGET_BYTES = 12 * 2**20
-_RESIDENT_FIELDS = 20
+_RESIDENT_FIELDS = 18
+
+
+def _padded_plane(ny: int, nx: int) -> int:
+    return ((ny + 7) // 8 * 8) * ((nx + 127) // 128 * 128)
+
+
+def _best_orientation(shape):
+    """('asis'|'swap', padded elements/plane) minimizing Mosaic's
+    (8, 128) tile padding of the two minor dims."""
+    _nz, ny, nx = (int(s) for s in shape)
+    as_is = _padded_plane(ny, nx)
+    swapped = _padded_plane(nx, ny)
+    if swapped < as_is:
+        return "swap", swapped
+    return "asis", as_is
 
 
 def fits_vmem(shape) -> bool:
-    """True when the single-launch kernel's resident footprint fits
-    VMEM (ADVICE r4: no problem-size guard meant >1-2M-cell grids would
-    fail Mosaic compilation at runtime with no fallback)."""
-    n = 1
-    for s in shape:
-        n *= int(s)
-    return _RESIDENT_FIELDS * n * 4 <= _VMEM_BUDGET_BYTES
+    """True when the single-launch kernel's PADDED resident footprint
+    fits VMEM in its best orientation (ADVICE r4: no problem-size guard
+    meant large grids failed Mosaic compilation at runtime with no
+    fallback)."""
+    nz = int(shape[0])
+    _o, plane = _best_orientation(shape)
+    return _RESIDENT_FIELDS * nz * plane * 4 <= _VMEM_BUDGET_BYTES
 
 
 def _make_kernel(iters: int):
@@ -149,12 +176,26 @@ def inner_solve_bands(c, b3, iters: int, interpret: bool = False):
     docstring).
     """
     f32 = jnp.float32
-    args = [c.p_diag, c.px_lr, c.px_rl, c.py_lr, c.py_rl, c.pz_lr,
-            c.pz_rl, b3]
+    orient, _ = _best_orientation(b3.shape)
+    if orient == "swap":
+        # run in the transposed frame: the x and y band roles swap
+        # wholesale (identical math; Mosaic pads the minor dims to
+        # (8, 128), so putting the LONG plane dim minor can shrink the
+        # resident footprint several-fold — see module constants)
+        t = lambda a: jnp.swapaxes(a, 1, 2)  # noqa: E731
+        args = [t(c.p_diag), t(c.py_lr), t(c.py_rl), t(c.px_lr),
+                t(c.px_rl), t(c.pz_lr), t(c.pz_rl), t(b3)]
+        out_shape = args[-1].shape
+    else:
+        args = [c.p_diag, c.px_lr, c.px_rl, c.py_lr, c.py_rl, c.pz_lr,
+                c.pz_rl, b3]
+        out_shape = b3.shape
     args = [a.astype(f32) for a in args]
     out = pl.pallas_call(
         _make_kernel(iters),
-        out_shape=jax.ShapeDtypeStruct(b3.shape, f32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, f32),
         interpret=interpret,
     )(*args)
+    if orient == "swap":
+        out = jnp.swapaxes(out, 1, 2)
     return out.astype(b3.dtype)

@@ -71,3 +71,45 @@ def test_defect_correction_keeps_extras_in_operator():
     nb = float(jnp.linalg.norm(b))
     assert n1 < 0.5 * n0
     assert n1 < 0.05 * nb
+
+
+def test_inner_solve_swapped_orientation_matches():
+    """A tall-plane box (ny >> nx) routes through the transposed kernel
+    frame (Mosaic pads the minor dims to (8,128)); the math must be
+    identical to the natural orientation."""
+    import numpy as np
+
+    from opm_autodiff_tpu.ops import pallas_cprinner as pci
+
+    nz, ny, nx = 4, 24, 5
+    assert pci._best_orientation((nz, ny, nx))[0] == "swap"
+    rng = np.random.default_rng(3)
+
+    class C:
+        p_diag = jnp.asarray(4.0 + rng.random((nz, ny, nx)))
+        px_lr = jnp.asarray(0.1 * rng.standard_normal((nz, ny, nx - 1)))
+        px_rl = jnp.asarray(0.1 * rng.standard_normal((nz, ny, nx - 1)))
+        py_lr = jnp.asarray(0.1 * rng.standard_normal((nz, ny - 1, nx)))
+        py_rl = jnp.asarray(0.1 * rng.standard_normal((nz, ny - 1, nx)))
+        pz_lr = jnp.asarray(0.1 * rng.standard_normal((nz - 1, ny, nx)))
+        pz_rl = jnp.asarray(0.1 * rng.standard_normal((nz - 1, ny, nx)))
+
+    b = jnp.asarray(rng.standard_normal((nz, ny, nx)))
+    got = np.asarray(pci.inner_solve_bands(C, b, 6, interpret=True))
+
+    # natural-orientation reference: transpose the PROBLEM so the
+    # auto-orientation picks "asis", then map the answer back
+    class CT:
+        p_diag = jnp.swapaxes(C.p_diag, 1, 2)
+        px_lr = jnp.swapaxes(C.py_lr, 1, 2)
+        px_rl = jnp.swapaxes(C.py_rl, 1, 2)
+        py_lr = jnp.swapaxes(C.px_lr, 1, 2)
+        py_rl = jnp.swapaxes(C.px_rl, 1, 2)
+        pz_lr = jnp.swapaxes(C.pz_lr, 1, 2)
+        pz_rl = jnp.swapaxes(C.pz_rl, 1, 2)
+
+    assert pci._best_orientation((nz, nx, ny))[0] == "asis"
+    ref = np.asarray(jnp.swapaxes(
+        pci.inner_solve_bands(CT, jnp.swapaxes(b, 1, 2), 6,
+                              interpret=True), 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
