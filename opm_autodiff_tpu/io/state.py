@@ -574,7 +574,25 @@ def _build_grid(deck: Deck, rs: Runspec) -> GridSection:
 
         tops = _grid_array(deck, "TOPS", n)
         if tops is None:
-            raise ValueError("TOPS required for cartesian geometry")
+            # DEPTHZ: corner depths of the top surface ((nx+1)*(ny+1)
+            # values) — average the 4 corners per cell (reference
+            # fixture equil_capillary.DATA uses this form)
+            kw_dz = deck.get1("DEPTHZ")
+            if kw_dz and kw_dz.records:
+                vals = [v for r in kw_dz.records for v in r
+                        if v is not DEFAULT]
+                need = (nx + 1) * (ny + 1)
+                if len(vals) < need:  # trailing defaults repeat last
+                    vals = list(vals) + [vals[-1]] * (need - len(vals))
+                c = np.asarray(vals[:need], float).reshape(ny + 1,
+                                                           nx + 1)
+                top1 = 0.25 * (c[:-1, :-1] + c[:-1, 1:]
+                               + c[1:, :-1] + c[1:, 1:])
+                tops = np.full(n, np.nan)
+                tops[: nx * ny] = top1.reshape(-1)
+            else:
+                raise ValueError(
+                    "TOPS or DEPTHZ required for cartesian geometry")
         tops = tops * u.length
         # fill deeper layers: top(k) = top(k-1) + dz(k-1)
         tops3 = tops.reshape(nz, ny, nx)
