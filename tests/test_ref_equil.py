@@ -164,33 +164,35 @@ def test_pbvd_and_pdvd():
     np.testing.assert_allclose(s[:, 2], s_g, atol=2e-4)
 
 
-def test_deadfluids():
+def test_deadfluids(monkeypatch):
     """test_equil.cc:477 DeckAllDead (equil_deadfluids.DATA): dead-oil
-    + dry-gas hydrostatics (reference reltol 1e-1 — an ODE-solver
-    answer; matched much tighter here)."""
+    + dry-gas hydrostatics. The reference runs THIS case with
+    g = 10.0 m/s^2 (test_equil.cc:488) — matched here; its own reltol
+    is 1e-1 (an ODE-solver answer), ours is far tighter."""
+    from opm_autodiff_tpu import units as U
+
+    monkeypatch.setattr(U, "GRAVITY", 10.0)
     p, _s, _rs, _rv = _equil_state("equil_deadfluids.DATA")
-    assert p[0, 0] == pytest.approx(1.496329839e7, rel=1e-3)
-    assert p[-1, 0] == pytest.approx(1.504526940e7, rel=1e-3)
-    assert p[-1, 1] == pytest.approx(1.504526940e7, rel=1e-3)
+    assert p[0, 0] == pytest.approx(1.496329839e7, rel=1e-4)
+    assert p[-1, 0] == pytest.approx(1.504526940e7, rel=1e-4)
+    assert p[-1, 1] == pytest.approx(1.504526940e7, rel=1e-4)
 
 
-def test_capillary():
+def test_capillary(monkeypatch):
     """test_equil.cc:556 DeckWithCapillary (equil_capillary.DATA):
-    the capillary transition zone's inverted saturation profile against
-    the frozen 20-cell arrays.
+    the one fixture with NONZERO capillary pressure at both contacts
+    (EQUIL items 4/6: Pcow(WOC)=0.25 bar, Pcog(GOC)=0.35 bar), checked
+    against the frozen 20-cell saturation arrays. The reference runs
+    THIS case with g = 10.0 m/s^2 (test_equil.cc:567) — matched here
+    (with standard gravity the transition cells sit ~8e-3 off, which
+    is exactly the g ratio through the pc columns)."""
+    from opm_autodiff_tpu import units as U
 
-    This deck is the one fixture with NONZERO capillary pressure at
-    both contacts (EQUIL items 4/6: Pcow(WOC)=0.25 bar,
-    Pcog(GOC)=0.35 bar). Current parity: pressures within ~6e-4 rel
-    and transition-cell saturations within ~8e-3 abs of the frozen
-    arrays — a small open delta in the contact-pc anchoring
-    convention (the zero-contact-pc fixtures above match at 2e-5).
-    The tolerances below pin TODAY'S parity so any drift still fails
-    loudly."""
+    monkeypatch.setattr(U, "GRAVITY", 10.0)
     p, s, _rs, _rv = _equil_state("equil_capillary.DATA")
-    assert p[0, 0] == pytest.approx(1.469769063e7, rel=1e-3)
-    assert p[-1, 0] == pytest.approx(15452880.328284413, rel=1e-3)
-    assert p[-1, 1] == pytest.approx(15462880.328284413, rel=1e-3)
+    assert p[0, 0] == pytest.approx(1.469769063e7, rel=5e-4)
+    assert p[-1, 0] == pytest.approx(15452880.328284413, rel=1e-4)
+    assert p[-1, 1] == pytest.approx(15462880.328284413, rel=1e-4)
     s_w = [0.2] * 9 + [0.42190294373815257, 0.77800802072306474] \
         + [1.0] * 9
     s_o = [0, 0, 0, 0.0073481611123183965, 0.79272270823081337,
@@ -198,6 +200,6 @@ def test_capillary():
            0.22199197927693526] + [0.0] * 9
     s_g = [0.8, 0.8, 0.8, 0.79265183888768165, 0.0072772917691866562] \
         + [0.0] * 15
-    np.testing.assert_allclose(s[:, 0], s_w, atol=1e-2)
-    np.testing.assert_allclose(1 - s[:, 0] - s[:, 2], s_o, atol=1e-2)
-    np.testing.assert_allclose(s[:, 2], s_g, atol=1e-2)
+    np.testing.assert_allclose(s[:, 0], s_w, atol=2e-4)
+    np.testing.assert_allclose(1 - s[:, 0] - s[:, 2], s_o, atol=2e-4)
+    np.testing.assert_allclose(s[:, 2], s_g, atol=2e-4)
