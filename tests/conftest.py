@@ -93,6 +93,73 @@ def pytest_sessionfinish(session, exitstatus):
             pass
 
 
+# ---------------------------------------------------------------------------
+# Whole-suite split runner (round-5): this image's jaxlib deterministically
+# SIGSEGVs inside backend_compile_and_load once a single process has
+# accumulated enough compile history (reproduced at the same test across
+# runs with and without the per-test watchdog; no single poisoning test —
+# every 2-of-5-file subset of the crashing prefix passes). Fresh processes
+# never crash, so a full-suite invocation re-execs itself as SHORT-LIVED
+# batch subprocesses sharing the on-disk XLA compile cache. Engaged only
+# for broad runs (>= 20 test files, no -k/-m filter); child batches and
+# subset runs use the normal in-process loop.
+# ---------------------------------------------------------------------------
+
+_SUITE_CHILD = os.environ.get("OPM_TPU_SUITE_CHILD") == "1"
+_BATCH_FILES = int(os.environ.get("OPM_TPU_SUITE_BATCH", "5"))
+
+
+def pytest_runtestloop(session):
+    import subprocess
+    import sys
+
+    cfg = session.config
+    if (_SUITE_CHILD
+            or os.environ.get("OPM_TPU_SUITE_SPLIT", "1") != "1"
+            or cfg.getoption("collectonly", False)
+            or cfg.getoption("keyword", "")
+            or cfg.getoption("markexpr", "")):
+        return None  # normal in-process loop
+    files = sorted({str(it.path) for it in session.items})
+    if len(files) < 20:
+        return None
+    exitfirst = bool(cfg.getoption("exitfirst", False))
+    sys.stderr.write(
+        f"suite-split: running {len(files)} test files in batches of "
+        f"{_BATCH_FILES} fresh subprocesses (shared on-disk compile "
+        f"cache); this image's jaxlib segfaults in long-lived compile "
+        f"sessions — see tests/conftest.py\n")
+    failed_files = []
+    for i in range(0, len(files), _BATCH_FILES):
+        chunk = files[i:i + _BATCH_FILES]
+        env = dict(os.environ, OPM_TPU_SUITE_CHILD="1",
+                   OPM_TPU_TEST_CACHE="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", *chunk, "-q",
+             "--no-header"], env=env)
+        if r.returncode in (-11, 139, -6, 134):
+            # a child still died in native code: retry once, one file
+            # per process (shortest possible compile history)
+            sys.stderr.write(
+                f"suite-split: batch crashed (rc={r.returncode}); "
+                f"retrying its files individually\n")
+            for f in chunk:
+                r1 = subprocess.run(
+                    [sys.executable, "-m", "pytest", f, "-q",
+                     "--no-header"], env=env)
+                if r1.returncode != 0:
+                    failed_files.append(f)
+        elif r.returncode != 0:
+            failed_files.extend(chunk)
+        if failed_files and exitfirst:
+            break
+    if failed_files:
+        session.testsfailed += len(failed_files)
+        sys.stderr.write("suite-split: failing batches: "
+                         + " ".join(failed_files) + "\n")
+    return True  # we ran everything; skip the in-process loop
+
+
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
     return pathlib.Path(__file__).parent / "data"
