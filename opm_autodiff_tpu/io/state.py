@@ -1554,6 +1554,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                                 tuning=dict(tuning)))
         t_days += days
 
+    dirty = False  # schedule mutations not yet captured by a ReportStep
     for kw in deck:
         if kw.name == "SCHEDULE":
             in_schedule = True
@@ -1562,7 +1563,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
             continue
         if _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
                                  group_inj, liftopt, group_net, group_aux):
-            pass
+            dirty = True
         elif kw.name in ("DRSDT", "DRVDT"):
             # max dissolved-GOR / vaporized-OGR increase rate
             # (reference: EclProblem::updateCompositionChangeLimits_,
@@ -1598,6 +1599,7 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
             for v in kw.records[0]:
                 if v is not DEFAULT:
                     advance(float(v) * u.time / U.DAY)
+            dirty = False
         elif kw.name == "DATES":
             for r in kw.records:
                 day = int(item(r, 0, 1))
@@ -1608,7 +1610,16 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
                 new_days = (new_date - base).days
                 if new_days > t_days:
                     advance(new_days - t_days)
+                    dirty = False
                 current_date = new_date
+    if dirty and steps:
+        # Schedule keywords after the final TSTEP/DATES: the reference
+        # Schedule keeps nsteps+1 states, so e.g. a trailing WELOPEN is
+        # observable at the last report index (test_stoppedwells.cpp:54
+        # checks getWells(1) after one TSTEP). Capture it as a
+        # zero-length trailing step — the substep loop runs no substeps
+        # for it (timestepper.py run_report_step: step_days == 0).
+        advance(0.0)
     return Schedule(steps)
 
 

@@ -362,6 +362,10 @@ def update_well_controls(ws: WellSet, active_mode, pbh, q_tot,
     new_mode = jnp.where(to_thp, wells_mod.CTRL_THP, active_mode)
     new_mode = jnp.where(prod_to_bhp | inj_to_bhp, CTRL_BHP, new_mode)
     new_mode = jnp.where(prod_to_rate | inj_to_rate, sched, new_mode)
+    # STOP wells never switch controls: the zero-surface-rate constraint
+    # is the status itself, not a limit (reference Well::Status::STOP)
+    new_mode = jnp.where(sched == wells_mod.CTRL_STOP,
+                         wells_mod.CTRL_STOP, new_mode)
     return new_mode
 
 

@@ -89,6 +89,8 @@ def run_report_step(step_days: float, suggested_dt_days: float, solve_fn,
     AdaptiveTimeSteppingEbos.hpp:549-586).
     Returns (reports, next_dt).
     """
+    if step_days <= 0.0:  # zero-length trailing schedule-state step
+        return [], suggested_dt_days
     t = 0.0
     dt = min(suggested_dt_days, step_days, params.max_dt_days)
     reports = []

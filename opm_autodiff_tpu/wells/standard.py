@@ -35,6 +35,13 @@ from opm_autodiff_tpu.utils.tinydot import esum
 # control modes (per well, int)
 (CTRL_BHP, CTRL_ORAT, CTRL_WRAT, CTRL_GRAT, CTRL_LRAT, CTRL_RATE,
  CTRL_THP, CTRL_RESV) = range(8)
+# STOP status (reference Well::Status::STOP, test_stoppedwells.cpp:54):
+# no SURFACE flow (the 4-DOF control equation pins WQTotal = 0) but the
+# wellbore stays live, so perforation crossflow can redistribute fluid
+# between layers — distinct from SHUT (open_mask False, no flow at
+# all). The 1-DOF research well has no total-rate unknown and treats
+# STOP as closed.
+CTRL_STOP = 8
 
 _PHASE_IDX = {"WATER": 0, "WAT": 0, "OIL": 1, "GAS": 2}
 _MODE_IDX = {"BHP": CTRL_BHP, "ORAT": CTRL_ORAT, "WRAT": CTRL_WRAT,
@@ -147,7 +154,8 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
                          else (pdepth[iw, pmask[iw]].min()
                                if pmask[iw].any() else 0.0))
         is_inj[iw] = w.is_injector
-        open_m[iw] = (w.status == "OPEN") and pmask[iw].any()
+        stopped = (w.status == "STOP") and pmask[iw].any()
+        open_m[iw] = (w.status == "OPEN" and pmask[iw].any()) or stopped
         if w.is_injector:
             inj_phase[iw] = _PHASE_IDX.get(w.inj_phase or "GAS", 2)
             # unknown modes (e.g. GRUP before the group manager assigns a
@@ -168,6 +176,8 @@ def build_wellset(geo: Geometry, wells: list, max_perfs: int | None = None,
                 lrat[iw] = w.liquid_rate
             bhp_l[iw] = w.bhp_limit if w.bhp_limit is not None else U.ATM
         bhp_t[iw] = bhp_l[iw]
+        if stopped:
+            mode[iw] = CTRL_STOP
         if getattr(w, "resv_rate", None) is not None:
             resv[iw] = w.resv_rate
         if getattr(w, "thp_limit", None):
@@ -291,7 +301,8 @@ def well_rates_only(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         u_perf, flag_perf, pbh, rho_conn, ws.wi, dz,
         ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf,
         eps_perf)
-    q = jnp.where(ws.open_mask[:, None, None], q, 0.0)
+    live = ws.open_mask & (ws.ctrl_mode != CTRL_STOP)  # 1-DOF: STOP=closed
+    q = jnp.where(live[:, None, None], q, 0.0)
     return q.sum(axis=1)
 
 
@@ -427,8 +438,9 @@ def well_perf_contributions(fs: FluidSystem, u, flag, pbh: jnp.ndarray,
         ws.is_injector, ws.inj_phase, ws.perf_mask, reg_perf, mob_perf,
         eps_perf)
 
-    # closed wells contribute nothing
-    open_ = ws.open_mask
+    # closed wells contribute nothing (the 1-DOF well has no total-rate
+    # unknown, so STOP wells are treated as closed on this path too)
+    open_ = ws.open_mask & (ws.ctrl_mode != CTRL_STOP)
     q_perf = jnp.where(open_[:, None, None], q_perf, jnp.zeros_like(q_perf))
     dq_du = jnp.where(open_[:, None, None, None], dq_du,
                       jnp.zeros_like(dq_du))
@@ -507,8 +519,8 @@ def well_control_contributions(pr: WellPerf, ws: WellSet, active_mode,
     d_diag = jnp.where(d_bad, 1.0, d_diag)
 
     # closed wells: pin their pbh to the limit (their q/dq are already
-    # zero from the perf stage)
-    open_ = ws.open_mask
+    # zero from the perf stage); 1-DOF STOP wells are closed
+    open_ = ws.open_mask & (ws.ctrl_mode != CTRL_STOP)
     res_well = jnp.where(open_, res_well, pbh - ws.bhp_target)
     b_blk = jnp.where(open_[:, None, None], b_blk, jnp.zeros_like(b_blk))
     d_diag = jnp.where(open_, d_diag, jnp.ones_like(d_diag))

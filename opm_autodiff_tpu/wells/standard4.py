@@ -46,8 +46,8 @@ from opm_autodiff_tpu.models.blackoil import intensive
 from opm_autodiff_tpu.props.fluid import FluidSystem
 from opm_autodiff_tpu.wells.standard import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT,
                                              CTRL_ORAT, CTRL_RATE, CTRL_RESV,
-                                             CTRL_THP, CTRL_WRAT, WellSet,
-                                             _split_banks)
+                                             CTRL_STOP, CTRL_THP, CTRL_WRAT,
+                                             WellSet, _split_banks)
 from opm_autodiff_tpu.utils.tinydot import esum
 
 # component scaling factors (water, oil, gas) — gas rates are ~100x the
@@ -396,8 +396,13 @@ def _control_eq(xw, mode, ws_row, is_injector, inj_phase, vfp_bank):
         bhp_inj = bank_inj_bhp(inj_bank, vfp_i, thp_t, inj_surf)
         r_inj = jnp.where(mode == CTRL_THP, bhp - bhp_inj, r_inj)
 
-    return jnp.where(is_injector, r_inj,
-                     jnp.where(mode == CTRL_BHP, bhp - bhp_t, r_prod))
+    r = jnp.where(is_injector, r_inj,
+                  jnp.where(mode == CTRL_BHP, bhp - bhp_t, r_prod))
+    # STOP status: zero TOTAL surface rate — the WQTotal primary
+    # variable is pinned to 0, the wellbore pressure equilibrates, and
+    # perforation crossflow stays live (reference Well::Status::STOP;
+    # WellInterface_impl.hpp stopppedOrZeroRateTarget)
+    return jnp.where(mode == CTRL_STOP, xw[0], r)
 
 
 # ---------------------------------------------------------------------------

@@ -242,3 +242,72 @@ def test_packed_wells_match_intensive_path(setup):
     np.testing.assert_allclose(np.asarray(wr_pk.dq_dxw),
                                np.asarray(wr_ref.dq_dxw),
                                rtol=2e-3, atol=3e-5 * dxw_scale)
+
+
+def test_stop_well_zero_surface_rate_with_crossflow(setup):
+    """STOP status (reference Well::Status::STOP, test_wellstate.cpp:350
+    STOP_well + wells_manager_data_wellSTOP.data): the well is closed at
+    the SURFACE — the CTRL_STOP control equation pins WQTotal = 0 — but
+    the wellbore stays live, so perforations in a vertically
+    disequilibrated column exchange fluid through the well (crossflow),
+    balancing per phase across the wellbore. Distinct from SHUT, which
+    removes the well entirely (open_mask False, zero perf rates)."""
+    from opm_autodiff_tpu.io.state import Completion, WellConfig
+    from opm_autodiff_tpu.wells.standard import CTRL_STOP
+
+    state, geo, fs, init, ws, names = setup
+    comps = [Completion(i=4, j=4, k=k, open=True, cf=None, diameter=0.5,
+                        kh=None, skin=0.0, direction="Z")
+             for k in range(3)]
+    stop_w = WellConfig(
+        name="STOPW", group="G", i=4, j=4, ref_depth=None,
+        preferred_phase="OIL", is_injector=False, status="STOP",
+        completions=comps, control_mode="ORAT", oil_rate=0.01,
+        bhp_limit=1e5)
+    ws2 = build_wellset(geo, [stop_w])
+    assert bool(np.asarray(ws2.open_mask)[0])          # live, not SHUT
+    assert int(np.asarray(ws2.ctrl_mode)[0]) == CTRL_STOP
+
+    # overpressure the top perforated cell: wellbore crossflow moves
+    # fluid from the high-pressure layer to the others
+    u = np.asarray(init.u).copy()
+    top_cell = int(np.asarray(ws2.cell)[0, 0])
+    u[top_cell, 0] += 20e5
+    u = jnp.asarray(u)
+
+    xw0 = s4.init_xw(fs, u, init.flag, ws2)
+    xw = s4.solve_well_eq(fs, u, init.flag, xw0, ws2)
+    assert bool(jnp.all(jnp.isfinite(xw)))
+    # surface: total rate pinned to ~0 -> every phase surface rate ~0
+    q_surf = np.asarray(s4.xw_surface_rates(xw, ws2))[0]
+    assert np.abs(q_surf).max() < 1e-10
+
+    wr = s4.well4_contributions(fs, u, init.flag, xw, ws2)
+    qp = np.asarray(wr.q_perf)[0]       # [P,3] signed into cells
+    per_perf = qp.sum(axis=1)           # net volume per perforation
+    # crossflow is live: the overpressured perf feeds the wellbore
+    # (negative into its cell), at least one other perf receives
+    assert per_perf.min() < -1e-7
+    assert per_perf.max() > 1e-7
+    # and the well stores nothing: perf rates balance per phase
+    np.testing.assert_allclose(qp.sum(axis=0), np.zeros(3), atol=5e-7)
+
+
+def test_shut_vs_stop_distinction(setup):
+    """SHUT wells stay fully dead (no crossflow): open_mask False."""
+    from opm_autodiff_tpu.io.state import Completion, WellConfig
+
+    state, geo, fs, init, ws, names = setup
+    comps = [Completion(i=4, j=4, k=k, open=True, cf=None, diameter=0.5,
+                        kh=None, skin=0.0, direction="Z")
+             for k in range(3)]
+    shut_w = WellConfig(
+        name="SHUTW", group="G", i=4, j=4, ref_depth=None,
+        preferred_phase="OIL", is_injector=False, status="SHUT",
+        completions=comps, control_mode="ORAT", oil_rate=0.01,
+        bhp_limit=1e5)
+    ws2 = build_wellset(geo, [shut_w])
+    assert not bool(np.asarray(ws2.open_mask)[0])
+    xw0 = s4.init_xw(fs, init.u, init.flag, ws2)
+    wr = s4.well4_contributions(fs, init.u, init.flag, xw0, ws2)
+    np.testing.assert_array_equal(np.asarray(wr.q_perf), 0.0)
