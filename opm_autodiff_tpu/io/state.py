@@ -1298,16 +1298,12 @@ def _apply_sched_keyword(kw, u, wells, group_tree, group_prod,
             if w is not None:
                 w.efac = float(item(r, 1, 1.0))
     elif kw.name == "GEFAC":
+        # group property, applied at snapshot time (so wells added to
+        # the group AFTER the GEFAC record still inherit it — reference:
+        # Group::getGroupEfficiencyFactor consumed per use, not parse)
         for r in kw.records:
             g = str(item(r, 0, ""))
-            f = float(item(r, 1, 1.0))
-            for w in wells.values():
-                grp = w.group
-                while grp:
-                    if grp == g:
-                        w.efac *= f
-                        break
-                    grp = group_tree.get(grp, "")
+            group_aux.setdefault("gefac", {})[g] = float(item(r, 1, 1.0))
     elif kw.name == "WSOLVENT":
         for r in kw.records:
             w = wells[str(item(r, 0, ""))]
@@ -1532,8 +1528,22 @@ def _build_schedule(deck: Deck, rs: Runspec, grid: GridSection) -> Schedule:
     tuning: dict = {}
 
     def snapshot():
+        # effective efficiency = WEFAC * product of GEFACs up the
+        # group tree (reference: WellGroupHelpers accumulates group
+        # efficiency along the chain)
+        gefac = group_aux.get("gefac", {})
+
+        def eff(w):
+            e, grp, seen = w.efac, w.group, set()
+            while grp and grp not in seen:
+                seen.add(grp)
+                e *= gefac.get(grp, 1.0)
+                grp = group_tree.get(grp, "")
+            return e
+
         return [dataclasses.replace(
-            w, completions=[dataclasses.replace(c) for c in w.completions])
+            w, efac=eff(w),
+            completions=[dataclasses.replace(c) for c in w.completions])
             for w in wells.values()]
 
     def group_snapshot():

@@ -64,3 +64,62 @@ def test_relperm_diagnostics_single_warning():
     assert errors == []
     assert len(warnings) == 1, warnings
     assert "SGOF max gas saturation" in warnings[0]
+
+
+@pytest.mark.smoke
+def test_wells_group_fixture_schedule():
+    """wells_group.data (the reference's group-construction fixture):
+    GRUPTREE/WEFAC before the first TSTEP, then GEFAC, two more wells,
+    GCONPROD/GCONINJE and RESV controls AFTER the only TSTEP — which
+    lands in the trailing schedule state. Pins the group tree, the
+    WEFAC*GEFAC chain (including a well added to the group after its
+    GEFAC record), and METRIC-unit SI conversion of the group targets."""
+    st = _load("wells_group.data")
+    steps = st.schedule.steps
+    assert len(steps) == 2
+    assert steps[0].end_days - steps[0].start_days == pytest.approx(14.0)
+
+    def well(step, name):
+        (w,) = [w for w in step.wells if w.name == name]
+        return w
+
+    # step 0: two wells, G1/G2 under FIELD, WEFAC 0.5 each
+    assert sorted(w.name for w in steps[0].wells) == ["INJ1", "PROD1"]
+    assert steps[0].groups["tree"] == {"G1": "FIELD", "G2": "FIELD"}
+    assert well(steps[0], "INJ1").group == "G1"
+    assert well(steps[0], "PROD1").group == "G2"
+    assert well(steps[0], "INJ1").efac == pytest.approx(0.5)
+    assert well(steps[0], "PROD1").efac == pytest.approx(0.5)
+
+    # trailing state: INJ2/PROD2 exist; GEFAC('G1', 0.8) multiplies
+    # INJ1 (0.5 WEFAC -> 0.4) AND INJ2, which was added to G1 after
+    # the GEFAC record (0.8 WEFAC -> 0.64)
+    last = steps[1]
+    assert sorted(w.name for w in last.wells) == [
+        "INJ1", "INJ2", "PROD1", "PROD2"]
+    assert well(last, "INJ2").group == "G1"
+    assert well(last, "INJ1").efac == pytest.approx(0.5 * 0.8)
+    assert well(last, "INJ2").efac == pytest.approx(0.8 * 0.8)
+    assert well(last, "PROD1").efac == pytest.approx(0.5)
+    assert well(last, "PROD2").efac == pytest.approx(1.0)
+
+    # group targets (METRIC: m3/day -> SI m3/s)
+    day = 86400.0
+    gi = last.groups["inj"]["G1"]["GAS"]
+    assert gi["mode"] == "RATE"
+    assert gi["rate"] == pytest.approx(30000.0 / day)
+    gp = last.groups["prod"]["G2"]
+    assert gp["mode"] == "ORAT"
+    assert gp["orat"] == pytest.approx(10000.0 / day)
+
+    # RESV well controls (WCONINJE/WCONPROD record tails): resv target
+    # and bhp limit in METRIC bars
+    inj1 = well(last, "INJ1")
+    assert inj1.control_mode == "RESV"
+    assert inj1.inj_phase == "WATER"
+    assert inj1.resv_rate == pytest.approx(20.0 / day)
+    assert inj1.bhp_limit == pytest.approx(40.0e5)
+    prod1 = well(last, "PROD1")
+    assert prod1.control_mode == "RESV"
+    assert prod1.resv_rate == pytest.approx(123.0 / day)
+    assert prod1.bhp_limit == pytest.approx(100.0e5)
