@@ -234,3 +234,32 @@ def test_tuning_growth_and_chop_factors(tmp_path):
     assert t["max_dt_days"] == 10
     assert t["growth_factor"] == 2.0
     assert t["restart_factor"] == 0.25
+
+
+def test_welopen_stop_mid_schedule(tmp_path):
+    """WELOPEN 'STOP' between report steps: the well produces in step 1,
+    then is stopped at the surface — reported rates drop to zero — but
+    stays a live CTRL_STOP well (reference Well::Status::STOP), and the
+    run completes. 2-phase oil/water: the single-perf stopped well has
+    no crossflow partner, so its net rate is exactly zero."""
+    deck = BASE.format(runspec="", sched="").replace(
+        "TSTEP\n 2 5 /", "TSTEP\n 2 /\nWELOPEN\n 'P1' 'STOP' 5* /\n/\n"
+        "TSTEP\n 5 /")
+    p = tmp_path / "STOPRUN.DATA"
+    p.write_text(deck)
+    s1 = load_state(str(p))
+    assert [w.status for w in s1.schedule.steps[0].wells] == ["OPEN"]
+    assert [w.status for w in s1.schedule.steps[1].wells] == ["STOP"]
+
+    from opm_autodiff_tpu.wells.standard import CTRL_STOP
+    from opm_autodiff_tpu.grid import build_geometry
+    ws1 = build_wellset(build_geometry(s1), s1.schedule.steps[1].wells)
+    assert bool(ws1.open_mask[0]) and int(ws1.ctrl_mode[0]) == CTRL_STOP
+
+    sim = Simulator(s1, SimulatorOptions())
+    sim.step()
+    flowing = sim.summary.rows[-1]["WOPR:P1"]
+    assert flowing > 0
+    sim.step()
+    stopped = sim.summary.rows[-1]["WOPR:P1"]
+    assert abs(stopped) < 1e-6 * flowing
