@@ -194,14 +194,20 @@ class _HostProps:
         return self.rho_surf[0] * self.w_invb * (1 + x + 0.5 * x * x)
 
 
-def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState:
+def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem,
+                return_pc: bool = False) -> PrimaryState:
     """Hydrostatic equilibration, one EQUIL record per EQLNUM region
     (reference: per-region PressureTable/PhaseSaturations,
-    equil/initstateequil.hh:288,816)."""
+    equil/initstateequil.hh:288,816).
+
+    ``return_pc=True`` also returns the per-cell equilibrium water
+    capillary pressure po - pw from the hydrostatic curves (negative
+    below the contact) — consumed by ``apply_swatinit``."""
     sol = state.solution
     eqs = sol.equil_regions or ([sol.equil] if sol.equil else [])
     if not eqs:
-        return explicit_init(state, geo, fs)
+        ps = explicit_init(state, geo, fs)
+        return (ps, None) if return_pc else ps
 
     eqlnum = state.regions.get("EQLNUM")
     if eqlnum is not None:
@@ -217,6 +223,7 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
     n = geo.num_active
     u_out = np.empty((n, 3))
     flag_out = np.empty(n, np.int32)
+    pc_out = np.empty(n)
 
     for ireg, eq in enumerate(eqs):
         mask = reg_cells == ireg
@@ -233,14 +240,16 @@ def equilibrate(state: EclState, geo: Geometry, fs: FluidSystem) -> PrimaryState
         # the region's dominant PVT table drives the integration
         pvt_r = int(np.bincount(pvtnum[mask]).argmax())
         idx = np.nonzero(mask)[0]
-        po, sw, x3, flag = _equilibrate_region(
+        po, sw, x3, flag, pc_eq = _equilibrate_region(
             state, geo, fs, eq, rsvd, pvt_r, idx,
             rvvd=rvvd, pbvd=pbvd, pdvd=pdvd)
         u_out[idx, 0] = po
         u_out[idx, 1] = sw
         u_out[idx, 2] = x3
         flag_out[idx] = flag
-    return PrimaryState(u=jnp.asarray(u_out), flag=jnp.asarray(flag_out))
+        pc_out[idx] = pc_eq
+    ps = PrimaryState(u=jnp.asarray(u_out), flag=jnp.asarray(flag_out))
+    return (ps, pc_out) if return_pc else ps
 
 
 def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
@@ -428,15 +437,29 @@ def _equilibrate_region(state, geo, fs, eq, rsvd, pvt_reg, idx,
     # scatter back to the incoming (unsorted) cell order
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
-    return po_out[inv], sw[inv], x3[inv], flag[inv]
+    # po - pw from the HYDROSTATIC curves (not the saturation-corrected
+    # po_i): the equilibrium water capillary pressure, negative below
+    # the water contact — SWATINIT needs its sign/value (reference:
+    # PhaseSaturations::applySwatInit, initstateequil.hh)
+    pc_eq = (po - pw)[inv]
+    return po_out[inv], sw[inv], x3[inv], flag[inv], pc_eq
 
 
 def apply_swatinit(state: EclState, geo: Geometry, fs: FluidSystem,
-                   ps: PrimaryState, eps):
+                   ps: PrimaryState, eps, pc_eq=None):
     """SWATINIT: override the equilibrated water saturation and scale the
     cell's water capillary curve (EPS channel 10) so the scaled Pc
     reproduces the equilibrium Pc at the requested saturation
-    (reference: equil/initstateequil SWATINIT handling via PCW scaling).
+    (reference: equil/initstateequil SWATINIT handling via PCW scaling;
+    frozen truth in test_equil.cc:1007 DeckWithSwatinit).
+
+    ``pc_eq`` [N] is the true equilibrium po - pw from the hydrostatic
+    curves (``equilibrate(..., return_pc=True)``). Where it is <= 0 —
+    at/below the water contact — SWATINIT is IGNORED and the cell keeps
+    its equilibrium saturation ("sw forced to swu since
+    P_oil - P_wat < 0", test_equil.cc:1031). Without it the unscaled
+    Pc(sw_equil) is used as a proxy numerator and no cells are skipped
+    (explicit-init decks have no hydrostatic curves).
 
     Returns (new PrimaryState, new eps [N,12]).
     """
@@ -461,15 +484,20 @@ def apply_swatinit(state: EclState, geo: Geometry, fs: FluidSystem,
         real = np.isfinite(sw_bank[r])
         nodes = sw_bank[r][real]
         pc = pcow_bank[r][real]
-        # equilibrium Pc at the cell = Pc(sw_equil) on the unscaled curve
-        pc_equil = float(np.interp(u[i, 1], nodes[::-1] if nodes[0] > nodes[-1]
-                                   else nodes, pc[::-1] if nodes[0] > nodes[-1]
-                                   else pc))
+        if pc_eq is not None:
+            pe = float(pc_eq[i])
+            if pe <= 0.0:
+                continue  # water zone: SWATINIT ignored (reference)
+        else:
+            # proxy: Pc(sw_equil) on the unscaled curve
+            pe = float(np.interp(
+                u[i, 1], nodes[::-1] if nodes[0] > nodes[-1] else nodes,
+                pc[::-1] if nodes[0] > nodes[-1] else pc))
         pc_at_init = float(np.interp(swinit[i], nodes, pc))
         sw_new = float(np.clip(swinit[i], nodes[0], nodes[-1]))
         u[i, 1] = sw_new
-        if abs(pc_at_init) > 1e-30 and pc_equil > 0:
-            eps[i, 10] = pc_equil / pc_at_init
+        if abs(pc_at_init) > 1e-30 and pe > 0:
+            eps[i, 10] = pe / pc_at_init
     return PrimaryState(u=jnp.asarray(u), flag=ps.flag), eps
 
 

@@ -392,11 +392,15 @@ class Simulator:
                 # OPMEXTRA: resume with the stepper's suggested dt
                 self._suggested_dt = next_dt
         else:
-            ps = equilibrate(self.state, self.geo, self.fs)
             if "SWATINIT" in self.state.eps_arrays:
                 from opm_autodiff_tpu.models.init import apply_swatinit
+                ps, pc_eq = equilibrate(self.state, self.geo, self.fs,
+                                        return_pc=True)
                 ps, self._eps_host = apply_swatinit(
-                    self.state, self.geo, self.fs, ps, self._eps_host)
+                    self.state, self.geo, self.fs, ps, self._eps_host,
+                    pc_eq=pc_eq)
+            else:
+                ps = equilibrate(self.state, self.geo, self.fs)
         # defaulted THPRES records: thresholds from the equilibrated
         # potential differences (rebuilds the device statics if filled)
         self._apply_default_thpres(ps)

@@ -203,3 +203,78 @@ def test_capillary(monkeypatch):
     np.testing.assert_allclose(s[:, 0], s_w, atol=2e-4)
     np.testing.assert_allclose(1 - s[:, 0] - s[:, 2], s_o, atol=2e-4)
     np.testing.assert_allclose(s[:, 2], s_g, atol=2e-4)
+
+
+def test_swatinit(monkeypatch):
+    """test_equil.cc:1007 DeckWithSwatinit
+    (equil_capillary_swatinit.DATA): the reference test is #if 0'd but
+    its frozen truth arrays remain — the only available anchor for
+    SWATINIT semantics. Asserts, at the reference's g = 9.81
+    (test_equil.cc:1103):
+
+    * unscaled equilibrium saturations match the frozen `s` arrays;
+    * applying SWATINIT forces sw to swl=0.2 where the deck asks for
+      0 (cells 1-5), honors 0.5 in the positive-Pc zone (cells 6-12),
+      and IGNORES the requested 0.5 at/below the water contact where
+      po - pw < 0 (cells 13-15 stay at the equilibrium swu=1);
+    * the scaled water-Pc curve reproduces the equilibrium po - pw at
+      the initialized saturation: eps_scale * Pc_table(sw_new) matches
+      the frozen pc_scaled_truth for the 12 scaled cells, and the
+      remaining cells keep an unscaled curve.
+    """
+    from opm_autodiff_tpu import units as U
+    from opm_autodiff_tpu.grid import build_geometry
+    from opm_autodiff_tpu.io.state import load_state
+    from opm_autodiff_tpu.models.init import apply_swatinit, equilibrate
+    from opm_autodiff_tpu.props import FluidSystem
+
+    monkeypatch.setattr(U, "GRAVITY", 9.81)
+    path = os.path.join(REF, "equil_capillary_swatinit.DATA")
+    if not os.path.exists(path):
+        pytest.skip("equil_capillary_swatinit.DATA unavailable")
+    state = load_state(path)
+    geo = build_geometry(state)
+    fs = FluidSystem.from_state(state)
+    ps, pc_eq = equilibrate(state, geo, fs, return_pc=True)
+
+    from opm_autodiff_tpu.models.blackoil import intensive
+
+    def sats(ps_):
+        regs = jnp.zeros((geo.num_active, 2), jnp.int32)
+        q = jax.vmap(intensive, in_axes=(None, 0, 0, 0))(
+            fs, ps_.u, ps_.flag, regs)
+        return np.asarray(q.sat)
+
+    u0 = np.asarray(ps.u)
+    # frozen unscaled equilibrium (test_equil.cc:1026, water/oil/gas)
+    s_w = [0.2] * 9 + [0.42528761746004229, 0.77462669821009045] \
+        + [1.0] * 9
+    s_g = [0.8, 0.8, 0.8, 0.78518600884522005, 0.014745791925539575] \
+        + [0.0] * 15
+    np.testing.assert_allclose(u0[:, 1], s_w, atol=2e-4)
+    np.testing.assert_allclose(sats(ps)[:, 2], s_g, atol=2e-4)
+
+    ps2, eps = apply_swatinit(state, geo, fs, ps, None, pc_eq=pc_eq)
+    u = np.asarray(ps2.u)
+    # frozen with-swatinit saturations (test_equil.cc:1033): deck asks
+    # 0 / 0.5 / 1; swl clamps, the water zone ignores
+    sw_truth = [0.2] * 5 + [0.5] * 7 + [1.0] * 8
+    np.testing.assert_allclose(u[:, 1], sw_truth, atol=2e-4)
+    # gas untouched by SWATINIT (So absorbs the sw change)
+    np.testing.assert_allclose(sats(ps2)[:, 2], s_g, atol=2e-4)
+
+    # scaled-Pc truth (test_equil.cc:1082-1093, Pa): the PCW scale
+    # factor times the table Pc at the initialized sw equals the
+    # equilibrium po - pw for the 12 scaled cells
+    pc_truth = [150031.3, 136815.6, 123612.7, 110422.7, 97245.4,
+                84081.0, 70929.0, 57791.0, 44665.0, 31552.0,
+                18451.5, 5364.1]
+    sat = fs.sat
+    nodes = np.asarray(sat.sw)[0]
+    pc_tab = np.asarray(sat.pcow_tab)[0]
+    real = np.isfinite(nodes)
+    pc_at = np.interp(u[:12, 1], nodes[real], pc_tab[real])
+    scaled = np.asarray(eps)[:12, 10] * pc_at
+    np.testing.assert_allclose(scaled, pc_truth, rtol=2e-3, atol=60.0)
+    # cells 13-20: no PCW scaling applied
+    assert np.isnan(np.asarray(eps)[12:, 10]).all()
